@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics showcase — the classical operator categories the
+  * reference explicitly lacks (SURVEY.md §2.6: joins, aggregations,
+  * windows, top-k, set ops, rollup), built Spark-first so the engine is a
+  * complete analytics surface, not just the ETL pipeline.
+  *
+  * Scale discipline applied throughout:
+  *  - dimension joins (`region`/`nation`/`customer` at 100 TB fact scale)
+  *    are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - aggregates use map-side partials (plain `groupBy`.agg with
+  *    associative functions), so shuffles carry groups, not rows;
+  *  - windows partition on the natural key (one shuffle, AQE-skew-safe);
+  *  - all sums are decimal-exact (see EventAnalytics.dec6 rationale).
+  */
+object Queries {
+
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1-shaped pricing summary: single scan, partial-agg, tiny
+    * shuffle (one group per flag×status). The flagship full-scan agg.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec6(col("l_quantity"))).as("sum_qty"),
+        sum(dec6(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped top-k: broadcast the filtered customer dimension into
+    * the orders⋈lineitem join, aggregate revenue per order, global top 10.
+    * At cluster scale the only big shuffle is lineitem on l_orderkey —
+    * orders co-partitions with it; top-k is a tiny sorted limit.
+    */
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped star join: revenue by nation. All four dimension
+    * tables broadcast; the fact table never shuffles for the joins —
+    * only the final tiny group-by aggregates.
+    */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey")
+        && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window ranking: top-3 orders per customer by totalprice (deterministic
+    * tie-break on o_orderkey). One shuffle on o_custkey.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        dec6(col("o_totalprice")).as("totalprice"))
+  }
+
+  /** Running (cumulative) quantity per supplier in shipdate order —
+    * analytic frame `rows between unbounded preceding and current row`.
+    */
+  def runningQtyPerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 5)
+      .withColumn("running_qty",
+        sum(dec6(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  /** Rollup (grouping-sets family): counts at (flag,status), (flag), ().
+    * Spark and DuckDB agree on ROLLUP null-fill semantics; we mark
+    * subtotal levels explicitly to keep the sort keys non-null.
+    */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** Anti join: customers with no orders (NOT EXISTS). Broadcast-safe at
+    * any scale where the distinct custkey set of orders fits; otherwise a
+    * shuffled left-anti — Catalyst + AQE pick.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Semi join: parts that appear in at least one lineitem (EXISTS). */
+  def partsWithSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey")
+    Tables.part(spark, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name", "p_brand")
+  }
+
+  /** Distinct aggregation: exact distinct counts per market segment. */
+  def distinctCustomersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment", "c_nationkey")
+    cust.groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+  }
+}

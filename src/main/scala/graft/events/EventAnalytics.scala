@@ -1,0 +1,91 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics over the event stream — the Spark-native generalization of
+  * the reference's event-bus surface (SURVEY.md §2.2, §2.4).
+  *
+  * The reference routes envelope events with conjunctive equality rules and
+  * terminates in a keyed last-write-wins store; everything here is the same
+  * shape expressed as declarative plans Catalyst can optimize:
+  *  - routing      → pushed-down filters (graft.route.Rules)
+  *  - keyed upsert → one shuffle on the key, `row_number` LWW
+  *  - observe/tally→ partial-aggregated `groupBy` (map-side combine)
+  *
+  * Scale notes: sessionize and LWW shuffle once on `user_id` — at 100 TB
+  * that is the unavoidable key-repartition any stateful consumer would pay;
+  * AQE handles skewed users. Tumbling windows aggregate with map-side
+  * partials, so the shuffle carries only (window × type) groups, not rows.
+  */
+object EventAnalytics {
+
+  /** K1 as a query: last event per key, LWW by (ts, event_id) — the exact
+    * set-semantics of the reference's PutItem upsert (load.ts:61-78).
+    */
+  def latestPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_ms").as("last_ts_ms"))
+  }
+
+  /** K3/README "tally": per-type reconciliation counts over the bus. */
+  def tally(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("ts_ms").as("first_ts_ms"),
+        max("ts_ms").as("last_ts_ms"))
+
+  /** Sessionization: a new session starts when the gap since the user's
+    * previous event exceeds `gapMinutes`. Batch analogue of Structured
+    * Streaming `session_window`; one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gapNs = gapMinutes * 60L * 1000L * 1000L * 1000L
+    val marked = events.withColumn("prev_ts",
+        lag("ts_ns", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        max("ts_ms").as("session_end_ms"))
+  }
+
+  /** Tumbling daily window per event type — the batch form of
+    * `groupBy(window($"ts", "1 day"), $"event_type")`.
+    */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("value"))).as("sum_value"))
+
+  /** Simple two-step funnel: users who did `from` then later `to`. */
+  def funnel(events: DataFrame, from: String, to: String): DataFrame = {
+    val a = events.filter(col("event_type") === from)
+      .groupBy("user_id").agg(min("ts_ns").as("first_from"))
+    val b = events.filter(col("event_type") === to)
+      .groupBy("user_id").agg(max("ts_ns").as("last_to"))
+    a.join(b, Seq("user_id"))
+      .filter(col("last_to") > col("first_from"))
+      .select(col("user_id"))
+  }
+
+  /** Oracle-friendly numeric discipline (shared by all query modules):
+    * SUMS over doubles differ between engines in the last bits (parallel
+    * summation order), so cast each summand to decimal BEFORE aggregating —
+    * decimal arithmetic is exact and engine-independent. Small-magnitude
+    * derived doubles (ratios, cosines) are safe to cast once at the end.
+    */
+  def dec6(c: Column): Column = c.cast("decimal(18,6)")
+}

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Model
+
+/** Sources / scans (SURVEY.md §2.1, S1-S5).
+  *
+  * The reference's extraction path is: S3 OBJECT_CREATED → SQS → Lambda →
+  * Fargate task that downloads the CSV, parses it with a quote-aware
+  * reader, and emits ONE EventBridge event PER ROW with the header set
+  * denormalized into every event (container/s3DataExtractionTask/main.py:31-52).
+  *
+  * Spark-first re-expression: the whole chain collapses into a `FileScan`.
+  *  - arrival detection (S1, stack.ts:41-57)  → Structured Streaming file
+  *    source (new-file listing is built in; `maxFilesPerTrigger` paces).
+  *  - download (S3, main.py:22-28)            → implicit in FileSourceScanExec.
+  *  - CSV parse w/ header (S4, main.py:31-35) → DataFrameReader.csv,
+  *    Univocity parser (quote-correct — fixes SURVEY.md §1.4's lossy
+  *    join/split round-trip by parsing exactly once).
+  *  - row splinter (S5, main.py:34-52)        → a DataFrame row already IS
+  *    the per-row unit; the envelope wrap is a single projection, with zero
+  *    per-row RPC (the reference pays one PutEvents API call per row).
+  */
+object CsvExtract {
+
+  /** All-strings schema: the reference never types anything (SURVEY.md §1.2);
+    * even numeric-looking fields stay strings end-to-end (load.ts:67-71).
+    */
+  def allStringSchema(headers: Seq[String]): StructType =
+    StructType(headers.map(StructField(_, StringType, nullable = true)))
+
+  /** S4: batch CSV scan; first row = header = schema (main.py:33). */
+  def scan(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false") // all strings, like the reference
+      .csv(path)
+
+  /** S4 with a known header set (schema declared, not inferred — cheaper at
+    * scale: no extra pass over the file to read headers on every executor).
+    */
+  def scan(spark: SparkSession, path: String, headers: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(allStringSchema(headers))
+      .csv(path)
+
+  /** S5: wrap each parsed row in the reference envelope
+    * (`{source, detailType, time, detail:{status, headers, data}}`,
+    * main.py:36-50). `data` is a typed map keyed by header — never a
+    * re-joined comma string (the §1.4 fix). Header array rides along in
+    * each event, matching the reference's schema denormalization.
+    */
+  def toEvents(rows: DataFrame): DataFrame = {
+    val headers = rows.columns.toSeq
+    rows.select(
+      lit(Model.Source).as("source"),
+      lit(Model.DetailTypes.Extraction).as("detailType"),
+      current_timestamp().as("time"), // processing time, like main.py:47
+      struct(
+        lit(Model.Status.Extracted).as("status"),
+        typedLit(headers).as("headers"),
+        map_from_arrays(
+          typedLit(headers),
+          array(headers.map(h => col(quoted(h)).cast(StringType)): _*)
+        ).as("data")
+      ).as("detail"))
+  }
+
+  /** S1: streaming arrival. The file source's directory listing is the
+    * native analogue of the S3→SQS notification chain (stack.ts:41-57);
+    * `maxFilesPerTrigger` plays the role of the reference's concurrency
+    * throttle (stack.ts:26, SURVEY.md §2.5 O2).
+    */
+  def stream(
+      spark: SparkSession,
+      landingDir: String,
+      headers: Seq[String],
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(allStringSchema(headers))
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(landingDir)
+
+  private def quoted(name: String): String = s"`$name`"
+}

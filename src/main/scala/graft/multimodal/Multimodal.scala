@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The container has no codec libraries, so the *decode* kernel is a
+  * clearly-marked deterministic stub — but everything around it is the
+  * real distributed design:
+  *  - schema: `(asset_id, media_type, payload: binary, meta: struct)`;
+  *  - partition-local batch processing via `mapPartitions` over a typed
+  *    Dataset (the Scala analogue of `mapInPandas`: one iterator per
+  *    partition, amortized per-batch setup, no per-row driver traffic);
+  *  - frame sampling as `explode(sequence(...))` — a generator, so frames
+  *    parallelize across the cluster instead of widening one row.
+  *
+  * At 100 TB: payloads dominate; every transform here is map-side only
+  * and column-pruned (metadata-only queries never read `payload` thanks
+  * to parquet column pruning).
+  */
+object Multimodal {
+
+  /** Raw multimodal asset row. */
+  case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded metadata produced by the (stubbed) decode kernel. */
+  case class Decoded(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Manufacture a binary `payload` column corpus from the documents
+    * table — a stand-in for real media blobs with the same plumbing
+    * (binary type, size skew, opaque content).
+    */
+  def syntheticAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode kernel — deterministic fake in place of a real codec
+    * (libjpeg/ffmpeg absent in this environment). Real deployments swap
+    * `decodeStub` for the codec call; the partitioning, batching and
+    * schema contract around it do not change.
+    */
+  def decodeStub(a: Asset): Decoded = {
+    val n = a.payload.length.toLong
+    Decoded(
+      asset_id = a.asset_id,
+      media_type = a.media_type,
+      n_bytes = n,
+      width = (n % 640).toInt + 16,
+      height = ((n * 7) % 480).toInt + 16,
+      n_frames = if (a.media_type == "video") (n % 120).toInt + 1 else 1)
+  }
+
+  /** Partition-local decode: the `mapInPandas` analogue. One iterator per
+    * partition — codec contexts initialize once per partition, rows stream
+    * through without materializing the partition in memory.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { iter =>
+      // per-partition setup happens here (codec init in a real kernel)
+      iter.map(decodeStub)
+    }
+  }
+
+  /** Same decode expressed as pure column expressions — the preferred
+    * fast path when the kernel is arithmetic (stays in whole-stage
+    * codegen, and is DuckDB-expressible for the oracle).
+    */
+  def decodeExpr(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"), col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      (pmod(octet_length(col("payload")), lit(640)) + 16).cast("int").as("width"),
+      (pmod(octet_length(col("payload")).cast("long") * 7, lit(480)) + 16).cast("int").as("height"),
+      when(col("media_type") === "video",
+        (pmod(octet_length(col("payload")), lit(120)) + 1))
+        .otherwise(1).cast("int").as("n_frames"))
+
+  /** Frame sampling: every `step`-th frame index of each video — a
+    * generator (`explode(sequence)`), so downstream per-frame work
+    * parallelizes across the cluster.
+    */
+  def sampleFrames(decoded: DataFrame, step: Int = 10): DataFrame =
+    decoded
+      .filter(col("media_type") === "video")
+      .select(col("asset_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+
+  /** Feature-extraction stub over sampled frames: deterministic per-frame
+    * "embedding" seed (again: the kernel is fake, the distribution shape —
+    * map-side expression over exploded frames — is real).
+    */
+  def frameFeatures(frames: DataFrame): DataFrame =
+    frames.select(col("asset_id"), col("frame_idx"),
+      xxhash64(col("asset_id"), col("frame_idx")).as("feature_seed"))
+}

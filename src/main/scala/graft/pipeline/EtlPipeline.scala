@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.CsvExtract
+import graft.route.Rules
+import graft.sink.{AuditSink, KeyedUpsertSink}
+import graft.xform.Transform
+
+/** End-to-end wiring of the reference pipeline (SURVEY.md §3), Spark-first.
+  *
+  * The reference: S3 CSV upload → SQS → extract Lambda → Fargate splinter
+  * task → EventBridge → transform Lambda → EventBridge → load Lambda →
+  * DynamoDB, with an observe Lambda tapping every event. Five AWS
+  * components; per-row network hops between each.
+  *
+  * Here: five composable Dataset transformations in one job. The event bus
+  * is a plain Dataset hand-off in batch mode, a checkpointed stream in
+  * streaming mode. Stage boundaries fuse into whole-stage codegen; the only
+  * external crossing left is the terminal keyed upsert.
+  */
+object EtlPipeline {
+
+  /** Stage 1-2: scan + splinter (entry point A, SURVEY.md §3.1). */
+  def extractionEvents(spark: SparkSession, csvPath: String): DataFrame =
+    CsvExtract.toEvents(CsvExtract.scan(spark, csvPath))
+
+  /** Stage 3: routing + transform (entry point B, SURVEY.md §3.2). */
+  def transformedEvents(extraction: DataFrame): DataFrame =
+    Transform.transformStage(extraction.filter(Rules.transformRule))
+
+  /** Stage 4: routing + reshape to the storage schema (entry point C). */
+  def addressRows(transformed: DataFrame): DataFrame =
+    Transform.toAddress(transformed.filter(Rules.loadRule))
+
+  /** Full batch replay: CSV file(s) → final keyed table (LWW by id). */
+  def runBatch(spark: SparkSession, csvPath: String): DataFrame = {
+    val loaded = addressRows(transformedEvents(extractionEvents(spark, csvPath)))
+    KeyedUpsertSink
+      .latestByKey(loaded, Seq("id"), Seq(col("time")))
+      .drop("time")
+  }
+
+  /** The observe channel for a batch run: all stage events, tagged+unioned
+    * (multicast — each stage's events ALSO match the observe rule,
+    * SURVEY.md §2.2).
+    */
+  def auditBatch(spark: SparkSession, csvPath: String): DataFrame = {
+    val extraction  = extractionEvents(spark, csvPath)
+    val transformed = transformedEvents(extraction)
+    AuditSink.tap(Map(
+      "extract"   -> extraction.filter(Rules.observeRule),
+      "transform" -> transformed.filter(Rules.observeRule)))
+  }
+
+  /** Streaming mode (SURVEY.md §7.2 M3): the same pipeline over a watched
+    * landing directory, exactly-once into a keyed parquet table via
+    * checkpointed foreachBatch — an upgrade over the reference's
+    * at-least-once delivery (SURVEY.md §1.4).
+    */
+  def runStreaming(
+      spark: SparkSession,
+      landingDir: String,
+      headers: Seq[String],
+      tablePath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val rows    = CsvExtract.stream(spark, landingDir, headers, maxFilesPerTrigger)
+    val loaded  = addressRows(transformedEvents(CsvExtract.toEvents(rows)))
+    loaded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(
+        KeyedUpsertSink.upsertBatch(spark, tablePath, Seq("id"), Seq(col("time"))) _)
+      .start()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Sinks (SURVEY.md §2.4, K1-K3).
+  *
+  * K1 — the reference's terminal sink is a DynamoDB PutItem keyed by `id`
+  * (load.ts:61-78; stack.ts:32-35): a full-item overwrite, i.e.
+  * last-write-wins upsert. That idempotence is what absorbs the pipeline's
+  * at-least-once redelivery (SURVEY.md §1.4).
+  *
+  * K3 — the observe rule taps every event on the bus into an audit log
+  * (observe.ts:4-6; stack.ts:276-283).
+  */
+object KeyedUpsertSink {
+
+  /** Last-write-wins compaction: keep exactly one row per key, the one
+    * ranked first by `order` descending (ties broken by the later columns).
+    * This is the set-semantics of N PutItem calls against a keyed table.
+    *
+    * Scale note: one shuffle on the key — the same partitioning a keyed
+    * store would impose. Skewed keys are handled by AQE skew-join/agg
+    * splitting; no driver-side state.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Streaming upsert via foreachBatch: read-merge-overwrite a parquet
+    * table (build environment has no transactional table format on the
+    * classpath — SURVEY.md §7.4.4; on a real deployment this body swaps for
+    * a Delta/Iceberg MERGE keyed on `keys`).
+    *
+    * Idempotent per batch replay: merging the same batch twice is a no-op
+    * because the merge itself is last-write-wins on `keys` — this upgrades
+    * the reference's at-least-once to effectively-once.
+    */
+  def upsertBatch(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column])(batch: DataFrame, batchId: Long): Unit = {
+    val target = Paths.get(tablePath)
+    val existing =
+      if (Files.exists(target) && Files.list(target).findAny().isPresent)
+        Some(spark.read.parquet(tablePath))
+      else None
+
+    // New batch outranks existing rows on equal order values: tag a
+    // generation column so replays/redeliveries resolve deterministically.
+    val tagged   = batch.withColumn("__gen", lit(1L))
+    val merged = existing match {
+      case Some(old) =>
+        latestByKey(
+          old.withColumn("__gen", lit(0L)).unionByName(tagged),
+          keys,
+          order :+ col("__gen"))
+      case None => latestByKey(tagged, keys, order)
+    }
+
+    val staging = tablePath + s".staging-$batchId"
+    merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(staging)
+    replaceDir(Paths.get(staging), target)
+  }
+
+  private def replaceDir(staging: Path, target: Path): Unit = {
+    if (Files.exists(target)) {
+      Files.walk(target).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+    }
+    Files.move(staging, target)
+  }
+}
+
+object AuditSink {
+
+  /** K3: the observe channel — union of all stage outputs with a stage tag.
+    * In the reference this is the catch-all observeRule delivering every
+    * bus event to the observe Lambda (stack.ts:276-283). Union is the
+    * Spark-native multicast-listener: no shuffle, partitions concatenate.
+    */
+  def tap(stages: Map[String, DataFrame]): DataFrame =
+    stages
+      .map { case (stage, df) =>
+        df.select(
+          lit(stage).as("stage"),
+          col("source"), col("detailType"), col("time"))
+      }
+      .reduce(_ unionByName _)
+
+  /** The README.md:27 "tally" the reference suggests but never built:
+    * reconcile extracted-vs-loaded counts per stage.
+    */
+  def tally(audit: DataFrame): DataFrame =
+    audit.groupBy(col("stage")).agg(count(lit(1)).as("n")).orderBy(col("stage"))
+}

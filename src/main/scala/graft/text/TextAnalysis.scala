@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs): at 100 TB each is a single scan with map-side-only work — no
+  * shuffle at all unless the caller aggregates. Document order never
+  * matters; every function is row-local.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization for the corpus's `[a-z ]` text; the regex
+    * guards against runs of spaces. Returns an array column.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " +"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: a crude proxy for tokenizer cost — counts
+    * maximal runs of ≤4 characters (common BPE piece length), i.e.
+    * ceil(len(word)/4) summed over words. Deterministic and
+    * SQL-expressible, so the oracle can check it exactly.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Quality-scoring signals (length, lexical diversity, stopword ratio,
+    * mean token length). Ratios are small-magnitude doubles — safe to
+    * normalize to decimal(18,6) for oracle comparison.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(toks).as("n_tokens"),
+      (nStop / nTok).cast("decimal(18,6)").as("stopword_ratio"),
+      (nUniq / nTok).cast("decimal(18,6)").as("distinct_ratio"),
+      (length(expr("replace(text, ' ', '')")).cast("double") / nTok)
+        .cast("decimal(18,6)").as("mean_token_len"))
+  }
+
+  /** Language ID, n-gram/marker-word heuristic: score each candidate
+    * language by its marker-token hits, pick the argmax (ties broken by
+    * language code order). Real corpora would use character n-gram
+    * profiles; the shape — per-language score then argmax — is the same
+    * and stays a single codegen'd projection.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht", "das"),
+    "en" -> Seq("the", "and", "not", "this"),
+    "es" -> Seq("el", "los", "que", "este"),
+    "fr" -> Seq("le", "les", "que", "ce"),
+    "zh" -> Seq("de", "shi", "bu", "zhe"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language = argmax over marker scores; falls back to "und"
+    * (undetermined) when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(langScore(text, markers).as("score"),
+        // invert code order so greatest() tie-breaks to the FIRST lang code
+        lit(langMarkers.map(_._1).sorted.reverse.indexOf(lang)).as("pref"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact document fingerprint: md5 of whitespace-normalized lowercase
+    * text. Engine-independent, so it doubles as the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), " +", " "))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
+    * order-sensitive fingerprint variant: hash = hash*31 + tokenHash,
+    * in Long arithmetic. Not SQL-oracle-checkable (DuckDB's hash differs),
+    * covered by unit tests instead.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print schemas + a sample of the driver-generated testdata. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("events", "lineitem", "orders", "documents", "embeddings").foreach { t =>
+      println(s"== $t")
+      try {
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        df.printSchema()
+        df.show(3, truncate = 60)
+      } catch { case e: Throwable => println(s"FAILED: ${e.getMessage.take(500)}") }
+    }
+    spark.stop()
+  }
+}
