@@ -16,12 +16,14 @@ object Bench {
     * measuring them would just add noise.
     */
   val headline: Seq[String] = Seq(
-    "etl_pipeline", "etl_upsert_lww", "etl_audit_tally", "etl_route_transform",
-    "q1_agg", "q3_topk", "q5_join", "q_window_rank", "q_semi_anti",
+    "etl_pipeline_scale", "etl_upsert_lww", "etl_audit_tally", "etl_route_transform",
+    "q1_agg", "q3_topk", "q5_join", "q_window_rank", "q_window_running",
+    "q_rollup", "q_semi_join", "q_anti_join", "q_distinct_agg",
     "events_sessionize", "events_tumbling",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_lsh_ann")
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
+    "mm_decode", "mm_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

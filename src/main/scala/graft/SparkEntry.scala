@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Queries
+import graft.dedup.Dedup
+import graft.events.EventAnalytics
+import graft.ingest.CsvExtract
+import graft.model.Model
+import graft.multimodal.Multimodal
+import graft.pipeline.EtlPipeline
+import graft.route.Rules
+import graft.sim.Similarity
+import graft.sink.{AuditSink, KeyedUpsertSink}
+import graft.text.TextAnalysis
+import graft.xform.Transform
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2 plus the north-star extensions, and a DuckDB
+  * oracle for every SQL-expressible one.
+  *
+  * Cross-engine parity rules used throughout (discovered the hard way):
+  *  - DuckDB reads parquet TIMESTAMP(NANOS) truncated to µs → all
+  *    event-time ordering/arithmetic uses `ts_us` on both sides;
+  *  - sums go through decimal(18,6) BEFORE aggregation (exact, engine-
+  *    independent) and final agg columns are cast to an explicit
+  *    decimal(38,6) so output schemas match;
+  *  - counts/lengths/ranks are BIGINT on both sides (DuckDB len()/count()
+  *    are BIGINT; Spark length()/size()/row_number() are int → cast);
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The reference's own fixture, replayed through the full pipeline —
+    * the behavioral golden test the reference implies but never wrote
+    * (SURVEY.md §5.2.4).
+    */
+  val AddressCsv = "/root/reference/data-to-upload/address.csv"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** The `customer` table re-cast to all-strings: the stand-in for a large
+    * CSV landing in the ETL pipeline (the reference types nothing —
+    * SURVEY.md §1.2 — so "a CSV at scale" IS an all-string table).
+    * Doubles are excluded: double→string formatting is engine-specific.
+    */
+  private def customerAsCsv(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").cast("string").as("c_custkey"),
+      col("c_name").as("c_name"),
+      col("c_nationkey").cast("string").as("c_nationkey"),
+      col("c_mktsegment").as("c_mktsegment"))
+
+  private val customerRenames: Seq[(String, String)] = Seq(
+    "c_custkey" -> "id", "c_name" -> "name",
+    "c_nationkey" -> "nation", "c_mktsegment" -> "mktsegment")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────────────────────── ETL parity (SURVEY.md §2.1-2.4) ──
+    // Full pipeline replay of the reference's own 5-row fixture:
+    // scan → envelope → route F1 → transform → route F2 → reshape → LWW.
+    "etl_pipeline" -> ((s, _) => EtlPipeline.runBatch(s, AddressCsv)),
+
+    // Same pipeline at corpus scale over the all-string customer "CSV".
+    "etl_pipeline_scale" -> ((s, dir) => {
+      val events = CsvExtract.toEvents(customerAsCsv(s, dir))
+      val transformed = Transform.transformStage(events.filter(Rules.transformRule))
+      val records = Transform.toRecord(transformed.filter(Rules.loadRule), customerRenames)
+      KeyedUpsertSink.latestByKey(records, Seq("id"), Seq(col("time"))).drop("time")
+    }),
+
+    // F1 routing predicate over an envelope bus built from the events table.
+    "etl_route_transform" -> ((s, dir) => {
+      val bus = Tables.events(s, dir).select(
+        lit(Model.Source).as("source"),
+        when(col("event_type").isin("click", "view"),
+          lit(Model.DetailTypes.Extraction)).otherwise(lit(Model.DetailTypes.Transform))
+          .as("detailType"),
+        struct(
+          when(col("event_type").isin("click", "view"),
+            lit(Model.Status.Extracted)).otherwise(lit(Model.Status.Transformed))
+            .as("status"),
+          col("event_id"), col("user_id")).as("detail"))
+      bus.filter(Rules.transformRule)
+        .select(col("detail.event_id").as("event_id"), col("detail.user_id").as("user_id"))
+    }),
+
+    // K1 keyed LWW upsert semantics as a query (load.ts:61-78).
+    "etl_upsert_lww" -> ((s, dir) => EventAnalytics.latestPerUser(Tables.events(s, dir))),
+
+    // K3 observe channel: multicast tap + per-stage tally (README.md:27).
+    "etl_audit_tally" -> ((s, dir) => {
+      val extraction = CsvExtract.toEvents(customerAsCsv(s, dir))
+      val transformed = Transform.transformStage(extraction.filter(Rules.transformRule))
+      AuditSink.tally(AuditSink.tap(Map(
+        "extract" -> extraction.filter(Rules.observeRule),
+        "transform" -> transformed.filter(Rules.observeRule))))
+    }),
+
+    // P1 bug-compatible split/zip (transform.ts:53-61) on a wire string.
+    "etl_zip_naive" -> ((s, dir) => {
+      val wire = Tables.customer(s, dir).select(
+        lit("id,name").as("headers"),
+        concat_ws(",", col("c_custkey"), col("c_name")).as("data"))
+      wire.select(Transform.zipNaive(col("headers"), col("data")).as("m"))
+        .select(element_at(col("m"), "id").as("id"), element_at(col("m"), "name").as("name"))
+    }),
+
+    // P7 JSON wire round-trip: envelope → to_json → from_json → unwrap.
+    "etl_wire_roundtrip" -> ((s, dir) => {
+      val events = CsvExtract.toEvents(customerAsCsv(s, dir))
+      val schema = events.schema("detail").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Transform.fromWire(Transform.toWire(events), schema)
+        .select(
+          element_at(col("detail.data"), "c_custkey").as("id"),
+          element_at(col("detail.data"), "c_name").as("name"))
+    }),
+
+    // ────────────── relational analytics (SURVEY.md §2.6 showcase) ──
+    "q1_agg"           -> ((s, dir) => Queries.q1PricingSummary(s, dir)),
+    "q3_topk"          -> ((s, dir) => Queries.q3TopUnshipped(s, dir)),
+    "q5_join"          -> ((s, dir) => Queries.q5RevenueByNation(s, dir)),
+    "q_window_rank"    -> ((s, dir) => Queries.topOrdersPerCustomer(s, dir)),
+    "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
+    "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
+    "q_anti_join"      -> ((s, dir) => Queries.customersWithoutOrders(s, dir)),
+    "q_semi_join"      -> ((s, dir) => Queries.partsWithSales(s, dir)),
+    "q_distinct_agg"   -> ((s, dir) => Queries.distinctCustomersPerSegment(s, dir)),
+
+    // ─────────────────────────────────── event-stream analytics ──
+    "events_tally"      -> ((s, dir) => EventAnalytics.tally(Tables.events(s, dir))),
+    "events_sessionize" -> ((s, dir) => EventAnalytics.sessionize(Tables.events(s, dir))),
+    "events_tumbling"   -> ((s, dir) => EventAnalytics.tumblingDaily(Tables.events(s, dir))),
+    "events_funnel"     -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir), "signup", "purchase")),
+
+    // ───────────────────────────────────────────── text analysis ──
+    "text_tokens" -> ((s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))),
+    "text_fingerprint" -> ((s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // rolling hash uses xxhash64 → not DuckDB-reproducible; rows-only.
+    "text_rollinghash" -> ((s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))),
+
+    // ─────────────────────────────────────────────── dedup suite ──
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_exact_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(Tables.documents(s, dir)).select("doc_id", "lang", "source", "n_chars")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
+    // xxhash64-based signatures → rows-only checks.
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
+
+    // ──────────────────────────────────────────── similarity/ANN ──
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+    "sim_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    // hash-derived hyperplanes / float centroid means → rows-only.
+    "sim_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+    "sim_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // ──────────────────────────────────────── multimodal columns ──
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))),
+    "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(
+      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
+    // xxhash64 feature seeds → rows-only.
+    "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
+      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))))
+
+  // ────────────────────────────────────────────────── oracle SQL ──
+
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))"
+
+  private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
+
+  /** Per-language marker-hit score; mirrors TextAnalysis.langMarkers. */
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_pipeline" ->
+      s"""SELECT ID AS id, HouseNum AS house_number, Street AS street_address,
+         | Town AS town, Zip AS zip
+         |FROM read_csv('$AddressCsv', header=true, all_varchar=true)""".stripMargin,
+
+    "etl_pipeline_scale" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
+        | CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS mktsegment
+        |FROM customer""".stripMargin,
+
+    "etl_route_transform" ->
+      "SELECT event_id, user_id FROM events WHERE event_type IN ('click','view')",
+
+    "etl_upsert_lww" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "etl_audit_tally" ->
+      """SELECT 'extract' AS stage, count(*) AS n FROM customer
+        |UNION ALL SELECT 'transform' AS stage, count(*) AS n FROM customer
+        |ORDER BY stage""".stripMargin,
+
+    "etl_zip_naive" ->
+      "SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name FROM customer",
+
+    "etl_wire_roundtrip" ->
+      "SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name FROM customer",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         | $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  AND l_shipdate > TIMESTAMP '1999-01-01'
+         |GROUP BY l_orderkey, orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      s"""SELECT n_name, r_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name, r_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        | o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice
+        |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 48)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "events_tally" ->
+      """SELECT event_type, count(*) AS n,
+        | min(epoch_us(ts)//1000) AS first_ts_ms, max(epoch_us(ts)//1000) AS last_ts_ms
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, epoch_us(ts)//1000 AS ts_ms,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY day, event_type""".stripMargin,
+
+    "events_funnel" ->
+      """SELECT a.user_id FROM
+        | (SELECT user_id, min(epoch_us(ts)) AS first_from FROM events
+        |   WHERE event_type = 'signup' GROUP BY user_id) a
+        | JOIN (SELECT user_id, max(epoch_us(ts)) AS last_to FROM events
+        |   WHERE event_type = 'purchase' GROUP BY user_id) b USING (user_id)
+        |WHERE b.last_to > a.first_from""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | len($toksSql) AS n_tokens,
+         | CAST(list_sum(list_transform($toksSql, t -> CAST(ceil(len(t)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         | len(text) AS n_chars_actual,
+         | len(toks) AS n_tokens,
+         | CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+         |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
+         | CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS distinct_ratio,
+         | CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len
+         |FROM t""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  ${langScoreSql(Seq("der", "und", "nicht", "das"))} AS s_de,
+         |  ${langScoreSql(Seq("the", "and", "not", "this"))} AS s_en,
+         |  ${langScoreSql(Seq("el", "los", "que", "este"))} AS s_es,
+         |  ${langScoreSql(Seq("le", "les", "que", "ce"))} AS s_fr,
+         |  ${langScoreSql(Seq("de", "shi", "bu", "zhe"))} AS s_zh
+         | FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |  ELSE 'zh' END AS lang
+         |FROM s""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp""".stripMargin,
+
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+         |      ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
+         |), bk AS (
+         |  SELECT doc_id, unnest(list_distinct([n_chars // 64, (n_chars + 32) // 64])) AS bucket FROM sh
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), scored AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CAST(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+         |  FROM cand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
+         |)
+         |SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(q_emb, c_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM c CROSS JOIN q WHERE query_id != neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  neighbor_id, CAST(cos AS DECIMAL(18,6)) AS cosine
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    "sim_embed_neardup" ->
+      """WITH s AS (
+        |  SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_id_a, vec_id_b, CAST(cos AS DECIMAL(18,6)) AS cosine
+        |FROM s WHERE cos >= 0.3""".stripMargin,
+
+    "mm_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT asset_id, media_type, n_bytes,
+        |  n_bytes % 640 + 16 AS width,
+        |  (n_bytes * 7) % 480 + 16 AS height,
+        |  CASE WHEN media_type = 'video' THEN n_bytes % 120 + 1 ELSE 1 END AS n_frames
+        |FROM a""".stripMargin,
+
+    "mm_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |d AS (
+        |  SELECT asset_id, n_bytes % 120 + 1 AS n_frames FROM a WHERE media_type = 'video')
+        |SELECT asset_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx FROM d""".stripMargin)
 }

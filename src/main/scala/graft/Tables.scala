@@ -37,13 +37,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** `events` with the nano-epoch `ts` kept as a long (`ts_ns`) plus
-    * derived, oracle-friendly forms: `ts_ms` (epoch millis — matches
-    * DuckDB's `epoch_ms(ts)`) and `ts_utc` (micros-precision timestamp for
-    * Spark-side windowing).
+    * derived, oracle-friendly forms. IMPORTANT precision note: DuckDB reads
+    * parquet TIMESTAMP(NANOS) truncated to MICROsecond precision, so every
+    * cross-engine-visible ordering or arithmetic must use `ts_us`
+    * (= `epoch_us(ts)` in DuckDB, exactly), never raw nanos.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("ts_ms", expr("ts_ns div 1000000"))
       .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
 }

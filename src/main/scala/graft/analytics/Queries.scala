@@ -31,9 +31,10 @@ object Queries {
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec6(col("l_quantity"))).as("sum_qty"),
-        sum(dec6(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("sum_disc_price"),
+        sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"),
+        sum(dec6(col("l_extendedprice"))).cast("decimal(38,6)").as("sum_base_price"),
+        sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
+          .cast("decimal(38,6)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -58,6 +59,7 @@ object Queries {
       .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("orderdate"), col("revenue").cast("decimal(38,6)").as("revenue"))
   }
 
   /** TPC-H Q5-shaped star join: revenue by nation. All four dimension
@@ -79,7 +81,8 @@ object Queries {
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"), col("r_name"))
-      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
+      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
+        .cast("decimal(38,6)").as("revenue"))
       .orderBy("n_name")
   }
 
@@ -90,9 +93,9 @@ object Queries {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
         dec6(col("o_totalprice")).as("totalprice"))
   }
 
@@ -106,7 +109,8 @@ object Queries {
       .filter(col("l_suppkey") < 5)
       .withColumn("running_qty",
         sum(dec6(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty").cast("decimal(38,6)").as("running_qty"))
   }
 
   /** Rollup (grouping-sets family): counts at (flag,status), (flag), ().
@@ -116,7 +120,7 @@ object Queries {
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -127,15 +131,19 @@ object Queries {
     * shuffled left-anti — Catalyst + AQE pick.
     */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir).select("o_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_custkey")
     Tables.customer(spark, dir)
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
 
-  /** Semi join: parts that appear in at least one lineitem (EXISTS). */
+  /** Semi join: parts with at least one bulk sale (EXISTS). */
   def partsWithSales(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 48.0)
+      .select("l_partkey")
     Tables.part(spark, dir)
       .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
       .select("p_partkey", "p_name", "p_brand")

@@ -55,7 +55,7 @@ object Dedup {
     array_distinct(
       when(n >= k,
         transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(toks, i + 1, k))))
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
 
@@ -78,7 +78,7 @@ object Dedup {
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), b))))
+            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

@@ -25,7 +25,8 @@ object EventAnalytics {
     * set-semantics of the reference's PutItem upsert (load.ts:61-78).
     */
   def latestPerUser(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    // µs precision, not ns: see Tables.events (oracle engines agree at µs)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -45,12 +46,12 @@ object EventAnalytics {
     * Streaming `session_window`; one shuffle on user_id.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val gapNs = gapMinutes * 60L * 1000L * 1000L * 1000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000L * 1000L
     val marked = events.withColumn("prev_ts",
-        lag("ts_ns", 1).over(byUser))
+        lag("ts_us", 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1)
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -68,14 +69,14 @@ object EventAnalytics {
         date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec6(col("value"))).as("sum_value"))
+        sum(dec6(col("value"))).cast("decimal(38,6)").as("sum_value"))
 
   /** Simple two-step funnel: users who did `from` then later `to`. */
   def funnel(events: DataFrame, from: String, to: String): DataFrame = {
     val a = events.filter(col("event_type") === from)
-      .groupBy("user_id").agg(min("ts_ns").as("first_from"))
+      .groupBy("user_id").agg(min("ts_us").as("first_from"))
     val b = events.filter(col("event_type") === to)
-      .groupBy("user_id").agg(max("ts_ns").as("last_to"))
+      .groupBy("user_id").agg(max("ts_us").as("last_to"))
     a.join(b, Seq("user_id"))
       .filter(col("last_to") > col("first_from"))
       .select(col("user_id"))

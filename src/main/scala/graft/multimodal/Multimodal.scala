@@ -81,11 +81,11 @@ object Multimodal {
     assets.select(
       col("asset_id"), col("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      (pmod(octet_length(col("payload")), lit(640)) + 16).cast("int").as("width"),
-      (pmod(octet_length(col("payload")).cast("long") * 7, lit(480)) + 16).cast("int").as("height"),
+      (pmod(octet_length(col("payload")), lit(640)) + 16).cast("long").as("width"),
+      (pmod(octet_length(col("payload")).cast("long") * 7, lit(480)) + 16).cast("long").as("height"),
       when(col("media_type") === "video",
         (pmod(octet_length(col("payload")), lit(120)) + 1))
-        .otherwise(1).cast("int").as("n_frames"))
+        .otherwise(1).cast("long").as("n_frames"))
 
   /** Frame sampling: every `step`-th frame index of each video — a
     * generator (`explode(sequence)`), so downstream per-frame work

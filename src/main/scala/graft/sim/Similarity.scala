@@ -46,9 +46,9 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("cos").cast("decimal(18,6)").as("cosine"))
   }
 
@@ -91,9 +91,9 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cands.withColumn("cos", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("cos").cast("decimal(18,6)").as("cosine"))
   }
 
@@ -129,16 +129,16 @@ object Similarity {
     lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("cos").cast("decimal(18,6)").as("cosine"))
   }
 
   /** Embedding near-duplicate pairs: same-label blocking + exact cosine ≥
     * threshold. SQL-expressible (unnest join) → oracle-checked.
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("vec_id_a"),
       col("embedding").as("emb_a"))
     val b = embeddings.select(col("label"), col("vec_id").as("vec_id_b"),

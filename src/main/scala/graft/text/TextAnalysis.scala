@@ -44,8 +44,8 @@ object TextAnalysis {
     val nUniq = size(array_distinct(toks)).cast("double")
     docs.select(
       col("doc_id"),
-      length(col("text")).as("n_chars_actual"),
-      size(toks).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      size(toks).cast("long").as("n_tokens"),
       (nStop / nTok).cast("decimal(18,6)").as("stopword_ratio"),
       (nUniq / nTok).cast("decimal(18,6)").as("distinct_ratio"),
       (length(expr("replace(text, ' ', '')")).cast("double") / nTok)
@@ -89,11 +89,14 @@ object TextAnalysis {
     md5(regexp_replace(lower(text), " +", " "))
 
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
-    * order-sensitive fingerprint variant: hash = hash*31 + tokenHash,
-    * in Long arithmetic. Not SQL-oracle-checkable (DuckDB's hash differs),
-    * covered by unit tests instead.
+    * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
+    * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under
+    * Spark 4's ANSI arithmetic). Not SQL-oracle-checkable (DuckDB lacks
+    * xxhash64), covered by unit tests instead.
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
 }

@@ -9,11 +9,12 @@ object Probe {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("events", "lineitem", "orders", "documents", "embeddings").foreach { t =>
+    Seq("events", "customer", "supplier", "part", "region", "nation").foreach { t =>
       println(s"== $t")
       try {
         val df = spark.read.parquet(s"$dir/$t.parquet")

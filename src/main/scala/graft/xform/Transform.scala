@@ -65,8 +65,15 @@ object Transform {
     * schema carries types.
     */
   def toAddress(transformedEvents: DataFrame): DataFrame =
+    toRecord(transformedEvents, Model.addressRenames)
+
+  /** Generic P3+P4: unwrap `detail.data` and reshape to a fixed storage
+    * schema via a header→column rename map (the load stage's pattern,
+    * load.ts:64-73, for any table). Keeps `time` for LWW ordering.
+    */
+  def toRecord(transformedEvents: DataFrame, renames: Seq[(String, String)]): DataFrame =
     transformedEvents.select(
-      Model.addressRenames.map { case (from, to) =>
+      renames.map { case (from, to) =>
         element_at(col("detail.data"), from).as(to)
       } :+ col("time"): _*)
 
