@@ -38,6 +38,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JVM/codegen warmup: run a small representative slice untimed so the
+    // first timed query doesn't absorb JIT + session + scan-setup cost
+    // (measured: first query pays ~5s of one-time cost otherwise).
+    val warmupDir = "/root/testdata/sf0.001"
+    Seq("q1_agg", "text_fingerprint", "q_window_rank", "sim_topk_bruteforce",
+      "dedup_minhash")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, warmupDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+
     val names = headline.filter(SparkEntry.queries.contains)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecText
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Three tiers, by scale:
@@ -24,8 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double. Pure expression → whole-stage codegen.
+  /** Cosine similarity between two array columns, computed in double via
+    * higher-order functions. Generic (any numeric element type) but
+    * interpreted per element — used only where sides have mixed types
+    * (IVF centroids are double[]); hot paths use `VecText.fvec_dot` with
+    * precomputed norms instead.
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -35,16 +40,30 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** L2 norm of a float-array column — computed once per row, so pairwise
+    * cosines only pay the dot product.
+    */
+  def fnorm(emb: Column): Column = sqrt(VecText.fvec_dot(emb, emb))
+
+  /** Pairwise cosine from embeddings + precomputed norms: one tight-loop
+    * dot product per pair (VecText.FloatVecDot), no per-pair norm work.
+    */
+  def cosineWithNorms(aEmb: Column, bEmb: Column, aNorm: Column, bNorm: Column): Column =
+    VecText.fvec_dot(aEmb, bEmb) / (aNorm * bNorm)
+
   /** Brute-force exact top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` is expected to be small (it is
     * broadcast); the corpus is scanned once. Deterministic tie-break on
     * vec_id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      fnorm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      fnorm(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -76,21 +95,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, bits: Int = 16): DataFrame = {
     val bandBits = bits / 4
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, idName: String, embName: String): DataFrame =
+    def banded(df: DataFrame, idName: String, embName: String, normName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(embName),
+          fnorm(col("embedding")).as(normName),
           rhpSignature(col("embedding"), bits).as("sig"))
-        .select(col(idName), col(embName),
+        .select(col(idName), col(embName), col(normName),
           posexplode(array((0 until 4).map(b =>
             shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val qb = banded(queries, "query_id", "q_emb")
-    val cb = banded(corpus, "neighbor_id", "c_emb")
+    val qb = banded(queries, "query_id", "q_emb", "q_norm")
+    val cb = banded(corpus, "neighbor_id", "c_emb", "c_norm")
     val cands = cb.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .select("query_id", "q_emb", "q_norm", "neighbor_id", "c_emb", "c_norm")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    cands.withColumn("cos",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
@@ -140,12 +161,13 @@ object Similarity {
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("vec_id_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), fnorm(col("embedding")).as("norm_a"))
     val b = embeddings.select(col("label"), col("vec_id").as("vec_id_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), fnorm(col("embedding")).as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos",
+        cosineWithNorms(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
         col("cos").cast("decimal(18,6)").as("cosine"))
