@@ -25,8 +25,9 @@ object Transform {
     val h = split(headers, ",")
     val d = split(data, ",")
     // pad data with nulls / trim extras so it matches the header count,
-    // reproducing JS index-zip behavior (undefined → null; extras dropped)
-    val dAligned = transform(h, (_, i) => element_at(d, (i + 1).cast(IntegerType)))
+    // reproducing JS index-zip behavior (undefined → null; extras dropped);
+    // try_element_at, not element_at: ANSI mode errors on out-of-bounds
+    val dAligned = transform(h, (_, i) => try_element_at(d, (i + 1).cast(IntegerType)))
     map_from_arrays(h, dAligned)
   }
 

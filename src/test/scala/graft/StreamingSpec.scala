@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.EtlPipeline
+
+/** Streaming-mode pipeline (SURVEY.md §7.2 M3): watched landing dir →
+  * checkpointed foreachBatch keyed upsert, exactly-once across restarts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming pipeline upserts CSV arrivals exactly-once across restarts") {
+    val root = Files.createTempDirectory("graft-stream")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val table = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val headers = Seq("ID", "HouseNum", "Street", "Town", "Zip")
+
+    Files.writeString(landing.resolve("a.csv"),
+      "ID,HouseNum,Street,Town,Zip\n1,10,First St,Alpha,11111\n2,20,Second St,Beta,22222\n")
+    val q1 = EtlPipeline.runStreaming(
+      spark, landing.toString, headers, table, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+
+    // second file: one new id, one overwrite of id=2 (LWW)
+    Files.writeString(landing.resolve("b.csv"),
+      "ID,HouseNum,Street,Town,Zip\n2,99,Updated St,Beta2,22299\n3,30,Third St,Gamma,33333\n")
+    val q2 = EtlPipeline.runStreaming(
+      spark, landing.toString, headers, table, ckpt)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(table)
+    assert(rows.count() == 3)
+    val r2 = rows.filter("id = '2'").collect().head
+    assert(r2.getAs[String]("street_address") == "Updated St")
+
+    // restart with NO new files: checkpoint prevents reprocessing
+    val q3 = EtlPipeline.runStreaming(
+      spark, landing.toString, headers, table, ckpt)
+    q3.awaitTermination()
+    assert(spark.read.parquet(table).count() == 3)
+  }
+
+  test("upsertBatch is idempotent under duplicate replay") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").resolve("t").toString
+    val batch = Seq(("1", "a", 1L), ("2", "b", 1L)).toDF("id", "v", "seq")
+    val sink = graft.sink.KeyedUpsertSink
+      .upsertBatch(spark, dir, Seq("id"), Seq(col("seq"))) _
+    sink(batch, 0L)
+    sink(batch, 0L) // at-least-once redelivery
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}

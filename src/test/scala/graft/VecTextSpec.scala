@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecText
+
+/** Property-style tests (seeded deterministic sampling — scalatestplus is
+  * not on the offline classpath): each custom Catalyst expression must
+  * agree with the reference formulation built from Spark HOF primitives
+  * or plain Scala set math (SURVEY.md §5.2.3).
+  */
+class VecTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randToken(): String =
+    List.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(6)).toChar).mkString
+  private def randTokens(n: Int): List[String] = List.fill(1 + rnd.nextInt(n))(randToken())
+
+  test("WordShingles set equals HOF slice/concat formulation (100 cases)") {
+    val cases = for (_ <- 1 to 100) yield (randTokens(30), 1 + rnd.nextInt(4))
+    cases.groupBy(_._2).foreach { case (k, group) =>
+      val df = group.map(_._1).toDF("toks")
+      val both = df.select(
+        VecText.word_shingles(col("toks"), k).as("fast"),
+        array_distinct(
+          when(size(col("toks")) >= k,
+            transform(sequence(lit(0), size(col("toks")) - k),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+            .otherwise(array(concat_ws(" ", col("toks"))))).as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (fast, slow) => assert(fast.toSet == slow.toSet, s"k=$k") }
+    }
+  }
+
+  test("JaccardSorted64/HashSet64 and JaccardDistinct equal plain set math (100 cases)") {
+    val cases = for (_ <- 1 to 100) yield (randTokens(25).distinct, randTokens(25).distinct)
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      VecText.jaccard_sorted64(VecText.hash_set64(col("a")), VecText.hash_set64(col("b"))),
+      VecText.jaccard_distinct(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    cases.zip(got).foreach { case ((a, b), (viaHash, viaSets)) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      assert(math.abs(viaHash - expected) < 1e-12, s"hash path: $a vs $b")
+      assert(math.abs(viaSets - expected) < 1e-12, s"set path: $a vs $b")
+    }
+  }
+
+  test("FloatVecDot is bit-identical to sequential double accumulation (100 cases)") {
+    val cases = for (_ <- 1 to 100)
+      yield (List.fill(16)(rnd.nextFloat() * 2 - 1), List.fill(16)(rnd.nextFloat() * 2 - 1))
+    val got = cases.toDF("a", "b")
+      .select(VecText.fvec_dot(col("a"), col("b"))).as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), d) =>
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      assert(d == want) // exactly equal, same accumulation order
+    }
+  }
+
+  test("MinHashSignature: equal sets -> equal signatures; disjoint sets differ") {
+    val df = Seq(
+      (1L, Seq("a b", "b c", "c d")),
+      (2L, Seq("c d", "a b", "b c")), // same set, different order
+      (3L, Seq("x y", "y z", "z w"))).toDF("id", "sh")
+    val sigs = df.select(col("id"), VecText.minhash_sig(col("sh"), 64))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("MinHash signature agreement estimates Jaccard within tolerance") {
+    // A={a,b,c}, B={b,c,d} -> J = 2/4 = 0.5
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    val (sa, sb) = df.select(
+      VecText.minhash_sig(col("a"), 256), VecText.minhash_sig(col("b"), 256))
+      .as[(Seq[Long], Seq[Long])].head()
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    assert(math.abs(agree - 0.5) < 0.15) // stderr ~0.031 at 256 perms
+  }
+
+  test("SimHash64: identical tokens -> hamming 0; similar closer than disjoint") {
+    import graft.dedup.Dedup
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "zx qv wm yk jh tf rd es bn pl ca xo")).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    import graft.text.TextAnalysis
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val (rx, ry) = df.select(TextAnalysis.rollingHash(col("x")),
+      TextAnalysis.rollingHash(col("y"))).as[(Long, Long)].head()
+    assert(rx != ry)
+    val (fx, fy) = df.select(TextAnalysis.fingerprint(lit("a  b   c")),
+      TextAnalysis.fingerprint(lit("a b c"))).as[(String, String)].head()
+    assert(fx == fy) // whitespace-normalized
+  }
+}
