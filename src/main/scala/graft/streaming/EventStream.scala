@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the event stream — the Spark-native
+  * generalization of the reference's event bus (SURVEY.md §1.5: the
+  * S3→SQS→EventBridge chain maps to a watched-source stream; the
+  * reference itself is processing-time-only with no windows or state,
+  * so watermarked windows/sessions/stateful-LWW are the north-star
+  * extension of that surface).
+  *
+  * Each operator here is the streaming twin of a batch operator in
+  * graft.events.EventAnalytics; StreamingSpec asserts stream/batch parity
+  * on the same input. At scale: state is keyed exactly like the batch
+  * shuffles (window×type, user), so the state store partitions the same
+  * way the batch plan does; watermarks bound state size.
+  */
+object EventStream {
+
+  /** The raw events schema (TESTDATA.md): nano-epoch `ts` carried as long. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files — the
+    * arrival-notification analogue (new-file listing ≈ S3→SQS,
+    * `maxFilesPerTrigger` ≈ the reference's concurrency throttle O2).
+    * Derives the same µs/ms/timestamp forms as Tables.events.
+    */
+  def fromParquetDir(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Tumbling daily counts per event type with a watermark — the streaming
+    * twin of EventAnalytics.tumblingDaily. Map-side partial aggregation
+    * feeds keyed state; the shuffle carries (window × type) groups.
+    */
+  def tumblingDaily(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user (gap-based) — the streaming twin of
+    * EventAnalytics.sessionize, via the native session_window operator.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(session_window(col("ts_utc"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        max("ts_ms").as("session_end_ms"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+
+  /** Typed state for the streaming keyed-LWW upsert. */
+  case class UserLast(user_id: Long, last_event_id: Long,
+      last_event_type: String, last_ts_ms: Long, ts_us: Long)
+
+  /** Streaming keyed last-write-wins via mapGroupsWithState — the
+    * streaming twin of EventAnalytics.latestPerUser and the stateful form
+    * of the reference's DynamoDB upsert (K1, load.ts:61-78): state holds
+    * exactly one row per key; each micro-batch folds in arrivals with the
+    * same (ts_us, event_id) ordering the batch query uses.
+    */
+  def latestPerUser(events: DataFrame): Dataset[UserLast] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ms"), col("ts_us"))
+      .as[(Long, Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserLast, UserLast](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UserLast]) =>
+          val incoming = rows.map { case (u, id, tpe, ms, us) =>
+            UserLast(u, id, tpe, ms, us)
+          }
+          val all = state.getOption.iterator ++ incoming
+          val best = all.maxBy(r => (r.ts_us, r.last_event_id))
+          state.update(best)
+          best
+      }
+  }
+
+  /** Run any of the above to a named in-memory sink and block until all
+    * available input is processed — the deterministic harness used by
+    * tests and local replays.
+    */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

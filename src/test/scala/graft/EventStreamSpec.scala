@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.events.EventAnalytics
+import graft.streaming.EventStream
+
+/** Stream/batch parity: each streaming operator must produce the same
+  * final answer as its batch twin over the same (replayed) input.
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(
+      Paths.get(s"$Sf0001/events.parquet"),
+      d.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  private lazy val batchEvents = Tables.events(spark, Sf0001)
+
+  test("streaming tumbling daily counts equal the batch aggregation") {
+    val stream = EventStream.fromParquetDir(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.tumblingDaily(stream), "tumbling_out", OutputMode.Complete())
+    val got = spark.table("tumbling_out")
+      .select("day", "event_type", "n").as[(String, String, Long)].collect().toSet
+    val want = EventAnalytics.tumblingDaily(batchEvents)
+      .select("day", "event_type", "n").as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming session windows equal the batch sessionization") {
+    val stream = EventStream.fromParquetDir(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.sessions(stream), "sessions_out", OutputMode.Complete())
+    val got = spark.table("sessions_out")
+      .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = EventAnalytics.sessionize(batchEvents)
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming stateful LWW equals the batch latest-per-user") {
+    val stream = EventStream.fromParquetDir(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.latestPerUser(stream).toDF(), "lww_out", OutputMode.Update())
+    // update-mode sink appends one row per key per batch; last state wins
+    val got = spark.table("lww_out")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_event_id"), col("last_event_type"), col("last_ts_ms")),
+        struct(col("ts_us"), col("last_event_id"))).as("s"))
+      .select(col("user_id"), col("s.last_event_id"), col("s.last_event_type"),
+        col("s.last_ts_ms"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = EventAnalytics.latestPerUser(batchEvents)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+}
