@@ -127,6 +127,9 @@ object SparkEntry {
     "q_window_rank"    -> ((s, dir) => Queries.topOrdersPerCustomer(s, dir)),
     "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
+    "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
+    // HLL sketch internals are engine-specific → rows-only check.
+    "q_approx_distinct" -> ((s, dir) => Queries.approxDistinctParts(s, dir)),
     "q_anti_join"      -> ((s, dir) => Queries.customersWithoutOrders(s, dir)),
     "q_semi_join"      -> ((s, dir) => Queries.partsWithSales(s, dir)),
     "q_distinct_agg"   -> ((s, dir) => Queries.distinctCustomersPerSegment(s, dir)),
@@ -137,6 +140,9 @@ object SparkEntry {
     "events_tumbling"   -> ((s, dir) => EventAnalytics.tumblingDaily(Tables.events(s, dir))),
     "events_funnel"     -> ((s, dir) =>
       EventAnalytics.funnel(Tables.events(s, dir), "signup", "purchase")),
+    // as-of join: every purchase matched to the user's latest prior click.
+    "events_asof_join"  -> ((s, dir) =>
+      EventAnalytics.asofJoin(Tables.events(s, dir), "purchase", "click")),
 
     // ───────────────────────────────────────────── text analysis ──
     "text_tokens" -> ((s, dir) => Tables.documents(s, dir).select(
@@ -280,6 +286,20 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "events_asof_join" ->
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts)//1000 AS ts_ms,
+        | b.event_id AS asof_event_id, epoch_us(b.ts)//1000 AS asof_ts_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND epoch_us(a.ts) >= epoch_us(b.ts)""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -149,6 +149,27 @@ object Queries {
       .select("p_partkey", "p_name", "p_brand")
   }
 
+  /** Cube (full grouping-sets lattice) over (flag, status). */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** HLL sketch distinct (approx_count_distinct): the constant-memory
+    * distinct-count path for 100 TB cardinalities. Sketch internals are
+    * engine-specific → rows-only driver check; exactness is covered by
+    * q_distinct_agg.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+
   /** Distinct aggregation: exact distinct counts per market segment. */
   def distinctCustomersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment", "c_nationkey")

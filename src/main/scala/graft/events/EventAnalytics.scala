@@ -82,6 +82,38 @@ object EventAnalytics {
       .select(col("user_id"))
   }
 
+  /** As-of join (time-series point lookup): for every `leftType` event,
+    * the user's latest `rightType` event with ts ≤ the left event's ts
+    * (inclusive), or null if none. Spark lacks a native as-of join;
+    * composed Spark-first as union + last_value-ignore-nulls over one
+    * user-partitioned window — a single shuffle on user_id, no range
+    * self-join blowup (SURVEY.md §7.3 preference (a): compose built-ins).
+    *
+    * Tie discipline: right rows sort before left rows at equal ts_us
+    * (inclusive as-of), ties among right rows break by event_id.
+    */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("ts_ms"),
+        lit(null).cast("long").as("r_event_id"),
+        lit(null).cast("long").as("r_ts_ms"),
+        lit(1).as("is_left"))
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("ts_ms"),
+        col("event_id").as("r_event_id"),
+        col("ts_ms").as("r_ts_ms"),
+        lit(0).as("is_left"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_event_id", last("r_event_id", ignoreNulls = true).over(w))
+      .withColumn("asof_ts_ms", last("r_ts_ms", ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_event_id"), col("asof_ts_ms"))
+  }
+
   /** Oracle-friendly numeric discipline (shared by all query modules):
     * SUMS over doubles differ between engines in the last bits (parallel
     * summation order), so cast each summand to decimal BEFORE aggregating —
