@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Layout
+
+/** Physical-layout guarantees: bucketed joins must plan with no shuffle;
+  * salted joins must preserve join semantics exactly.
+  */
+class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("bucketed fact-to-fact join plans with zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, Sf0001).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Layout.writeBucketed(ord, "ord_bucketed", "l_orderkey", 8)
+    val joined = Layout.joinBucketed(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+    val n = joined.count() // force final adaptive plan
+    assert(n > 0)
+    val plan = joined.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"expected exchange-free bucketed join, got:\n${plan.toString.take(2000)}")
+  }
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, "l_orderkey")
+      .groupBy("l_orderkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Layout.saltedJoin(li, ord, "l_orderkey", salt = 4)
+      .groupBy("l_orderkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+}
