@@ -125,6 +125,8 @@ object SparkEntry {
     "q3_topk"          -> ((s, dir) => Queries.q3TopUnshipped(s, dir)),
     "q5_join"          -> ((s, dir) => Queries.q5RevenueByNation(s, dir)),
     "q_window_rank"    -> ((s, dir) => Queries.topOrdersPerCustomer(s, dir)),
+    // same result via the bounded-heap TypedImperativeAggregate
+    "q_topk_agg"       -> ((s, dir) => Queries.topOrdersPerCustomerAgg(s, dir)),
     "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
     "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
@@ -268,6 +270,12 @@ object SparkEntry {
          |GROUP BY n_name, r_name""".stripMargin,
 
     "q_window_rank" ->
+      """SELECT o_custkey,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        | o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice
+        |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+    "q_topk_agg" ->
       """SELECT o_custkey,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
         | o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TopK
 
 /** Relational analytics showcase — the classical operator categories the
   * reference explicitly lacks (SURVEY.md §2.6: joins, aggregations,
@@ -98,6 +99,23 @@ object Queries {
       .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
         dec6(col("o_totalprice")).as("totalprice"))
   }
+
+  /** Top-k per key via the bounded-heap aggregate (functions/TopKDesc):
+    * identical output to topOrdersPerCustomer, but the map side reduces
+    * each partition to ≤k rows per group before the exchange — no per-key
+    * sort of the full table. The 100 TB form of "rank ≤ k".
+    * Tie-break: negated orderkey inside the struct (desc-of-negated =
+    * asc orderkey), matching the window query's ordering.
+    */
+  def topOrdersPerCustomerAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(TopK.top_k_desc(
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_key")), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        (-col("col.neg_key")).as("o_orderkey"),
+        dec6(col("col.o_totalprice")).as("totalprice"))
 
   /** Running (cumulative) quantity per supplier in shipdate order —
     * analytic frame `rows between unbounded preceding and current row`.
