@@ -39,28 +39,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup: run a small representative slice untimed so the
-    // first timed query doesn't absorb JIT + session + scan-setup cost
-    // (measured: first query pays ~5s of one-time cost otherwise).
+    // JVM/codegen warmup: run every headline query once at the smallest SF
+    // untimed, so timed numbers measure steady-state plans rather than
+    // first-hit JIT + codegen compilation (worth 3-7s on kernel-heavy
+    // queries, measured via tools/Timeit rep1-vs-rep2 deltas). Then let
+    // the async ContextCleaner drain so broadcast-cleanup GC doesn't
+    // land inside a timed region.
     val warmupDir = "/root/testdata/sf0.001"
-    Seq("q1_agg", "text_fingerprint", "q_window_rank", "sim_topk_bruteforce",
-      "dedup_minhash")
-      .foreach { n =>
-        try SparkEntry.queries(n)(spark, warmupDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
+    headline.filter(SparkEntry.queries.contains).foreach { n =>
+      try SparkEntry.queries(n)(spark, warmupDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    System.gc()
+    Thread.sleep(2000)
 
+    // Min of two reps per query: a single sample at local[32] absorbs
+    // whatever async cleanup happens to overlap it (observed 3-10x
+    // outliers on single-sample runs); the min is the steady-state cost.
     val names = headline.filter(SparkEntry.queries.contains)
-    val results = names.map { name =>
+    def once(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = names.map { name => name -> math.min(once(name), once(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -101,6 +101,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events whose event_id was already seen,
+    * with watermark-bounded state — the streaming form of the
+    * training-pipeline exact-dedup operator, and the general version of
+    * the at-least-once absorption the reference gets from idempotent
+    * PutItem (SURVEY.md §1.4). State holds one entry per event_id inside
+    * the watermark horizon; late duplicates beyond it age out.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts_utc", watermark).dropDuplicates("event_id")
+
   /** Run any of the above to a named in-memory sink and block until all
     * available input is processed — the deterministic harness used by
     * tests and local replays.

@@ -50,6 +50,19 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup drops replayed duplicate files") {
+    val d = Files.createTempDirectory("graft-dup")
+    Files.copy(Paths.get(s"$Sf0001/events.parquet"), d.resolve("p0.parquet"))
+    Files.copy(Paths.get(s"$Sf0001/events.parquet"), d.resolve("p1.parquet")) // full replay
+    val stream = EventStream.fromParquetDir(spark, d.toString)
+    EventStream.runToMemory(
+      EventStream.dedupEvents(stream).select("event_id"),
+      "dedup_out", OutputMode.Append())
+    val n = spark.table("dedup_out").count()
+    val distinct = batchEvents.select("event_id").distinct().count()
+    assert(n == distinct) // each event_id exactly once despite the doubled input
+  }
+
   test("streaming stateful LWW equals the batch latest-per-user") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
