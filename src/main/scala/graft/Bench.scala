@@ -21,6 +21,7 @@ object Bench {
     "q_rollup", "q_cube", "q_semi_join", "q_anti_join", "q_distinct_agg",
     "q_approx_distinct",
     "events_sessionize", "events_tumbling", "events_asof_join",
+    "events_json_extract", "events_pivot", "events_range_join", "q_median",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",

@@ -145,6 +145,14 @@ object SparkEntry {
     // as-of join: every purchase matched to the user's latest prior click.
     "events_asof_join"  -> ((s, dir) =>
       EventAnalytics.asofJoin(Tables.events(s, dir), "purchase", "click")),
+    "events_json_extract" -> ((s, dir) =>
+      EventAnalytics.jsonKSum(Tables.events(s, dir))),
+    "events_pivot" -> ((s, dir) => EventAnalytics.pivotCounts(
+      Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))),
+    // bucketized range join: same-user events within 60s after a purchase.
+    "events_range_join" -> ((s, dir) =>
+      EventAnalytics.rangeJoinAfter(Tables.events(s, dir), "purchase", 60)),
+    "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
 
     // ───────────────────────────────────────────── text analysis ──
     "text_tokens" -> ((s, dir) => Tables.documents(s, dir).select(
@@ -359,6 +367,36 @@ object SparkEntry {
         | JOIN (SELECT user_id, max(epoch_us(ts)) AS last_to FROM events
         |   WHERE event_type = 'purchase' GROUP BY user_id) b USING (user_id)
         |WHERE b.last_to > a.first_from""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "events_range_join" ->
+      """SELECT a.user_id, a.event_id AS anchor_event_id,
+        | b.event_id AS other_event_id, b.event_type AS other_type,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |WHERE a.event_type = 'purchase'""".stripMargin,
+
+    "q_median" ->
+      """SELECT o_orderstatus,
+        | CAST(median(o_totalprice) AS DECIMAL(18,6)) AS median_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

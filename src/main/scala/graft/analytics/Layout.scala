@@ -18,13 +18,22 @@ object Layout {
     * one-time key-partitioned layout that makes every later equi-join on
     * `key` co-located.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM may have left the managed location without the (in-
+    // memory) catalog entry; clear both or saveAsTable refuses
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. When both sides are
     * bucketed with the same bucket count, Catalyst's EnsureRequirements

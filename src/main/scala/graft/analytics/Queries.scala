@@ -188,6 +188,13 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Exact median (linear-interpolated percentile) per group. */
+  def medianOrderValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(median(col("o_totalprice")).cast("decimal(18,6)").as("median_price"),
+        count(lit(1)).as("n"))
+
   /** Distinct aggregation: exact distinct counts per market segment. */
   def distinctCustomersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment", "c_nationkey")

@@ -114,6 +114,54 @@ object EventAnalytics {
         col("asof_event_id"), col("asof_ts_ms"))
   }
 
+  /** JSON payload extraction: the `props` column is a JSON string (the
+    * envelope `detail` pattern, P7) — pull a typed field without parsing
+    * the document twice. get_json_object is codegen'd path extraction.
+    */
+  def jsonKSum(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * declared (not discovered), so the plan is a single groupBy — no
+    * extra distinct-values job at scale.
+    */
+  def pivotCounts(events: DataFrame, types: Seq[String]): DataFrame =
+    events.groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+
+  /** Range join, bucketized: all events of the same user within
+    * (0, windowSec] seconds AFTER each `anchorType` event. The naive form
+    * is an inequality join (quadratic blowup); here each side buckets its
+    * timestamp into windowSec-wide buckets and joins on (user, bucket)
+    * and (user, bucket+1) — equality keys, shuffled-hash at any scale —
+    * then filters the exact interval. Standard time-bucketed range join.
+    */
+  def rangeJoinAfter(events: DataFrame, anchorType: String, windowSec: Int): DataFrame = {
+    val wUs = windowSec * 1000000L
+    val anchors = events.filter(col("event_type") === anchorType)
+      .select(col("user_id"), col("event_id").as("anchor_event_id"),
+        col("ts_us").as("anchor_ts_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"anchor_ts_us div $wUs"), expr(s"anchor_ts_us div $wUs + 1"))))
+    val others = events
+      .select(col("user_id"), col("event_id").as("other_event_id"),
+        col("event_type").as("other_type"), col("ts_us").as("other_ts_us"))
+      .withColumn("bucket", expr(s"other_ts_us div $wUs"))
+    anchors.join(others, Seq("user_id", "bucket"))
+      .filter(col("other_ts_us") > col("anchor_ts_us")
+        && col("other_ts_us") <= col("anchor_ts_us") + wUs)
+      .select(col("user_id"), col("anchor_event_id"), col("other_event_id"),
+        col("other_type"),
+        (col("other_ts_us") - col("anchor_ts_us")).as("dt_us"))
+    // no dedup needed: the two anchor bucket replicas have distinct bucket
+    // values and each other-row has exactly one bucket -> at most one match
+  }
+
   /** Oracle-friendly numeric discipline (shared by all query modules):
     * SUMS over doubles differ between engines in the last bits (parallel
     * summation order), so cast each summand to decimal BEFORE aggregating —
