@@ -200,6 +200,8 @@ object SparkEntry {
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
+    "mm_resize" -> ((s, dir) => Multimodal.resizePlan(
+      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
     // xxhash64 feature seeds → rows-only.
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))))
@@ -412,7 +414,9 @@ object SparkEntry {
          | CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
          |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
          | CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS distinct_ratio,
-         | CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len
+         | CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len,
+         | CAST(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |   / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS punct_ratio
          |FROM t""".stripMargin,
 
     "text_langid" ->
@@ -503,6 +507,18 @@ object SparkEntry {
         |  (n_bytes * 7) % 480 + 16 AS height,
         |  CASE WHEN media_type = 'video' THEN n_bytes % 120 + 1 ELSE 1 END AS n_frames
         |FROM a""".stripMargin,
+
+    "mm_resize" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |d AS (
+        |  SELECT asset_id, n_bytes % 640 + 16 AS width, (n_bytes * 7) % 480 + 16 AS height FROM a)
+        |SELECT asset_id, width, height,
+        |  least(224 * height, 224 * width) // height AS out_w,
+        |  least(224 * height, 224 * width) // width AS out_h
+        |FROM d""".stripMargin,
 
     "mm_frames" ->
       """WITH a AS (

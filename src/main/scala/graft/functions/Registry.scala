@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for the engine's custom expressions, so `spark.sql`
+  * users get the same kernels as the Column API:
+  *
+  *   SELECT graft_jaccard(graft_hash_set(a), graft_hash_set(b)) ...
+  *   SELECT user, graft_top_k(struct(score, id), 3) ... GROUP BY user
+  *
+  * Install per-session via `GraftFunctions.register(spark)`, or globally
+  * with `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * Note on optimizer rules: we deliberately do NOT inject a
+  * window-rank→top-k rewrite — Spark's own InferWindowGroupLimit already
+  * prunes rank<=k windows map-side (verified in the q_window_rank plan:
+  * WindowGroupLimit below the Exchange), so a custom rule would
+  * hand-schedule what Catalyst does natively. The heap aggregate remains
+  * available explicitly where skipping the per-partition sort matters.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_shingles" -> (es => VecText.WordShingles(es(0), intArg(es(1), "graft_word_shingles"))),
+    "graft_minhash" -> (es => VecText.MinHashSignature(es(0), intArg(es(1), "graft_minhash"))),
+    "graft_simhash" -> (es => VecText.SimHash64(es(0))),
+    "graft_fvec_dot" -> (es => VecText.FloatVecDot(es(0), es(1))),
+    "graft_hash_set" -> (es => VecText.HashSet64(es(0))),
+    "graft_jaccard" -> (es => VecText.JaccardSorted64(es(0), es(1))),
+    "graft_top_k" -> (es => TopKDesc(es(0), intArg(es(1), "graft_top_k"))))
+
+  /** Register into an existing session (temp functions). */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VecText", name), builder))
+    }
+}

@@ -87,6 +87,19 @@ object Multimodal {
         (pmod(octet_length(col("payload")), lit(120)) + 1))
         .otherwise(1).cast("long").as("n_frames"))
 
+  /** Resize planning: target box fit preserving aspect ratio — the
+    * arithmetic every image-resize kernel needs, as pure column
+    * expressions (the pixel transform itself is the stubbed codec step;
+    * the dimension math and plumbing are real and oracle-checked).
+    */
+  def resizePlan(decoded: DataFrame, targetW: Int = 224, targetH: Int = 224): DataFrame =
+    decoded
+      .withColumn("scale_num", least(lit(targetW) * col("height"), lit(targetH) * col("width")))
+      .select(col("asset_id"), col("width"), col("height"),
+        // floor arithmetic in integers: scale = min(tw/w, th/h)
+        expr(s"scale_num div height").cast("long").as("out_w"),
+        expr(s"scale_num div width").cast("long").as("out_h"))
+
   /** Frame sampling: every `step`-th frame index of each video — a
     * generator (`explode(sequence)`), so downstream per-frame work
     * parallelizes across the cluster.

@@ -79,6 +79,24 @@ object KeyedUpsertSink {
   }
 }
 
+/** Date-partitioned event storage: the layout that makes time-ranged
+  * queries at 100 TB read only their days (partition pruning at the
+  * scan, verified in PartitionedSinkSpec via the PartitionFilters of the
+  * physical scan). Hive-style `day=YYYY-MM-DD/` directories.
+  */
+object PartitionedSink {
+
+  def writeDatePartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(path)
+
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("day") === day)
+}
+
 object AuditSink {
 
   /** K3: the observe channel — union of all stage outputs with a stage tag.

@@ -49,7 +49,10 @@ object TextAnalysis {
       (nStop / nTok).cast("decimal(18,6)").as("stopword_ratio"),
       (nUniq / nTok).cast("decimal(18,6)").as("distinct_ratio"),
       (length(expr("replace(text, ' ', '')")).cast("double") / nTok)
-        .cast("decimal(18,6)").as("mean_token_len"))
+        .cast("decimal(18,6)").as("mean_token_len"),
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text")).cast("double"))
+        .cast("decimal(18,6)").as("punct_ratio"))
   }
 
   /** Language ID, n-gram/marker-word heuristic: score each candidate

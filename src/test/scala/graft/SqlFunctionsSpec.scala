@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** The custom kernels must be reachable from plain SQL. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar kernels work from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d", "b c d e")).toDF("x", "y").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT graft_jaccard(
+        |  graft_hash_set(graft_word_shingles(split(x, ' '), 2)),
+        |  graft_hash_set(graft_word_shingles(split(y, ' '), 2))) AS j,
+        | graft_simhash(split(x, ' ')) AS sh,
+        | size(graft_minhash(split(x, ' '), 16)) AS nperm
+        |FROM t""".stripMargin).head()
+    // bigrams: {a b, b c, c d} vs {b c, c d, d e} -> J = 2/4
+    assert(math.abs(row.getDouble(0) - 0.5) < 1e-12)
+    assert(row.getLong(1) != 0L)
+    assert(row.getInt(2) == 16)
+  }
+
+  test("graft_top_k aggregate works from spark.sql") {
+    GraftFunctions.register(spark)
+    (1 to 100).map(i => (i % 5, i)).toDF("g", "v").createOrReplaceTempView("s")
+    val got = spark.sql(
+      """SELECT g, transform(graft_top_k(struct(v), 2), r -> r.v) AS top
+        |FROM s GROUP BY g""".stripMargin)
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(got(0) == Seq(100, 95))
+    assert(got(4) == Seq(99, 94))
+  }
+
+  test("graft_fvec_dot from SQL equals Column API") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .createOrReplaceTempView("v")
+    assert(spark.sql("SELECT graft_fvec_dot(a, b) FROM v").head().getDouble(0) == 32.0)
+  }
+}
