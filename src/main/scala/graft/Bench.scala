@@ -22,6 +22,7 @@ object Bench {
     "q_approx_distinct",
     "events_sessionize", "events_tumbling", "events_asof_join",
     "events_json_extract", "events_pivot", "events_range_join", "q_median",
+    "q_set_ops", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",

@@ -153,6 +153,7 @@ object SparkEntry {
     "events_range_join" -> ((s, dir) =>
       EventAnalytics.rangeJoinAfter(Tables.events(s, dir), "purchase", 60)),
     "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
+    "q_set_ops" -> ((s, dir) => Queries.buildingWithoutBigOrders(s, dir)),
 
     // ───────────────────────────────────────────── text analysis ──
     "text_tokens" -> ((s, dir) => Tables.documents(s, dir).select(
@@ -399,6 +400,11 @@ object SparkEntry {
         | CAST(median(o_totalprice) AS DECIMAL(18,6)) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

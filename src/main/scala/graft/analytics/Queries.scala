@@ -188,6 +188,19 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Set operation: BUILDING-segment customers EXCEPT big-order
+    * customers (distinct set semantics; one shuffle each side).
+    */
+  def buildingWithoutBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(big)
+  }
+
   /** Exact median (linear-interpolated percentile) per group. */
   def medianOrderValue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

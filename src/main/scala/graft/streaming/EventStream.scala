@@ -101,6 +101,41 @@ object EventStream {
       }
   }
 
+  /** Streaming funnel detection via flatMapGroupsWithState (Append mode:
+    * zero-or-one emission per batch per user) — emits a user exactly once,
+    * at the first `to`-event that follows a `from`-event. State per user:
+    * (earliest from-ts seen, already-emitted flag). The streaming twin of
+    * EventAnalytics.funnel's membership semantics.
+    */
+  case class FunnelState(firstFromUs: Option[Long], emitted: Boolean)
+  case class FunnelHit(user_id: Long)
+
+  def funnelDetect(events: DataFrame, from: String, to: String): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin(from, to))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, emitted = false))
+          var hit = false
+          // fold this batch's rows in event-time order
+          rows.toSeq.sortBy(r => r._3).foreach { case (_, tpe, us) =>
+            if (tpe == from && s.firstFromUs.forall(_ > us))
+              s = s.copy(firstFromUs = Some(us))
+            else if (tpe == to && !s.emitted && s.firstFromUs.exists(_ < us)) {
+              s = s.copy(emitted = true); hit = true
+            }
+          }
+          state.update(s)
+          if (hit) Iterator(FunnelHit(user)) else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already seen,
     * with watermark-bounded state — the streaming form of the
     * training-pipeline exact-dedup operator, and the general version of

@@ -63,6 +63,18 @@ class EventStreamSpec extends SparkSpec {
     assert(n == distinct) // each event_id exactly once despite the doubled input
   }
 
+  test("streaming funnel detection equals the batch funnel membership") {
+    val stream = EventStream.fromParquetDir(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.funnelDetect(stream, "signup", "purchase").toDF(),
+      "funnel_out", OutputMode.Append())
+    val got = spark.table("funnel_out").as[Long].collect().toSet
+    val want = EventAnalytics.funnel(batchEvents, "signup", "purchase")
+      .as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming stateful LWW equals the batch latest-per-user") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
