@@ -181,14 +181,31 @@ object Dedup {
   def blockedJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val sh = docs.select(col("doc_id"), col("n_chars"),
       shingles(col("text"), 2).as("sh"))
-    val bucketed = sh.select(col("doc_id"),
+    val bucketed = sh.select(col("doc_id"), col("n_chars"),
       explode(array_distinct(array(
         expr("n_chars div 64"), expr("(n_chars + 32) div 64")))).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("doc_id").as("doc_id_a"))
-    val b = bucketed.select(col("bucket"), col("doc_id").as("doc_id_b"))
-    val candidates = a.join(b, Seq("bucket"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b").distinct()
+    val a = bucketed.select(col("bucket"), col("doc_id").as("doc_id_a"),
+      col("n_chars").as("ca"))
+    val b = bucketed.select(col("bucket"), col("doc_id").as("doc_id_b"),
+      col("n_chars").as("cb"))
+    // Dedup-free pair emission: a pair sharing two buckets would appear
+    // twice; instead of a 3M-row DISTINCT shuffle, emit each pair only at
+    // the SMALLEST bucket both docs share — computable inline from the two
+    // n_chars values, so the candidate stream never needs a shuffle.
+    val a1 = expr("ca div 64");  val a2 = expr("(ca + 32) div 64")
+    val b1 = expr("cb div 64");  val b2 = expr("(cb + 32) div 64")
+    val minShared = least(
+      when(a1 === b1 || a1 === b2, a1),
+      when(a2 === b1 || a2 === b2, a2))
+    // The broadcast-join pipeline preserves the left side's partitioning,
+    // and a small corpus can arrive as ONE file split — which would put
+    // the entire candidate fan-out (~n²·w rows) on one task. Spread the
+    // pre-fan-out side across the cluster first: 10k skinny rows shuffled
+    // so millions of pair-verifications parallelize.
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val candidates = a.repartition(para).join(b, Seq("bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b") && col("bucket") === minShared)
+      .select("doc_id_a", "doc_id_b")
     verifyJaccard(candidates, sh.select(col("doc_id"), col("sh")), threshold)
   }
 }

@@ -1,28 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom Catalyst expressions for the sketch/similarity hot kernels.
-  *
-  * Rationale (SURVEY.md §7.3): Spark's higher-order functions
-  * (`transform`/`aggregate`/`zip_with`) evaluate their lambda through the
-  * interpreted expression tree per element — a 64-permutation MinHash over
-  * ~150 shingles costs ~10k lambda dispatches PER ROW. These expressions
-  * run the same math as a single tight JVM loop per row (one virtual call
-  * per row, not per element), a 20-50× kernel speedup, while staying
-  * ordinary Catalyst expressions: null-safe, Tungsten-friendly,
-  * usable in any projection.
-  *
-  * Numeric contract: all loops accumulate sequentially (element order),
-  * matching both the HOF formulation they replace and DuckDB's
-  * `list_sum`, so cross-engine float parity is preserved.
+/** Per-row kernels shared by the interpreted (`nullSafeEval`) and
+  * code-generated (`doGenCode`) paths of the VecText expressions. Plain
+  * top-level object → Scala emits static forwarders, so Janino-generated
+  * code can call e.g. `graft.functions.VecTextKernels.hashSet64(arr)`
+  * directly.
   */
-object VecText {
+object VecTextKernels {
 
   /** Mersenne prime 2^31-1: keeps `a*h + b` far from Long overflow under
     * ANSI arithmetic while preserving a full 31-bit hash range.
@@ -30,112 +22,194 @@ object VecText {
   val P: Long = 2147483647L
 
   /** Deterministic permutation coefficients (fixed seed → identical
-    * signatures on every executor and every run).
+    * signatures on every executor and every run); cached per numPerm.
     */
-  private[functions] def perms(numPerm: Int): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(numPerm)(1L + rnd.nextInt((P - 1).toInt))
-    val b = Array.fill(numPerm)(rnd.nextInt(P.toInt).toLong)
-    (a, b)
-  }
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
-  /** MinHash signature of a string-array column: for each of `numPerm`
-    * universal-hash permutations `(a_i * xxhash64(s) + b_i) mod P`, the
-    * minimum over the array. Single pass over the array per row.
-    */
-  case class MinHashSignature(child: Expression, numPerm: Int)
-      extends UnaryExpression with CodegenFallback {
-    private lazy val (pa, pb) = perms(numPerm)
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(numPerm)(Long.MaxValue)
+  private[functions] def perms(numPerm: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numPerm, { n =>
+      val rnd = new scala.util.Random(42)
+      val a = Array.fill(n)(1L + rnd.nextInt((P - 1).toInt))
+      val b = Array.fill(n)(rnd.nextInt(P.toInt).toLong)
+      (a, b)
+    })
+
+  def wordShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      val parts = Array.tabulate(n)(arr.getUTF8String)
+      out.add(UTF8String.concatWs(sep, parts: _*))
+    } else {
       var i = 0
-      while (i < n) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        val hp = java.lang.Math.floorMod(h, P)
+      while (i <= n - k) {
+        val parts = new Array[UTF8String](k)
         var j = 0
-        while (j < numPerm) {
-          val v = (pa(j) * hp + pb(j)) % P
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(sep, parts: _*))
         i += 1
       }
-      new GenericArrayData(mins)
     }
-    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
-  /** 64-bit SimHash of a string-array column: per-bit votes of each
-    * element's xxhash64, sign-aggregated. Single pass per row.
-    */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        i += 1
+  def minhash(arr: ArrayData, numPerm: Int): ArrayData = {
+    val (pa, pb) = perms(numPerm)
+    val n = arr.numElements()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val hp = java.lang.Math.floorMod(h, P)
+      var j = 0
+      while (j < numPerm) {
+        val v = (pa(j) * hp + pb(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
       }
-      var sig = 0L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var b = 0
       while (b < 64) {
-        if (votes(b) > 0) sig |= (1L << b)
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-      java.lang.Long.valueOf(sig)
+      i += 1
     }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[Any](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      if (set.contains(b.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  def hashSet64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    // primitive-backed (UnsafeArrayData): getLong stays unboxed downstream
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** Custom Catalyst expressions for the sketch/similarity hot kernels.
+  *
+  * Rationale (SURVEY.md §7.3): Spark's higher-order functions
+  * (`transform`/`aggregate`/`zip_with`) evaluate their lambda through the
+  * interpreted expression tree per element — a 64-permutation MinHash over
+  * ~150 shingles costs ~10k lambda dispatches PER ROW. These expressions
+  * run the same math as a single tight JVM loop per row.
+  *
+  * All of them implement `doGenCode` (inline loops for the pairwise
+  * kernels, a static VecTextKernels call for the sketch builders): a
+  * CodegenFallback expression would force the WHOLE projection stage into
+  * interpreted mode, which costs more than the kernel itself on
+  * million-row candidate streams.
+  *
+  * Numeric contract: all loops accumulate sequentially (element order),
+  * matching both the HOF formulation they replace and DuckDB's
+  * `list_sum`, so cross-engine float parity is preserved.
+  */
+object VecText {
+
+  val P: Long = VecTextKernels.P
+  private[functions] def perms(numPerm: Int) = VecTextKernels.perms(numPerm)
+
+  /** Distinct word k-shingles of a string-array column (runs of k
+    * consecutive elements joined by a space; shorter arrays collapse to
+    * one shingle of all elements — mirrors the HOF formulation and the
+    * DuckDB oracle).
+    */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.wordShingles(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.wordShingles($c, $k)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Distinct word k-shingles of a string-array column: all runs of k
-    * consecutive elements joined by a single space, deduplicated; arrays
-    * shorter than k collapse to one shingle of all elements (mirrors the
-    * HOF formulation in Dedup.shingles and the DuckDB oracle's
-    * list_distinct/list_transform equivalent). Single pass per row.
+  /** MinHash signature: numPerm universal-hash permutations
+    * `(a_i * xxhash64(s) + b_i) mod P` minimized over the array.
     */
-  case class WordShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-      val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-      if (n < k) {
-        val parts = Array.tabulate(n)(arr.getUTF8String)
-        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
-      } else {
-        var i = 0
-        while (i <= n - k) {
-          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
-          var j = 0
-          while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-          out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
-          i += 1
-        }
-      }
-      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
-    }
+  case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.minhash(input.asInstanceOf[ArrayData], numPerm)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.minhash($c, $numPerm)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash: per-bit votes of each element's xxhash64. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.simhash(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.simhash($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Sorted distinct xxhash64 image of a string array — the compact set
+    * representation for mass pairwise Jaccard (intersect via
+    * JaccardSorted64's merge-scan). A 64-bit collision (≈2⁻⁶⁴ per element
+    * pair) is the only divergence from string-set Jaccard.
+    */
+  case class HashSet64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.hashSet64(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.hashSet64($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Dot product of two float-array columns, accumulated in double in
     * element order (bit-identical to the zip_with/aggregate formulation
-    * and to DuckDB's sequential list_sum).
+    * and DuckDB's sequential list_sum). Codegen: inline loop.
     */
-  case class FloatVecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -149,71 +223,29 @@ object VecText {
       }
       java.lang.Double.valueOf(acc)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
-  }
-
-  /** Exact Jaccard similarity of two string-array columns whose elements
-    * are already distinct: |A∩B| / (|A|+|B|-|A∩B|), via one hash set.
-    */
-  case class JaccardDistinct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val na = a.numElements()
-      val nb = b.numElements()
-      val set = new java.util.HashSet[Any](na * 2)
-      var i = 0
-      while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
-      var inter = 0
-      i = 0
-      while (i < nb) {
-        if (set.contains(b.getUTF8String(i))) inter += 1
-        i += 1
-      }
-      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
-    }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-      copy(left = l, right = r)
-  }
-
-  /** Sorted distinct xxhash64 image of a string array — the compact set
-    * representation for mass pairwise Jaccard: computed once per document,
-    * intersected by allocation-free merge-scan (JaccardSorted64). A 64-bit
-    * collision (≈2⁻⁶⁴ per element pair) is the only way this diverges from
-    * string-set Jaccard.
-    */
-  case class HashSet64(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val hs = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        hs(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        i += 1
-      }
-      java.util.Arrays.sort(hs)
-      // drop duplicates in place (input may not be distinct)
-      var w = 0
-      i = 0
-      while (i < n) {
-        if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
-        i += 1
-      }
-      new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
-    }
-    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Jaccard of two sorted distinct long arrays via merge-scan:
-    * |A∩B| / (|A|+|B|-|A∩B|). No per-pair allocation.
+    * |A∩B| / (|A|+|B|-|A∩B|). Codegen: inline loop, no per-pair
+    * allocation — runs on multi-million-row candidate streams.
     */
-  case class JaccardSorted64(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class JaccardSorted64(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -232,6 +264,43 @@ object VecText {
       }
       java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = ((double) $inter) / (double) ($na + $nb - $inter);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Exact Jaccard of two distinct string arrays via one hash set —
+    * reference formulation for tests; prefer HashSet64+JaccardSorted64
+    * for mass pairwise use.
+    */
+  case class JaccardDistinct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(VecTextKernels.jaccardDistinct(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecTextKernels.jaccardDistinct($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
