@@ -96,7 +96,10 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
     val rowsPerBand = numPerm / bands
     val buckets = lshBuckets(withSig.select("doc_id", "sig"), bands, rowsPerBand)
+    // spread the fan-out join across the cluster (see blockedJaccardPairs)
+    val para = docs.sparkSession.sparkContext.defaultParallelism
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+      .repartition(para)
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -159,6 +162,7 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))

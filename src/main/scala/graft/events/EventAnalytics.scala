@@ -148,6 +148,7 @@ object EventAnalytics {
         col("ts_us").as("anchor_ts_us"))
       .withColumn("bucket", explode(array(
         expr(s"anchor_ts_us div $wUs"), expr(s"anchor_ts_us div $wUs + 1"))))
+      .repartition(events.sparkSession.sparkContext.defaultParallelism)
     val others = events
       .select(col("user_id"), col("event_id").as("other_event_id"),
         col("event_type").as("other_type"), col("ts_us").as("other_ts_us"))

@@ -61,6 +61,7 @@ object Similarity {
       fnorm(col("embedding")).as("q_norm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       fnorm(col("embedding")).as("c_norm"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
@@ -105,6 +106,7 @@ object Similarity {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val qb = banded(queries, "query_id", "q_emb", "q_norm")
     val cb = banded(corpus, "neighbor_id", "c_emb", "c_norm")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val cands = cb.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_emb", "q_norm", "neighbor_id", "c_emb", "c_norm")
@@ -162,6 +164,7 @@ object Similarity {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("vec_id_a"),
       col("embedding").as("emb_a"), fnorm(col("embedding")).as("norm_a"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val b = embeddings.select(col("label"), col("vec_id").as("vec_id_b"),
       col("embedding").as("emb_b"), fnorm(col("embedding")).as("norm_b"))
     a.join(b, Seq("label"))
