@@ -24,6 +24,7 @@ object Bench {
     "events_json_extract", "events_pivot", "events_range_join", "q_median",
     "q_set_ops", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_clean_corpus",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
     "mm_decode", "mm_frames")

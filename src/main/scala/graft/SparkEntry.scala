@@ -168,6 +168,9 @@ object SparkEntry {
     // rolling hash uses xxhash64 → not DuckDB-reproducible; rows-only.
     "text_rollinghash" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))),
+    // the composed corpus-cleaning pipeline (quality → lang → dedup).
+    "text_clean_corpus" -> ((s, dir) =>
+      TextAnalysis.cleanCorpus(Tables.documents(s, dir))),
 
     // ─────────────────────────────────────────────── dedup suite ──
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -446,6 +449,32 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "text_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
+         |  ${langScoreSql(Seq("der", "und", "nicht", "das"))} AS s_de,
+         |  ${langScoreSql(Seq("the", "and", "not", "this"))} AS s_en,
+         |  ${langScoreSql(Seq("el", "los", "que", "este"))} AS s_es,
+         |  ${langScoreSql(Seq("le", "les", "que", "ce"))} AS s_fr,
+         |  ${langScoreSql(Seq("de", "shi", "bu", "zhe"))} AS s_zh
+         | FROM t),
+         |g AS (SELECT doc_id, text, n_tokens, stopword_ratio, CASE
+         |  WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |  ELSE 'zh' END AS lang_pred
+         | FROM s
+         | WHERE n_tokens >= 10 AND stopword_ratio <= 0.5)
+         |SELECT doc_id, lang_pred, n_tokens, stopword_ratio FROM g
+         |WHERE lang_pred != 'und'
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
+         |  ORDER BY doc_id) = 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,

@@ -70,6 +70,20 @@ object CsvExtract {
       ).as("detail"))
   }
 
+  /** S4 with corrupt-record capture: PERMISSIVE parse that routes
+    * malformed rows into `_corrupt_record` instead of failing the job or
+    * silently corrupting downstream (the reference's transform crashes on
+    * shape drift — load.ts:67-71, SURVEY.md §1.3). Callers split on
+    * `_corrupt_record IS NULL` — the data-quality quarantine pattern.
+    */
+  def scanWithQuarantine(spark: SparkSession, path: String, headers: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(allStringSchema(headers).add("_corrupt_record", StringType))
+      .csv(path)
+
   /** S1: streaming arrival. The file source's directory listing is the
     * native analogue of the S3→SQS notification chain (stack.ts:41-57);
     * `maxFilesPerTrigger` plays the role of the reference's concurrency

@@ -91,6 +91,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), " +", " "))
 
+  /** The composed training-data cleaning pipeline — the use-case the
+    * engine exists for: quality-gate → language-gate → exact-dedup
+    * survivors, in one declarative plan (single scan; the dedup window is
+    * the only shuffle). Thresholds are parameters of the corpus policy.
+    */
+  def cleanCorpus(
+      docs: DataFrame,
+      minTokens: Long = 10,
+      maxStopwordRatio: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val gated = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("stopword_ratio", (nStop / nTok.cast("double")).cast("decimal(18,6)"))
+      .withColumn("lang_pred", langId(col("text")))
+      .filter(col("n_tokens") >= minTokens
+        && col("stopword_ratio") <= maxStopwordRatio
+        && col("lang_pred") =!= "und")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
+    gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("stopword_ratio"))
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
     * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
     * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under

@@ -75,6 +75,30 @@ class EventStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful query runs on the RocksDB state store (production config)") {
+    // HDFS-backed state keeps every key on-heap; RocksDB is the provider
+    // that survives 100TB-scale key cardinalities. Same query, same
+    // results, different store.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStream.fromParquetDir(s2, streamDir)
+    val q = EventStream.tumblingDaily(stream).writeStream
+      .format("memory").queryName("rocksdb_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = s2.table("rocksdb_out")
+      .select("day", "event_type", "n").as[(String, String, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    val want = EventAnalytics.tumblingDaily(batchEvents)
+      .select("day", "event_type", "n").as[(String, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming stateful LWW equals the batch latest-per-user") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
