@@ -36,6 +36,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Register every corpus table as a temp view (plus `events` with its
+    * derived µs/ms/timestamp columns), so the whole engine surface is
+    * reachable from `spark.sql("SELECT ... FROM lineitem ...")` exactly
+    * like from the DataFrame API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   /** `events` with the nano-epoch `ts` kept as a long (`ts_ns`) plus
     * derived, oracle-friendly forms. IMPORTANT precision note: DuckDB reads
     * parquet TIMESTAMP(NANOS) truncated to MICROsecond precision, so every

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape guards: the properties SURVEY.md §8.5 claims must hold in
+  * the executed physical plan, so a refactor can't silently regress the
+  * scale story.
+  */
+class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executed(df: DataFrame) = {
+    df.write.format("noop").mode("overwrite").save() // finalize adaptive plan
+    df.queryExecution.executedPlan
+  }
+
+  test("q1: shipdate filter is pushed into the parquet scan; schema pruned") {
+    val plan = executed(SparkEntry.queries("q1_agg")(spark, Sf0001))
+    val scan = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"))
+    assert(scan.requiredSchema.size < 11, "scan must not read all lineitem columns")
+  }
+
+  test("q5: star join runs as broadcast joins (fact side never shuffles for joins)") {
+    val plan = executed(SparkEntry.queries("q5_join")(spark, Sf0001))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 4, s"expected >=4 broadcast joins, got ${bcasts.size}")
+  }
+
+  test("q_topk_agg: bounded-heap aggregate, no window sort operator") {
+    val plan = executed(SparkEntry.queries("q_topk_agg")(spark, Sf0001))
+    assert(collectWithSubqueries(plan) { case o: ObjectHashAggregateExec => o }.nonEmpty)
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q_window_rank: Spark's WindowGroupLimit prunes map-side") {
+    val plan = executed(SparkEntry.queries("q_window_rank")(spark, Sf0001))
+    val limits = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, "rank<=k should trigger WindowGroupLimit")
+  }
+
+  test("dedup_ngram_jaccard: sketch tables broadcast to the candidate stream") {
+    val plan = executed(SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf0001))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 2, "pair verification must join against broadcast sketches")
+  }
+}

@@ -33,6 +33,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got(4) == Seq(99, 94))
   }
 
+  test("registered views give full Spark SQL access; SQL q1 equals DataFrame q1") {
+    Tables.registerViews(spark, Sf0001)
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).toString, r.getLong(3))).toSet
+    val df = graft.analytics.Queries.q1PricingSummary(spark, Sf0001)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).toString, r.getLong(3))).toSet
+    assert(sql == df)
+    // the events view exposes the derived time columns too
+    assert(spark.sql("SELECT max(ts_ms) FROM events").head().getLong(0) > 0)
+  }
+
   test("graft_fvec_dot from SQL equals Column API") {
     GraftFunctions.register(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
