@@ -96,6 +96,42 @@ object VecTextKernels {
     sig
   }
 
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Deterministic pseudo-random hyperplanes for (bits, dims): component
+    * (p, d) = (xxhash64(p, d) mod 1e6)/1e6 - 0.5, identical to the HOF
+    * formulation it replaces (seed 42, int-typed inputs).
+    */
+  private[functions] def rhpPlanes(bits: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dims), { case (b, d) =>
+      Array.tabulate(b, d) { (p, i) =>
+        val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, h1)
+        java.lang.Math.floorMod(h2, 1000000L).toDouble / 1000000.0 - 0.5
+      }
+    })
+
+  /** b-bit random-hyperplane signature of a float vector. */
+  def rhpSig(arr: ArrayData, bits: Int): Long = {
+    val dims = arr.numElements()
+    val planes = rhpPlanes(bits, dims)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        acc += arr.getFloat(i).toDouble * plane(i)
+        i += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -205,6 +241,18 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** b-bit random-hyperplane LSH signature (Charikar'02) of a float
+    * vector; deterministic hash-derived planes, single pass per row.
+    */
+  case class RhpSignature(child: Expression, bits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.rhpSig(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.rhpSig($c, $bits)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Dot product of two float-array columns, accumulated in double in
     * element order (bit-identical to the zip_with/aggregate formulation
     * and DuckDB's sequential list_sum). Codegen: inline loop.
@@ -307,6 +355,7 @@ object VecText {
 
   // Column-API wrappers
   def word_shingles(c: Column, k: Int): Column = column(WordShingles(expr(c), k))
+  def rhp_signature(c: Column, bits: Int): Column = column(RhpSignature(expr(c), bits))
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))

@@ -75,12 +75,14 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a hash-derived value in [-0.5, 0.5). Seeds the LSH signatures without
     * any RNG state — reproducible across executors by construction.
+    * HOF reference formulation, kept as the property-test anchor for the
+    * fast expression below.
     */
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
-  /** b-bit random-hyperplane signature of an embedding. */
-  def rhpSignature(emb: Column, bits: Int = 16): Column =
+  /** HOF formulation of the signature (slow; see rhpSignature). */
+  def rhpSignatureHof(emb: Column, bits: Int = 16): Column =
     (0 until bits).map { p =>
       val dotp = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -88,6 +90,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dotp > 0, lit(1L << p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** b-bit random-hyperplane signature of an embedding — single-pass
+    * custom expression (VecText.RhpSignature), value-identical to
+    * rhpSignatureHof (asserted in VecTextSpec).
+    */
+  def rhpSignature(emb: Column, bits: Int = 16): Column =
+    VecText.rhp_signature(emb, bits)
 
   /** LSH-bucketed ANN: queries and corpus are bucketed by multi-probe
     * banded signatures (4 bands of bits/4 each); candidates share any

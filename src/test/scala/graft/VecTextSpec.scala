@@ -95,6 +95,17 @@ class VecTextSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("RhpSignature equals the HOF hyperplane formulation on real embeddings") {
+    import graft.sim.Similarity
+    val emb = Tables.embeddings(spark, Sf0001).limit(50)
+    val both = emb.select(
+      Similarity.rhpSignature(col("embedding"), 16).as("fast"),
+      Similarity.rhpSignatureHof(col("embedding"), 16).as("slow"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
   test("rollingHash is order-sensitive where fingerprint is not") {
     import graft.text.TextAnalysis
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
