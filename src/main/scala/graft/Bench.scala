@@ -22,7 +22,7 @@ object Bench {
     "q_approx_distinct",
     "events_sessionize", "events_tumbling", "events_asof_join",
     "events_json_extract", "events_pivot", "events_range_join", "q_median",
-    "q_set_ops", "mm_resize",
+    "q_set_ops", "q_ntile", "q_stats", "q_strings", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_clean_corpus",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",

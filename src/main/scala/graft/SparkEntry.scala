@@ -154,6 +154,9 @@ object SparkEntry {
       EventAnalytics.rangeJoinAfter(Tables.events(s, dir), "purchase", 60)),
     "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
     "q_set_ops" -> ((s, dir) => Queries.buildingWithoutBigOrders(s, dir)),
+    "q_ntile"   -> ((s, dir) => Queries.orderQuartiles(s, dir)),
+    "q_stats"   -> ((s, dir) => Queries.statsQuantityPrice(s, dir)),
+    "q_strings" -> ((s, dir) => Queries.partNameStrings(s, dir)),
 
     // ───────────────────────────────────────────── text analysis ──
     "text_tokens" -> ((s, dir) => Tables.documents(s, dir).select(
@@ -408,6 +411,35 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders""".stripMargin,
+
+    "q_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS stddev_qty,
+        | CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |   / sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n)
+        |        * (CAST(syy AS DOUBLE) - pow(CAST(sy AS DOUBLE), 2) / n)) AS DECIMAL(18,6)) AS corr_qty_price
+        |FROM s""".stripMargin,
+
+    "q_strings" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name,
+        | substring(p_name, 1, 5) AS prefix5,
+        | CAST(len(p_name) AS BIGINT) AS name_len,
+        | CAST(levenshtein(p_name, 'small widget') AS BIGINT) AS dist_to_small_widget
+        |FROM part""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

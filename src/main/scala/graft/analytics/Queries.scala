@@ -188,6 +188,54 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Quartile assignment (ntile) of orders per status. */
+  def orderQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Per-group stddev and correlation, computed from EXACT decimal sums
+    * with the double arithmetic only at the very end — built-in
+    * stddev/corr accumulate doubles in partition order (engine- and
+    * run-dependent); this formulation is deterministic and
+    * oracle-hash-stable: identical decimal sums → identical IEEE ops.
+    */
+  def statsQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec6(col("l_quantity"))
+    val y = dec6(col("l_extendedprice"))
+    // element products as IEEE double mult cast to decimal: deterministic
+    // and identical cross-engine, and it sidesteps DuckDB's refusal to
+    // auto-widen int64 decimal multiplication
+    def sq(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      (c * d).cast("decimal(28,6)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,6)").as("sx"),
+        sum(sq(col("l_quantity"), col("l_quantity"))).cast("decimal(38,6)").as("sxx"),
+        sum(y).cast("decimal(38,6)").as("sy"),
+        sum(sq(col("l_extendedprice"), col("l_extendedprice"))).cast("decimal(38,6)").as("syy"),
+        sum(sq(col("l_quantity"), col("l_extendedprice"))).cast("decimal(38,6)").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
+          / (col("n") - 1)).cast("decimal(18,6)").as("stddev_qty"),
+        ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+          / sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
+            * (col("syy").cast("double") - pow(col("sy").cast("double"), 2) / col("n"))))
+          .cast("decimal(18,6)").as("corr_qty_price"))
+  }
+
+  /** String-function coverage: case, substring, edit distance. */
+  def partNameStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        levenshtein(col("p_name"), lit("small widget")).cast("long").as("dist_to_small_widget"))
+
   /** Set operation: BUILDING-segment customers EXCEPT big-order
     * customers (distinct set semantics; one shuffle each side).
     */
