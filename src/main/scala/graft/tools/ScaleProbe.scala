@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dev-only scale experiment: replicate the sf0.1 documents corpus K×
+  * (unique doc_ids) and measure how the dedup operators scale. The
+  * length-blocked Jaccard is O(n²·w) in candidate pairs (quadratic by
+  * design — every same-length pair is verified); MinHash-LSH should stay
+  * near-linear (signatures linear, candidates sparse).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def corpus(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    Seq(1, k).foreach { c =>
+      val docs = corpus(c)
+      println(s"== ${c}x corpus (${5000 * c} docs)")
+      time(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
+      time(s"simhash_${c}x")(Dedup.simhashNearDups(docs).count())
+      time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
+    }
+    spark.stop()
+  }
+}
