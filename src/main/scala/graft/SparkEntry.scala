@@ -165,7 +165,7 @@ object SparkEntry {
       TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => Tables.documents(s, dir).select(
-      col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))),
+      col("doc_id"), TextAnalysis.langIdFast(col("text")).as("lang"))),
     "text_fingerprint" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
     // rolling hash uses xxhash64 → not DuckDB-reproducible; rows-only.

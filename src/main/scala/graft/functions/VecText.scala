@@ -96,6 +96,49 @@ object VecTextKernels {
     sig
   }
 
+  /** Static token sets for the single-pass text-stats kernel — must stay
+    * in lockstep with TextAnalysis.stopwords / langMarkers (asserted by
+    * VecTextSpec parity tests).
+    */
+  private def utf8Set(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  private val stopSet = utf8Set(Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+  private val langSets: Array[java.util.HashSet[UTF8String]] = Array(
+    utf8Set(Seq("der", "und", "nicht", "das")), // de
+    utf8Set(Seq("the", "and", "not", "this")),  // en
+    utf8Set(Seq("el", "los", "que", "este")),   // es
+    utf8Set(Seq("le", "les", "que", "ce")),     // fr
+    utf8Set(Seq("de", "shi", "bu", "zhe")))     // zh
+
+  /** One pass over the token array: token count, stopword hits, distinct
+    * count, and the five language marker scores. Returns a 8-long array
+    * (n_tokens, n_stop, n_distinct, s_de, s_en, s_es, s_fr, s_zh).
+    */
+  def textStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var nStop = 0L
+    val distinct = new java.util.HashSet[UTF8String]()
+    val langs = new Array[Long](5)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (stopSet.contains(t)) nStop += 1
+      distinct.add(t)
+      var l = 0
+      while (l < 5) {
+        if (langSets(l).contains(t)) langs(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(n.toLong, nStop, distinct.size.toLong,
+        langs(0), langs(1), langs(2), langs(3), langs(4)))
+  }
+
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
@@ -241,6 +284,20 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-pass token statistics: (n_tokens, n_stop, n_distinct,
+    * s_de..s_zh) as a long array — replaces five-plus interpreted HOF
+    * traversals in the text-quality/langid path. Marker/stopword sets
+    * are pinned to TextAnalysis's by parity tests.
+    */
+  case class TextStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.textStats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.textStats($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** b-bit random-hyperplane LSH signature (Charikar'02) of a float
     * vector; deterministic hash-derived planes, single pass per row.
     */
@@ -356,6 +413,7 @@ object VecText {
   // Column-API wrappers
   def word_shingles(c: Column, k: Int): Column = column(WordShingles(expr(c), k))
   def rhp_signature(c: Column, bits: Int): Column = column(RhpSignature(expr(c), bits))
+  def text_stats(c: Column): Column = column(TextStats(expr(c)))
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))

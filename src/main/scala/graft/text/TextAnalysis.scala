@@ -37,7 +37,31 @@ object TextAnalysis {
     */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Fast path: all token statistics from one single-pass kernel
+    * (VecText.TextStats); identical outputs to qualitySignalsHof
+    * (asserted by TextStatsParitySpec).
+    */
   def qualitySignals(docs: DataFrame): DataFrame = {
+    val stats = graft.functions.VecText.text_stats(tokens(col("text"))).as("st")
+    docs.select(col("doc_id"), col("text"), stats)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        element_at(col("st"), 1).as("n_tokens"),
+        (element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
+          .cast("decimal(18,6)").as("stopword_ratio"),
+        (element_at(col("st"), 3).cast("double") / element_at(col("st"), 1).cast("double"))
+          .cast("decimal(18,6)").as("distinct_ratio"),
+        (length(expr("replace(text, ' ', '')")).cast("double")
+          / element_at(col("st"), 1).cast("double"))
+          .cast("decimal(18,6)").as("mean_token_len"),
+        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text")).cast("double"))
+          .cast("decimal(18,6)").as("punct_ratio"))
+  }
+
+  /** HOF reference formulation — kept as the parity-test anchor. */
+  def qualitySignalsHof(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
@@ -71,8 +95,24 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
 
+  /** Predicted language from the single-pass stats kernel: argmax over
+    * marker scores with tie priority de>en>es>fr>zh, "und" when no hits —
+    * value-identical to langId (parity-tested) and to the DuckDB oracle's
+    * CASE chain.
+    */
+  def langIdFast(text: Column): Column = {
+    val stats = graft.functions.VecText.text_stats(tokens(text))
+    val s = (0 until 5).map(i => element_at(stats, lit(i + 4)))
+    val g = greatest(s: _*)
+    when(g === 0, lit("und"))
+      .when(s(0) === g, lit("de")).when(s(1) === g, lit("en"))
+      .when(s(2) === g, lit("es")).when(s(3) === g, lit("fr"))
+      .otherwise(lit("zh"))
+  }
+
   /** Predicted language = argmax over marker scores; falls back to "und"
-    * (undetermined) when no marker hits at all.
+    * (undetermined) when no marker hits at all. HOF reference
+    * formulation — parity anchor for langIdFast.
     */
   def langId(text: Column): Column = {
     val scored = langMarkers.map { case (lang, markers) =>
@@ -100,13 +140,20 @@ object TextAnalysis {
       docs: DataFrame,
       minTokens: Long = 10,
       maxStopwordRatio: Double = 0.5): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
     val gated = docs
-      .withColumn("n_tokens", nTok)
-      .withColumn("stopword_ratio", (nStop / nTok.cast("double")).cast("decimal(18,6)"))
-      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("st", graft.functions.VecText.text_stats(tokens(col("text"))))
+      .withColumn("n_tokens", element_at(col("st"), 1))
+      .withColumn("stopword_ratio",
+        (element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
+          .cast("decimal(18,6)"))
+      .withColumn("lang_pred", {
+        val s = (0 until 5).map(i => element_at(col("st"), lit(i + 4)))
+        val g = greatest(s: _*)
+        when(g === 0, lit("und"))
+          .when(s(0) === g, lit("de")).when(s(1) === g, lit("en"))
+          .when(s(2) === g, lit("es")).when(s(3) === g, lit("fr"))
+          .otherwise(lit("zh"))
+      })
       .filter(col("n_tokens") >= minTokens
         && col("stopword_ratio") <= maxStopwordRatio
         && col("lang_pred") =!= "und")
