@@ -21,7 +21,8 @@ object Bench {
     "q_rollup", "q_cube", "q_semi_join", "q_anti_join", "q_distinct_agg",
     "q_approx_distinct",
     "events_sessionize", "events_tumbling", "events_asof_join",
-    "events_json_extract", "events_pivot", "events_range_join", "q_median",
+    "events_json_extract", "events_pivot", "events_range_join", "events_lead_lag",
+    "q_median",
     "q_set_ops", "q_ntile", "q_stats", "q_strings", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_clean_corpus",

@@ -153,6 +153,8 @@ object SparkEntry {
     "events_range_join" -> ((s, dir) =>
       EventAnalytics.rangeJoinAfter(Tables.events(s, dir), "purchase", 60)),
     "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
+    "events_lead_lag" -> ((s, dir) =>
+      EventAnalytics.eventNeighborhood(Tables.events(s, dir))),
     "q_set_ops" -> ((s, dir) => Queries.buildingWithoutBigOrders(s, dir)),
     "q_ntile"   -> ((s, dir) => Queries.orderQuartiles(s, dir)),
     "q_stats"   -> ((s, dir) => Queries.statsQuantityPrice(s, dir)),
@@ -400,6 +402,13 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
         |WHERE a.event_type = 'purchase'""".stripMargin,
+
+    "events_lead_lag" ->
+      """SELECT user_id, event_id, event_type,
+        | lag(event_type, 1) OVER w AS prev_type,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q_median" ->
       """SELECT o_orderstatus,

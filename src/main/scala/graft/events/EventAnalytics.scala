@@ -82,6 +82,17 @@ object EventAnalytics {
       .select(col("user_id"))
   }
 
+  /** Lead/lag neighborhood: each event with its user's previous and next
+    * event types — the per-key sequence-context primitive (one shuffle on
+    * user_id, same partitioning every other per-user operator uses).
+    */
+  def eventNeighborhood(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      lag("event_type", 1).over(w).as("prev_type"),
+      lead("event_type", 1).over(w).as("next_type"))
+  }
+
   /** As-of join (time-series point lookup): for every `leftType` event,
     * the user's latest `rightType` event with ts ≤ the left event's ts
     * (inclusive), or null if none. Spark lacks a native as-of join;
