@@ -50,6 +50,39 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("events later than the watermark are dropped, fresh events keep flowing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-late")
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, day, hour) =>
+          Row(id, java.time.Instant.parse(s"${day}T0$hour:00:00Z").toEpochMilli * 1000000L,
+            7L, "click", 1.0, "{}")
+        }),
+        EventStream.eventsSchema)
+      df.write.parquet(d.resolve(name).toString)
+      Files.list(d.resolve(name)).filter(_.toString.endsWith(".parquet"))
+        .forEach(f => Files.move(f, d.resolve(name + "-" + f.getFileName)))
+    }
+    write("b1", Seq((1L, "2024-06-10", 2L), (2L, "2024-06-10", 3L)))
+    val stream = EventStream.fromParquetDir(spark, d.toString, maxFilesPerTrigger = 100)
+    val q = EventStream.tumblingDaily(stream, watermark = "1 hour").writeStream
+      .format("memory").queryName("late_out").outputMode("update").start()
+    q.processAllAvailable()
+    // second batch: one event far older than the watermark + one fresh
+    write("b2", Seq((3L, "2024-01-01", 2L), (4L, "2024-06-10", 4L)))
+    q.processAllAvailable()
+    q.stop()
+    val days = spark.table("late_out").select("day")
+      .collect().map(_.getString(0)).toSet
+    assert(days == Set("2024-06-10"), s"late 2024-01-01 must be dropped, got $days")
+    // the fresh event of batch 2 did arrive: the day's count reached 3
+    val maxN = spark.table("late_out").agg(max_by(col("n"), col("n")))
+      .head().getLong(0)
+    assert(maxN == 3)
+  }
+
   test("streaming dedup drops replayed duplicate files") {
     val d = Files.createTempDirectory("graft-dup")
     Files.copy(Paths.get(s"$Sf0001/events.parquet"), d.resolve("p0.parquet"))
