@@ -130,8 +130,9 @@ object SparkEntry {
     "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
     "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
-    // HLL sketch internals are engine-specific → rows-only check.
+    // sketch internals are engine-specific → rows-only checks.
     "q_approx_distinct" -> ((s, dir) => Queries.approxDistinctParts(s, dir)),
+    "q_approx_quantiles" -> ((s, dir) => Queries.approxQuantiles(s, dir)),
     "q_anti_join"      -> ((s, dir) => Queries.customersWithoutOrders(s, dir)),
     "q_semi_join"      -> ((s, dir) => Queries.partsWithSales(s, dir)),
     "q_distinct_agg"   -> ((s, dir) => Queries.distinctCustomersPerSegment(s, dir)),

@@ -177,6 +177,17 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_qty"))
 
+  /** Quantile sketch (approx_percentile): the constant-memory quantile
+    * path for 100 TB distributions (exact median stays oracle-checked in
+    * q_median; sketch internals are engine-specific → rows-only).
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"),
+        count(lit(1)).as("n"))
+
   /** HLL sketch distinct (approx_count_distinct): the constant-memory
     * distinct-count path for 100 TB cardinalities. Sketch internals are
     * engine-specific → rows-only driver check; exactness is covered by
