@@ -19,7 +19,7 @@ object Bench {
     "etl_pipeline_scale", "etl_upsert_lww", "etl_audit_tally", "etl_route_transform",
     "q1_agg", "q3_topk", "q5_join", "q_window_rank", "q_topk_agg", "q_window_running",
     "q_rollup", "q_cube", "q_semi_join", "q_anti_join", "q_distinct_agg",
-    "q_approx_distinct",
+    "q_approx_distinct", "q_approx_quantiles",
     "events_sessionize", "events_tumbling", "events_asof_join",
     "events_json_extract", "events_pivot", "events_range_join", "events_lead_lag",
     "q_median",
