@@ -55,6 +55,32 @@ object EtlPipeline {
       "transform" -> transformed.filter(Rules.observeRule)))
   }
 
+  /** The streaming observe channel (K3) as an INDEPENDENT query over the
+    * same landing directory — multicast routing (SURVEY.md §2.2, hard
+    * part §7.4.3): N EventBridge rules on one bus become N streaming
+    * queries sharing one source, each with its own checkpoint and
+    * therefore its own progress. Writes the stage-tagged audit log to a
+    * parquet table.
+    */
+  def auditStreaming(
+      spark: SparkSession,
+      landingDir: String,
+      headers: Seq[String],
+      auditPath: String,
+      checkpointDir: String): StreamingQuery = {
+    val events = CsvExtract.toEvents(
+      CsvExtract.stream(spark, landingDir, headers))
+    events.filter(Rules.observeRule)
+      .select(lit("extract").as("stage"),
+        col("source"), col("detailType"), col("time"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", auditPath)
+      .start()
+  }
+
   /** Streaming mode (SURVEY.md §7.2 M3): the same pipeline over a watched
     * landing directory, exactly-once into a keyed parquet table via
     * checkpointed foreachBatch — an upgrade over the reference's

@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 3)
   }
 
+  test("multicast: upsert and audit queries share one landing dir with independent progress") {
+    val root = Files.createTempDirectory("graft-multicast")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val headers = Seq("ID", "HouseNum", "Street", "Town", "Zip")
+    Files.writeString(landing.resolve("a.csv"),
+      "ID,HouseNum,Street,Town,Zip\n1,10,First St,Alpha,11111\n2,20,Second St,Beta,22222\n")
+
+    def runBoth(): Unit = {
+      EtlPipeline.runStreaming(spark, landing.toString, headers,
+        root.resolve("table").toString, root.resolve("ckpt-upsert").toString)
+        .awaitTermination()
+      EtlPipeline.auditStreaming(spark, landing.toString, headers,
+        root.resolve("audit").toString, root.resolve("ckpt-audit").toString)
+        .awaitTermination()
+    }
+    runBoth()
+    assert(spark.read.parquet(root.resolve("table").toString).count() == 2)
+    assert(spark.read.parquet(root.resolve("audit").toString).count() == 2)
+
+    // a new arrival is seen exactly once by EACH query (separate checkpoints)
+    Files.writeString(landing.resolve("b.csv"),
+      "ID,HouseNum,Street,Town,Zip\n3,30,Third St,Gamma,33333\n")
+    runBoth()
+    assert(spark.read.parquet(root.resolve("table").toString).count() == 3)
+    assert(spark.read.parquet(root.resolve("audit").toString).count() == 3)
+  }
+
   test("upsertBatch is idempotent under duplicate replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
