@@ -36,7 +36,10 @@ object GraftFunctions {
     "graft_fvec_dot" -> (es => VecText.FloatVecDot(es(0), es(1))),
     "graft_hash_set" -> (es => VecText.HashSet64(es(0))),
     "graft_jaccard" -> (es => VecText.JaccardSorted64(es(0), es(1))),
-    "graft_top_k" -> (es => TopKDesc(es(0), intArg(es(1), "graft_top_k"))))
+    "graft_top_k" -> (es => TopKDesc(es(0), intArg(es(1), "graft_top_k"))),
+    "graft_text_stats" -> (es => VecText.TextStats(es(0))),
+    "graft_rhp_signature" -> (es => VecText.RhpSignature(es(0), intArg(es(1), "graft_rhp_signature"))),
+    "graft_jaccard_exact" -> (es => VecText.JaccardDistinct(es(0), es(1))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
