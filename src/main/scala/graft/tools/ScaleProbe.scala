@@ -42,6 +42,26 @@ object ScaleProbe {
       time(s"simhash_${c}x")(Dedup.simhashNearDups(docs).count())
       time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
     }
+
+    // events scale: replicate 10x (unique event_ids) and run the window/
+    // join-heavy event operators
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
+    Seq(1, 10).foreach { c =>
+      val events = (0 until c).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
+      println(s"== events ${c}x (${100000 * c} rows)")
+      import graft.events.EventAnalytics
+      time(s"sessionize_${c}x")(EventAnalytics.sessionize(events).count())
+      time(s"asof_${c}x")(EventAnalytics.asofJoin(events, "purchase", "click").count())
+      time(s"range_join_${c}x")(EventAnalytics.rangeJoinAfter(events, "purchase", 60).count())
+      time(s"lww_${c}x")(EventAnalytics.latestPerUser(events).count())
+    }
     spark.stop()
   }
 }

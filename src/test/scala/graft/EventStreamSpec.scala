@@ -24,6 +24,22 @@ class EventStreamSpec extends SparkSpec {
 
   private lazy val batchEvents = Tables.events(spark, Sf0001)
 
+  test("telemetry listener observes per-batch progress of streaming queries") {
+    val listener = graft.sink.Telemetry.attach(spark)
+    try {
+      val stream = EventStream.fromParquetDir(spark, streamDir)
+      EventStream.runToMemory(
+        EventStream.tumblingDaily(stream), "telemetry_probe", OutputMode.Complete())
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.progress.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val p = listener.progress.filter(_.queryName == "telemetry_probe")
+      assert(p.nonEmpty, "no progress events observed")
+      assert(p.map(_.numInputRows).sum == batchEvents.count())
+    } finally graft.sink.Telemetry.detach(spark, listener)
+  }
+
   test("streaming tumbling daily counts equal the batch aggregation") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
