@@ -71,7 +71,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map { name => name -> math.min(once(name), once(name)) }
+    val results = names.map { name =>
+      val t1 = once(name)
+      val t2 = once(name)
+      val best = math.min(t1, t2)
+      // samples disagreeing by >2x means one absorbed async cleanup/GC;
+      // a third rep resolves which one was real
+      val t = if (math.max(t1, t2) > 2 * best) math.min(best, once(name)) else best
+      name -> t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
