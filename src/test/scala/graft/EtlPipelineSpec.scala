@@ -16,6 +16,14 @@ import graft.xform.Transform
   */
 class EtlPipelineSpec extends SparkSpec {
 
+  test("typed Dataset[Address] surface: case-class Encoder round trip") {
+    import spark.implicits._
+    val ds: org.apache.spark.sql.Dataset[graft.model.Address] =
+      EtlPipeline.runBatch(spark, SparkEntry.AddressCsv).as[graft.model.Address]
+    val first = ds.collect().sortBy(_.id).head
+    assert(first == graft.model.Address("1", "12", "Main Street", "Antrim", "22876"))
+  }
+
   test("address.csv replays to the 5 expected renamed rows (golden)") {
     val out = EtlPipeline.runBatch(spark, SparkEntry.AddressCsv)
     assert(out.columns.toSeq ==
