@@ -146,6 +146,16 @@ object EventStream {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts_utc", watermark).dropDuplicates("event_id")
 
+  /** Bounded-state variant: dropDuplicatesWithinWatermark evicts each
+    * key's state as soon as the watermark passes its event time — the
+    * configuration for unbounded keyspaces (every event_id is unique
+    * forever, so plain dropDuplicates state would grow without bound;
+    * within-watermark dedup holds only the redelivery horizon).
+    */
+  def dedupEventsBounded(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run any of the above to a named in-memory sink and block until all
     * available input is processed — the deterministic harness used by
     * tests and local replays.

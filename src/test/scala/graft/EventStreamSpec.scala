@@ -148,6 +148,19 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("within-watermark dedup also drops replayed duplicates (bounded state)") {
+    val d = Files.createTempDirectory("graft-dup-wm")
+    Files.copy(Paths.get(s"$Sf0001/events.parquet"), d.resolve("p0.parquet"))
+    Files.copy(Paths.get(s"$Sf0001/events.parquet"), d.resolve("p1.parquet"))
+    val stream = EventStream.fromParquetDir(spark, d.toString, maxFilesPerTrigger = 100)
+    EventStream.runToMemory(
+      EventStream.dedupEventsBounded(stream).select("event_id"),
+      "dedup_wm_out", OutputMode.Append())
+    // duplicates arrive in the same batch window -> still deduped exactly
+    assert(spark.table("dedup_wm_out").count() ==
+      batchEvents.select("event_id").distinct().count())
+  }
+
   test("streaming stateful LWW equals the batch latest-per-user") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
