@@ -71,7 +71,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, idx) =>
+      // periodic settle: dozens of finished queries leave broadcast blocks
+      // whose deferred cleanup otherwise lands as eviction/GC storms
+      // inside later timed reps
+      if (idx % 4 == 0) { System.gc(); Thread.sleep(300) }
       val t1 = once(name)
       val t2 = once(name)
       val best = math.min(t1, t2)
