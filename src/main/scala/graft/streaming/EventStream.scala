@@ -156,6 +156,40 @@ object EventStream {
     events.withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** transformWithState (Spark 4's arbitrary-state API, RocksDB-only):
+    * per-user running event count held in a ValueState. The modern
+    * replacement for mapGroupsWithState — typed state handles, per-state
+    * TTL, timers — shown here in its simplest useful form; the streaming
+    * twin of `events.groupBy(user).count()` with incremental emission.
+    */
+  case class UserCount(user_id: Long, n: Long)
+
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), UserCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator(UserCount(key, n))
+    }
+  }
+
+  def runningCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Run any of the above to a named in-memory sink and block until all
     * available input is processed — the deterministic harness used by
     * tests and local replays.

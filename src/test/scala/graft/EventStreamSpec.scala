@@ -161,6 +161,25 @@ class EventStreamSpec extends SparkSpec {
       batchEvents.select("event_id").distinct().count())
   }
 
+  test("transformWithState running counts converge to batch per-user counts") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val stream = EventStream.fromParquetDir(s2, streamDir)
+    val q = EventStream.runningCounts(stream).toDF()
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // final (max) running count per user equals the batch count
+    val got = s2.table("tws_out").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = batchEvents.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("streaming stateful LWW equals the batch latest-per-user") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
