@@ -62,6 +62,22 @@ object ScaleProbe {
       time(s"range_join_${c}x")(EventAnalytics.rangeJoinAfter(events, "purchase", 60).count())
       time(s"lww_${c}x")(EventAnalytics.latestPerUser(events).count())
     }
+    // similarity scale: replicate embeddings 10x (unique vec_ids) —
+    // brute-force grows linearly with the corpus, LSH candidates stay
+    // bucket-bound
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    import graft.sim.Similarity
+    Seq(1, 10).foreach { c =>
+      val corpus = (0 until c).map { i =>
+        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      val queries = emb.filter(col("vec_id") < 8)
+      println(s"== embeddings ${c}x (${2000 * c} vectors)")
+      time(s"bruteforce_${c}x")(Similarity.bruteForceTopK(corpus, queries).count())
+      time(s"lsh_ann_${c}x")(Similarity.lshTopK(corpus, queries).count())
+      time(s"embed_neardup_${c}x")(Similarity.embeddingNearDups(corpus).count())
+    }
     spark.stop()
   }
 }
