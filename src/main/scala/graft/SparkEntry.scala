@@ -205,6 +205,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8))
     }),
 
+    // DSv2 connector smoke: deterministic synthetic source through the
+    // public format() surface (no DuckDB analogue → rows-only).
+    "source_dsv2_scan" -> ((s, _) =>
+      s.read.format("graft-events").option("rows", 10000).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,2)").as("sum_value"))),
+
     // ──────────────────────────────────────── multimodal columns ──
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))),
