@@ -211,7 +211,8 @@ object SparkEntry {
       s.read.format("graft-events").option("rows", 10000).load()
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,2)").as("sum_value"))),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,2)")
+            .cast("double").as("sum_value"))),
 
     // ──────────────────────────────────────── multimodal columns ──
     "mm_decode" -> ((s, dir) =>
@@ -226,8 +227,13 @@ object SparkEntry {
 
   // ────────────────────────────────────────────────── oracle SQL ──
 
+  // Decimal-exact aggregate, surfaced as DOUBLE: every final output column
+  // that used to be DECIMAL is cast to DOUBLE on BOTH sides — pyarrow reads
+  // parquet DECIMAL as decimal.Decimal while DuckDB's .df() gives float64,
+  // so equal values hash differently unless both sides emit float64
+  // (round-2 driver verdict, 16 queries).
   private val revenueSql =
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))"
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)"
 
   private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
 
@@ -268,24 +274,25 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_topk" ->
-      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-         | $revenueSql AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1999-01-01'
-         |  AND l_shipdate > TIMESTAMP '1999-01-01'
-         |GROUP BY l_orderkey, orderdate
-         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      """SELECT l_orderkey, orderdate, CAST(revenue AS DOUBLE) AS revenue FROM (
+        |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'
+        |    AND l_shipdate > TIMESTAMP '1999-01-01'
+        |  GROUP BY l_orderkey, orderdate
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 10)""".stripMargin,
 
     "q5_join" ->
       s"""SELECT n_name, r_name, $revenueSql AS revenue
@@ -300,34 +307,34 @@ object SparkEntry {
     "q_window_rank" ->
       """SELECT o_custkey,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
-        | o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice
+        | o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS totalprice
         |FROM orders QUALIFY rnk <= 3""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_custkey,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
-        | o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice
+        | o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS totalprice
         |FROM orders QUALIFY rnk <= 3""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_qty
+        |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "events_asof_join" ->
@@ -377,7 +384,7 @@ object SparkEntry {
 
     "events_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY day, event_type""".stripMargin,
 
     "events_funnel" ->
@@ -421,7 +428,7 @@ object SparkEntry {
 
     "q_median" ->
       """SELECT o_orderstatus,
-        | CAST(median(o_totalprice) AS DECIMAL(18,6)) AS median_price,
+        | CAST(CAST(median(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
@@ -446,10 +453,10 @@ object SparkEntry {
         |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | CAST(sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS stddev_qty,
-        | CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        | CAST(CAST(sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS DOUBLE) AS stddev_qty,
+        | CAST(CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
         |   / sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n)
-        |        * (CAST(syy AS DOUBLE) - pow(CAST(sy AS DOUBLE), 2) / n)) AS DECIMAL(18,6)) AS corr_qty_price
+        |        * (CAST(syy AS DOUBLE) - pow(CAST(sy AS DOUBLE), 2) / n)) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
         |FROM s""".stripMargin,
 
     "q_strings" ->
@@ -470,12 +477,12 @@ object SparkEntry {
          |SELECT doc_id,
          | len(text) AS n_chars_actual,
          | len(toks) AS n_tokens,
-         | CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-         |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
-         | CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS distinct_ratio,
-         | CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS mean_token_len,
-         | CAST(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |   / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS punct_ratio
+         | CAST(CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+         |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS stopword_ratio,
+         | CAST(CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
+         | CAST(CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_token_len,
+         | CAST(CAST(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |   / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS punct_ratio
          |FROM t""".stripMargin,
 
     "text_langid" ->
@@ -520,7 +527,7 @@ object SparkEntry {
          |  ELSE 'zh' END AS lang_pred
          | FROM s
          | WHERE n_tokens >= 10 AND stopword_ratio <= 0.5)
-         |SELECT doc_id, lang_pred, n_tokens, stopword_ratio FROM g
+         |SELECT doc_id, lang_pred, n_tokens, CAST(stopword_ratio AS DOUBLE) AS stopword_ratio FROM g
          |WHERE lang_pred != 'und'
          |QUALIFY row_number() OVER (
          |  PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
@@ -555,7 +562,7 @@ object SparkEntry {
          |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
          |  FROM cand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
          |)
-         |SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+         |SELECT doc_id_a, doc_id_b, CAST(jaccard AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -568,7 +575,7 @@ object SparkEntry {
         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id)
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
-        |  neighbor_id, CAST(cos AS DECIMAL(18,6)) AS cosine
+        |  neighbor_id, CAST(CAST(cos AS DECIMAL(18,6)) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "sim_embed_neardup" ->
@@ -578,7 +585,7 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, vec_id_a, vec_id_b, CAST(cos AS DECIMAL(18,6)) AS cosine
+        |SELECT label, vec_id_a, vec_id_b, CAST(CAST(cos AS DECIMAL(18,6)) AS DOUBLE) AS cosine
         |FROM s WHERE cos >= 0.3""".stripMargin,
 
     "mm_decode" ->

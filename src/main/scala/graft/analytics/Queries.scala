@@ -24,6 +24,17 @@ object Queries {
 
   private def dec6(c: Column): Column = c.cast("decimal(18,6)")
 
+  /** Final-output representation rule: aggregates stay decimal-exact
+    * internally, but every FINAL decimal column is cast to DOUBLE (and the
+    * oracle SQL casts its matching column to DOUBLE). Decimal→double is
+    * the same nearest-double rounding in Spark and DuckDB, and float64
+    * round-trips identically through pyarrow and pandas — whereas a
+    * parquet DECIMAL surfaces as `decimal.Decimal` via pyarrow but
+    * `float64` via DuckDB's `.df()`, so numerically equal results hash
+    * differently (the round-2 driver flagged exactly this on 16 queries).
+    */
+  private def outDouble(c: Column): Column = c.cast("double")
+
   /** TPC-H Q1-shaped pricing summary: single scan, partial-agg, tiny
     * shuffle (one group per flag×status). The flagship full-scan agg.
     */
@@ -32,10 +43,10 @@ object Queries {
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"),
-        sum(dec6(col("l_extendedprice"))).cast("decimal(38,6)").as("sum_base_price"),
-        sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
-          .cast("decimal(38,6)").as("sum_disc_price"),
+        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"),
+        outDouble(sum(dec6(col("l_extendedprice"))).cast("decimal(38,6)")).as("sum_base_price"),
+        outDouble(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
+          .cast("decimal(38,6)")).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -60,7 +71,8 @@ object Queries {
       .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
-      .select(col("l_orderkey"), col("orderdate"), col("revenue").cast("decimal(38,6)").as("revenue"))
+      .select(col("l_orderkey"), col("orderdate"),
+        outDouble(col("revenue").cast("decimal(38,6)")).as("revenue"))
   }
 
   /** TPC-H Q5-shaped star join: revenue by nation. All four dimension
@@ -82,8 +94,8 @@ object Queries {
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"), col("r_name"))
-      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
-        .cast("decimal(38,6)").as("revenue"))
+      .agg(outDouble(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
+        .cast("decimal(38,6)")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -97,7 +109,7 @@ object Queries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
-        dec6(col("o_totalprice")).as("totalprice"))
+        outDouble(dec6(col("o_totalprice"))).as("totalprice"))
   }
 
   /** Top-k per key via the bounded-heap aggregate (functions/TopKDesc):
@@ -115,7 +127,7 @@ object Queries {
       .select(col("o_custkey"), posexplode(col("top")))
       .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
         (-col("col.neg_key")).as("o_orderkey"),
-        dec6(col("col.o_totalprice")).as("totalprice"))
+        outDouble(dec6(col("col.o_totalprice"))).as("totalprice"))
 
   /** Running (cumulative) quantity per supplier in shipdate order —
     * analytic frame `rows between unbounded preceding and current row`.
@@ -128,7 +140,7 @@ object Queries {
       .withColumn("running_qty",
         sum(dec6(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("running_qty").cast("decimal(38,6)").as("running_qty"))
+        outDouble(col("running_qty").cast("decimal(38,6)")).as("running_qty"))
   }
 
   /** Rollup (grouping-sets family): counts at (flag,status), (flag), ().
@@ -138,7 +150,8 @@ object Queries {
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -171,7 +184,8 @@ object Queries {
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec6(col("l_quantity"))).cast("decimal(38,6)").as("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -179,14 +193,21 @@ object Queries {
 
   /** Quantile sketch (approx_percentile): the constant-memory quantile
     * path for 100 TB distributions (exact median stays oracle-checked in
-    * q_median; sketch internals are engine-specific → rows-only).
+    * q_median; sketch internals are engine-specific → rows-only). Emitted
+    * as three scalar columns, not an ARRAY — the driver's row-sort
+    * normalization cannot hash array cells.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("n"))
 
   /** HLL sketch distinct (approx_count_distinct): the constant-memory
     * distinct-count path for 100 TB cardinalities. Sketch internals are
@@ -230,12 +251,12 @@ object Queries {
         sum(sq(col("l_extendedprice"), col("l_extendedprice"))).cast("decimal(38,6)").as("syy"),
         sum(sq(col("l_quantity"), col("l_extendedprice"))).cast("decimal(38,6)").as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
-          / (col("n") - 1)).cast("decimal(18,6)").as("stddev_qty"),
-        ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+        outDouble(sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
+          / (col("n") - 1)).cast("decimal(18,6)")).as("stddev_qty"),
+        outDouble(((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
           / sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
             * (col("syy").cast("double") - pow(col("sy").cast("double"), 2) / col("n"))))
-          .cast("decimal(18,6)").as("corr_qty_price"))
+          .cast("decimal(18,6)")).as("corr_qty_price"))
   }
 
   /** String-function coverage: case, substring, edit distance. */
@@ -264,7 +285,7 @@ object Queries {
   def medianOrderValue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
-      .agg(median(col("o_totalprice")).cast("decimal(18,6)").as("median_price"),
+      .agg(outDouble(median(col("o_totalprice")).cast("decimal(18,6)")).as("median_price"),
         count(lit(1)).as("n"))
 
   /** Distinct aggregation: exact distinct counts per market segment. */

@@ -123,7 +123,6 @@ object Dedup {
     * the same plan runs as a shuffled hash join on doc_id.
     */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val tenths = math.ceil(threshold * 10).toInt // e.g. 0.6 -> 6, 0.7 -> 7
     val hashed = sh.select(col("doc_id"),
       VecText.hash_set64(col("sh")).as("hs"), size(col("sh")).as("s"))
     candidates
@@ -131,11 +130,16 @@ object Dedup {
         col("hs").as("hs_a"), col("s").as("sa"))), "doc_id_a")
       .join(broadcast(hashed.select(col("doc_id").as("doc_id_b"),
         col("hs").as("hs_b"), col("s").as("sb"))), "doc_id_b")
-      .filter(least(col("sa"), col("sb")) * 10 >= greatest(col("sa"), col("sb")) * tenths)
+      // size-ratio bound: J ≤ min/max for distinct sets, so a pair can only
+      // reach `threshold` when min ≥ max·threshold. Compared directly in
+      // double — a coarsened integer form (ceil(10t)/10) over-prunes for
+      // thresholds that are not multiples of 0.1.
+      .filter(least(col("sa"), col("sb")).cast("double")
+        >= greatest(col("sa"), col("sb")).cast("double") * threshold)
       .withColumn("jaccard",
         VecText.jaccard_sorted64(col("hs_a"), col("hs_b")).cast("decimal(18,6)"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard").cast("double").as("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash

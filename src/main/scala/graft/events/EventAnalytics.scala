@@ -69,7 +69,9 @@ object EventAnalytics {
         date_format(col("ts_utc"), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec6(col("value"))).cast("decimal(38,6)").as("sum_value"))
+        // decimal-exact sum; final cast to double so pyarrow and DuckDB
+        // surface the same float64 to the driver's hash (see Queries.outDouble)
+        sum(dec6(col("value"))).cast("decimal(38,6)").cast("double").as("sum_value"))
 
   /** Simple two-step funnel: users who did `from` then later `to`. */
   def funnel(events: DataFrame, from: String, to: String): DataFrame = {

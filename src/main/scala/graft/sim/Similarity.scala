@@ -69,7 +69,9 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("cos").cast("decimal(18,6)").as("cosine"))
+        // decimal(18,6) normalizes cross-engine float noise; final double
+        // keeps pyarrow/DuckDB hash representations identical
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -126,7 +128,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("cos").cast("decimal(18,6)").as("cosine"))
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
   /** IVF-style ANN: coarse centroids (here: per-label means — k-means
@@ -164,7 +166,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("cos").cast("decimal(18,6)").as("cosine"))
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
   /** Embedding near-duplicate pairs: same-label blocking + exact cosine ≥
@@ -182,6 +184,6 @@ object Similarity {
         cosineWithNorms(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
-        col("cos").cast("decimal(18,6)").as("cosine"))
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 }

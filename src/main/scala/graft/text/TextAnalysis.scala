@@ -48,16 +48,18 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
         element_at(col("st"), 1).as("n_tokens"),
+        // ratios round through decimal(18,6) (cross-engine-stable), then
+        // out as double so pyarrow/DuckDB hash the same representation
         (element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
-          .cast("decimal(18,6)").as("stopword_ratio"),
+          .cast("decimal(18,6)").cast("double").as("stopword_ratio"),
         (element_at(col("st"), 3).cast("double") / element_at(col("st"), 1).cast("double"))
-          .cast("decimal(18,6)").as("distinct_ratio"),
+          .cast("decimal(18,6)").cast("double").as("distinct_ratio"),
         (length(expr("replace(text, ' ', '')")).cast("double")
           / element_at(col("st"), 1).cast("double"))
-          .cast("decimal(18,6)").as("mean_token_len"),
+          .cast("decimal(18,6)").cast("double").as("mean_token_len"),
         (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
           length(col("text")).cast("double"))
-          .cast("decimal(18,6)").as("punct_ratio"))
+          .cast("decimal(18,6)").cast("double").as("punct_ratio"))
   }
 
   /** HOF reference formulation — kept as the parity-test anchor. */
@@ -70,13 +72,13 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_actual"),
       size(toks).cast("long").as("n_tokens"),
-      (nStop / nTok).cast("decimal(18,6)").as("stopword_ratio"),
-      (nUniq / nTok).cast("decimal(18,6)").as("distinct_ratio"),
+      (nStop / nTok).cast("decimal(18,6)").cast("double").as("stopword_ratio"),
+      (nUniq / nTok).cast("decimal(18,6)").cast("double").as("distinct_ratio"),
       (length(expr("replace(text, ' ', '')")).cast("double") / nTok)
-        .cast("decimal(18,6)").as("mean_token_len"),
+        .cast("decimal(18,6)").cast("double").as("mean_token_len"),
       (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
         length(col("text")).cast("double"))
-        .cast("decimal(18,6)").as("punct_ratio"))
+        .cast("decimal(18,6)").cast("double").as("punct_ratio"))
   }
 
   /** Language ID, n-gram/marker-word heuristic: score each candidate
@@ -161,7 +163,10 @@ object TextAnalysis {
       .partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))
     gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("stopword_ratio"))
+      // the quality gate compares the decimal(18,6)-rounded ratio (matching
+      // the oracle's filter); only the OUTPUT representation is double
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("stopword_ratio").cast("double").as("stopword_ratio"))
   }
 
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the

@@ -57,7 +57,7 @@ class DedupSimSpec extends SparkSpec {
       .orderBy("rnk").collect()
     assert(out.length == 3)
     assert(out.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L))
-    val cosines = out.map(_.getAs[java.math.BigDecimal]("cosine").doubleValue())
+    val cosines = out.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sorted.reverse)) // descending
   }
 

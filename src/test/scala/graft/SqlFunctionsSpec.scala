@@ -37,16 +37,16 @@ class SqlFunctionsSpec extends SparkSpec {
     Tables.registerViews(spark, Sf0001)
     val sql = spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2).toString, r.getLong(3))).toSet
+        r.getDouble(2), r.getLong(3))).toSet
     val df = graft.analytics.Queries.q1PricingSummary(spark, Sf0001)
       .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
       .collect().map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2).toString, r.getLong(3))).toSet
+        r.getDouble(2), r.getLong(3))).toSet
     assert(sql == df)
     // the events view exposes the derived time columns too
     assert(spark.sql("SELECT max(ts_ms) FROM events").head().getLong(0) > 0)

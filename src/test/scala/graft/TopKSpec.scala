@@ -14,9 +14,9 @@ class TopKSpec extends SparkSpec {
 
   test("top_k_desc equals window row_number<=k on the orders table") {
     val win = Queries.topOrdersPerCustomer(spark, Sf0001)
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     val agg = Queries.topOrdersPerCustomerAgg(spark, Sf0001)
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(agg == win)
     assert(agg.nonEmpty)
   }

@@ -6,13 +6,24 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 For each query in <verifyOutDir>/oracle_sql.json: run the oracle SQL in
 DuckDB (with each testdata table registered as a view), load the Spark
 result parquet, sort columns by name and rows by all columns, and compare
-values. Reports per-query row/schema/value match.
+VALUES REPRESENTATION-SENSITIVELY (repr of each cell).
+
+Why repr: the driver reads Spark's parquet via pyarrow (a DECIMAL column
+surfaces as `decimal.Decimal` objects) but the oracle via DuckDB's `.df()`
+(the same column surfaces as float64) and then hashes values — so equal
+numbers in different representations hash differently. The round-2 local
+checker stringified through pandas' own coercion and masked exactly that
+failure mode on 16 queries. repr() distinguishes Decimal('1.000000') from
+1.0 and is bit-exact for float64 (shortest round-trip), reproducing the
+driver's sensitivity.
 """
+import glob
 import json
 import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,10 +31,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify everything for a stable engine-independent compare
-    s = df.astype(str)
+    # repr-encode each cell FIRST (representation-sensitive), then sort:
+    # sorting mixed Decimal/float object columns is fine either way, but
+    # repr before sort keeps the comparison independent of dtype quirks.
+    s = df.map(repr)
     s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
     return s
+
+
+def read_spark(out_dir: str, name: str) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet under {out_dir}/{name}")
+    return pq.read_table(files[0] if len(files) == 1 else files).to_pandas()
 
 
 def main() -> None:
@@ -36,8 +56,7 @@ def main() -> None:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            got = read_spark(out_dir, name)
             want = con.execute(sql).df()
             g, w = normalize(got), normalize(want)
             if list(g.columns) != list(w.columns):
