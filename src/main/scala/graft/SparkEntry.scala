@@ -232,8 +232,17 @@ object SparkEntry {
   // parquet DECIMAL as decimal.Decimal while DuckDB's .df() gives float64,
   // so equal values hash differently unless both sides emit float64
   // (round-2 driver verdict, 16 queries).
+  //
+  // DECIMAL→DOUBLE RULE (round-3 advice): on the DuckDB side every
+  // decimal→double cast goes through VARCHAR — CAST(CAST(x AS VARCHAR) AS
+  // DOUBLE) — because DuckDB's direct decimal→double casts unscaled→double
+  // and divides by 10^scale (double rounding, off by 1 ulp once the
+  // unscaled value exceeds 2^53, e.g. DECIMAL(38,6) 9007199254.740993),
+  // while its string→double parse is correctly rounded and therefore
+  // matches Spark/Java BigDecimal.doubleValue. Verified against DuckDB
+  // locally; regression pinned in tools/check_oracle.py selftest.
   private val revenueSql =
-    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)"
+    "CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
 
   private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
 
@@ -274,15 +283,15 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_topk" ->
-      """SELECT l_orderkey, orderdate, CAST(revenue AS DOUBLE) AS revenue FROM (
+      """SELECT l_orderkey, orderdate, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue FROM (
         |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
         |  FROM lineitem
@@ -307,34 +316,34 @@ object SparkEntry {
     "q_window_rank" ->
       """SELECT o_custkey,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
-        | o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS totalprice
+        | o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS totalprice
         |FROM orders QUALIFY rnk <= 3""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_custkey,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
-        | o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS totalprice
+        | o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS totalprice
         |FROM orders QUALIFY rnk <= 3""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
+        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS DOUBLE) AS running_qty
+        |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "events_asof_join" ->
@@ -384,7 +393,7 @@ object SparkEntry {
 
     "events_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
-        | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+        | CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY day, event_type""".stripMargin,
 
     "events_funnel" ->
@@ -428,7 +437,7 @@ object SparkEntry {
 
     "q_median" ->
       """SELECT o_orderstatus,
-        | CAST(CAST(median(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS median_price,
+        | CAST(CAST(CAST(median(o_totalprice) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
@@ -451,13 +460,19 @@ object SparkEntry {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
         |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS syy,
         |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+        |  FROM s)
         |SELECT l_returnflag, n,
-        | CAST(CAST(sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS DOUBLE) AS stddev_qty,
-        | CAST(CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-        |   / sqrt((CAST(sxx AS DOUBLE) - pow(CAST(sx AS DOUBLE), 2) / n)
-        |        * (CAST(syy AS DOUBLE) - pow(CAST(sy AS DOUBLE), 2) / n)) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
-        |FROM s""".stripMargin,
+        | CAST(CAST(CAST(sqrt((dxx - pow(dx, 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS stddev_qty,
+        | CAST(CAST(CAST((dxy - dx * dy / n)
+        |   / sqrt((dxx - pow(dx, 2) / n)
+        |        * (dyy - pow(dy, 2) / n)) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS corr_qty_price
+        |FROM d""".stripMargin,
 
     "q_strings" ->
       """SELECT p_partkey, upper(p_name) AS upper_name,
@@ -477,12 +492,12 @@ object SparkEntry {
          |SELECT doc_id,
          | len(text) AS n_chars_actual,
          | len(toks) AS n_tokens,
-         | CAST(CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-         |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS stopword_ratio,
-         | CAST(CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
-         | CAST(CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_token_len,
-         | CAST(CAST(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |   / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS punct_ratio
+         | CAST(CAST(CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+         |   / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS stopword_ratio,
+         | CAST(CAST(CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS distinct_ratio,
+         | CAST(CAST(CAST(CAST(len(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS mean_token_len,
+         | CAST(CAST(CAST(CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |   / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS punct_ratio
          |FROM t""".stripMargin,
 
     "text_langid" ->
@@ -527,7 +542,7 @@ object SparkEntry {
          |  ELSE 'zh' END AS lang_pred
          | FROM s
          | WHERE n_tokens >= 10 AND stopword_ratio <= 0.5)
-         |SELECT doc_id, lang_pred, n_tokens, CAST(stopword_ratio AS DOUBLE) AS stopword_ratio FROM g
+         |SELECT doc_id, lang_pred, n_tokens, CAST(CAST(stopword_ratio AS VARCHAR) AS DOUBLE) AS stopword_ratio FROM g
          |WHERE lang_pred != 'und'
          |QUALIFY row_number() OVER (
          |  PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
@@ -562,7 +577,7 @@ object SparkEntry {
          |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
          |  FROM cand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
          |)
-         |SELECT doc_id_a, doc_id_b, CAST(jaccard AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+         |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -575,7 +590,7 @@ object SparkEntry {
         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id)
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
-        |  neighbor_id, CAST(CAST(cos AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "sim_embed_neardup" ->
@@ -585,7 +600,7 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, vec_id_a, vec_id_b, CAST(CAST(cos AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        |SELECT label, vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM s WHERE cos >= 0.3""".stripMargin,
 
     "mm_decode" ->

@@ -26,12 +26,19 @@ object Queries {
 
   /** Final-output representation rule: aggregates stay decimal-exact
     * internally, but every FINAL decimal column is cast to DOUBLE (and the
-    * oracle SQL casts its matching column to DOUBLE). Decimal→double is
-    * the same nearest-double rounding in Spark and DuckDB, and float64
-    * round-trips identically through pyarrow and pandas — whereas a
-    * parquet DECIMAL surfaces as `decimal.Decimal` via pyarrow but
-    * `float64` via DuckDB's `.df()`, so numerically equal results hash
-    * differently (the round-2 driver flagged exactly this on 16 queries).
+    * oracle SQL casts its matching column to DOUBLE) — a parquet DECIMAL
+    * surfaces as `decimal.Decimal` via pyarrow but `float64` via DuckDB's
+    * `.df()`, so numerically equal results hash differently (the round-2
+    * driver flagged exactly this on 16 queries).
+    *
+    * Rounding caveat (round-3 advice): Spark's decimal→double (Java
+    * `BigDecimal.doubleValue`) is correctly rounded, but DuckDB's direct
+    * decimal→double is double-rounded (unscaled→double, then /10^scale)
+    * and diverges by 1 ulp once the unscaled value exceeds 2^53. The
+    * oracle SQL therefore routes every decimal→double through VARCHAR —
+    * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` — whose parse is correctly
+    * rounded and matches this cast exactly (see SparkEntry.revenueSql and
+    * the tools/check_oracle.py selftest).
     */
   private def outDouble(c: Column): Column = c.cast("double")
 
@@ -68,11 +75,15 @@ object Queries {
     li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount")))).as("revenue"))
+      // round to the output scale BEFORE the top-k sort so the LIMIT's
+      // tie-break matches the oracle, which orders by the rounded alias
+      // (rows differing only beyond 6 decimals would otherwise rank
+      // engine-dependently)
+      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
+        .cast("decimal(38,6)").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
-      .select(col("l_orderkey"), col("orderdate"),
-        outDouble(col("revenue").cast("decimal(38,6)")).as("revenue"))
+      .select(col("l_orderkey"), col("orderdate"), outDouble(col("revenue")).as("revenue"))
   }
 
   /** TPC-H Q5-shaped star join: revenue by nation. All four dimension

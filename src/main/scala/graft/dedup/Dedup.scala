@@ -115,8 +115,9 @@ object Dedup {
     *    xxhash64 array (VecText.HashSet64) — ~100 longs, not ~100 strings;
     *  - the per-doc table is broadcast, so candidate pair rows join
     *    map-side and never shuffle;
-    *  - the size-ratio bound (J ≤ min/max for distinct sets — integer
-    *    arithmetic, no float edge) prunes before the scan;
+    *  - the size-ratio bound (J ≤ min/max for distinct sets, compared in
+    *    double against the raw threshold — an integer coarsening would
+    *    over-prune non-multiple-of-0.1 thresholds) prunes before the scan;
     *  - each surviving pair pays one allocation-free merge-scan
     *    (VecText.JaccardSorted64).
     * At cluster scale, if the doc side outgrows broadcast, drop the hint:

@@ -32,6 +32,73 @@ object Rules {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+  // ────────────────────────────── general EventBridge matchers ──
+  // The reference only ever uses single-element exact matches, but the
+  // EventBridge pattern language (public AWS event-pattern docs) also has
+  // prefix / suffix / anything-but / numeric-range / exists / wildcard
+  // matchers. Modeled as a small ADT so rules stay declarative Columns
+  // that Catalyst pushes into the scan.
+
+  /** One matcher for one field. EventBridge semantics: the matchers given
+    * for a field OR together; fields AND together (see [[matches]]).
+    */
+  sealed trait Match
+  object Match {
+    /** Exact membership: `"field": ["a", "b"]`. */
+    final case class AnyOf(values: String*) extends Match
+    /** `{"prefix": "..."}`. */
+    final case class Prefix(p: String) extends Match
+    /** `{"suffix": "..."}`. */
+    final case class Suffix(s: String) extends Match
+    /** `{"anything-but": [...]}` — present AND not in the list. */
+    final case class AnythingBut(values: String*) extends Match
+    /** `{"numeric": ["&gt;", 0, "&lt;=", 100]}` — bounds conjoin. Ops:
+      * `<`, `<=`, `>`, `>=`, `=`.
+      */
+    final case class Numeric(bounds: (String, Double)*) extends Match
+    /** `{"exists": true|false}`. */
+    final case class Exists(present: Boolean) extends Match
+    /** `{"wildcard": "a*b"}` — `*` matches any run of characters. */
+    final case class Wildcard(pattern: String) extends Match
+  }
+
+  private def matchOne(c: Column, m: Match): Column = m match {
+    case Match.AnyOf(vs @ _*) =>
+      if (vs.size == 1) c === vs.head else c.isin(vs: _*)
+    case Match.Prefix(p) => c.startsWith(p)
+    case Match.Suffix(s) => c.endsWith(s)
+    // anything-but only matches events that HAVE the field (a missing
+    // field matches no value-based pattern in EventBridge)
+    case Match.AnythingBut(vs @ _*) => c.isNotNull && !c.isin(vs: _*)
+    case Match.Numeric(bounds @ _*) =>
+      bounds.map {
+        case ("<", v)  => c.cast("double") < v
+        case ("<=", v) => c.cast("double") <= v
+        case (">", v)  => c.cast("double") > v
+        case (">=", v) => c.cast("double") >= v
+        case ("=", v)  => c.cast("double") === v
+        case (op, _)   => throw new IllegalArgumentException(s"bad numeric op: $op")
+      }.reduce(_ && _)
+    case Match.Exists(true)  => c.isNotNull
+    case Match.Exists(false) => c.isNull
+    case Match.Wildcard(p) =>
+      // quote every literal segment, splice '.*' where the '*'s were
+      val rx = p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      c.rlike("^" + rx + "$")
+  }
+
+  /** Full pattern matcher: per field, matchers OR; across fields, AND —
+    * exactly the EventBridge composition. [[pattern]] remains the
+    * exact-match fast path the reference's own rules use.
+    */
+  def matches(fields: Map[String, Seq[Match]]): Column =
+    fields
+      .map { case (path, ms) =>
+        ms.map(matchOne(col(path), _)).reduceOption(_ || _).getOrElse(lit(true))
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
   /** F1 `transformRule` (stack.ts:203-212): route extraction events to the
     * transform stage.
     */

@@ -53,7 +53,10 @@ object EventStream {
       .withWatermark("ts_utc", watermark)
       .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        // final cast to double matches the batch twin's output contract
+        // (EventAnalytics.tumblingDaily / Queries.outDouble rationale)
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 

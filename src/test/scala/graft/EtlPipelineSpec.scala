@@ -83,6 +83,36 @@ class EtlPipelineSpec extends SparkSpec {
       events.select("detail.data").orderBy(col("detail.data")("ID")).collect().toSeq)
   }
 
+  test("general EventBridge matchers: prefix/suffix/anything-but/numeric/exists/wildcard") {
+    import spark.implicits._
+    import Rules.Match._
+    val bus = Seq(
+      ("aws.s3", "OBJECT_CREATED", Some(42.0)),
+      ("aws.ec2", "OBJECT_REMOVED", Some(7.0)),
+      ("custom.app", "OBJECT_CREATED", None))
+      .toDF("source", "detail_type", "size")
+    def n(fields: Map[String, Seq[Rules.Match]]): Long =
+      bus.filter(Rules.matches(fields)).count()
+
+    assert(n(Map("source" -> Seq(Prefix("aws.")))) == 2)
+    assert(n(Map("detail_type" -> Seq(Suffix("_CREATED")))) == 2)
+    // anything-but only matches rows where the field is present
+    assert(n(Map("source" -> Seq(AnythingBut("aws.ec2")))) == 2)
+    assert(n(Map("size" -> Seq(AnythingBut("7.0")))) == 1)
+    // numeric bounds conjoin; null never satisfies a numeric matcher
+    assert(n(Map("size" -> Seq(Numeric(">" -> 10.0, "<=" -> 100.0)))) == 1)
+    assert(n(Map("size" -> Seq(Exists(false)))) == 1)
+    assert(n(Map("detail_type" -> Seq(Wildcard("OBJECT_*ED")))) == 3)
+    // within a field matchers OR; across fields they AND
+    assert(n(Map("source" -> Seq(AnyOf("aws.s3"), Prefix("custom")))) == 2)
+    assert(n(Map(
+      "source" -> Seq(Prefix("aws.")),
+      "detail_type" -> Seq(AnyOf("OBJECT_CREATED")))) == 1)
+    // wildcard quoting: regex metacharacters in the literal segments are inert
+    assert(n(Map("source" -> Seq(Wildcard("aws.s3")))) == 1)
+    assert(n(Map("source" -> Seq(Wildcard("awsxs3")))) == 0)
+  }
+
   test("presence guard skips records missing required nested fields (F4)") {
     import spark.implicits._
     val df = Seq((Some("k"), Some("b")), (None, Some("b")), (Some("k"), None))

@@ -44,10 +44,14 @@ class EventStreamSpec extends SparkSpec {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
       EventStream.tumblingDaily(stream), "tumbling_out", OutputMode.Complete())
+    // sum_value included: stream and batch twins must agree on the full
+    // output contract (same decimal-exact sum, same final double cast)
     val got = spark.table("tumbling_out")
-      .select("day", "event_type", "n").as[(String, String, Long)].collect().toSet
+      .select("day", "event_type", "n", "sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
     val want = EventAnalytics.tumblingDaily(batchEvents)
-      .select("day", "event_type", "n").as[(String, String, Long)].collect().toSet
+      .select("day", "event_type", "n", "sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
     assert(got == want)
     assert(got.nonEmpty)
   }

@@ -34,7 +34,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     # repr-encode each cell FIRST (representation-sensitive), then sort:
     # sorting mixed Decimal/float object columns is fine either way, but
     # repr before sort keeps the comparison independent of dtype quirks.
-    s = df.map(repr)
+    # DataFrame.map only exists in pandas >= 2.1; older pandas spells it
+    # applymap — guard so the gate doesn't depend on an unpinned version.
+    s = df.map(repr) if hasattr(df, "map") else df.applymap(repr)
     s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
     return s
 
@@ -46,9 +48,34 @@ def read_spark(out_dir: str, name: str) -> pd.DataFrame:
     return pq.read_table(files[0] if len(files) == 1 else files).to_pandas()
 
 
+def selftest_decimal_double(con) -> None:
+    """Pin the decimal→double oracle rule (round-3 advice).
+
+    DuckDB's direct decimal→double casts unscaled→double then divides by
+    10^scale (double rounding): 1 ulp off Java/Spark's correctly-rounded
+    BigDecimal.doubleValue once the unscaled value exceeds 2^53. The
+    VARCHAR route (CAST(CAST(x AS VARCHAR) AS DOUBLE)) parses correctly
+    rounded, so every decimal→double in SparkEntry.oracleSql uses it.
+    Python's float() is correctly rounded too, so it stands in for Java.
+    """
+    v = "9007199254.740993"  # unscaled 9007199254740993 = 2^53 + 1 at scale 6
+    via = con.execute(
+        f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert via == float(v), (
+        f"VARCHAR-routed decimal->double must be correctly rounded: "
+        f"{via.hex()} != {float(v).hex()}")
+    direct = con.execute(
+        f"SELECT CAST(CAST('{v}' AS DECIMAL(38,6)) AS DOUBLE)").fetchone()[0]
+    if direct == float(v):
+        print("note: DuckDB direct decimal->double is now correctly rounded; "
+              "the VARCHAR route in oracle SQL is still correct, just redundant")
+
+
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    selftest_decimal_double(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
