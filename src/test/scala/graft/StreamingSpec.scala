@@ -68,6 +68,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(root.resolve("audit").toString).count() == 3)
   }
 
+  test("dynamic per-file headers: heterogeneous CSVs flow through one stream") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, try_element_at, lit}
+    val root = Files.createTempDirectory("graft-dynhdr")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    // two files, two DIFFERENT header sets, one landing dir
+    Files.writeString(landing.resolve("addr.csv"), "ID,Town\n1,Antrim\n2,Derry\n")
+    Files.writeString(landing.resolve("parts.csv"), "SKU,Price,Color\nX1,9.99,red\n")
+
+    def run(): Unit = graft.ingest.CsvExtract.streamDynamicHeaders(
+      spark, landing.toString, ckpt,
+      (events, _) => events.write.mode("append").parquet(out)).awaitTermination()
+
+    run()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    // each event carries ITS OWN file's header row (main.py:33 semantics)
+    val addr = rows.filter(try_element_at(col("detail.data"), lit("ID")) === "1")
+      .select("detail.headers").collect()
+    assert(addr.map(_.getSeq[String](0)).toSeq == Seq(Seq("ID", "Town")))
+    val part = rows.filter(try_element_at(col("detail.data"), lit("SKU")) === "X1")
+      .select("detail.data").collect()
+    assert(part.map(_.getMap[String, String](0).toMap).toSeq ==
+      Seq(Map("SKU" -> "X1", "Price" -> "9.99", "Color" -> "red")))
+
+    // restart with no new files: checkpoint prevents reprocessing
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // a third header shape arrives later and still lands typed
+    Files.writeString(landing.resolve("extra.csv"), "K\nv1\nv2\n")
+    run()
+    val after = spark.read.parquet(out)
+    assert(after.count() == 5)
+    assert(after.filter(try_element_at(col("detail.data"), lit("K")).isNotNull)
+      .count() == 2)
+  }
+
   test("upsertBatch is idempotent under duplicate replay") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
