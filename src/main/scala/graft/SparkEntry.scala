@@ -11,6 +11,7 @@ import graft.model.Model
 import graft.multimodal.Multimodal
 import graft.pipeline.EtlPipeline
 import graft.route.Rules
+import graft.sample.Sampling
 import graft.sim.Similarity
 import graft.sink.{AuditSink, KeyedUpsertSink}
 import graft.text.TextAnalysis
@@ -187,6 +188,24 @@ object SparkEntry {
     // xxhash64-based signatures → rows-only checks.
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
+    // connected components over the exact near-dup pairs: one canonical
+    // cluster id per document (oracle: recursive CTE over the same pairs).
+    "dedup_cluster" -> ((s, dir) => Dedup.jaccardClusters(Tables.documents(s, dir))),
+
+    // ─────────────────────────── corpus hygiene + curation ──
+    // benchmark decontamination: corpus docs sharing bigrams with the
+    // held-out "benchmark" subset (doc_id % 37 = 0 stands in for it).
+    "text_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 37 === 0)),
+    // top characteristic terms per doc (rational-idf tf-idf family).
+    "text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir))),
+    // deterministic content-hash sampling: reruns select the same subset.
+    "sample_hash" -> ((s, dir) => Sampling.hashBernoulli(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("doc_id"), sixteenths = 4)),
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedTopN(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("lang"), col("doc_id"), n = 50)),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -245,6 +264,36 @@ object SparkEntry {
     "CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
 
   private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
+
+  /** Distinct word-bigram shingles per document — the DuckDB twin of
+    * `Dedup.shingles(text, 2)` (VecText.WordShingles semantics, including
+    * the <2-token whole-text fallback). Shared by the jaccard, cluster and
+    * decontamination oracles.
+    */
+  private val bigramShingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+       |      ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
+       |)""".stripMargin
+
+  /** Length-blocked candidate pairs + exact Jaccard score — the DuckDB
+    * twin of `Dedup.blockedJaccardPairs` minus the final threshold/cast.
+    */
+  private val jaccardScoredCtes =
+    """bk AS (
+      |  SELECT doc_id, unnest(list_distinct([n_chars // 64, (n_chars + 32) // 64])) AS bucket FROM sh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT c.doc_id_a, c.doc_id_b,
+      |    CAST(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+      |  FROM cand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
+      |)""".stripMargin
 
   /** Per-language marker-hit score; mirrors TextAnalysis.langMarkers. */
   private def langScoreSql(markers: Seq[String]): String =
@@ -560,24 +609,64 @@ object SparkEntry {
         |  ORDER BY doc_id) = 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, n_chars,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
-         |      ELSE [array_to_string(toks, ' ')] END AS sh
-         |  FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
-         |), bk AS (
-         |  SELECT doc_id, unnest(list_distinct([n_chars // 64, (n_chars + 32) // 64])) AS bucket FROM sh
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |), scored AS (
-         |  SELECT c.doc_id_a, c.doc_id_b,
-         |    CAST(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
-         |  FROM cand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
-         |)
+      s"""WITH $bigramShingleCte,
+         |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    // same pairwise stage as dedup_ngram_jaccard, then connected
+    // components via a recursive CTE: reach = transitive closure of the
+    // (undirected) pair edges; cluster id = min doc_id reachable.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $bigramShingleCte,
+         |$jaccardScoredCtes,
+         |pairs AS (SELECT doc_id_a, doc_id_b FROM scored WHERE jaccard >= 0.6),
+         |edges AS (
+         |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), walk(node, reach) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+         |), comp AS (
+         |  SELECT node AS doc_id, min(reach) AS min_reach FROM walk GROUP BY node
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH $bigramShingleCte,
+         |x AS (SELECT doc_id, doc_id % 37 = 0 AS is_bench, unnest(sh) AS ng FROM sh),
+         |bench AS (SELECT DISTINCT ng, doc_id AS bench_doc_id FROM x WHERE is_bench),
+         |corpus AS (SELECT doc_id, ng FROM x WHERE NOT is_bench)
+         |SELECT doc_id, CAST(count(DISTINCT ng) AS BIGINT) AS n_shared_ngrams,
+         | CAST(count(DISTINCT bench_doc_id) AS BIGINT) AS n_benchmark_docs
+         |FROM corpus JOIN bench USING (ng)
+         |GROUP BY doc_id HAVING count(DISTINCT ng) >= 3""".stripMargin,
+
+    "text_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id,
+         | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk,
+         | term, tf, df, score
+         |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars,
+        | CAST(row_number() OVER (
+        |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |FROM documents QUALIFY rn <= 50""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

@@ -217,4 +217,91 @@ object Dedup {
       .select("doc_id_a", "doc_id_b")
     verifyJaccard(candidates, sh.select(col("doc_id"), col("sh")), threshold)
   }
+
+  // ------------------------------------------------------------ clustering
+
+  /** Connected components over near-dup pairs: pairwise dedup output is a
+    * GRAPH (a~b, b~c), and keep-one-per-pair policies applied pairwise can
+    * drop both or keep transitive duplicates. The canonical form is one
+    * cluster id (= min doc_id of the component) per document; survivors
+    * are `doc_id === cluster_id`.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds, and near-dup components are shallow
+    * (dozens of docs, not millions). Each round is one distributed
+    * join + partial-min aggregate; `localCheckpoint` truncates the plan
+    * lineage so round N doesn't replay rounds 1..N-1. At web scale with
+    * adversarial (long-chain) graphs, the alternating large-star/
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") halves the round count; the per-round plan
+    * shape below is the same.
+    */
+  def connectedComponents(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters of the corpus from the oracle-checkable exact
+    * pairwise stage ([[blockedJaccardPairs]]).
+    */
+  def jaccardClusters(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    connectedComponents(
+      docs.select("doc_id"), blockedJaccardPairs(docs, threshold))
+
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * `minShared` distinct word bigrams with any benchmark document —
+    * training corpora must exclude evaluation data, and substring-level
+    * n-gram overlap is the standard detector.
+    *
+    * Scale shape: the benchmark n-gram index is tiny next to the corpus
+    * (eval suites are thousands of docs, the corpus is billions), so it is
+    * built once and BROADCAST; the corpus side explodes its shingles
+    * map-side and probes the broadcast index with no shuffle. The only
+    * shuffle is the per-document hit aggregation, which carries hits only.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      isBenchmark: Column,
+      minShared: Long = 3): DataFrame = {
+    val ng = docs.select(col("doc_id"), isBenchmark.as("is_bench"),
+      explode(shingles(col("text"), 2)).as("ng"))
+    val benchIndex = ng.filter(col("is_bench"))
+      .select(col("ng"), col("doc_id").as("bench_doc_id")).distinct()
+    ng.filter(!col("is_bench"))
+      .select("doc_id", "ng")
+      .join(broadcast(benchIndex), "ng")
+      .groupBy("doc_id")
+      .agg(countDistinct("ng").cast("long").as("n_shared_ngrams"),
+        countDistinct("bench_doc_id").cast("long").as("n_benchmark_docs"))
+      .filter(col("n_shared_ngrams") >= minShared)
+  }
 }

@@ -169,6 +169,37 @@ object TextAnalysis {
         col("stopword_ratio").cast("double").as("stopword_ratio"))
   }
 
+  /** Top-k characteristic terms per document, tf-idf family. The weight is
+    * the smoothed RATIONAL idf, tf·(N+1)/(df+1), not tf·log(N/df): the two
+    * agree that rarer terms rank higher, but log is libm-dependent (Spark's
+    * Java Math.log and an oracle's C log can differ in the last ulp),
+    * while bigint→double conversion and one IEEE division are correctly
+    * rounded everywhere — so scores are bit-identical cross-engine and the
+    * operator stays hash-checkable. Rank ties break on the term.
+    *
+    * Scale shape: token explode + (doc,term) count are map-side-partial;
+    * the df table is |vocab|-sized (broadcastable); the per-doc top-k
+    * window prunes map-side via InferWindowGroupLimit.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double")
+          / (col("df") + 1).cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
     * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
     * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sample.Sampling
+import graft.text.TextAnalysis
+
+/** Corpus-curation operators: near-dup clustering, benchmark
+  * decontamination, deterministic sampling, characteristic terms.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive pairs collapse to one cluster, singletons stay") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // 1~2, 2~3 (one chain), 5~6; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val n = 12L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(docs, pairs).as[(Long, Long)].collect().toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("jaccardClusters assigns every document exactly one cluster id") {
+    val docs = Tables.documents(spark, Sf0001)
+    val labels = Dedup.jaccardClusters(docs)
+    assert(labels.count() == docs.count())
+    // cluster ids are component minima: every cluster id is itself a doc
+    // whose own label is itself
+    val roots = labels.select(col("cluster_id").as("doc_id")).distinct()
+    val bad = roots.join(labels, "doc_id")
+      .filter(col("cluster_id") =!= col("doc_id")).count()
+    assert(bad == 0)
+    // pairs and labels agree: both ends of every verified pair share a cluster
+    val pairs = Dedup.blockedJaccardPairs(docs)
+    val la = labels.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, "doc_id_a").join(lb, "doc_id_b")
+      .filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
+  test("decontaminate flags only docs sharing >= minShared bigrams with the benchmark") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),        // benchmark (id % 2 == 0 here)
+      (1L, "the quick brown fox sleeps"),        // 3 shared bigrams -> flagged
+      (3L, "a quick brown cat"),                 // 1 shared bigram  -> dropped
+      (5L, "nothing in common at all"))          // 0 shared         -> dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, col("doc_id") % 2 === 0, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // "the quick", "quick brown", "brown fox" shared with benchmark doc 0
+    assert(got == Seq((1L, 3L, 1L)))
+  }
+
+  test("hash sampling is deterministic and respects the rate") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+    val a = Sampling.hashBernoulli(docs, col("doc_id"), 4)
+    val b = Sampling.hashBernoulli(docs, col("doc_id"), 4)
+    assert(a.collect().toSet == b.collect().toSet) // rerun-stable
+    val n = docs.count().toDouble
+    val k = a.count().toDouble
+    assert(k / n > 0.15 && k / n < 0.35, s"got rate ${k / n}, want ~0.25")
+    // rate 16/16 keeps everything; 0/16 keeps nothing
+    assert(Sampling.hashBernoulli(docs, col("doc_id"), 16).count() == n.toLong)
+    assert(Sampling.hashBernoulli(docs, col("doc_id"), 0).count() == 0)
+  }
+
+  test("stratified sampling returns exactly N per stratum (or the whole stratum)") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = Sampling.stratifiedTopN(docs, col("lang"), col("doc_id"), 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == sizes.map { case (l, c) => l -> math.min(c, 10L) })
+  }
+
+  test("topTerms ranks rarer terms first at equal tf") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple date"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(docs, k = 2)
+      .select("doc_id", "rnk", "term")
+      .as[(Long, Long, String)].collect().toSet
+    // banana: tf=2 and df=1 dominates; apple appears everywhere (df=3)
+    assert(got.contains((1L, 1L, "banana")))
+    assert(got.contains((1L, 2L, "apple")))
+    // doc 2: cherry (df=1) beats apple (df=3) at tf=1 each
+    assert(got.contains((2L, 1L, "cherry")))
+  }
+}
