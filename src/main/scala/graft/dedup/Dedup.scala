@@ -235,17 +235,28 @@ object Dedup {
     * adversarial (long-chain) graphs, the alternating large-star/
     * small-star formulation (Kiveris et al., "Connected Components in
     * MapReduce and Beyond") halves the round count; the per-round plan
-    * shape below is the same.
+    * shape below is the same. The final singleton join broadcasts the
+    * endpoint labels (duplicates are a small fraction of a deduped
+    * corpus); if a corpus ever has broadcast-breaking duplicate volume,
+    * drop the hint and the same plan runs as a shuffled join.
     */
   def connectedComponents(
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+    // materialize the (possibly expensive) pairwise stage ONCE — deriving
+    // both edge directions from an unmaterialized plan would execute it
+    // twice (the verify stage is map-side, so there is no exchange for
+    // Spark to reuse between the two union branches)
+    val p = pairs.localCheckpoint(true)
+    val edges = p
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    // iterate over edge ENDPOINTS only — near-dup pairs are a vanishing
+    // fraction of the corpus, so the per-round join cost is O(|pairs|),
+    // not O(|corpus|); singletons join back once at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -254,18 +265,24 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nbr_min"))
+      // `changed` rides along in the SAME materialization job, so the
+      // convergence probe below is a scan of checkpointed partitions, not
+      // a second shuffle per round
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
-    labels
+    docs.select("doc_id")
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Near-dup clusters of the corpus from the oracle-checkable exact
