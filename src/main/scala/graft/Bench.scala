@@ -73,11 +73,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.zipWithIndex.map { case (name, idx) =>
-      // periodic settle: dozens of finished queries leave broadcast blocks
-      // whose deferred cleanup otherwise lands as eviction/GC storms
-      // inside later timed reps
-      if (idx % 4 == 0) { System.gc(); Thread.sleep(300) }
+    val results = names.zipWithIndex.map { case (name, _) =>
+      // settle before every query: finished queries leave broadcast and
+      // checkpoint blocks whose deferred cleanup otherwise lands as
+      // eviction/GC storms inside later timed reps (iterative many-job
+      // queries like dedup_cluster are the most exposed). The settle is
+      // untimed — it trades wall-clock for stable steady-state samples.
+      System.gc(); Thread.sleep(250)
       val t1 = once(name)
       val t2 = once(name)
       val best = math.min(t1, t2)

@@ -276,9 +276,14 @@ object Dedup {
             .as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
+      // drop the superseded round's blocks NOW — leaving them to the async
+      // ContextCleaner lets O(rounds) checkpoint sets pile up in the block
+      // manager (and, under repeated invocation, into later queries' heap)
+      labels.unpersist(false)
       labels = next.drop("changed")
       iter += 1
     }
+    p.unpersist(false)
     docs.select("doc_id")
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -309,8 +314,12 @@ object Dedup {
       docs: DataFrame,
       isBenchmark: Column,
       minShared: Long = 3): DataFrame = {
-    val ng = docs.select(col("doc_id"), isBenchmark.as("is_bench"),
-      explode(shingles(col("text"), 2)).as("ng"))
+    // spread the pre-fan-out side first (single-file corpus → one task
+    // would otherwise carry the whole shingle explode + broadcast probe)
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val ng = docs.repartition(para)
+      .select(col("doc_id"), isBenchmark.as("is_bench"),
+        explode(shingles(col("text"), 2)).as("ng"))
     val benchIndex = ng.filter(col("is_bench"))
       .select(col("ng"), col("doc_id").as("bench_doc_id")).distinct()
     ng.filter(!col("is_bench"))

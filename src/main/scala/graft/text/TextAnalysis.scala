@@ -183,7 +183,10 @@ object TextAnalysis {
     */
   def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
+    // spread the pre-fan-out side first: a small corpus arrives as one file
+    // split, and the term explode would otherwise run on a single task
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val tf = docs.repartition(para)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
