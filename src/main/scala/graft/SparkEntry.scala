@@ -185,7 +185,9 @@ object SparkEntry {
       Dedup.exactSurvivors(Tables.documents(s, dir)).select("doc_id", "lang", "source", "n_chars")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
-    // xxhash64-based signatures → rows-only checks.
+    // md5-derived mod-2^61-1 signatures → the whole LSH pipeline is
+    // engine-reproducible and oracle-checked (signature, band bucket,
+    // verified pair). SimHash stays xxhash64 → rows-only.
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     // connected components over the exact near-dup pairs: one canonical
@@ -612,6 +614,46 @@ object SparkEntry {
       s"""WITH $bigramShingleCte,
          |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    // MinHash-LSH, reproduced stage by stage: the base hash is the first
+    // 15 hex chars of md5 (= VecTextKernels.md5Mod60), the 64 permutation
+    // coefficients regenerate from the same md5 recipe, the universal
+    // hash runs in HUGEINT mod 2^61-1 (= mulAddMod61), band buckets are
+    // the 4-value signature slices, and candidates are exact-Jaccard
+    // verified like the ngram oracle.
+    "dedup_minhash" ->
+      s"""WITH $bigramShingleCte,
+         |hx AS (
+         |  SELECT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |), perm AS (
+         |  SELECT i,
+         |    1 + CAST(CONCAT('0x', substr(md5('minhash-a-' || i), 1, 15)) AS BIGINT)
+         |      % 2305843009213693950 AS a,
+         |    CAST(CONCAT('0x', substr(md5('minhash-b-' || i), 1, 15)) AS BIGINT)
+         |      % 2305843009213693951 AS b
+         |  FROM range(64) t(i)
+         |), sv AS (
+         |  SELECT doc_id, i,
+         |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+         |  FROM hx CROSS JOIN perm GROUP BY doc_id, i
+         |), sig AS (
+         |  SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+         |  FROM sig CROSS JOIN range(16) t(b)
+         |), mcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), mscored AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CAST(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+         |  FROM mcand c JOIN sh x ON c.doc_id_a = x.doc_id JOIN sh y ON c.doc_id_b = y.doc_id
+         |)
+         |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard
+         |FROM mscored WHERE jaccard >= 0.7""".stripMargin,
 
     // same pairwise stage as dedup_ngram_jaccard, then connected
     // components via a recursive CTE: reach = transitive closure of the

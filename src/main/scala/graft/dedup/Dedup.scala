@@ -20,10 +20,12 @@ import graft.text.TextAnalysis
   *  - n-gram Jaccard: blocked self-join (equality keys) + exact
   *    array_intersect/array_union verify — no O(n²) pairs at scale.
   *
-  * All hashing uses xxhash64 (codegen'd, engine-native) — candidate
-  * generation is therefore not DuckDB-reproducible; correctness of those
-  * stages is covered by planted-duplicate unit tests, while exact-verify
-  * stages (Jaccard) remain oracle-checkable.
+  * MinHash signatures use md5-derived universal hashing mod 2^61-1
+  * (VecTextKernels.minhash) — deliberately engine-REPRODUCIBLE, so the
+  * whole LSH pipeline (signature → band bucket → verified pair) is
+  * oracle-checkable in DuckDB, and signatures cached by one system can
+  * be trusted by another. SimHash still uses xxhash64 (engine-native,
+  * faster; covered by planted-duplicate unit tests instead).
   */
 object Dedup {
 
@@ -63,17 +65,20 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numPerm: Int = 64): Column =
     VecText.minhash_sig(shingleCol, numPerm)
 
-  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band to a bucket. Docs sharing any (band, bucket) are
-    * candidate pairs. bands=16 × rows=4 over 64 perms targets J≈0.7+.
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`;
+    * the bucket key is the band's signature slice itself (joined to one
+    * string) — no re-hash needed, and the key is reproducible by any
+    * engine that reproduces the signatures. Docs sharing any
+    * (band, bucket) are candidate pairs. bands=16 × rows=4 over 64 perms
+    * targets J≈0.7+.
     */
   def lshBuckets(docsWithSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     docsWithSig.select(
       col("doc_id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b))))
+          b => concat_ws(",",
+            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

@@ -16,22 +16,64 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecTextKernels {
 
-  /** Mersenne prime 2^31-1: keeps `a*h + b` far from Long overflow under
-    * ANSI arithmetic while preserving a full 31-bit hash range.
+  /** Mersenne prime 2^61-1: the modulus for MinHash universal hashing.
+    * Chosen so every stage is reproducible OUTSIDE the JVM: any engine
+    * with md5 and 128-bit integer arithmetic (e.g. DuckDB's HUGEINT)
+    * computes identical signatures — `(a*h + b) % P` needs only the
+    * product to fit in 128 bits.
     */
-  val P: Long = 2147483647L
+  val P: Long = 2305843009213693951L
 
-  /** Deterministic permutation coefficients (fixed seed → identical
-    * signatures on every executor and every run); cached per numPerm.
+  /** First 60 bits of md5(bytes) — i.e. the first 15 hex chars of the
+    * canonical md5 digest parsed as an integer. Engine-independent base
+    * hash: DuckDB spells it `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Mod60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4 // top 60 bits = first 15 hex chars of the digest
+  }
+
+  private def md5Mod60Str(s: String): Long =
+    md5Mod60(UTF8String.fromString(s))
+
+  /** `(a*h + b) mod 2^61-1` without 128-bit types: multiplyHigh gives the
+    * upper 64 product bits; two Mersenne folds reduce the 122-bit value.
+    * Exactly equals the BigInt formulation (property-pinned in VecTextSpec).
+    */
+  def mulAddMod61(a: Long, h: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, h)
+    val lo = a * h
+    val low = lo & P                          // bits 0..60
+    val mid = (lo >>> 61) | (hi << 3)         // bits 61..124 (hi < 2^58)
+    var r = low + (mid & P) + (mid >>> 61)    // < 3·2^61, no overflow
+    r = (r & P) + (r >>> 61)
+    if (r >= P) r -= P
+    var s = r + b                             // < 2^62, no overflow
+    if (s >= P) s -= P
+    s
+  }
+
+  /** Deterministic permutation coefficients, md5-derived (not PRNG-drawn)
+    * so an external oracle can regenerate them from the same recipe:
+    * `a_i = 1 + md5_60("minhash-a-i") mod (P-1)`,
+    * `b_i =     md5_60("minhash-b-i") mod P`. Cached per numPerm.
     */
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
   private[functions] def perms(numPerm: Int): (Array[Long], Array[Long]) =
     permCache.computeIfAbsent(numPerm, { n =>
-      val rnd = new scala.util.Random(42)
-      val a = Array.fill(n)(1L + rnd.nextInt((P - 1).toInt))
-      val b = Array.fill(n)(rnd.nextInt(P.toInt).toLong)
+      val a = Array.tabulate(n)(i => 1L + md5Mod60Str(s"minhash-a-$i") % (P - 1))
+      val b = Array.tabulate(n)(i => md5Mod60Str(s"minhash-b-$i") % P)
       (a, b)
     })
 
@@ -61,11 +103,10 @@ object VecTextKernels {
     val mins = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      val hp = java.lang.Math.floorMod(h, P)
-      var j = 0
+      val h = md5Mod60(arr.getUTF8String(i)) // one md5 per shingle; the
+      var j = 0                              // numPerm mixes are mulAddMod61
       while (j < numPerm) {
-        val v = (pa(j) * hp + pb(j)) % P
+        val v = mulAddMod61(pa(j), h, pb(j))
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -249,7 +290,8 @@ object VecText {
   }
 
   /** MinHash signature: numPerm universal-hash permutations
-    * `(a_i * xxhash64(s) + b_i) mod P` minimized over the array.
+    * `(a_i * md5_60(s) + b_i) mod 2^61-1` minimized over the array —
+    * engine-reproducible end to end (see VecTextKernels.md5Mod60).
     */
   case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

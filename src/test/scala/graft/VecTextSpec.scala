@@ -59,6 +59,30 @@ class VecTextSpec extends SparkSpec {
     }
   }
 
+  test("mulAddMod61 equals the BigInt formulation (1000 cases + edges)") {
+    import graft.functions.VecTextKernels.{mulAddMod61, P}
+    val cases = Seq((P - 1, P - 1, P - 1), (0L, 0L, 0L), (1L, P - 1, 0L),
+      (P - 1, 1L, P - 1)) ++
+      Seq.fill(1000)((math.abs(rnd.nextLong()) % P,
+        math.abs(rnd.nextLong()) % P, math.abs(rnd.nextLong()) % P))
+    cases.foreach { case (a, h, b) =>
+      val want = ((BigInt(a) * BigInt(h) + BigInt(b)) mod BigInt(P)).toLong
+      assert(mulAddMod61(a, h, b) == want, s"a=$a h=$h b=$b")
+    }
+  }
+
+  test("md5Mod60 equals parsing the first 15 hex chars of the md5 digest") {
+    import graft.functions.VecTextKernels.md5Mod60
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq("", "hello world", "a b", "minhash-a-0") ++ Seq.fill(50)(randToken())
+    cases.foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = java.lang.Long.parseLong(hex.take(15), 16)
+      assert(md5Mod60(UTF8String.fromString(s)) == want, s"input '$s'")
+    }
+  }
+
   test("MinHashSignature: equal sets -> equal signatures; disjoint sets differ") {
     val df = Seq(
       (1L, Seq("a b", "b c", "c d")),
