@@ -26,7 +26,8 @@ object Bench {
     "q_set_ops", "q_ntile", "q_stats", "q_strings", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_clean_corpus", "text_decontaminate", "text_top_terms",
-    "sample_hash", "sample_stratified",
+    "text_repetition",
+    "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",

@@ -201,6 +201,9 @@ object SparkEntry {
       Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 37 === 0)),
     // top characteristic terms per doc (rational-idf tf-idf family).
     "text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir))),
+    // Gopher-style repetition signals: most-repeated unigram/bigram mass.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
     // deterministic content-hash sampling: reruns select the same subset.
     "sample_hash" -> ((s, dir) => Sampling.hashBernoulli(
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -208,6 +211,15 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedTopN(
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
       col("lang"), col("doc_id"), n = 50)),
+    // temperature-0.5 language rebalancing (rate = sqrt(n_min/n_g)).
+    "sample_mixture" -> ((s, dir) => Sampling.mixtureSqrt(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("lang"), col("doc_id"))),
+    // token-budget sequence packing, per-source shards, budget 2048.
+    "pack_sequences" -> ((s, dir) => Sampling.packSequences(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      col("source"), col("doc_id"), col("n_tok"), budget = 2048L).drop("n_tok")),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -704,11 +716,68 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
 
+    // rate = sqrt(n_min/n_g): sqrt and the long/2^32 hash fraction are
+    // both correctly-rounded IEEE ops, so the selected subset is
+    // bit-identical across engines.
+    "sample_mixture" ->
+      """WITH c AS (SELECT lang AS mix_g, count(*) AS n_g FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_g) AS n_min FROM c),
+        |r AS (SELECT mix_g, sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT doc_id, lang, source, n_chars,
+        |  CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sample_rate
+        |FROM documents d JOIN r ON d.lang = r.mix_g
+        |WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  / 4294967296.0 < rate""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before,
+         |  cum_before // 2048 AS seq_idx, cum_before % 2048 AS seq_offset
+         |FROM c""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars,
         | CAST(row_number() OVER (
         |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |FROM documents QUALIFY rn <= 50""".stripMargin,
+
+    // repetition signals: bigrams counted WITH multiplicity (range over
+    // positions), unlike the distinct-shingle CTE.
+    "text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_unigram_n
+         |  FROM (SELECT doc_id, w, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM tok) GROUP BY doc_id, w)
+         |  GROUP BY doc_id
+         |), b AS (
+         |  SELECT doc_id, max(c) AS top_bigram_n
+         |  FROM (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+         |              FROM tok WHERE len(toks) >= 2)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(u.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(u.top_unigram_n, 0) AS BIGINT) AS top_unigram_n,
+         |  CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+         |  CASE WHEN coalesce(u.n_tokens, 0) > 0 THEN
+         |    CAST(CAST(CAST(CAST(u.top_unigram_n AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+         |      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) END AS top_unigram_frac,
+         |  CASE WHEN coalesce(u.n_tokens, 0) > 1 THEN
+         |    CAST(CAST(CAST(CAST(coalesce(b.top_bigram_n, 0) AS DOUBLE) / CAST(u.n_tokens - 1 AS DOUBLE)
+         |      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) END AS top_bigram_frac
+         |FROM tok t LEFT JOIN u ON t.doc_id = u.doc_id LEFT JOIN b ON t.doc_id = b.doc_id""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

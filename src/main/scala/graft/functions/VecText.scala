@@ -137,6 +137,36 @@ object VecTextKernels {
     sig
   }
 
+  /** Single-pass repetition statistics over a token array (Gopher-style
+    * repetition filters need the most-repeated unigram/bigram mass):
+    * returns (n_tokens, max unigram count, n_bigrams, max bigram count).
+    * Bigrams are counted WITH multiplicity — wordShingles' distinct set
+    * is the wrong input for repetition measurement.
+    */
+  def repetitionStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val uni = new java.util.HashMap[UTF8String, Int]()
+    var maxUni = 0L
+    var i = 0
+    while (i < n) {
+      val c = uni.merge(arr.getUTF8String(i), 1, (x, y) => x + y)
+      if (c > maxUni) maxUni = c
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val bi = new java.util.HashMap[UTF8String, Int]()
+    var maxBi = 0L
+    i = 0
+    while (i < n - 1) {
+      val g = UTF8String.concatWs(sep, arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      val c = bi.merge(g, 1, (x, y) => x + y)
+      if (c > maxBi) maxBi = c
+      i += 1
+    }
+    val out = Array(n.toLong, maxUni, math.max(0, n - 1).toLong, maxBi)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Static token sets for the single-pass text-stats kernel — must stay
     * in lockstep with TextAnalysis.stopwords / langMarkers (asserted by
     * VecTextSpec parity tests).
@@ -340,6 +370,18 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-pass repetition statistics: (n_tokens, max unigram count,
+    * n_bigrams, max bigram count) — see VecTextKernels.repetitionStats.
+    */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.repetitionStats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.repetitionStats($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** b-bit random-hyperplane LSH signature (Charikar'02) of a float
     * vector; deterministic hash-derived planes, single pass per row.
     */
@@ -456,6 +498,7 @@ object VecText {
   def word_shingles(c: Column, k: Int): Column = column(WordShingles(expr(c), k))
   def rhp_signature(c: Column, bits: Int): Column = column(RhpSignature(expr(c), bits))
   def text_stats(c: Column): Column = column(TextStats(expr(c)))
+  def repetition_stats(c: Column): Column = column(RepetitionStats(expr(c)))
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))

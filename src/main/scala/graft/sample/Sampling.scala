@@ -43,4 +43,66 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
   }
+
+  /** Key hash as a uniform fraction in [0,1): the first 32 bits of md5
+    * over 2^32. A long/2^32 double division — one IEEE rounding, identical
+    * in every engine.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(hashKey(key), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+
+  /** Temperature-0.5 mixture rebalancing: downsample over-represented
+    * groups (languages, sources) so group shares flatten from p_g toward
+    * sqrt(p_g) — the standard multilingual-mixing temperature step.
+    * Acceptance rate r_g = sqrt(n_min/n_g): the rarest group keeps
+    * everything, a 100× larger group keeps 10%.
+    *
+    * The temperature is fixed at 0.5 on purpose: sqrt is IEEE-correctly
+    * rounded, so rates — and therefore the exact selected subset — are
+    * bit-reproducible across engines (pow(x, α-1) is not). Selection
+    * hashes content (hashFraction), so reruns at any parallelism pick the
+    * same rows.
+    *
+    * Scale shape: one tiny group-count aggregate (|groups| rows),
+    * broadcast back; the filter itself is map-side. One shuffle total.
+    */
+  def mixtureSqrt(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val counts = df.groupBy(group.as("mix_g")).agg(count(lit(1)).as("n_g"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("n_g").as("n_min"))))
+      .select(col("mix_g"),
+        sqrt(col("n_min").cast("double") / col("n_g").cast("double")).as("rate"))
+    df.join(broadcast(rates), group === col("mix_g"))
+      .filter(hashFraction(key) < col("rate"))
+      .drop("mix_g")
+      .withColumn("sample_rate",
+        col("rate").cast("decimal(18,6)").cast("double"))
+      .drop("rate")
+  }
+
+  /** Token-budget sequence packing: concatenate documents (in `order`
+    * within each `shard`) into fixed-`budget` training sequences; each doc
+    * gets the sequence index and intra-sequence offset where it starts.
+    * Long docs straddle sequence boundaries (block packing, not best-fit —
+    * deterministic and drift-free across reruns).
+    *
+    * Packing is per-shard BY DESIGN: a single global running sum is one
+    * totally-ordered window — a serial bottleneck at 100 TB — while
+    * per-shard packing is one shuffle on the shard key and each shard
+    * packs independently.
+    */
+  def packSequences(
+      df: DataFrame,
+      shard: Column,
+      order: Column,
+      nTokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_idx", expr(s"cum_before div $budget"))
+      .withColumn("seq_offset", col("cum_before") % budget)
+  }
 }

@@ -81,6 +81,54 @@ object TextAnalysis {
         .cast("decimal(18,6)").cast("double").as("punct_ratio"))
   }
 
+  /** Repetition signals (the Gopher-family repetition filters): the mass
+    * of the single most-repeated unigram and bigram per document. High
+    * values flag boilerplate/spam ("buy now buy now buy now") that
+    * length/stopword signals miss. One single-pass kernel per row
+    * (VecText.RepetitionStats) — map-side only, no shuffle; the
+    * explode+groupBy formulation would shuffle every token in the corpus.
+    * Bigrams are counted with multiplicity (a distinct-shingle set cannot
+    * measure repetition).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val st = graft.functions.VecText.repetition_stats(tokens(col("text"))).as("st")
+    val nTok = element_at(col("st"), 1)
+    val maxUni = element_at(col("st"), 2)
+    val nBi = element_at(col("st"), 3)
+    val maxBi = element_at(col("st"), 4)
+    docs.select(col("doc_id"), st)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        maxUni.as("top_unigram_n"),
+        maxBi.as("top_bigram_n"),
+        when(nTok > 0, (maxUni.cast("double") / nTok.cast("double"))
+          .cast("decimal(18,6)").cast("double")).as("top_unigram_frac"),
+        when(nBi > 0, (maxBi.cast("double") / nBi.cast("double"))
+          .cast("decimal(18,6)").cast("double")).as("top_bigram_frac"))
+  }
+
+  /** Explode+groupBy reference formulation — parity-test anchor only
+    * (shuffles every token; do not use at scale).
+    */
+  def repetitionSignalsByGroupBy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_tokens"), max("c").as("top_unigram_n"))
+    val bi = toks
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array())).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_unigram_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
   /** Language ID, n-gram/marker-word heuristic: score each candidate
     * language by its marker-token hits, pick the argmax (ties broken by
     * language code order). Real corpora would use character n-gram

@@ -81,6 +81,68 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == sizes.map { case (l, c) => l -> math.min(c, 10L) })
   }
 
+  test("mixtureSqrt flattens group shares at rate sqrt(n_min/n_g)") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang", "source", "n_chars")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nMin = counts.values.min
+    val got = Sampling.mixtureSqrt(docs, col("lang"), col("doc_id"))
+    // rerun-stable
+    assert(got.collect().toSet == Sampling.mixtureSqrt(
+      docs, col("lang"), col("doc_id")).collect().toSet)
+    // kept counts track n_g * sqrt(n_min/n_g) = sqrt(n_min*n_g)
+    val kept = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.foreach { case (g, n) =>
+      val want = math.sqrt(nMin.toDouble * n.toDouble)
+      val k = kept.getOrElse(g, 0L).toDouble
+      assert(math.abs(k - want) < 4 * math.sqrt(want) + 5, s"$g: kept $k want ~$want")
+    }
+    // the rarest group keeps everything (rate exactly 1)
+    val rarest = counts.minBy(_._2)._1
+    assert(kept(rarest) == counts(rarest))
+  }
+
+  test("packSequences: offsets stay under budget and sequences chain within a shard") {
+    val docs = Seq(
+      (1L, "s1", 1000L), (2L, "s1", 1500L), (3L, "s1", 100L), (4L, "s1", 3000L),
+      (10L, "s2", 2048L), (11L, "s2", 1L))
+      .toDF("doc_id", "source", "n_tok")
+    val got = Sampling.packSequences(docs, col("source"), col("doc_id"),
+      col("n_tok"), budget = 2048L)
+      .select("doc_id", "seq_idx", "seq_offset")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, o) => id -> (s, o) }.toMap
+    assert(got(1L) == (0L, 0L))      // cum 0
+    assert(got(2L) == (0L, 1000L))   // cum 1000
+    assert(got(3L) == (1L, 452L))    // cum 2500 -> seq 1, offset 452
+    assert(got(4L) == (1L, 552L))    // cum 2600
+    assert(got(10L) == (0L, 0L))     // shard s2 restarts
+    assert(got(11L) == (1L, 0L))     // cum 2048 -> exactly next sequence
+  }
+
+  test("repetitionSignals kernel equals the explode+groupBy formulation on real docs") {
+    val docs = Tables.documents(spark, Sf0001)
+    val fast = TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "n_tokens", "top_unigram_n", "top_bigram_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val slow = TextAnalysis.repetitionSignalsByGroupBy(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
+  test("repetitionSignals measures repeated phrases") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now"),
+      (2L, "all words are different here")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "n_tokens", "top_unigram_n", "top_bigram_n")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, u, b) => id -> (n, u, b) }.toMap
+    // "buy" x3; bigrams: "buy now" x3, "now buy" x2
+    assert(got(1L) == (6L, 3L, 3L))
+    assert(got(2L) == (5L, 1L, 1L))
+  }
+
   test("topTerms ranks rarer terms first at equal tf") {
     val docs = Seq(
       (1L, "apple banana banana"),
