@@ -185,9 +185,8 @@ object SparkEntry {
       Dedup.exactSurvivors(Tables.documents(s, dir)).select("doc_id", "lang", "source", "n_chars")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
-    // md5-derived mod-2^61-1 signatures → the whole LSH pipeline is
-    // engine-reproducible and oracle-checked (signature, band bucket,
-    // verified pair). SimHash stays xxhash64 → rows-only.
+    // md5-derived signatures → both LSH pipelines are engine-reproducible
+    // and oracle-checked stage by stage (signature, band bucket, pair).
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     // connected components over the exact near-dup pairs: one canonical
@@ -626,6 +625,39 @@ object SparkEntry {
       s"""WITH $bigramShingleCte,
          |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    // SimHash, reproduced bit by bit: each token's 64-bit hash is the
+    // first 16 md5 hex chars (two BIGINT halves joined in HUGEINT);
+    // per-bit votes, sign → signature; 4×16-bit pigeonhole bands for
+    // candidates; hamming ≤ 3 verified via bit_count(xor).
+    "dedup_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+         |      + CAST(CONCAT('0x', substr(md5(w), 9, 8)) AS BIGINT) AS u
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |), v AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (u >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN range(64) t(b) GROUP BY doc_id, b
+         |), su AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS usig
+         |  FROM v GROUP BY doc_id
+         |), sg AS (
+         |  SELECT doc_id, usig,
+         |    CAST(CASE WHEN usig >= 9223372036854775808 THEN usig - 18446744073709551616
+         |         ELSE usig END AS BIGINT) AS sig
+         |  FROM su
+         |), bands AS (
+         |  SELECT doc_id, sig, b AS band, CAST((usig >> (16 * b)) % 65536 AS BIGINT) AS bucket
+         |  FROM sg CROSS JOIN range(4) t(b)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
     // MinHash-LSH, reproduced stage by stage: the base hash is the first
     // 15 hex chars of md5 (= VecTextKernels.md5Mod60), the 64 permutation

@@ -20,12 +20,11 @@ import graft.text.TextAnalysis
   *  - n-gram Jaccard: blocked self-join (equality keys) + exact
   *    array_intersect/array_union verify — no O(n²) pairs at scale.
   *
-  * MinHash signatures use md5-derived universal hashing mod 2^61-1
-  * (VecTextKernels.minhash) — deliberately engine-REPRODUCIBLE, so the
-  * whole LSH pipeline (signature → band bucket → verified pair) is
-  * oracle-checkable in DuckDB, and signatures cached by one system can
-  * be trusted by another. SimHash still uses xxhash64 (engine-native,
-  * faster; covered by planted-duplicate unit tests instead).
+  * MinHash and SimHash signatures use md5-derived hashing
+  * (VecTextKernels.minhash / md5U64) — deliberately
+  * engine-REPRODUCIBLE, so the full LSH pipelines (signature → band
+  * bucket → verified pair) are oracle-checkable in DuckDB, and
+  * signatures cached by one system can be trusted by another.
   */
 object Dedup {
 
@@ -151,8 +150,8 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over tokens: sum per-bit votes of each token's
-    * xxhash64, take the sign. Single-pass custom expression
-    * (VecText.SimHash64) — map-side only.
+    * md5-derived hash, take the sign. Single-pass custom expression
+    * (VecText.SimHash64) — map-side only, engine-reproducible.
     */
   def simhash(text: Column): Column =
     VecText.simhash64(TextAnalysis.tokens(text))
@@ -178,7 +177,7 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+        hamming(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -32,14 +32,19 @@ object VecTextKernels {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  def md5Mod60(s: UTF8String): Long = {
+  def md5Mod60(s: UTF8String): Long = md5U64(s) >>> 4 // first 15 hex chars
+
+  /** First 8 md5 digest bytes, big-endian, as the unsigned bit pattern in
+    * a long — DuckDB reconstructs it from two 8-hex-char halves.
+    */
+  def md5U64(s: UTF8String): Long = {
     val md = md5Local.get()
     md.reset()
     val d = md.digest(s.getBytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-    v >>> 4 // top 60 bits = first 15 hex chars of the digest
+    v
   }
 
   private def md5Mod60Str(s: String): Long =
@@ -120,7 +125,7 @@ object VecTextKernels {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val h = md5U64(arr.getUTF8String(i)) // engine-reproducible bit source
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -332,7 +337,9 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 64-bit SimHash: per-bit votes of each element's xxhash64. */
+  /** 64-bit SimHash: per-bit votes of each element's md5-derived 64-bit
+    * hash (engine-reproducible; see VecTextKernels.md5U64).
+    */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
