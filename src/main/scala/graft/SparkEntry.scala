@@ -172,7 +172,7 @@ object SparkEntry {
       col("doc_id"), TextAnalysis.langIdFast(col("text")).as("lang"))),
     "text_fingerprint" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
-    // rolling hash uses xxhash64 → not DuckDB-reproducible; rows-only.
+    // md5-derived token hash → oracle-checked (list_reduce recurrence).
     "text_rollinghash" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))),
     // the composed corpus-cleaning pipeline (quality → lang → dedup).
@@ -227,7 +227,8 @@ object SparkEntry {
     }),
     "sim_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
-    // hash-derived hyperplanes / float centroid means → rows-only.
+    // md5-derived hyperplanes → oracle-checked; IVF's float centroid
+    // means are merge-order-dependent → rows-only.
     "sim_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
@@ -238,7 +239,8 @@ object SparkEntry {
     }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
-    // public format() surface (no DuckDB analogue → rows-only).
+    // public format() surface; md5-derived generator → the oracle
+    // regenerates the stream from range(10000).
     "source_dsv2_scan" -> ((s, _) =>
       s.read.format("graft-events").option("rows", 10000).load()
         .groupBy("event_type")
@@ -253,7 +255,7 @@ object SparkEntry {
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
-    // xxhash64 feature seeds → rows-only.
+    // md5-derived feature seeds → oracle-checked.
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))))
 
@@ -584,6 +586,31 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    // the DSv2 source's generator, replayed: each field of synthetic row
+    // i regenerates from md5("evt-<seed>-<k>-<i>") (SyntheticEvents
+    // .fieldValue); the aggregate follows the decimal->double discipline.
+    "source_dsv2_scan" ->
+      """WITH g AS (
+        |  SELECT i,
+        |    (['click','view','signup','purchase','error'])[
+        |      CAST(CAST(CONCAT('0x', substr(md5('evt-42-2-' || i), 1, 15)) AS BIGINT) % 5 AS INTEGER) + 1] AS event_type,
+        |    CAST(CONCAT('0x', substr(md5('evt-42-3-' || i), 1, 15)) AS BIGINT) % 100000 / 100.0 AS value
+        |  FROM range(10000) t(i))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY event_type""".stripMargin,
+
+    // same Rabin-Karp recurrence, seeded by a prepended 0 (DuckDB 1.0's
+    // list_reduce has no init argument).
+    "text_rollinghash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toksSql,
+         |        t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rh
+         |FROM documents""".stripMargin,
+
     "text_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -825,6 +852,44 @@ object SparkEntry {
         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
+    // random-hyperplane LSH, reproduced stage by stage: hyperplane
+    // component (p,i) regenerates from md5("rhp-p-i") like the Spark
+    // kernel; dot products accumulate sequentially (list_sum), so the
+    // sign bits — and therefore buckets, candidates and the re-rank —
+    // are bit-identical.
+    "sim_lsh_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sigb AS (
+        |  SELECT vec_id, p,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) *
+        |        (CAST(CAST(CONCAT('0x', substr(md5('rhp-' || p || '-' || (i - 1)), 1, 15)) AS BIGINT)
+        |          % 1000000 AS DOUBLE) / 1000000.0 - 0.5))) AS dotp
+        |  FROM embeddings CROSS JOIN range(16) tp(p)
+        |), sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dotp > 0 THEN 1 << p ELSE 0 END) AS usig
+        |  FROM sigb GROUP BY vec_id
+        |), bands AS (
+        |  SELECT vec_id, band, CAST((usig >> (4 * band)) % 16 AS BIGINT) AS bucket
+        |  FROM sig CROSS JOIN range(4) tb(band)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bands q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (qe.nrm * ce.nrm) AS cos
+        |  FROM cand JOIN e qe ON cand.query_id = qe.vec_id JOIN e ce ON cand.neighbor_id = ce.vec_id
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
     "sim_embed_neardup" ->
       """WITH s AS (
         |  SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -867,5 +932,19 @@ object SparkEntry {
         |  FROM documents),
         |d AS (
         |  SELECT asset_id, n_bytes % 120 + 1 AS n_frames FROM a WHERE media_type = 'video')
-        |SELECT asset_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx FROM d""".stripMargin)
+        |SELECT asset_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx FROM d""".stripMargin,
+
+    "mm_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |d AS (
+        |  SELECT asset_id, n_bytes % 120 + 1 AS n_frames FROM a WHERE media_type = 'video'),
+        |f AS (
+        |  SELECT asset_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM d)
+        |SELECT asset_id, frame_idx,
+        |  CAST(CONCAT('0x', substr(md5(asset_id || '-' || frame_idx), 1, 15)) AS BIGINT) AS feature_seed
+        |FROM f""".stripMargin)
 }

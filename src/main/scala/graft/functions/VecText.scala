@@ -47,7 +47,7 @@ object VecTextKernels {
     v
   }
 
-  private def md5Mod60Str(s: String): Long =
+  def md5Mod60Str(s: String): Long =
     md5Mod60(UTF8String.fromString(s))
 
   /** `(a*h + b) mod 2^61-1` without 128-bit types: multiplyHigh gives the
@@ -224,10 +224,11 @@ object VecTextKernels {
     */
   private[functions] def rhpPlanes(bits: Int, dims: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((bits, dims), { case (b, d) =>
+      // md5-derived (not xxhash): an external engine can regenerate the
+      // exact planes from the "rhp-<plane>-<dim>" recipe (see the
+      // sim_lsh_ann oracle), like the MinHash permutation constants
       Array.tabulate(b, d) { (p, i) =>
-        val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
-        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, h1)
-        java.lang.Math.floorMod(h2, 1000000L).toDouble / 1000000.0 - 0.5
+        (md5Mod60Str(s"rhp-$p-$i") % 1000000L).toDouble / 1000000.0 - 0.5
       }
     })
 

@@ -112,9 +112,11 @@ object Multimodal {
 
   /** Feature-extraction stub over sampled frames: deterministic per-frame
     * "embedding" seed (again: the kernel is fake, the distribution shape —
-    * map-side expression over exploded frames — is real).
+    * map-side expression over exploded frames — is real). The seed is
+    * md5-derived so it is engine-reproducible (oracle-checked).
     */
   def frameFeatures(frames: DataFrame): DataFrame =
     frames.select(col("asset_id"), col("frame_idx"),
-      xxhash64(col("asset_id"), col("frame_idx")).as("feature_seed"))
+      conv(substring(md5(concat_ws("-", col("asset_id"), col("frame_idx"))), 1, 15), 16, 10)
+        .cast("long").as("feature_seed"))
 }

@@ -81,7 +81,8 @@ object Similarity {
     * fast expression below.
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    ((conv(substring(md5(concat_ws("-", lit("rhp"), lit(plane), dim)), 1, 15), 16, 10)
+      .cast("long") % 1000000L).cast("double") / 1000000.0) - 0.5
 
   /** HOF formulation of the signature (slow; see rhpSignature). */
   def rhpSignatureHof(emb: Column, bits: Int = 16): Column =

@@ -3,7 +3,6 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -60,14 +59,20 @@ object SyntheticEvents {
 
   private val BaseTsUs = 1704067200000000L // 2024-01-01T00:00:00Z
 
-  /** Deterministic field generators from (seed, row index). */
+  /** Deterministic field generators from (seed, row index) — md5-derived
+    * (graft.functions.VecTextKernels.md5Mod60Str) so any engine can
+    * regenerate the stream exactly (the source_dsv2_scan oracle does).
+    */
+  private def h(seed: Long, k: Int, i: Long): Long =
+    graft.functions.VecTextKernels.md5Mod60Str(s"evt-$seed-$k-$i")
+
   def fieldValue(field: String, i: Long, users: Long, seed: Long): Any = field match {
     case "event_id" => java.lang.Long.valueOf(i)
     case "ts_us" => java.lang.Long.valueOf(
-      BaseTsUs + i * 1000000L + math.floorMod(XXH64.hashLong(i, seed), 1000000L))
-    case "user_id" => java.lang.Long.valueOf(math.floorMod(XXH64.hashLong(i, seed + 1), users))
-    case "event_type" => eventTypes(math.floorMod(XXH64.hashLong(i, seed + 2), eventTypes.length.toLong).toInt)
-    case "value" => java.lang.Double.valueOf(math.floorMod(XXH64.hashLong(i, seed + 3), 100000L) / 100.0)
+      BaseTsUs + i * 1000000L + h(seed, 0, i) % 1000000L)
+    case "user_id" => java.lang.Long.valueOf(h(seed, 1, i) % users)
+    case "event_type" => eventTypes((h(seed, 2, i) % eventTypes.length).toInt)
+    case "value" => java.lang.Double.valueOf(h(seed, 3, i) % 100000L / 100.0)
   }
 }
 

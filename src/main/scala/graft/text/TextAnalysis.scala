@@ -254,12 +254,14 @@ object TextAnalysis {
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
     * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
     * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under
-    * Spark 4's ANSI arithmetic). Not SQL-oracle-checkable (DuckDB lacks
-    * xxhash64), covered by unit tests instead.
+    * Spark 4's ANSI arithmetic). The token hash is md5-derived (first 15
+    * hex chars), so the fingerprint is engine-reproducible and
+    * oracle-checked (DuckDB list_reduce over the same recurrence).
     */
   def rollingHash(text: Column): Column = {
     val p = lit(2147483647L) // 2^31 - 1
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+      (acc, t) => (acc * lit(31L)
+        + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % p) % p)
   }
 }
