@@ -41,6 +41,18 @@ object ScaleProbe {
       time(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
       time(s"simhash_${c}x")(Dedup.simhashNearDups(docs).count())
       time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
+      time(s"cluster_${c}x")(Dedup.jaccardClusters(docs).count())
+      time(s"decontaminate_${c}x")(
+        Dedup.decontaminate(docs, col("doc_id") % 37 === 0).count())
+      time(s"mixture_${c}x")(graft.sample.Sampling.mixtureSqrt(
+        docs.select("doc_id", "lang"), col("lang"), col("doc_id")).count())
+      time(s"pack_${c}x")(graft.sample.Sampling.packSequences(
+        docs.select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budget = 2048L).count())
+      time(s"repetition_${c}x")(
+        graft.text.TextAnalysis.repetitionSignals(docs).count())
+      time(s"top_terms_${c}x")(graft.text.TextAnalysis.topTerms(docs).count())
     }
 
     // events scale: replicate 10x (unique event_ids) and run the window/
