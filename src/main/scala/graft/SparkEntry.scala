@@ -92,6 +92,24 @@ object SparkEntry {
     // K1 keyed LWW upsert semantics as a query (load.ts:61-78).
     "etl_upsert_lww" -> ((s, dir) => EventAnalytics.latestPerUser(Tables.events(s, dir))),
 
+    // K1 through the bucketed sink: the events stream lands in two
+    // micro-batches keyed on user_id; each batch rewrites only its hash
+    // buckets (O(touched), not O(table)). Read-back must equal the
+    // declarative LWW — same oracle as etl_upsert_lww.
+    "etl_upsert_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = java.nio.file.Files.createTempDirectory("graft-upsert-q")
+        .resolve("t").toString
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketed(
+        s, path, Seq("user_id"), Seq(col("ts_us"), col("last_event_id")), 16) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.readBucketed(s, path).drop("ts_us")
+    }),
+
     // K3 observe channel: multicast tap + per-stage tally (README.md:27).
     "etl_audit_tally" -> ((s, dir) => {
       val extraction = CsvExtract.toEvents(customerAsCsv(s, dir))
@@ -329,6 +347,12 @@ object SparkEntry {
       "SELECT event_id, user_id FROM events WHERE event_type IN ('click','view')",
 
     "etl_upsert_lww" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "etl_upsert_bucketed" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events

@@ -119,4 +119,39 @@ class StreamingSpec extends SparkSpec {
     sink(batch, 0L) // at-least-once redelivery
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("upsertBucketed merges LWW and rewrites only touched bucket dirs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.sink.KeyedUpsertSink
+    val root = Files.createTempDirectory("graft-upsert-b")
+    val dir = root.resolve("t").toString
+    val nb = 8
+    val sink = KeyedUpsertSink.upsertBucketed(spark, dir, Seq("id"), Seq(col("seq")), nb) _
+    // seed: 100 keys spread across buckets
+    val seed = (1 to 100).map(i => (i.toString, "old", 1L)).toDF("id", "v", "seq")
+    sink(seed, 0L)
+    val before = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("__bucket=")).sorted
+    assert(before.length == nb)
+    val mtimes = before.map(p => p -> Files.list(java.nio.file.Paths.get(p))
+      .toArray.map(q => Files.getLastModifiedTime(q.asInstanceOf[java.nio.file.Path]).toMillis).max).toMap
+    Thread.sleep(1100) // let mtime resolution tick
+    // second batch: update one key, insert one — touches at most 2 buckets
+    val b2 = Seq(("1", "new", 2L), ("999", "ins", 1L)).toDF("id", "v", "seq")
+    sink(b2, 1L)
+    val touched = b2.select(KeyedUpsertSink.bucketOf(Seq("id"), nb)).distinct()
+      .collect().map(_.getLong(0)).map(b => s"__bucket=$b").toSet
+    before.foreach { p =>
+      val nowM = Files.list(java.nio.file.Paths.get(p))
+        .toArray.map(q => Files.getLastModifiedTime(q.asInstanceOf[java.nio.file.Path]).toMillis).max
+      if (touched.exists(p.contains)) assert(nowM > mtimes(p), s"touched $p not rewritten")
+      else assert(nowM == mtimes(p), s"untouched $p was rewritten")
+    }
+    // LWW semantics survive the bucketed layout, and replay is a no-op
+    sink(b2, 1L)
+    val t = KeyedUpsertSink.readBucketed(spark, dir)
+    assert(t.count() == 101)
+    assert(t.filter(col("id") === "1").select("v").as[String].head() == "new")
+  }
 }
