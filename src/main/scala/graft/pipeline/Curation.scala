@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sample.Sampling
+import graft.text.TextAnalysis
+
+/** The end-to-end training-corpus curation pipeline — the composition the
+  * engine exists for, in ONE declarative plan:
+  *
+  *   quality gate → repetition gate → language gate → exact-dedup
+  *   survivors → benchmark decontamination → temperature-0.5 mixture
+  *   rebalancing → token-budget sequence packing.
+  *
+  * Shuffle inventory at 100 TB (everything else is map-side):
+  *   1. the dedup window on the content fingerprint (unavoidable — it IS
+  *      the dedup);
+  *   2. the decontamination hit aggregation (hits only; the benchmark
+  *      n-gram index is broadcast);
+  *   3. the tiny per-language count aggregate for mixture rates
+  *      (broadcast back);
+  *   4. the per-shard packing window (shard-parallel by design).
+  *
+  * Every stage is engine-reproducible (md5-derived hashes, sqrt rates,
+  * decimal-rounded ratios), so the WHOLE pipeline hash-matches its DuckDB
+  * oracle — the property that lets a team re-run curation anywhere and
+  * trust the resulting corpus is the same corpus.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      isBenchmark: Column,
+      minTokens: Long = 10,
+      maxStopwordRatio: Double = 0.5,
+      maxTopBigramFrac: Double = 0.1,
+      minShared: Long = 3,
+      budget: Long = 2048L): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val st = element_at(col("st"), _: Int)
+    val rp = element_at(col("rp"), _: Int)
+    val langScores = (0 until 5).map(i => st(i + 4))
+    val gMax = greatest(langScores: _*)
+    val gated = docs
+      .withColumn("st", graft.functions.VecText.text_stats(toks))
+      .withColumn("rp", graft.functions.VecText.repetition_stats(toks))
+      .withColumn("n_tokens", st(1))
+      .withColumn("stopword_ratio",
+        (st(2).cast("double") / st(1).cast("double")).cast("decimal(18,6)"))
+      .withColumn("top_bigram_frac",
+        when(rp(3) > 0, (rp(4).cast("double") / rp(3).cast("double"))
+          .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+      .withColumn("lang_pred",
+        when(gMax === 0, lit("und"))
+          .when(langScores(0) === gMax, lit("de"))
+          .when(langScores(1) === gMax, lit("en"))
+          .when(langScores(2) === gMax, lit("es"))
+          .when(langScores(3) === gMax, lit("fr"))
+          .otherwise(lit("zh")))
+      .filter(col("n_tokens") >= minTokens
+        && col("stopword_ratio") <= maxStopwordRatio
+        && col("top_bigram_frac") <= maxTopBigramFrac
+        && col("lang_pred") =!= "und"
+        && !isBenchmark)
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val survivors = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "lang_pred", "n_tokens",
+        "stopword_ratio", "top_bigram_frac")
+    // benchmark-contaminated docs out (the flagged set is a vanishing
+    // fraction → broadcast anti-join, no shuffle of the corpus side)
+    val flagged = Dedup.decontaminate(docs, isBenchmark, minShared).select("doc_id")
+    val clean = survivors.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val mixed = Sampling.mixtureSqrt(clean, col("lang_pred"), col("doc_id"))
+    Sampling.packSequences(mixed, col("source"), col("doc_id"),
+        col("n_tokens"), budget)
+      .select(col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"),
+        col("stopword_ratio").cast("double").as("stopword_ratio"),
+        col("top_bigram_frac").cast("double").as("top_bigram_frac"),
+        col("sample_rate"), col("cum_before"), col("seq_idx"), col("seq_offset"))
+  }
+}

@@ -143,6 +143,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L) == (5L, 1L, 1L))
   }
 
+  test("curation pipeline: gates, dedup, decontamination and packing hold together") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Curation.curate(docs, col("doc_id") % 37 === 0, minShared = 40L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no benchmark docs in the corpus
+    assert(out.filter(col("doc_id") % 37 === 0).count() == 0)
+    // gates held
+    assert(out.filter(col("n_tokens") < 10
+      || col("stopword_ratio") > 0.5 || col("top_bigram_frac") > 0.1).count() == 0)
+    // packing invariants
+    assert(out.filter(col("seq_offset") >= 2048 || col("seq_offset") < 0).count() == 0)
+    assert(out.filter(col("sample_rate") > 1.0).count() == 0)
+    // rerun-stable (deterministic end to end)
+    assert(Curation.curate(docs, col("doc_id") % 37 === 0, minShared = 40L)
+      .collect().toSet == rows.toSet)
+  }
+
   test("topTerms ranks rarer terms first at equal tf") {
     val docs = Seq(
       (1L, "apple banana banana"),
