@@ -50,4 +50,40 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
     assert(bcasts.size >= 2, "pair verification must join against broadcast sketches")
   }
+
+  test("text_decontaminate: benchmark n-gram index broadcasts; no sort-merge join") {
+    val plan = executed(SparkEntry.queries("text_decontaminate")(spark, Sf0001))
+    assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "corpus probe must join the broadcast benchmark index")
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, "decontamination must not shuffle-sort the corpus")
+  }
+
+  test("sample_mixture: rate table broadcasts back; the corpus never sort-merges") {
+    val plan = executed(SparkEntry.queries("sample_mixture")(spark, Sf0001))
+    assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "per-group rates must broadcast to the filter")
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty)
+  }
+
+  test("pack_sequences: exactly one shuffle (the per-shard packing window)") {
+    val plan = executed(SparkEntry.queries("pack_sequences")(spark, Sf0001))
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}")
+  }
+
+  test("text_repetition: map-side only — no shuffle at all") {
+    val plan = executed(SparkEntry.queries("text_repetition")(spark, Sf0001))
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "repetition signals are a pure projection")
+  }
 }
