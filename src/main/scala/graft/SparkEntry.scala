@@ -253,8 +253,8 @@ object SparkEntry {
     }),
     "sim_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
-    // md5-derived hyperplanes → oracle-checked; IVF's float centroid
-    // means are merge-order-dependent → rows-only.
+    // md5-derived hyperplanes and decimal-summed IVF centroids →
+    // both ANN tiers oracle-checked.
     "sim_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
@@ -988,6 +988,49 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (qe.nrm * ce.nrm) AS cos
         |  FROM cand JOIN e qe ON cand.query_id = qe.vec_id JOIN e ce ON cand.neighbor_id = ce.vec_id
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // IVF, stage by stage: decimal-summed centroids (scale-invariant
+    // under cosine, exact → engine-identical), argmax assignment,
+    // nprobe=2 probing, exact re-rank.
+    "sim_ivf_ann" ->
+      """WITH cd AS (
+        |  SELECT label, z[2] AS pos, CAST(CAST(z[1] AS VARCHAR) AS DECIMAL(18,9)) AS v
+        |  FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+        |        FROM embeddings)
+        |), cs AS (
+        |  SELECT label AS centroid_id, pos, CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS vd
+        |  FROM cd GROUP BY label, pos
+        |), cent AS (
+        |  SELECT centroid_id, list(vd ORDER BY pos) AS centroid FROM cs GROUP BY centroid_id
+        |), asn AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS c_emb, centroid_id,
+        |    list_sum(list_transform(list_zip(embedding, centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS d
+        |  FROM embeddings CROSS JOIN cent
+        |), lists AS (
+        |  SELECT centroid_id, neighbor_id, c_emb FROM asn
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY d DESC, centroid_id) = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+        |  FROM (
+        |    SELECT vec_id, embedding, centroid_id,
+        |      list_sum(list_transform(list_zip(embedding, centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS d
+        |    FROM embeddings CROSS JOIN cent WHERE vec_id < 8)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= 2
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(q_emb, c_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM lists JOIN probes USING (centroid_id) WHERE query_id != neighbor_id
         |)
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,

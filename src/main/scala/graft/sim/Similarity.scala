@@ -18,8 +18,9 @@ import graft.functions.VecText
   *     signatures + one (bucket) shuffle — the 100 TB path.
   *  3. IVF-style coarse quantization: assign vectors to the nearest of K
   *     coarse centroids, probe `nprobe` nearest lists per query. Here the
-  *     centroids come from per-label means (a stand-in for k-means — the
-  *     plumbing, partitioning and probe logic are the real thing).
+  *     centroids are per-label decimal-sum vectors (a stand-in for
+  *     k-means — the plumbing, partitioning and probe logic are the real
+  *     thing, and the decimal sums make assignment deterministic).
   *
   * All dot products run in double precision via `aggregate`/`zip_with`
   * column expressions — codegen'd, no UDF.
@@ -132,18 +133,28 @@ object Similarity {
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
-  /** IVF-style ANN: coarse centroids (here: per-label means — k-means
-    * stand-in), inverted lists keyed by centroid id, queries probe the
-    * `nprobe` nearest centroids, exact re-rank inside probed lists.
+  /** IVF-style ANN: coarse centroids (here: per-label decimal-sum
+    * vectors, ∝ the mean — k-means stand-in), inverted lists keyed by
+    * centroid id, queries probe the `nprobe` nearest centroids, exact
+    * re-rank inside probed lists.
     * The centroid table is tiny → broadcast; the corpus shuffles once to
     * its list (in a real deployment it is *stored* pre-partitioned by
     * list, making this shuffle-free at query time).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    // Centroid = per-dimension DECIMAL SUM of the list's vectors, not the
+    // float mean: cosine is scale-invariant (sum ∝ mean), and a decimal
+    // sum is exact — assignment stops depending on float merge order, so
+    // the whole operator is deterministic and oracle-checkable. The cast
+    // goes float→string→decimal: both engines parse the float's shortest
+    // decimal representation (a direct float→decimal cast diverges —
+    // Spark expands via double, DuckDB via shortest repr).
     val centroids = corpus
       .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("v"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .groupBy("label", "pos")
+      .agg(sum(col("col").cast("string").cast("decimal(18,9)")).as("vsum"))
+      .groupBy("label").agg(array_sort(
+        collect_list(struct(col("pos"), col("vsum").cast("double").as("v")))).as("pv"))
       .select(col("label").as("centroid_id"),
         transform(col("pv"), p => p.getField("v")).as("centroid"))
     val assignments = corpus.crossJoin(broadcast(centroids))
