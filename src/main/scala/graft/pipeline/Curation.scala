@@ -31,20 +31,23 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
-  def curate(
+  /** The map-side gate stage alone — a pure projection + filter, so it
+    * runs unchanged over a STREAM of arriving documents (no watermark
+    * needed; see StreamingSpec's streaming-curation test, which lands
+    * gated docs through the bucketed upsert sink).
+    */
+  def gates(
       docs: DataFrame,
       isBenchmark: Column,
       minTokens: Long = 10,
       maxStopwordRatio: Double = 0.5,
-      maxTopBigramFrac: Double = 0.1,
-      minShared: Long = 3,
-      budget: Long = 2048L): DataFrame = {
+      maxTopBigramFrac: Double = 0.1): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val st = element_at(col("st"), _: Int)
     val rp = element_at(col("rp"), _: Int)
     val langScores = (0 until 5).map(i => st(i + 4))
     val gMax = greatest(langScores: _*)
-    val gated = docs
+    docs
       .withColumn("st", graft.functions.VecText.text_stats(toks))
       .withColumn("rp", graft.functions.VecText.repetition_stats(toks))
       .withColumn("n_tokens", st(1))
@@ -65,6 +68,18 @@ object Curation {
         && col("top_bigram_frac") <= maxTopBigramFrac
         && col("lang_pred") =!= "und"
         && !isBenchmark)
+      .drop("st", "rp")
+  }
+
+  def curate(
+      docs: DataFrame,
+      isBenchmark: Column,
+      minTokens: Long = 10,
+      maxStopwordRatio: Double = 0.5,
+      maxTopBigramFrac: Double = 0.1,
+      minShared: Long = 3,
+      budget: Long = 2048L): DataFrame = {
+    val gated = gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac)
     val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
       .orderBy(col("doc_id"))
     val survivors = gated.withColumn("rn", row_number().over(w))

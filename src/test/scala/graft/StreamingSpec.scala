@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("streaming curation: gates run unchanged on a document stream into the bucketed sink") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.pipeline.Curation
+    import graft.sink.KeyedUpsertSink
+    val docs = Tables.documents(spark, Sf0001)
+    val root = Files.createTempDirectory("graft-stream-curation")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val table = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    // two arrival waves
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(landing + "/w0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(landing + "/w1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val gated = Curation.gates(stream, col("doc_id") % 37 === 0)
+    val q = gated.writeStream
+      .foreachBatch(KeyedUpsertSink.upsertBucketed(
+        spark, table, Seq("doc_id"), Seq(col("doc_id")), 8) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = KeyedUpsertSink.readBucketed(spark, table)
+      .select("doc_id").as[Long].collect().toSet
+    val want = Curation.gates(docs, col("doc_id") % 37 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("upsertBucketed merges LWW and rewrites only touched bucket dirs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
