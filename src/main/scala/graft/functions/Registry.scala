@@ -38,6 +38,7 @@ object GraftFunctions {
     "graft_jaccard" -> (es => VecText.JaccardSorted64(es(0), es(1))),
     "graft_top_k" -> (es => TopKDesc(es(0), intArg(es(1), "graft_top_k"))),
     "graft_text_stats" -> (es => VecText.TextStats(es(0))),
+    "graft_repetition_stats" -> (es => VecText.RepetitionStats(es(0))),
     "graft_rhp_signature" -> (es => VecText.RhpSignature(es(0), intArg(es(1), "graft_rhp_signature"))),
     "graft_jaccard_exact" -> (es => VecText.JaccardDistinct(es(0), es(1))))
 

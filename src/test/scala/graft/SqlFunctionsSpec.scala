@@ -52,6 +52,14 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT max(ts_ms) FROM events").head().getLong(0) > 0)
   }
 
+  test("graft_repetition_stats from SQL matches the kernel contract") {
+    GraftFunctions.register(spark)
+    Seq("buy now buy now buy now").toDF("x").createOrReplaceTempView("r")
+    val st = spark.sql("SELECT graft_repetition_stats(split(x, ' ')) FROM r")
+      .head().getSeq[Long](0)
+    assert(st == Seq(6L, 3L, 5L, 3L))
+  }
+
   test("graft_fvec_dot from SQL equals Column API") {
     GraftFunctions.register(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
