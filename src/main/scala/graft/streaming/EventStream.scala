@@ -60,6 +60,39 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: every event within `windowSec` AFTER a
+    * user's anchor event (attribution: "what followed the purchase") —
+    * the streaming twin of EventAnalytics.rangeJoinAfter. Both sides are
+    * watermarked and the join condition bounds event-time distance, so
+    * Spark evicts join state on both sides once the watermark passes —
+    * bounded state at any stream length. Matches emit in Append mode.
+    */
+  def rangeJoinAfter(
+      events: DataFrame,
+      anchorType: String,
+      windowSec: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val anchors = events.filter(col("event_type") === anchorType)
+      .select(col("user_id"), col("event_id").as("anchor_event_id"),
+        col("ts_us").as("anchor_ts_us"), col("ts_utc").as("anchor_ts"))
+      .withWatermark("anchor_ts", watermark)
+    val others = events
+      .select(col("user_id").as("o_user_id"), col("event_id").as("other_event_id"),
+        col("event_type").as("other_type"), col("ts_us").as("other_ts_us"),
+        col("ts_utc").as("other_ts"))
+      .withWatermark("other_ts", watermark)
+    anchors.join(others,
+      col("user_id") === col("o_user_id")
+        && col("other_ts") > col("anchor_ts")
+        && col("other_ts") <= col("anchor_ts") + expr(s"INTERVAL $windowSec SECONDS")
+        // µs-exact bound on top of the coarse event-time range (ts_utc is
+        // µs-truncated already, but keep the contract explicit)
+        && col("other_ts_us") > col("anchor_ts_us")
+        && col("other_ts_us") <= col("anchor_ts_us") + windowSec * 1000000L)
+      .select(col("user_id"), col("anchor_event_id"), col("other_event_id"),
+        col("other_type"), (col("other_ts_us") - col("anchor_ts_us")).as("dt_us"))
+  }
+
   /** Session windows per user (gap-based) — the streaming twin of
     * EventAnalytics.sessionize, via the native session_window operator.
     */

@@ -56,6 +56,21 @@ class EventStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val stream = EventStream.fromParquetDir(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.rangeJoinAfter(stream, "purchase", 60),
+      "range_join_out", OutputMode.Append())
+    val cols = Seq("user_id", "anchor_event_id", "other_event_id", "other_type", "dt_us")
+    val got = spark.table("range_join_out").select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    val want = EventAnalytics.rangeJoinAfter(batchEvents, "purchase", 60)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session windows equal the batch sessionization") {
     val stream = EventStream.fromParquetDir(spark, streamDir)
     EventStream.runToMemory(
