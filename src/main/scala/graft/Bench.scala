@@ -27,7 +27,7 @@ object Bench {
     "q_set_ops", "q_ntile", "q_stats", "q_strings", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_clean_corpus", "text_decontaminate", "text_top_terms",
-    "text_repetition", "text_curation_pipeline",
+    "text_repetition", "text_curation_pipeline", "text_length_filter",
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster",

@@ -221,6 +221,10 @@ object SparkEntry {
     // Gopher-style repetition signals: most-repeated unigram/bigram mass.
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    // per-language percentile length gate (group-relative outlier cut).
+    "text_length_filter" -> ((s, dir) => TextAnalysis.lengthOutlierFilter(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("lang"))),
     // deterministic content-hash sampling: reruns select the same subset.
     "sample_hash" -> ((s, dir) => Sampling.hashBernoulli(
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -878,6 +882,18 @@ object SparkEntry {
          |  CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sample_rate,
          |  cum_before, cum_before // 2048 AS seq_idx, cum_before % 2048 AS seq_offset
          |FROM packed""".stripMargin,
+
+    // exact per-group percentiles (quantile_cont = Spark `percentile`,
+    // linear interpolation); bounds rounded to decimal(18,6) both sides.
+    "text_length_filter" ->
+      """WITH b AS (
+        |  SELECT lang AS len_g,
+        |    CAST(CAST(CAST(quantile_cont(n_chars, 0.02) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS len_lo,
+        |    CAST(CAST(CAST(quantile_cont(n_chars, 0.98) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS len_hi
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, source, n_chars, len_lo, len_hi
+        |FROM documents d JOIN b ON d.lang = b.len_g
+        |WHERE n_chars >= len_lo AND n_chars <= len_hi""".stripMargin,
 
     // rate = sqrt(n_min/n_g): sqrt and the long/2^32 hash fraction are
     // both correctly-rounded IEEE ops, so the selected subset is

@@ -251,6 +251,33 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tf", "df", "score")
   }
 
+  /** Per-group length-outlier filter — the standard corpus length gate:
+    * keep documents whose length lies within the [lo, hi] exact
+    * percentiles OF THEIR OWN GROUP (a fixed global bound is wrong when
+    * languages have different natural length distributions).
+    *
+    * Scale shape: one tiny per-group percentile aggregate (exact
+    * percentile = one sort per group, |groups| output rows), broadcast
+    * back; the filter itself is map-side. Bounds round through
+    * decimal(18,6) so both engines compare against identical numbers
+    * (exact-percentile interpolation can differ by an ulp).
+    */
+  def lengthOutlierFilter(
+      docs: DataFrame,
+      group: Column,
+      lo: Double = 0.02,
+      hi: Double = 0.98): DataFrame = {
+    val bounds = docs.groupBy(group.as("len_g"))
+      .agg(
+        expr(s"percentile(n_chars, $lo)").cast("decimal(18,6)")
+          .cast("double").as("len_lo"),
+        expr(s"percentile(n_chars, $hi)").cast("decimal(18,6)")
+          .cast("double").as("len_hi"))
+    docs.join(broadcast(bounds), group === col("len_g"))
+      .filter(col("n_chars") >= col("len_lo") && col("n_chars") <= col("len_hi"))
+      .drop("len_g")
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
     * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
     * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under

@@ -162,6 +162,23 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().toSet == rows.toSet)
   }
 
+  test("lengthOutlierFilter cuts per-group tails, not a global bound") {
+    val docs = Seq(
+      // group a: lengths 10..19 + one huge outlier
+      (Seq.tabulate(10)(i => (i.toLong, "a", 10L + i)) :+ ((100L, "a", 10000L))) ++
+      // group b: lengths 1000..1009 — all normal FOR THEIR GROUP
+      Seq.tabulate(10)(i => (200L + i, "b", 1000L + i)): _*)
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = TextAnalysis.lengthOutlierFilter(docs, col("lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(100L), "group-a outlier must be cut")
+    // group b's 1000+ lengths survive even though they dwarf group a's
+    assert((200L to 209L).count(kept.contains) >= 8)
+    // deterministic
+    assert(TextAnalysis.lengthOutlierFilter(docs, col("lang"))
+      .select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("topTerms ranks rarer terms first at equal tf") {
     val docs = Seq(
       (1L, "apple banana banana"),
