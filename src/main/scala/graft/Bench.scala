@@ -85,9 +85,12 @@ object Bench {
       val t1 = once(name)
       val t2 = once(name)
       val best = math.min(t1, t2)
-      // samples disagreeing by >2x means one absorbed async cleanup/GC;
-      // a third rep resolves which one was real
-      val t = if (math.max(t1, t2) > 2 * best) math.min(best, once(name)) else best
+      // samples disagreeing by >2x means one absorbed async cleanup/GC —
+      // a third rep resolves which was real; likewise when even the best
+      // sample is slow in absolute terms (heavy compositions show rare
+      // ~7s environmental stalls that can hit both reps)
+      val t = if (math.max(t1, t2) > 2 * best || best > 2.5)
+        math.min(best, once(name)) else best
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

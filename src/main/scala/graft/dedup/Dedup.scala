@@ -317,17 +317,27 @@ object Dedup {
   def decontaminate(
       docs: DataFrame,
       isBenchmark: Column,
+      minShared: Long = 3): DataFrame =
+    decontaminateCorpus(docs.filter(!isBenchmark), docs.filter(isBenchmark), minShared)
+
+  /** Two-input form: probe `corpus` against the n-gram index of
+    * `benchmark`. Callers that have already narrowed the corpus (e.g.
+    * the curation pipeline probing only gate/dedup survivors — flags
+    * outside that set cannot change the result) skip re-shingling
+    * everything the gates discarded.
+    */
+  def decontaminateCorpus(
+      corpus: DataFrame,
+      benchmark: DataFrame,
       minShared: Long = 3): DataFrame = {
     // spread the pre-fan-out side first (single-file corpus → one task
     // would otherwise carry the whole shingle explode + broadcast probe)
-    val para = docs.sparkSession.sparkContext.defaultParallelism
-    val ng = docs.repartition(para)
-      .select(col("doc_id"), isBenchmark.as("is_bench"),
-        explode(shingles(col("text"), 2)).as("ng"))
-    val benchIndex = ng.filter(col("is_bench"))
-      .select(col("ng"), col("doc_id").as("bench_doc_id")).distinct()
-    ng.filter(!col("is_bench"))
-      .select("doc_id", "ng")
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val benchIndex = benchmark
+      .select(explode(shingles(col("text"), 2)).as("ng"),
+        col("doc_id").as("bench_doc_id")).distinct()
+    corpus.repartition(para)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("ng"))
       .join(broadcast(benchIndex), "ng")
       .groupBy("doc_id")
       .agg(countDistinct("ng").cast("long").as("n_shared_ngrams"),

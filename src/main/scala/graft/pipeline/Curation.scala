@@ -82,13 +82,18 @@ object Curation {
     val gated = gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac)
     val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
       .orderBy(col("doc_id"))
-    val survivors = gated.withColumn("rn", row_number().over(w))
+    val survivorsAll = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("doc_id", "source", "lang_pred", "n_tokens",
-        "stopword_ratio", "top_bigram_frac")
+    val survivorsWithText = survivorsAll.select("doc_id", "text")
+    val survivors = survivorsAll.select("doc_id", "source", "lang_pred",
+      "n_tokens", "stopword_ratio", "top_bigram_frac")
     // benchmark-contaminated docs out (the flagged set is a vanishing
-    // fraction → broadcast anti-join, no shuffle of the corpus side)
-    val flagged = Dedup.decontaminate(docs, isBenchmark, minShared).select("doc_id")
+    // fraction → broadcast anti-join, no shuffle of the corpus side).
+    // Probe only the SURVIVORS against the benchmark index: flags on
+    // docs the gates already discarded cannot change the anti-join, and
+    // skipping them removes a full-corpus shingle explode.
+    val flagged = Dedup.decontaminateCorpus(
+      survivorsWithText, docs.filter(isBenchmark), minShared).select("doc_id")
     val clean = survivors.join(broadcast(flagged), Seq("doc_id"), "left_anti")
     val mixed = Sampling.mixtureSqrt(clean, col("lang_pred"), col("doc_id"))
     Sampling.packSequences(mixed, col("source"), col("doc_id"),
