@@ -31,7 +31,7 @@ object Bench {
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster",
-    "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup", "sim_hard_negatives",
     "mm_decode", "mm_frames")
 
   def main(args: Array[String]): Unit = {

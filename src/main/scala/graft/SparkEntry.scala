@@ -257,6 +257,11 @@ object SparkEntry {
     }),
     "sim_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    // contrastive hard negatives: nearest neighbors with a different label.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8))
+    }),
     // md5-derived hyperplanes and decimal-summed IVF centroids →
     // both ANN tiers oracle-checked.
     "sim_lsh_ann" -> ((s, dir) => {
@@ -1051,6 +1056,23 @@ object SparkEntry {
         |SELECT query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS c_emb
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |    list_sum(list_transform(list_zip(q_emb, c_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM c CROSS JOIN q WHERE query_label != neighbor_label)
+        |SELECT query_id, query_label,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  neighbor_id, neighbor_label,
+        |  CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "sim_embed_neardup" ->

@@ -75,6 +75,30 @@ object Similarity {
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the pairs that teach a contrastive model the most. Same plan shape
+    * as [[bruteForceTopK]] (broadcast queries × one corpus scan, window
+    * top-k); the label inequality rides in the join condition, so
+    * same-label pairs never materialize.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("query_label"),
+      col("embedding").as("q_emb"), fnorm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("embedding").as("c_emb"), fnorm(col("embedding")).as("c_norm"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("query_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"),
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a hash-derived value in [-0.5, 0.5). Seeds the LSH signatures without
     * any RNG state — reproducible across executors by construction.

@@ -61,6 +61,21 @@ class DedupSimSpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sorted.reverse)) // descending
   }
 
+  test("hardNegatives returns only cross-label neighbors, nearest first") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rnk").collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(
+      r.getAs[Any]("query_label") != r.getAs[Any]("neighbor_label")))
+    val cosines = out.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+    // the hardest negative can never beat the overall nearest neighbor
+    val best = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 1)
+      .collect().head.getAs[Double]("cosine")
+    assert(cosines.head <= best + 1e-12)
+  }
+
   test("LSH ANN recall against brute force is substantial") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 8)
