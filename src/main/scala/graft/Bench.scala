@@ -23,6 +23,7 @@ object Bench {
     "q_approx_distinct", "q_approx_quantiles",
     "events_sessionize", "events_tumbling", "events_asof_join",
     "events_json_extract", "events_pivot", "events_range_join", "events_lead_lag",
+    "events_retention", "events_histogram",
     "q_median",
     "q_set_ops", "q_ntile", "q_stats", "q_strings", "mm_resize",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",

@@ -175,6 +175,12 @@ object SparkEntry {
     "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
     "events_lead_lag" -> ((s, dir) =>
       EventAnalytics.eventNeighborhood(Tables.events(s, dir))),
+    // cohort retention: users by first-seen day × day-offset activity.
+    "events_retention" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir))),
+    // fixed-width value histogram per event type.
+    "events_histogram" -> ((s, dir) =>
+      EventAnalytics.valueHistogram(Tables.events(s, dir))),
     "q_set_ops" -> ((s, dir) => Queries.buildingWithoutBigOrders(s, dir)),
     "q_ntile"   -> ((s, dir) => Queries.orderQuartiles(s, dir)),
     "q_stats"   -> ((s, dir) => Queries.statsQuantityPrice(s, dir)),
@@ -539,6 +545,23 @@ object SparkEntry {
         | lead(event_type, 1) OVER w AS next_type
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT cohort_day, day - cohort_day AS d,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY cohort_day, d""".stripMargin,
+
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type, bin""".stripMargin,
 
     "q_median" ->
       """SELECT o_orderstatus,

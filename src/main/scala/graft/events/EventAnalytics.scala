@@ -176,6 +176,33 @@ object EventAnalytics {
     // values and each other-row has exactly one bucket -> at most one match
   }
 
+  /** Retention cohorts — the classic activation metric: users grouped by
+    * their first-seen day; for each cohort and each day-offset d, how
+    * many of them were active d days later. Two shuffles, both on
+    * user_id (first-seen aggregate, then the distinct active-day set);
+    * the final (cohort, d) aggregate carries one row per user-day.
+    */
+  def retentionCohorts(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val day = expr("ts_us div 86400000000")
+    val firstDay = events.groupBy("user_id").agg(min(day).as("cohort_day"))
+    val activeDays = events.select(col("user_id"), day.as("day")).distinct()
+    activeDays.join(firstDay, "user_id")
+      .withColumn("d", col("day") - col("cohort_day"))
+      .filter(col("d") <= maxDays)
+      .groupBy("cohort_day", "d")
+      .agg(countDistinct("user_id").cast("long").as("n_users"))
+  }
+
+  /** Fixed-width value histogram per event type — distribution profiling
+    * in one map-side bin projection + one aggregate. floor(v/width) is
+    * exact IEEE (one division, one floor), so bins are engine-identical.
+    */
+  def valueHistogram(events: DataFrame, binWidth: Double = 10.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Oracle-friendly numeric discipline (shared by all query modules):
     * SUMS over doubles differ between engines in the last bits (parallel
     * summation order), so cast each summand to decimal BEFORE aggregating —

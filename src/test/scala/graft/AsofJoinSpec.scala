@@ -33,6 +33,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(1L -> None, 3L -> Some(2L)))
   }
 
+  test("retention cohorts: d=0 row counts every cohort member") {
+    import graft.events.EventAnalytics
+    val ev = Tables.events(spark, Sf0001)
+    val ret = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret.nonEmpty)
+    // every user is active on their own cohort day, so summing d=0 rows
+    // across cohorts equals the number of distinct users
+    val d0 = ret.collect { case ((_, 0L), n) => n }.sum
+    assert(d0 == ev.select("user_id").distinct().count())
+    assert(ret.keys.forall { case (_, d) => d >= 0 && d <= 7 })
+  }
+
+  test("value histogram bins partition the events exactly") {
+    import graft.events.EventAnalytics
+    val ev = Tables.events(spark, Sf0001)
+    val h = EventAnalytics.valueHistogram(ev).collect()
+    assert(h.map(_.getLong(2)).sum == ev.count())
+    assert(h.forall(_.getLong(2) > 0))
+  }
+
   test("users never mix") {
     val ev = mkEvents(
       (1L, 1000000L, 7L, "click"),
