@@ -53,6 +53,8 @@ object ScaleProbe {
       time(s"repetition_${c}x")(
         graft.text.TextAnalysis.repetitionSignals(docs).count())
       time(s"top_terms_${c}x")(graft.text.TextAnalysis.topTerms(docs).count())
+      time(s"curation_${c}x")(graft.pipeline.Curation.curate(
+        docs, col("doc_id") % 37 === 0, minShared = 40L).count())
     }
 
     // events scale: replicate 10x (unique event_ids) and run the window/
