@@ -51,8 +51,11 @@ object Curation {
       .withColumn("st", graft.functions.VecText.text_stats(toks))
       .withColumn("rp", graft.functions.VecText.repetition_stats(toks))
       .withColumn("n_tokens", st(1))
+      // guarded: ANSI double /0 throws — zero-token docs get NULL and
+      // fail the gate instead of killing the job (matches DuckDB's /0)
       .withColumn("stopword_ratio",
-        (st(2).cast("double") / st(1).cast("double")).cast("decimal(18,6)"))
+        when(st(1) > 0, st(2).cast("double") / st(1).cast("double"))
+          .cast("decimal(18,6)"))
       .withColumn("top_bigram_frac",
         when(rp(3) > 0, (rp(4).cast("double") / rp(3).cast("double"))
           .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))

@@ -43,22 +43,27 @@ object TextAnalysis {
     */
   def qualitySignals(docs: DataFrame): DataFrame = {
     val stats = graft.functions.VecText.text_stats(tokens(col("text"))).as("st")
+    val nTok = element_at(col("st"), 1)
+    // zero-token/zero-length docs get NULL ratios: Spark's ANSI double
+    // division THROWS on /0 (one empty doc would kill a corpus job)
+    // while DuckDB yields NULL — the guard makes both engines emit NULL
+    def overTokens(num: Column): Column = when(nTok > 0, num / nTok.cast("double"))
     docs.select(col("doc_id"), col("text"), stats)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
-        element_at(col("st"), 1).as("n_tokens"),
+        nTok.as("n_tokens"),
         // ratios round through decimal(18,6) (cross-engine-stable), then
         // out as double so pyarrow/DuckDB hash the same representation
-        (element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
+        overTokens(element_at(col("st"), 2).cast("double"))
           .cast("decimal(18,6)").cast("double").as("stopword_ratio"),
-        (element_at(col("st"), 3).cast("double") / element_at(col("st"), 1).cast("double"))
+        overTokens(element_at(col("st"), 3).cast("double"))
           .cast("decimal(18,6)").cast("double").as("distinct_ratio"),
-        (length(expr("replace(text, ' ', '')")).cast("double")
-          / element_at(col("st"), 1).cast("double"))
+        overTokens(length(expr("replace(text, ' ', '')")).cast("double"))
           .cast("decimal(18,6)").cast("double").as("mean_token_len"),
-        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-          length(col("text")).cast("double"))
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+            length(col("text")).cast("double"))
           .cast("decimal(18,6)").cast("double").as("punct_ratio"))
   }
 
@@ -68,16 +73,18 @@ object TextAnalysis {
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
     val nUniq = size(array_distinct(toks)).cast("double")
+    def overTokens(num: Column): Column = when(nTok > 0, num / nTok)
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_actual"),
       size(toks).cast("long").as("n_tokens"),
-      (nStop / nTok).cast("decimal(18,6)").cast("double").as("stopword_ratio"),
-      (nUniq / nTok).cast("decimal(18,6)").cast("double").as("distinct_ratio"),
-      (length(expr("replace(text, ' ', '')")).cast("double") / nTok)
+      overTokens(nStop).cast("decimal(18,6)").cast("double").as("stopword_ratio"),
+      overTokens(nUniq).cast("decimal(18,6)").cast("double").as("distinct_ratio"),
+      overTokens(length(expr("replace(text, ' ', '')")).cast("double"))
         .cast("decimal(18,6)").cast("double").as("mean_token_len"),
-      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-        length(col("text")).cast("double"))
+      when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text")).cast("double"))
         .cast("decimal(18,6)").cast("double").as("punct_ratio"))
   }
 
@@ -193,8 +200,11 @@ object TextAnalysis {
     val gated = docs
       .withColumn("st", graft.functions.VecText.text_stats(tokens(col("text"))))
       .withColumn("n_tokens", element_at(col("st"), 1))
+      // guarded: ANSI double /0 throws — empty docs get NULL and fail
+      // the gate (DuckDB's /0 is NULL, so the oracle agrees)
       .withColumn("stopword_ratio",
-        (element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
+        when(element_at(col("st"), 1) > 0,
+          element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
           .cast("decimal(18,6)"))
       .withColumn("lang_pred", {
         val s = (0 until 5).map(i => element_at(col("st"), lit(i + 4)))

@@ -179,6 +179,22 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == kept)
   }
 
+  test("empty and whitespace-only documents flow through every text gate (ANSI /0 guard)") {
+    val docs = Seq(
+      (1L, "", "s", 0L), (2L, "   ", "s", 3L),
+      (3L, "the quick brown fox jumps over a lazy dog it is fine", "s", 52L))
+      .toDF("doc_id", "text", "source", "n_chars").withColumn("lang", lit("en"))
+    // none of these may throw SparkArithmeticException on the empty docs
+    assert(TextAnalysis.qualitySignals(docs).count() == 3)
+    assert(TextAnalysis.qualitySignalsHof(docs).count() == 3)
+    assert(TextAnalysis.cleanCorpus(docs).count() == 1)     // only doc 3 passes
+    assert(graft.pipeline.Curation.gates(docs, col("doc_id") < 0).count() == 1)
+    // NULL ratios for the degenerate docs, real values for the healthy one
+    val q = TextAnalysis.qualitySignals(docs).orderBy("doc_id").collect()
+    assert(q(0).isNullAt(q(0).fieldIndex("stopword_ratio")))
+    assert(!q(2).isNullAt(q(2).fieldIndex("stopword_ratio")))
+  }
+
   test("topTerms ranks rarer terms first at equal tf") {
     val docs = Seq(
       (1L, "apple banana banana"),
