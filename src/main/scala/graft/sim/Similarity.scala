@@ -38,7 +38,10 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
+    // zero-norm guard: ANSI double /0 throws — a single all-zero vector
+    // would kill the job; NULL matches DuckDB's /0 and sorts last under
+    // desc on both engines
+    when(na * nb > 0, dot / (na * nb))
   }
 
   /** L2 norm of a float-array column — computed once per row, so pairwise
@@ -50,7 +53,8 @@ object Similarity {
     * dot product per pair (VecText.FloatVecDot), no per-pair norm work.
     */
   def cosineWithNorms(aEmb: Column, bEmb: Column, aNorm: Column, bNorm: Column): Column =
-    VecText.fvec_dot(aEmb, bEmb) / (aNorm * bNorm)
+    // zero-norm guard: see cosine()
+    when(aNorm * bNorm > 0, VecText.fvec_dot(aEmb, bEmb) / (aNorm * bNorm))
 
   /** Brute-force exact top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` is expected to be small (it is

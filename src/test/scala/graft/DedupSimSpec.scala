@@ -76,6 +76,18 @@ class DedupSimSpec extends SparkSpec {
     assert(cosines.head <= best + 1e-12)
   }
 
+  test("zero vectors get NULL cosine instead of killing the job (ANSI /0 guard)") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(0f, 0f), 1), (2L, Seq(0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .collect()
+    assert(out.length == 2)
+    val byNeighbor = out.map(r => r.getAs[Long]("rnk") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(byNeighbor(1L) == 2L) // real vector ranks first; zero vector last
+    assert(Similarity.embeddingNearDups(emb).collect() != null) // no throw
+  }
+
   test("LSH ANN recall against brute force is substantial") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 8)
