@@ -261,13 +261,19 @@ object Queries {
         sum(y).cast("decimal(38,6)").as("sy"),
         sum(sq(col("l_extendedprice"), col("l_extendedprice"))).cast("decimal(38,6)").as("syy"),
         sum(sq(col("l_quantity"), col("l_extendedprice"))).cast("decimal(38,6)").as("sxy"))
-      .select(col("l_returnflag"), col("n"),
-        outDouble(sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
-          / (col("n") - 1)).cast("decimal(18,6)")).as("stddev_qty"),
-        outDouble(((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
-          / sqrt((col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n"))
-            * (col("syy").cast("double") - pow(col("sy").cast("double"), 2) / col("n"))))
-          .cast("decimal(18,6)")).as("corr_qty_price"))
+      .select({
+        // ANSI /0 guards: a single-row group breaks stddev's n-1, a
+        // constant-valued group zeroes corr's variance product — NULL in
+        // both cases (what DuckDB's /0 yields), never a thrown job
+        val varX = col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n")
+        val varY = col("syy").cast("double") - pow(col("sy").cast("double"), 2) / col("n")
+        val cov = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")
+        Seq(col("l_returnflag"), col("n"),
+          outDouble(when(col("n") > 1, sqrt(varX / (col("n") - 1)))
+            .cast("decimal(18,6)")).as("stddev_qty"),
+          outDouble(when(varX * varY > 0, cov / sqrt(varX * varY))
+            .cast("decimal(18,6)")).as("corr_qty_price"))
+      }: _*)
   }
 
   /** String-function coverage: case, substring, edit distance. */
