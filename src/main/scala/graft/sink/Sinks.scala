@@ -50,8 +50,7 @@ object KeyedUpsertSink {
       order: Seq[Column])(batch: DataFrame, batchId: Long): Unit = {
     val target = Paths.get(tablePath)
     val existing =
-      if (Files.exists(target) && Files.list(target).findAny().isPresent)
-        Some(spark.read.parquet(tablePath))
+      if (nonEmptyDir(target)) Some(spark.read.parquet(tablePath))
       else None
 
     // New batch outranks existing rows on equal order values: tag a
@@ -70,6 +69,16 @@ object KeyedUpsertSink {
     merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(staging)
     replaceDir(Paths.get(staging), target)
   }
+
+  /** Existence probe that closes its directory stream — a bare
+    * `Files.list(...).findAny()` leaks one descriptor per micro-batch on
+    * a long-running stream.
+    */
+  private def nonEmptyDir(target: Path): Boolean =
+    Files.exists(target) && {
+      val s = Files.list(target)
+      try s.findAny().isPresent finally s.close()
+    }
 
   private def replaceDir(staging: Path, target: Path): Unit = {
     if (Files.exists(target)) {
@@ -109,7 +118,7 @@ object KeyedUpsertSink {
       .withColumn("__gen", lit(1L))
       .withColumn("__bucket", bucketOf(keys, numBuckets))
     val target = Paths.get(tablePath)
-    val tableExists = Files.exists(target) && Files.list(target).findAny().isPresent
+    val tableExists = nonEmptyDir(target)
     val merged =
       if (!tableExists) latestByKey(bucketed, keys, order)
       else {
