@@ -32,7 +32,8 @@ object Bench {
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster",
-    "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup", "sim_hard_negatives",
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
+    "sim_embed_neardup_lsh", "sim_ivf_ann", "sim_hard_negatives",
     "mm_decode", "mm_frames")
 
   def main(args: Array[String]): Unit = {

@@ -110,6 +110,24 @@ object SparkEntry {
       graft.sink.KeyedUpsertSink.readBucketed(s, path).drop("ts_us")
     }),
 
+    // K1 through the ATOMIC generation-manifest sink: same two-batch
+    // split, but each batch stages under gen-<id>/ and commits by one
+    // manifest rename — a crash mid-write can't tear the table. Read-back
+    // must equal the declarative LWW — same oracle as etl_upsert_lww.
+    "etl_upsert_atomic" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = java.nio.file.Files.createTempDirectory("graft-upsert-atomic-q")
+        .resolve("t").toString
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedAtomic(
+        s, path, Seq("user_id"), Seq(col("ts_us"), col("last_event_id")), 16) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.readBucketedAtomic(s, path).drop("ts_us")
+    }),
+
     // K3 observe channel: multicast tap + per-stage tally (README.md:27).
     "etl_audit_tally" -> ((s, dir) => {
       val extraction = CsvExtract.toEvents(customerAsCsv(s, dir))
@@ -263,6 +281,11 @@ object SparkEntry {
     }),
     "sim_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    // label-free near-dup: RHP signature band buckets → exact-cosine
+    // verify on candidates only (the non-quadratic unlabeled-corpus path;
+    // md5-derived planes → fully oracle-replayable).
+    "sim_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupsLsh(Tables.embeddings(s, dir))),
     // contrastive hard negatives: nearest neighbors with a different label.
     "sim_hard_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -355,6 +378,37 @@ object SparkEntry {
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
 
+  // ── IVF/k-means oracle building blocks (Similarity.ivfTopK twins) ──
+
+  /** Sequential-order double cosine of two list columns. */
+  private def ivfCosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+
+  /** Decimal-sum centroid of `src` rows (centroid_id, embedding) —
+    * the DuckDB twin of Similarity.decimalSumCentroids (float→VARCHAR→
+    * DECIMAL(18,9) per element, exact sum, VARCHAR-routed double out).
+    */
+  private def ivfCentroidSql(src: String): String =
+    s"""SELECT centroid_id, list(vd ORDER BY pos) AS centroid
+       |  FROM (SELECT centroid_id, pos, CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS vd
+       |        FROM (SELECT centroid_id, z[2] AS pos, CAST(CAST(z[1] AS VARCHAR) AS DECIMAL(18,9)) AS v
+       |              FROM (SELECT centroid_id, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+       |                    FROM $src))
+       |        GROUP BY centroid_id, pos)
+       |  GROUP BY centroid_id""".stripMargin
+
+  /** Nearest-centroid assignment of every corpus vector against `cent` —
+    * the DuckDB twin of Similarity.assignToCentroids.
+    */
+  private def ivfAssignSql(cent: String): String =
+    s"""SELECT vec_id, embedding, centroid_id
+       |  FROM (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |          ${ivfCosSql("e.embedding", "c.centroid")} AS d
+       |        FROM embeddings e CROSS JOIN $cent c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "etl_pipeline" ->
       s"""SELECT ID AS id, HouseNum AS house_number, Street AS street_address,
@@ -376,6 +430,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_bucketed" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "etl_upsert_atomic" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
@@ -717,38 +777,45 @@ object SparkEntry {
          |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
 
-    // SimHash, reproduced bit by bit: each token's 64-bit hash is the
-    // first 16 md5 hex chars (two BIGINT halves joined in HUGEINT);
-    // per-bit votes, sign → signature; 4×16-bit pigeonhole bands for
-    // candidates; hamming ≤ 3 verified via bit_count(xor).
+    // 128-bit SimHash, reproduced bit by bit: each token's hash is the
+    // FULL md5 as two unsigned 64-bit words (each assembled from two
+    // 8-hex-char halves in HUGEINT); per-bit votes over all 128 bits,
+    // sign → two signature words; 4×32-BIT pigeonhole bands for
+    // candidates (the scale-hardened bucket width); hamming ≤ 3 verified
+    // via bit_count(xor) summed over both words.
     "dedup_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id,
          |    CAST(CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
-         |      + CAST(CONCAT('0x', substr(md5(w), 9, 8)) AS BIGINT) AS u
+         |      + CAST(CONCAT('0x', substr(md5(w), 9, 8)) AS BIGINT) AS u0,
+         |    CAST(CAST(CONCAT('0x', substr(md5(w), 17, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+         |      + CAST(CONCAT('0x', substr(md5(w), 25, 8)) AS BIGINT) AS u1
          |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
          |), v AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN (u >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-         |  FROM h CROSS JOIN range(64) t(b) GROUP BY doc_id, b
+         |  SELECT doc_id, k, b,
+         |    sum(CASE WHEN ((CASE WHEN k = 0 THEN u0 ELSE u1 END) >> b) % 2 = 1
+         |        THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN range(2) tk(k) CROSS JOIN range(64) tb(b)
+         |  GROUP BY doc_id, k, b
          |), su AS (
          |  SELECT doc_id,
-         |    sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS usig
+         |    sum(CASE WHEN k = 0 AND vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS us0,
+         |    sum(CASE WHEN k = 1 AND vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS us1
          |  FROM v GROUP BY doc_id
-         |), sg AS (
-         |  SELECT doc_id, usig,
-         |    CAST(CASE WHEN usig >= 9223372036854775808 THEN usig - 18446744073709551616
-         |         ELSE usig END AS BIGINT) AS sig
-         |  FROM su
          |), bands AS (
-         |  SELECT doc_id, sig, b AS band, CAST((usig >> (16 * b)) % 65536 AS BIGINT) AS bucket
-         |  FROM sg CROSS JOIN range(4) t(b)
+         |  SELECT doc_id, us0, us1, band,
+         |    CAST(CASE band
+         |      WHEN 0 THEN us0 % 4294967296
+         |      WHEN 1 THEN us0 >> 32
+         |      WHEN 2 THEN us1 % 4294967296
+         |      ELSE us1 >> 32 END AS BIGINT) AS bucket
+         |  FROM su CROSS JOIN range(4) t(band)
          |)
          |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  CAST(bit_count(xor(a.us0, b.us0)) + bit_count(xor(a.us1, b.us1)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+         |WHERE bit_count(xor(a.us0, b.us0)) + bit_count(xor(a.us1, b.us1)) <= 3""".stripMargin,
 
     // MinHash-LSH, reproduced stage by stage: the base hash is the first
     // 15 hex chars of md5 (= VecTextKernels.md5Mod60), the 64 permutation
@@ -1038,48 +1105,40 @@ object SparkEntry {
         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
-    // IVF, stage by stage: decimal-summed centroids (scale-invariant
-    // under cosine, exact → engine-identical), argmax assignment,
-    // nprobe=2 probing, exact re-rank.
+    // IVF with TRAINED quantizer, stage by stage: decimal-sum init
+    // centroids (per label), two unrolled Lloyd rounds (assign → exact
+    // decimal-sum recompute — every round engine-identical), final
+    // assignment = inverted lists, nprobe=2 probing, exact re-rank.
     "sim_ivf_ann" ->
-      """WITH cd AS (
-        |  SELECT label, z[2] AS pos, CAST(CAST(z[1] AS VARCHAR) AS DECIMAL(18,9)) AS v
-        |  FROM (SELECT label, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
-        |        FROM embeddings)
-        |), cs AS (
-        |  SELECT label AS centroid_id, pos, CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS vd
-        |  FROM cd GROUP BY label, pos
-        |), cent AS (
-        |  SELECT centroid_id, list(vd ORDER BY pos) AS centroid FROM cs GROUP BY centroid_id
-        |), asn AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS c_emb, centroid_id,
-        |    list_sum(list_transform(list_zip(embedding, centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS d
-        |  FROM embeddings CROSS JOIN cent
-        |), lists AS (
-        |  SELECT centroid_id, neighbor_id, c_emb FROM asn
-        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY d DESC, centroid_id) = 1
-        |), probes AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
-        |  FROM (
-        |    SELECT vec_id, embedding, centroid_id,
-        |      list_sum(list_transform(list_zip(embedding, centroid), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS d
-        |    FROM embeddings CROSS JOIN cent WHERE vec_id < 8)
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= 2
-        |), scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum(list_transform(list_zip(q_emb, c_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(c_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-        |  FROM lists JOIN probes USING (centroid_id) WHERE query_id != neighbor_id
-        |)
-        |SELECT query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
-        |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
-        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+      s"""WITH cent0 AS (
+         |  ${ivfCentroidSql("(SELECT label AS centroid_id, embedding FROM embeddings)")}
+         |), asn1 AS (
+         |  ${ivfAssignSql("cent0")}
+         |), cent1 AS (
+         |  ${ivfCentroidSql("asn1")}
+         |), asn2 AS (
+         |  ${ivfAssignSql("cent1")}
+         |), cent2 AS (
+         |  ${ivfCentroidSql("asn2")}
+         |), lists AS (
+         |  SELECT centroid_id, vec_id AS neighbor_id, embedding AS c_emb
+         |  FROM (${ivfAssignSql("cent2")})
+         |), probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ${ivfCosSql("e.embedding", "c.centroid")} AS d
+         |    FROM embeddings e CROSS JOIN cent2 c WHERE e.vec_id < 8)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= 2
+         |), scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${ivfCosSql("q_emb", "c_emb")} AS cos
+         |  FROM lists JOIN probes USING (centroid_id) WHERE query_id != neighbor_id
+         |)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
@@ -1107,6 +1166,46 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT label, vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM s WHERE cos >= 0.3""".stripMargin,
+
+    // label-free LSH near-dup, replayed stage by stage: the 64 hyperplanes
+    // regenerate from md5("rhp-p-i") (shared with sim_lsh_ann's recipe,
+    // precomputed once as per-plane component lists), signatures from
+    // sequential-order dot products, candidates from 8 bands of 8 bits,
+    // then the exact-cosine verify of sim_embed_neardup. DISTINCT here =
+    // the Spark side's smallest-shared-band single emission.
+    "sim_embed_neardup_lsh" ->
+      """WITH pl AS (
+        |  SELECT p, list(CAST(CAST(CONCAT('0x', substr(md5('rhp-' || p || '-' || i), 1, 15)) AS BIGINT)
+        |      % 1000000 AS DOUBLE) / 1000000.0 - 0.5 ORDER BY i) AS w
+        |  FROM range(64) tp(p) CROSS JOIN range(64) ti(i)
+        |  GROUP BY p
+        |), e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sigb AS (
+        |  SELECT vec_id, p,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * w[i])) AS dotp
+        |  FROM embeddings CROSS JOIN pl
+        |), sig AS (
+        |  SELECT vec_id, sum(CASE WHEN dotp > 0 THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS usig
+        |  FROM sigb GROUP BY vec_id
+        |), bands AS (
+        |  SELECT vec_id, band, CAST((usig >> (8 * band)) % 256 AS BIGINT) AS bucket
+        |  FROM sig CROSS JOIN range(8) tb(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), scored AS (
+        |  SELECT vec_id_a, vec_id_b,
+        |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
+        |  FROM cand JOIN e x ON cand.vec_id_a = x.vec_id JOIN e y ON cand.vec_id_b = y.vec_id
+        |)
+        |SELECT vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+        |FROM scored WHERE cos >= 0.3""".stripMargin,
 
     "mm_decode" ->
       """WITH a AS (

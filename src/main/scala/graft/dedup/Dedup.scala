@@ -156,14 +156,59 @@ object Dedup {
   def simhash(text: Column): Column =
     VecText.simhash64(TextAnalysis.tokens(text))
 
+  /** 128-bit SimHash as two 64-bit words [w0, w1]; w0 equals [[simhash]]
+    * (both vote on md5 hex 1-16), w1 votes on hex 17-32.
+    */
+  def simhashWide(text: Column): Column =
+    VecText.simhash_wide(TextAnalysis.tokens(text))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup: candidates share one of four 16-bit bands (any pair
-    * within hamming ≤ 3 must agree on ≥1 band — pigeonhole), verified by
-    * full hamming distance.
+  /** SimHash near-dup — the hardened 128-bit path. Candidates share one
+    * of four 32-BIT bands (any pair within hamming ≤ 3 must agree on ≥1
+    * of 4 bands — pigeonhole, so the candidate stage is still EXHAUSTIVE
+    * for the ≤3 guarantee), verified by full 128-bit hamming distance.
+    *
+    * Scale: the 64-bit variant's 16-bit bands put ~n²/2^16 random pairs
+    * in each band bucket — a quadratic cliff on web-scale low-entropy
+    * corpora. 32-bit buckets divide that density by another 2^16
+    * (~n²/2^32 per band): at n = 10^9 docs the expected random
+    * collisions drop from ~10^13 to ~10^8 — linear-territory. Same
+    * number of bands, same pigeonhole bound, one extra signature word.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val mask32 = lit(0xFFFFFFFFL)
+    val sigs = docs
+      .select(col("doc_id"), simhashWide(col("text")).as("sw"))
+      .select(col("doc_id"),
+        element_at(col("sw"), 1).as("w0"), element_at(col("sw"), 2).as("w1"))
+    val banded = sigs.select(col("doc_id"), col("w0"), col("w1"),
+      posexplode(array(
+        col("w0").bitwiseAND(mask32),
+        shiftrightunsigned(col("w0"), 32),
+        col("w1").bitwiseAND(mask32),
+        shiftrightunsigned(col("w1"), 32))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"),
+      col("w0").as("w0_a"), col("w1").as("w1_a"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"),
+      col("w0").as("w0_b"), col("w1").as("w1_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (hamming(col("w0_a"), col("w0_b")) + hamming(col("w1_a"), col("w1_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The previous 64-bit SimHash near-dup (4×16-bit bands) — kept as the
+    * ScaleProbe comparison baseline for the candidate-density cliff the
+    * 128-bit [[simhashNearDups]] closes.
+    */
+  def simhashNearDups64(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

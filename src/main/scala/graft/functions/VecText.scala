@@ -50,6 +50,27 @@ object VecTextKernels {
   def md5Mod60Str(s: String): Long =
     md5Mod60(UTF8String.fromString(s))
 
+  /** All 16 md5 digest bytes as two unsigned-bit-pattern longs
+    * `[hex 1-16, hex 17-32]` — the 128-bit extension of [[md5U64]]
+    * (word 0 IS md5U64's value). DuckDB rebuilds each word from two
+    * 8-hex-char halves exactly like the 64-bit recipe.
+    */
+  def md5U128(s: UTF8String): Array[Long] = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val w = new Array[Long](2)
+    var k = 0
+    while (k < 2) {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(k * 8 + i) & 0xFFL); i += 1 }
+      w(k) = v
+      k += 1
+    }
+    w
+  }
+
   /** `(a*h + b) mod 2^61-1` without 128-bit types: multiplyHigh gives the
     * upper 64 product bits; two Mersenne folds reduce the 122-bit value.
     * Exactly equals the BigInt formulation (property-pinned in VecTextSpec).
@@ -140,6 +161,42 @@ object VecTextKernels {
       b += 1
     }
     sig
+  }
+
+  /** 128-bit SimHash over the full md5 of each element, as two 64-bit
+    * signature words `[w0, w1]` with `w0` voting on md5 hex 1-16 (so
+    * `w0` equals the 64-bit [[simhash]] value) and `w1` on hex 17-32.
+    * Twice the signature entropy halves nothing per bit — but it lets
+    * candidate bands be 32 bits wide instead of 16 at the same
+    * pigeonhole guarantee, dividing random band-collision density by
+    * 2^16 (the web-scale cliff of the 64-bit variant).
+    */
+  def simhashWide(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      val w = md5U128(arr.getUTF8String(i))
+      var k = 0
+      while (k < 2) {
+        val h = w(k)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(k * 64 + b) += 1
+          else votes(k * 64 + b) -= 1
+          b += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val sig = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      if (votes(b) > 0) sig(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** Single-pass repetition statistics over a token array (Gopher-style
@@ -350,6 +407,18 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 128-bit SimHash as two 64-bit words [w0, w1]; w0 equals the 64-bit
+    * [[SimHash64]] value (see VecTextKernels.simhashWide).
+    */
+  case class SimHashWide(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.simhashWide(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.simhashWide($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Sorted distinct xxhash64 image of a string array — the compact set
     * representation for mass pairwise Jaccard (intersect via
     * JaccardSorted64's merge-scan). A 64-bit collision (≈2⁻⁶⁴ per element
@@ -509,6 +578,7 @@ object VecText {
   def repetition_stats(c: Column): Column = column(RepetitionStats(expr(c)))
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
+  def simhash_wide(c: Column): Column = column(SimHashWide(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))
   def jaccard_distinct(a: Column, b: Column): Column = column(JaccardDistinct(expr(a), expr(b)))
   def hash_set64(c: Column): Column = column(HashSet64(expr(c)))

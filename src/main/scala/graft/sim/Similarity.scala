@@ -161,37 +161,71 @@ object Similarity {
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
-  /** IVF-style ANN: coarse centroids (here: per-label decimal-sum
-    * vectors, ∝ the mean — k-means stand-in), inverted lists keyed by
-    * centroid id, queries probe the `nprobe` nearest centroids, exact
-    * re-rank inside probed lists.
-    * The centroid table is tiny → broadcast; the corpus shuffles once to
-    * its list (in a real deployment it is *stored* pre-partitioned by
-    * list, making this shuffle-free at query time).
+  /** Per-dimension DECIMAL SUM centroid of each group's vectors, not the
+    * float mean: cosine is scale-invariant (sum ∝ mean), and a decimal
+    * sum is exact — assignment stops depending on float merge order, so
+    * the whole operator is deterministic and oracle-checkable. The cast
+    * goes float→string→decimal: both engines parse the float's shortest
+    * decimal representation (a direct float→decimal cast diverges —
+    * Spark expands via double, DuckDB via shortest repr). The groupBy
+    * sums combine map-side (partial agg), so each Lloyd round shuffles
+    * only K×dims partial sums, not vectors.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    // Centroid = per-dimension DECIMAL SUM of the list's vectors, not the
-    // float mean: cosine is scale-invariant (sum ∝ mean), and a decimal
-    // sum is exact — assignment stops depending on float merge order, so
-    // the whole operator is deterministic and oracle-checkable. The cast
-    // goes float→string→decimal: both engines parse the float's shortest
-    // decimal representation (a direct float→decimal cast diverges —
-    // Spark expands via double, DuckDB via shortest repr).
-    val centroids = corpus
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos")
+  private def decimalSumCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")))
+      .groupBy("centroid_id", "pos")
       .agg(sum(col("col").cast("string").cast("decimal(18,9)")).as("vsum"))
-      .groupBy("label").agg(array_sort(
+      .groupBy("centroid_id").agg(array_sort(
         collect_list(struct(col("pos"), col("vsum").cast("double").as("v")))).as("pv"))
-      .select(col("label").as("centroid_id"),
-        transform(col("pv"), p => p.getField("v")).as("centroid"))
-    val assignments = corpus.crossJoin(broadcast(centroids))
+      .select(col("centroid_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+
+  /** Nearest-centroid assignment by cosine (ties → lowest centroid_id):
+    * broadcast the tiny centroid table, argmax per vector.
+    */
+  private def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("centroid_id"))
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("d", cosine(col("embedding"), col("centroid")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d").desc, col("centroid_id"))
-    val lists = assignments.withColumn("rn", row_number().over(wAssign))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means
+    * (`lloydIters` fixed iterations — fixed so any engine can replay the
+    * training verbatim), inverted lists keyed by centroid id, queries
+    * probe the `nprobe` nearest centroids, exact re-rank inside probed
+    * lists.
+    *
+    * Training is fully deterministic: initial centroids are the
+    * per-label decimal sums (a data-derived seeding — k-means++ without
+    * RNG), and each Lloyd round recomputes centroids as exact decimal
+    * sums of the reassigned vectors ([[decimalSumCentroids]]), so every
+    * round — and therefore the final lists and query results — is
+    * bit-reproducible cross-engine (the DuckDB oracle unrolls the same
+    * rounds as CTE stages). A centroid that loses all vectors simply
+    * drops out of the next round (standard empty-cluster handling).
+    *
+    * Scale: each round is one broadcast-join scan of the corpus plus a
+    * K×dims partial-sum shuffle — the canonical distributed k-means
+    * shape; the corpus never shuffles during training. The final lists
+    * ARE the shuffle a real deployment would persist (stored
+    * pre-partitioned by list → shuffle-free at query time).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+      lloydIters: Int = 2): DataFrame = {
+    val init = decimalSumCentroids(corpus.select(col("label").as("centroid_id"),
+      col("embedding")))
+    val trained = (1 to lloydIters).foldLeft(init) { (cents, _) =>
+      decimalSumCentroids(
+        assignToCentroids(corpus.select("vec_id", "embedding"), cents)
+          .select(col("centroid_id"), col("embedding")))
+    }
+    val lists = assignToCentroids(corpus.select("vec_id", "embedding"), trained)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))
+    val centroids = trained
     val wProbe = Window.partitionBy("query_id").orderBy(col("d").desc, col("centroid_id"))
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
@@ -206,6 +240,77 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
+  }
+
+  /** Label-free embedding near-duplicate pairs via random-hyperplane LSH
+    * — the non-quadratic path for unlabeled corpora (the common
+    * pretraining case, where [[embeddingNearDups]]'s label blocking
+    * isn't available and its within-block O(block²) wouldn't survive a
+    * hot block anyway).
+    *
+    * Plan: signature map-side (one [[rhpSignature]] pass per vector) →
+    * band the `bits`-bit signature into `bits/bandBits` bands → one
+    * (band, bucket) shuffle joins colliding vectors — each pair emitted
+    * exactly once, at the SMALLEST band both share (computable from the
+    * two signatures riding the join, so no DISTINCT shuffle) → exact
+    * cosine verify on candidates only.
+    *
+    * Tuning (Charikar'02 sign-LSH): a pair at angle θ agrees on one bit
+    * w.p. p = 1-θ/π; on a band w.p. p^bandBits; recall over b bands is
+    * 1-(1-p^bandBits)^b. Background (near-orthogonal) pairs collide
+    * w.p. ~2^-bandBits per band, so expected random candidates are
+    * ~b·n²/2^bandBits: size bandBits toward log2(n) at deployment scale
+    * and spend signature bits on more bands for recall — the classic
+    * n^(1+ρ) LSH work curve, ρ = ln(1/p₁)/ln(1/p₂). The defaults
+    * (64 bits, 8 bands of 8) suit true near-dups (cos ≳ 0.85, recall
+    * ≥ ~0.95); at permissive thresholds on isotropic data no
+    * sub-quadratic candidate scheme separates the tail — that regime
+    * belongs to the exact operator.
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.3,
+      bits: Int = 64,
+      bandBits: Int = 8): DataFrame = {
+    require(bits <= 64 && bits % bandBits == 0, "bits must be ≤64, a multiple of bandBits")
+    val nBands = bits / bandBits
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    def bslice(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, i * bandBits).bitwiseAND(mask)
+    // spread the pre-fan-out side: a single-file corpus would otherwise
+    // put the whole band explode + candidate join on one task
+    val para = embeddings.sparkSession.sparkContext.defaultParallelism
+    val sigs = embeddings
+      .select(col("vec_id"), rhpSignature(col("embedding"), bits).as("sig"))
+      .repartition(para)
+    val banded = sigs.select(col("vec_id"), col("sig"),
+      posexplode(array((0 until nBands).map(bslice(col("sig"), _)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_id_b"), col("sig").as("sig_b"))
+    // emit each colliding pair once: only at the smallest shared band
+    // (both signatures are in the joined row — no DISTINCT shuffle)
+    val minShared = array_min(array((0 until nBands).map(i =>
+      when(bslice(col("sig_a"), i) === bslice(col("sig_b"), i), lit(i))): _*))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b") && col("band") === minShared)
+      .select("vec_id_a", "vec_id_b")
+    // candidates are sparse → join embeddings back by id (two hash joins;
+    // Spark broadcasts the small side automatically at test scale)
+    val embN = embeddings.select(col("vec_id"), col("embedding"),
+      fnorm(col("embedding")).as("nrm"))
+    cands
+      .join(embN.select(col("vec_id").as("vec_id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("norm_a")), "vec_id_a")
+      .join(embN.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("norm_b")), "vec_id_b")
+      .withColumn("cos",
+        cosineWithNorms(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"),
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 

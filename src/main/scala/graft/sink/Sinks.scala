@@ -141,6 +141,153 @@ object KeyedUpsertSink {
   /** Read the bucketed table without its layout column. */
   def readBucketed(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).drop("__bucket")
+
+  // ─────────────────────────── atomic generation-manifest variant ──
+
+  /** Atomic bucketed upsert: [[upsertBucketed]]'s dynamic partition
+    * overwrite rewrites touched bucket directories IN PLACE, so a writer
+    * dying mid-batch leaves some buckets new and some old — a torn
+    * table. This variant writes each batch's merged buckets under a
+    * fresh `gen-<batchId>/` directory and then atomically swaps a
+    * manifest file mapping every bucket to the generation holding its
+    * current version (one POSIX rename — the same generation-pointer
+    * discipline a transactional table format uses, minus the format).
+    * A crash anywhere before the rename leaves the manifest untouched:
+    * readers keep resolving the previous consistent generation set, and
+    * the orphaned gen directory is garbage, not corruption (reclaimed by
+    * [[vacuumGenerations]]).
+    *
+    * Same LWW/generation-column merge and O(touched buckets)/trigger
+    * cost as [[upsertBucketed]]: the merge reads only the touched
+    * buckets' current directories (resolved via the manifest), and the
+    * batch replays to a no-op on redelivery.
+    */
+  def upsertBucketedAtomic(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      numBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
+    writeGeneration(spark, tablePath, keys, order, numBuckets, batch, batchId) match {
+      case Some((gen, touched)) => commitManifest(tablePath, touched, gen)
+      case None => () // empty batch: nothing staged, nothing to commit
+    }
+  }
+
+  /** Stage step: merge the batch against the touched buckets' current
+    * versions and write the result under `gen-<batchId>/` — NOT yet
+    * visible to readers. Returns the generation name and touched bucket
+    * ids for [[commitManifest]]; None for an empty batch. Public so the
+    * crash-recovery spec can stage without committing (simulating a
+    * writer killed between the bucket writes and the manifest swap).
+    */
+  def writeGeneration(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      numBuckets: Int,
+      batch: DataFrame,
+      batchId: Long): Option[(String, Seq[Long])] = {
+    val bucketed = batch
+      .withColumn("__gen", lit(1L))
+      .withColumn("__bucket", bucketOf(keys, numBuckets))
+    // distinct buckets of a micro-batch: bounded (≤ numBuckets) metadata
+    val touched = bucketed.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return None
+    val manifest = readManifest(tablePath)
+    val existing = readManifestBuckets(spark, tablePath,
+      manifest.filter { case (b, _) => touched.contains(b) })
+    val merged = existing match {
+      case Some(old) =>
+        latestByKey(
+          old.withColumn("__gen", lit(0L)).unionByName(bucketed),
+          keys, order :+ col("__gen"))
+      case None => latestByKey(bucketed, keys, order)
+    }
+    val gen = s"gen-$batchId"
+    merged.drop("__gen")
+      .write.mode(SaveMode.Overwrite) // replay of the same batchId re-stages
+      .partitionBy("__bucket")
+      .parquet(s"$tablePath/$gen")
+    Some((gen, touched))
+  }
+
+  /** Commit step: point the touched buckets at `gen` via write-tmp +
+    * atomic rename. THE visibility boundary — everything before this is
+    * invisible to readers.
+    */
+  def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit = {
+    val next = readManifest(tablePath) ++ touched.map(_ -> gen)
+    val body = next.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
+    val tmp = Paths.get(tablePath, s"_manifest.tmp-$gen")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tablePath, "_manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Current bucket → generation mapping; empty before the first commit. */
+  def readManifest(tablePath: String): Map[Long, String] = {
+    val p = Paths.get(tablePath, "_manifest")
+    if (!Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+        val Array(b, g) = line.split(",", 2)
+        b.toLong -> g
+      }.toMap
+    }
+  }
+
+  /** Read the given bucket→gen entries, one scan per distinct generation
+    * (basePath keeps the `__bucket=N` partition column), cast back to the
+    * writer's long type. None when no entry exists yet.
+    */
+  private def readManifestBuckets(
+      spark: SparkSession,
+      tablePath: String,
+      entries: Map[Long, String]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else Some(entries.groupBy(_._2).map { case (gen, buckets) =>
+      spark.read.option("basePath", s"$tablePath/$gen")
+        .parquet(buckets.keys.toSeq.sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
+        .withColumn("__bucket", col("__bucket").cast("long"))
+    }.reduce(_ unionByName _))
+
+  /** Read the atomic table at its current manifest, without the layout
+    * column.
+    */
+  def readBucketedAtomic(spark: SparkSession, tablePath: String): DataFrame = {
+    val manifest = readManifest(tablePath)
+    readManifestBuckets(spark, tablePath, manifest) match {
+      case Some(df) => df.drop("__bucket")
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** Best-effort reclamation of generation directories no manifest entry
+    * references (superseded or orphaned by a crash). Standard snapshot
+    * caveat: like any VACUUM, don't run it while a reader resolved
+    * against an older manifest is still scanning.
+    */
+  def vacuumGenerations(tablePath: String): Seq[String] = {
+    val live = readManifest(tablePath).values.toSet
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    val gens =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("gen-"))
+        .toList
+      finally s.close()
+    gens.filterNot(p => live.contains(p.getFileName.toString)).map { p =>
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      p.getFileName.toString
+    }
+  }
 }
 
 /** Date-partitioned event storage: the layout that makes time-ranged

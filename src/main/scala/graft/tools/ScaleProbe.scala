@@ -35,10 +35,42 @@ object ScaleProbe {
       println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    // candidate volume of a banded signature scheme: Σ n_b·(n_b-1)/2 over
+    // (band, bucket) groups — the work the verify stage would pay, before
+    // any hamming/cosine filter
+    def bandedCandidates(banded: DataFrame): Long =
+      banded.groupBy("band", "bucket").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getAs[Any](0) match {
+          case null => 0L
+          case d: java.math.BigDecimal => d.longValue()
+          case d: Double => d.toLong
+          case l: Long => l
+        }
+
+    def simhashCandidates(docs: DataFrame, wide: Boolean): Long = {
+      val banded =
+        if (wide)
+          docs.select(Dedup.simhashWide(col("text")).as("sw"))
+            .select(element_at(col("sw"), 1).as("w0"), element_at(col("sw"), 2).as("w1"))
+            .select(posexplode(array(
+              col("w0").bitwiseAND(lit(0xFFFFFFFFL)), shiftrightunsigned(col("w0"), 32),
+              col("w1").bitwiseAND(lit(0xFFFFFFFFL)), shiftrightunsigned(col("w1"), 32))))
+        else
+          docs.select(Dedup.simhash(col("text")).as("sig"))
+            .select(posexplode(array((0 until 4).map(b =>
+              shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      bandedCandidates(banded
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    }
+
     Seq(1, k).foreach { c =>
       val docs = corpus(c)
       println(s"== ${c}x corpus (${5000 * c} docs)")
+      // the 16-bit-band cliff vs the 32-bit-band fix, in raw candidate pairs
+      println(s"SCALE simhash_candidates_64bit_${c}x  ${simhashCandidates(docs, wide = false)}")
+      println(s"SCALE simhash_candidates_128bit_${c}x ${simhashCandidates(docs, wide = true)}")
       time(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
+      time(s"simhash64_${c}x")(Dedup.simhashNearDups64(docs).count())
       time(s"simhash_${c}x")(Dedup.simhashNearDups(docs).count())
       time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
       time(s"cluster_${c}x")(Dedup.jaccardClusters(docs).count())
@@ -88,9 +120,33 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       val queries = emb.filter(col("vec_id") < 8)
       println(s"== embeddings ${c}x (${2000 * c} vectors)")
+      // RHP band-collision volume for the label-free near-dup path
+      val rhpBanded = corpus
+        .select(Similarity.rhpSignature(col("embedding"), 64).as("sig"))
+        .select(posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      println(s"SCALE rhp_candidates_${c}x ${bandedCandidates(rhpBanded)}")
       time(s"bruteforce_${c}x")(Similarity.bruteForceTopK(corpus, queries).count())
       time(s"lsh_ann_${c}x")(Similarity.lshTopK(corpus, queries).count())
       time(s"embed_neardup_${c}x")(Similarity.embeddingNearDups(corpus).count())
+      time(s"embed_neardup_lsh_${c}x")(Similarity.embeddingNearDupsLsh(corpus).count())
+      time(s"ivf_ann_${c}x")(Similarity.ivfTopK(corpus, queries).count())
+      if (c == 1) {
+        // recall of the label-free LSH path against the exact label-blocked
+        // twin, at the twin's own threshold (0.3 — deep in the isotropic
+        // tail, the worst case for sign-LSH; see embeddingNearDupsLsh docs)
+        // and at a near-dup threshold where the banding is designed to live
+        Seq(0.3, 0.35).foreach { t =>
+          val exact = Similarity.embeddingNearDups(corpus, t)
+            .select("vec_id_a", "vec_id_b")
+          val lsh = Similarity.embeddingNearDupsLsh(corpus, t)
+            .select("vec_id_a", "vec_id_b")
+          val hit = exact.join(lsh, Seq("vec_id_a", "vec_id_b"), "left_semi").count()
+          val tot = exact.count()
+          println(f"SCALE embed_neardup_lsh_recall@$t ${hit.toDouble / tot}%.3f ($hit/$tot)")
+        }
+      }
     }
     spark.stop()
   }

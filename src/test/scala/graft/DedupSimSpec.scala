@@ -51,6 +51,80 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("128-bit simhash: word0 equals the 64-bit signature; banding is exhaustive for hamming<=3") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    // w0 votes on the same md5 hex 1-16 bits as the 64-bit kernel
+    val mismatch = docs.select(
+      Dedup.simhash(col("text")).as("s64"),
+      element_at(Dedup.simhashWide(col("text")), 1).as("w0"))
+      .filter(col("s64") =!= col("w0")).count()
+    assert(mismatch == 0)
+    // pigeonhole: the banded candidate stage must find EVERY pair at
+    // hamming <= 3 (4 bands, <=3 flipped bits can't touch all 4)
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhashWide(col("text")).as("sw"))
+      .select(col("doc_id"),
+        element_at(col("sw"), 1).as("w0"), element_at(col("sw"), 2).as("w1"))
+    val a = sigs.select(col("doc_id").as("doc_id_a"), col("w0").as("w0a"), col("w1").as("w1a"))
+    val b = sigs.select(col("doc_id").as("doc_id_b"), col("w0").as("w0b"), col("w1").as("w1b"))
+    val brute = a.crossJoin(b).filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming",
+        (bit_count(col("w0a").bitwiseXOR(col("w0b"))) +
+          bit_count(col("w1a").bitwiseXOR(col("w1b")))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("embeddingNearDupsLsh: verified subset of exact pairs; planted duplicates always found") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    // plant exact duplicates: a copy of every vector under a shifted id —
+    // identical vectors share every band, so all (i, i+1000) pairs MUST
+    // surface with cosine 1.0
+    val planted = emb.unionByName(
+      emb.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"), col("label")))
+    val got = Similarity.embeddingNearDupsLsh(planted, threshold = 0.99)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val ids = emb.select("vec_id").as[Long].collect()
+    ids.foreach(i => assert(got.contains((i, i + 1000L)),
+      s"planted duplicate pair ($i, ${i + 1000L}) missed"))
+    // soundness: every emitted pair really is >= threshold per the exact
+    // label-free all-pairs computation
+    val lsh = Similarity.embeddingNearDupsLsh(emb, threshold = 0.3)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val x = emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+      Similarity.fnorm(col("embedding")).as("na"))
+    val y = emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+      Similarity.fnorm(col("embedding")).as("nb"))
+    val exact = x.crossJoin(y).filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", Similarity.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
+  }
+
+  test("ivfTopK with Lloyd training returns valid ranked top-k with real recall") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 8)
+    val out = Similarity.ivfTopK(emb, q, k = 5, nprobe = 2, lloydIters = 2)
+      .orderBy("query_id", "rnk").collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+      val cosines = rows.map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sorted.reverse))
+    }
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall too low for nprobe=2")
+  }
+
   test("bruteForceTopK returns k nearest with rank 1 = highest cosine") {
     val emb = Tables.embeddings(spark, Sf0001)
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
