@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = single JVM: driver heap is the only memory knob. 8g
   // caused GC-driven bench variance at sf0.1 with 32 threads + broadcasts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin the committed heap: without -Xms, the System.gc() settle Bench
+  // runs between queries shrinks the heap, and the next timed query pays
+  // the re-commit (~+0.3-0.4 s on q1_agg at sf0.1 — the round-4 "bench
+  // regression" was exactly this, not a plan change)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -199,6 +199,59 @@ object VecTextKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Nearest-centroid id by cosine over a (centroid_id, centroid) struct
+    * array — the map-side argmax of distributed k-means assignment (one
+    * tight loop per row, no row explosion, no shuffle). Arithmetic is
+    * bit-identical to the Column-level `cosine()` (sequential-order
+    * double accumulation of dot and both norms, float elements widened
+    * per element); ties keep the FIRST strict maximum, so with the
+    * struct array sorted by centroid_id this equals the oracle window's
+    * `ORDER BY d DESC, centroid_id`. Zero-norm (NULL-cosine) centroids
+    * are skipped; if every cosine is NULL the first (lowest) centroid id
+    * is returned — NULLs sort last under DESC on both engines.
+    */
+  def nearestCentroid(cents: ArrayData, emb: ArrayData): Long = {
+    val n = emb.numElements()
+    var na = 0.0
+    var j = 0
+    while (j < n) {
+      val v = emb.getFloat(j).toDouble
+      na += v * v
+      j += 1
+    }
+    na = math.sqrt(na)
+    val k = cents.numElements()
+    var bestCid = if (k > 0) cents.getStruct(0, 2).getLong(0) else -1L
+    var bestD = 0.0
+    var hasBest = false
+    var i = 0
+    while (i < k) {
+      val row = cents.getStruct(i, 2)
+      val cent = row.getArray(1)
+      var dot = 0.0
+      var nb = 0.0
+      var m = 0
+      while (m < n) {
+        val x = emb.getFloat(m).toDouble
+        val y = cent.getDouble(m)
+        dot += x * y
+        nb += y * y
+        m += 1
+      }
+      nb = math.sqrt(nb)
+      if (na * nb > 0) {
+        val d = dot / (na * nb)
+        if (!hasBest || d > bestD) {
+          hasBest = true
+          bestD = d
+          bestCid = row.getLong(0)
+        }
+      }
+      i += 1
+    }
+    bestCid
+  }
+
   /** Single-pass repetition statistics over a token array (Gopher-style
     * repetition filters need the most-repeated unigram/bigram mass):
     * returns (n_tokens, max unigram count, n_bigrams, max bigram count).
@@ -419,6 +472,20 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Nearest-centroid id over a broadcast (centroid_id, centroid) struct
+    * array (see VecTextKernels.nearestCentroid for the parity contract).
+    */
+  case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(cents: Any, emb: Any): Any =
+      java.lang.Long.valueOf(VecTextKernels.nearestCentroid(
+        cents.asInstanceOf[ArrayData], emb.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, e) => s"graft.functions.VecTextKernels.nearestCentroid($c, $e)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Sorted distinct xxhash64 image of a string array — the compact set
     * representation for mass pairwise Jaccard (intersect via
     * JaccardSorted64's merge-scan). A 64-bit collision (≈2⁻⁶⁴ per element
@@ -580,6 +647,8 @@ object VecText {
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
   def simhash_wide(c: Column): Column = column(SimHashWide(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))
+  def nearest_centroid(cents: Column, emb: Column): Column =
+    column(NearestCentroid(expr(cents), expr(emb)))
   def jaccard_distinct(a: Column, b: Column): Column = column(JaccardDistinct(expr(a), expr(b)))
   def hash_set64(c: Column): Column = column(HashSet64(expr(c)))
   def jaccard_sorted64(a: Column, b: Column): Column = column(JaccardSorted64(expr(a), expr(b)))

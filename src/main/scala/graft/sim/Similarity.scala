@@ -180,16 +180,24 @@ object Similarity {
         collect_list(struct(col("pos"), col("vsum").cast("double").as("v")))).as("pv"))
       .select(col("centroid_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
 
-  /** Nearest-centroid assignment by cosine (ties → lowest centroid_id):
-    * broadcast the tiny centroid table, argmax per vector.
+  /** Nearest-centroid assignment by cosine (ties → lowest centroid_id),
+    * with ZERO shuffle of the corpus: the K centroids collapse to one
+    * sorted array on a single-row broadcast table, and the argmax runs
+    * per row as one codegen'd tight loop (VecText.nearest_centroid). A
+    * window/groupBy formulation would shuffle n (or n×K) rows per Lloyd
+    * round — at deployment scale (K in the thousands of inverted lists)
+    * that inverts the canonical distributed k-means cost model, where
+    * assignment is map-side and only the K×dims partial sums ever cross
+    * the wire. Tie/NULL parity with the oracle's
+    * `ORDER BY d DESC, centroid_id` window is documented on the kernel
+    * (VecTextKernels.nearestCentroid).
     */
   private def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("centroid_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val centArr = centroids.agg(array_sort(
+      collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
+    vectors.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        VecText.nearest_centroid(col("cents"), col("embedding")).as("centroid_id"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means
@@ -215,12 +223,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
       lloydIters: Int = 2): DataFrame = {
-    val init = decimalSumCentroids(corpus.select(col("label").as("centroid_id"),
-      col("embedding")))
+    // k-means is inherently iterative: materialize each round's K-row
+    // centroid table eagerly (localCheckpoint, tiny) so (a) round r+1's
+    // plan doesn't nest round r's whole lineage — Catalyst time grows
+    // linearly, not geometrically — and (b) the trained table's TWO
+    // consumers (inverted lists + query probes) don't re-run training.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val init = pin(decimalSumCentroids(corpus.select(col("label").as("centroid_id"),
+      col("embedding"))))
     val trained = (1 to lloydIters).foldLeft(init) { (cents, _) =>
-      decimalSumCentroids(
+      val next = pin(decimalSumCentroids(
         assignToCentroids(corpus.select("vec_id", "embedding"), cents)
-          .select(col("centroid_id"), col("embedding")))
+          .select(col("centroid_id"), col("embedding"))))
+      cents.unpersist(false)
+      next
     }
     val lists = assignToCentroids(corpus.select("vec_id", "embedding"), trained)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),

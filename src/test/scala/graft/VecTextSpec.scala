@@ -130,6 +130,50 @@ class VecTextSpec extends SparkSpec {
     both.foreach { case (fast, slow) => assert(fast == slow) }
   }
 
+  test("NearestCentroid equals the window-argmax formulation on real embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val emb = Tables.embeddings(spark, Sf0001).limit(200)
+    val cents = Tables.embeddings(spark, Sf0001).limit(6)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("centroid_id"))
+    val expected = emb.crossJoin(broadcast(cents))
+      .withColumn("d", Similarity.cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
+    val got = emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        VecText.nearest_centroid(col("cents"), col("embedding")).as("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200)
+    assert(got == expected)
+  }
+
+  test("NearestCentroid ties, zero-norm centroids, and zero-norm vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), // ties c10/c20 -> first (lowest id) wins
+      (2L, Seq(0.0f, 0.0f)), // zero-norm vector: every cosine NULL -> lowest id
+      (3L, Seq(0.1f, 0.9f))  // nearest is c40
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0)),
+      (20L, Seq(1.0, 0.0)), // duplicate of c10 (tie case)
+      (30L, Seq(0.0, 0.0)), // zero-norm centroid: must be skipped
+      (40L, Seq(0.0, 1.0))
+    ).toDF("centroid_id", "centroid")
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
+    val got = vecs.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        VecText.nearest_centroid(col("cents"), col("embedding")).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 40L))
+  }
+
   test("rollingHash is order-sensitive where fingerprint is not") {
     import graft.text.TextAnalysis
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
