@@ -85,8 +85,18 @@ object Curation {
     val gated = gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac)
     val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
       .orderBy(col("doc_id"))
+    // Materialize the dedup survivors ONCE: three branches consume them
+    // (decontamination probe, mixture counts, the final anti-join side),
+    // and because each branch prunes different columns their exchange
+    // subtrees differ — Catalyst can't ReusedExchange them, so without
+    // pinning, the scan + gate kernels + dedup window run three times.
+    // At 100 TB the same call holds: one materialization of the gated
+    // survivor set (a fraction of the corpus) vs three full passes.
+    // Values are unchanged (the pipeline is deterministic end to end),
+    // so the DuckDB oracle hash is unaffected.
     val survivorsAll = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .localCheckpoint(true)
     val survivorsWithText = survivorsAll.select("doc_id", "text")
     val survivors = survivorsAll.select("doc_id", "source", "lang_pred",
       "n_tokens", "stopword_ratio", "top_bigram_frac")
