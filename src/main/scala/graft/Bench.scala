@@ -30,6 +30,7 @@ object Bench {
     "text_clean_corpus", "text_decontaminate", "text_top_terms",
     "text_repetition", "text_curation_pipeline", "text_length_filter",
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
+    "sample_epoch_shuffle", "text_quality_classifier",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",

@@ -273,6 +273,13 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).as("n_tok")),
       col("source"), col("doc_id"), col("n_tok"), budget = 2048L).drop("n_tok")),
+    // deterministic epoch-1 shuffle into 8 training shards.
+    "sample_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(
+      Tables.documents(s, dir).select("doc_id"),
+      col("doc_id"), epoch = 1, nShards = 8)),
+    // hashed-linear quality classifier (md5 stand-in weights).
+    "text_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir))),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -905,6 +912,34 @@ object SparkEntry {
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+
+    // epoch-salted md5 permutation: shard = first 32 hash bits mod 8,
+    // pos = dense rank of the full hash within the shard.
+    "sample_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS hh
+        |           FROM documents),
+        |s AS (SELECT doc_id, hh,
+        |        CAST(CONCAT('0x', substr(hh, 1, 8)) AS BIGINT) % 8 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) - 1 AS pos
+        |FROM s""".stripMargin,
+
+    // hashed-linear classifier: per-token integer weights (md5-derived,
+    // ×1000) sum exactly; score rounds through DECIMAL(18,6) and the
+    // keep decision applies to the ROUNDED score on both engines.
+    "text_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(COALESCE(list_sum(list_transform(toks,
+         |    x -> CAST(CONCAT('0x', substr(md5(x), 1, 8)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS w_sum,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |r AS (SELECT doc_id, w_sum, n_tokens,
+         |  CAST(CAST(CAST(CASE WHEN n_tokens > 0
+         |    THEN w_sum / (n_tokens * 1000.0) END AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS score
+         |  FROM s)
+         |SELECT doc_id, w_sum, n_tokens, score,
+         |  COALESCE(score > 0.05, FALSE) AS keep
+         |FROM r""".stripMargin,
 
     // the whole curation pipeline, stage by stage: quality/lang gates
     // (clean_corpus recipe) + repetition gate + fingerprint dedup +

@@ -252,6 +252,28 @@ object VecTextKernels {
     bestCid
   }
 
+  /** Hashed-linear classifier weight sum over a token array — the
+    * fasttext-style quality-model shape (score = w·φ(x) over hashed
+    * unigram features) with deterministic md5-derived stand-in weights:
+    * weight(t) = (first-8-md5-hex(t) as u32) mod 2001 − 1000, i.e. an
+    * integer in [−1000, 1000] ("w × 1000"). Summing exact longs (not
+    * doubles) makes the result independent of token order and engine —
+    * DuckDB replays it as
+    * `list_sum(list_transform(toks, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT) % 2001 - 1000))`.
+    * A trained model would broadcast its real weight table instead; the
+    * plumbing (single pass, map-side, no shuffle) is the same.
+    */
+  def hashWeightSum(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += (md5U64(arr.getUTF8String(i)) >>> 32) % 2001L - 1000L
+      i += 1
+    }
+    sum
+  }
+
   /** Single-pass repetition statistics over a token array (Gopher-style
     * repetition filters need the most-repeated unigram/bigram mass):
     * returns (n_tokens, max unigram count, n_bigrams, max bigram count).
@@ -526,6 +548,18 @@ object VecText {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hashed-linear classifier weight sum (×1000, exact long) — see
+    * VecTextKernels.hashWeightSum for the weight recipe and oracle form.
+    */
+  case class HashWeightSum(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(VecTextKernels.hashWeightSum(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.hashWeightSum($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** b-bit random-hyperplane LSH signature (Charikar'02) of a float
     * vector; deterministic hash-derived planes, single pass per row.
     */
@@ -649,6 +683,7 @@ object VecText {
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))
   def nearest_centroid(cents: Column, emb: Column): Column =
     column(NearestCentroid(expr(cents), expr(emb)))
+  def hash_weight_sum(c: Column): Column = column(HashWeightSum(expr(c)))
   def jaccard_distinct(a: Column, b: Column): Column = column(JaccardDistinct(expr(a), expr(b)))
   def hash_set64(c: Column): Column = column(HashSet64(expr(c)))
   def jaccard_sorted64(a: Column, b: Column): Column = column(JaccardSorted64(expr(a), expr(b)))

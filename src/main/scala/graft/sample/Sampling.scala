@@ -80,6 +80,30 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Deterministic epoch shuffle: the global random permutation every
+    * training run needs before sharding/packing, as a pure function of
+    * (key, epoch) — no RNG, no seed file. Each row gets a shard (first
+    * 32 md5 bits of the epoch-salted key, mod `nShards`) and a dense
+    * position 0..|shard|−1 (rank of the full hash within the shard).
+    * Different epochs give independent permutations; the same epoch
+    * replays bit-identically on any cluster size or engine.
+    *
+    * Scale shape: one shuffle on the shard key, then shard-parallel
+    * rank windows — identical to [[packSequences]]'s per-shard plan (a
+    * single global ORDER BY would serialize at 100 TB). Downstream,
+    * (shard, pos) IS the training read order: write bucketed by shard,
+    * sorted by pos, and epoch reads are sequential scans.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_h"), key)
+    df.withColumn("shuffle_h", md5(concat(key.cast("string"), lit(s":$epoch"))))
+      .withColumn("shard",
+        conv(substring(col("shuffle_h"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("shuffle_h")
+  }
+
   /** Token-budget sequence packing: concatenate documents (in `order`
     * within each `shard`) into fixed-`budget` training sequences; each doc
     * gets the sequence index and intra-sequence offset where it starts.

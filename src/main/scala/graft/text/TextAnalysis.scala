@@ -136,6 +136,48 @@ object TextAnalysis {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  /** Fasttext-style quality classifier: score = w·φ(doc)/n_tokens where
+    * φ is hashed unigram features and w is a deterministic md5-derived
+    * stand-in weight table (weight(t) ∈ [−1, 1] in steps of 1/1000 —
+    * see VecTextKernels.hashWeightSum). A real pipeline drops in trained
+    * weights (broadcast table or compiled-in array); the execution shape
+    * is identical: ONE map-side pass per document, no shuffle, and
+    * because per-token weights sum as exact longs the score — and the
+    * keep/cut decision — is bit-reproducible across engines, runs, and
+    * partitionings.
+    *
+    * `keep` is derived from the decimal(18,6)-ROUNDED score so the
+    * boundary decision is cross-engine stable (a raw-double threshold
+    * compare would hinge on bits the oracle never sees). Zero-token
+    * docs: NULL score, keep=false.
+    */
+  def classifierScore(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        graft.functions.VecText.hash_weight_sum(toks).as("w_sum"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("score",
+        when(col("n_tokens") > 0,
+          col("w_sum").cast("double") / (col("n_tokens").cast("double") * 1000.0))
+          .cast("decimal(18,6)").cast("double"))
+      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+  }
+
+  /** HOF reference formulation — parity-test anchor for classifierScore
+    * (interpreted per-token lambda; do not use at scale).
+    */
+  def classifierScoreHof(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val toks = tokens(col("text"))
+    val wSum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 2001L - 1000L))
+    docs.select(col("doc_id"), wSum.as("w_sum"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("score",
+        when(col("n_tokens") > 0,
+          col("w_sum").cast("double") / (col("n_tokens").cast("double") * 1000.0))
+          .cast("decimal(18,6)").cast("double"))
+      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+  }
+
   /** Language ID, n-gram/marker-word heuristic: score each candidate
     * language by its marker-token hits, pick the argmax (ties broken by
     * language code order). Real corpora would use character n-gram

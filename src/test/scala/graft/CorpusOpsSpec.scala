@@ -119,6 +119,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(11L) == (1L, 0L))     // cum 2048 -> exactly next sequence
   }
 
+  test("epochShuffle: dense per-shard positions, epoch-independent permutations") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id")
+    val e1 = Sampling.epochShuffle(docs, col("doc_id"), epoch = 1, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(e1.length == 500)
+    // every shard's positions are exactly 0..|shard|-1 (a true permutation)
+    e1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic rerun
+    val again = Sampling.epochShuffle(docs, col("doc_id"), epoch = 1, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different epoch is a different permutation (salted hash)
+    val e2 = Sampling.epochShuffle(docs, col("doc_id"), epoch = 2, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+    // and the hash order isn't doc_id order
+    val shard0 = e1.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+  }
+
   test("repetitionSignals kernel equals the explode+groupBy formulation on real docs") {
     val docs = Tables.documents(spark, Sf0001)
     val fast = TextAnalysis.repetitionSignals(docs)
