@@ -81,10 +81,18 @@ object KeyedUpsertSink {
     }
 
   private def replaceDir(staging: Path, target: Path): Unit = {
-    if (Files.exists(target)) {
-      Files.walk(target).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-    }
+    if (Files.exists(target)) deleteRecursively(target)
     Files.move(staging, target)
+  }
+
+  /** Recursive delete that closes its walk stream — same descriptor-leak
+    * class as the `Files.list` fixed in [[nonEmptyDir]]; invoked per
+    * micro-batch on replace/vacuum paths.
+    */
+  private def deleteRecursively(root: Path): Unit = {
+    val s = Files.walk(root)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+    finally s.close()
   }
 
   /** Hash-bucket partition of the key tuple — the physical layout key for
@@ -175,11 +183,26 @@ object KeyedUpsertSink {
   }
 
   /** Stage step: merge the batch against the touched buckets' current
-    * versions and write the result under `gen-<batchId>/` — NOT yet
-    * visible to readers. Returns the generation name and touched bucket
-    * ids for [[commitManifest]]; None for an empty batch. Public so the
-    * crash-recovery spec can stage without committing (simulating a
-    * writer killed between the bucket writes and the manifest swap).
+    * versions and write the result under a FRESH per-attempt generation
+    * directory — NOT yet visible to readers. Returns the generation name
+    * and the bucket ids actually written for [[commitManifest]]; None for
+    * an empty batch. Public so the crash-recovery spec can stage without
+    * committing (simulating a writer killed between the bucket writes and
+    * the manifest swap).
+    *
+    * Two redelivery hazards are closed here:
+    *  - every attempt stages under its own directory ([[nextGenName]]):
+    *    replaying an already-committed batchId must never overwrite the
+    *    generation the manifest (and the merge plan's lazy read) still
+    *    points at — that overwrite deletes files mid-plan and tears the
+    *    table. With unique attempt dirs the replay merges old-vs-new to a
+    *    LWW no-op into a new generation and the superseded one becomes
+    *    vacuumable garbage, never corruption.
+    *  - the batch is pinned (persist + the `touched` action) before the
+    *    merge, and the committed bucket list is derived by LISTING the
+    *    generation directory after the write — the manifest can only ever
+    *    reference `__bucket=N` directories that exist on disk, even if
+    *    the upstream batch expression is non-deterministic.
     */
   def writeGeneration(
       spark: SparkSession,
@@ -192,41 +215,99 @@ object KeyedUpsertSink {
     val bucketed = batch
       .withColumn("__gen", lit(1L))
       .withColumn("__bucket", bucketOf(keys, numBuckets))
-    // distinct buckets of a micro-batch: bounded (≤ numBuckets) metadata
-    val touched = bucketed.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    if (touched.isEmpty) return None
-    val manifest = readManifest(tablePath)
-    val existing = readManifestBuckets(spark, tablePath,
-      manifest.filter { case (b, _) => touched.contains(b) })
-    val merged = existing match {
-      case Some(old) =>
-        latestByKey(
-          old.withColumn("__gen", lit(0L)).unionByName(bucketed),
-          keys, order :+ col("__gen"))
-      case None => latestByKey(bucketed, keys, order)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distinct buckets of a micro-batch: bounded (≤ numBuckets) metadata
+      val touched = bucketed.select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (touched.isEmpty) return None
+      val manifest = readManifest(tablePath)
+      val existing = readManifestBuckets(spark, tablePath,
+        manifest.filter { case (b, _) => touched.contains(b) })
+      val merged = existing match {
+        case Some(old) =>
+          latestByKey(
+            old.withColumn("__gen", lit(0L)).unionByName(bucketed),
+            keys, order :+ col("__gen"))
+        case None => latestByKey(bucketed, keys, order)
+      }
+      val gen = nextGenName(tablePath, batchId)
+      merged.drop("__gen")
+        .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
+        .partitionBy("__bucket")
+        .parquet(s"$tablePath/$gen")
+      Some((gen, listBucketIds(Paths.get(tablePath, gen))))
+    } finally bucketed.unpersist()
+  }
+
+  /** First attempt of a batch stages under `gen-<batchId>`; each replay
+    * under `gen-<batchId>-r<k>` for the first free k. Attempt dirs are
+    * write-once, so a stage never deletes data a live plan or manifest
+    * still references.
+    */
+  private def nextGenName(tablePath: String, batchId: Long): String = {
+    val base = s"gen-$batchId"
+    if (!Files.exists(Paths.get(tablePath, base))) base
+    else {
+      var k = 1
+      while (Files.exists(Paths.get(tablePath, s"$base-r$k"))) k += 1
+      s"$base-r$k"
     }
-    val gen = s"gen-$batchId"
-    merged.drop("__gen")
-      .write.mode(SaveMode.Overwrite) // replay of the same batchId re-stages
-      .partitionBy("__bucket")
-      .parquet(s"$tablePath/$gen")
-    Some((gen, touched))
+  }
+
+  /** Bucket ids present on disk under a generation directory. */
+  private def listBucketIds(genDir: Path): Seq[Long] = {
+    val s = Files.list(genDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toLong)
+        .toSeq.sorted
+    } finally s.close()
   }
 
   /** Commit step: point the touched buckets at `gen` via write-tmp +
-    * atomic rename. THE visibility boundary — everything before this is
-    * invisible to readers.
+    * fsync + atomic rename. THE visibility boundary — everything before
+    * this is invisible to readers. Also snapshots the committed manifest
+    * under `_hist/<gen>` so [[vacuumGenerations]] can grant stalled
+    * readers a grace window of prior manifests.
     */
   def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit = {
     val next = readManifest(tablePath) ++ touched.map(_ -> gen)
     val body = next.toSeq.sortBy(_._1)
       .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = Paths.get(tablePath, s"_manifest.tmp-$gen")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeFsynced(tmp, bytes)
     Files.move(tmp, Paths.get(tablePath, "_manifest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(Paths.get(tablePath)) // make the rename itself durable
+    val hist = Paths.get(tablePath, "_hist")
+    Files.createDirectories(hist)
+    writeFsynced(hist.resolve(gen), bytes)
   }
+
+  /** Write + force to stable storage, so the atomic rename promotes a
+    * fully-persisted file (rename-over-unsynced-data can survive a crash
+    * as an empty manifest on some filesystems).
+    */
+  private def writeFsynced(p: Path, bytes: Array[Byte]): Unit = {
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(p, CREATE, WRITE, TRUNCATE_EXISTING)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
+  }
+
+  /** Best-effort directory fsync (some filesystems refuse opening a
+    * directory for read — durability then falls back to the file fsync).
+    */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Current bucket → generation mapping; empty before the first commit. */
   def readManifest(tablePath: String): Map[Long, String] = {
@@ -268,25 +349,60 @@ object KeyedUpsertSink {
   }
 
   /** Best-effort reclamation of generation directories no manifest entry
-    * references (superseded or orphaned by a crash). Standard snapshot
-    * caveat: like any VACUUM, don't run it while a reader resolved
-    * against an older manifest is still scanning.
+    * references (superseded or orphaned by a crash), plus stale
+    * `_manifest.tmp-*` files a writer crash left behind.
+    *
+    * `graceManifests` guards stalled readers: a reader that resolved the
+    * manifest just before a superseding commit may still be scanning the
+    * old generation when the vacuum runs. With grace N, every generation
+    * referenced by any of the N most recent committed manifest snapshots
+    * (`_hist/`, ordered by batchId then attempt) is retained in addition
+    * to the current one — the reader's whole resolved view survives.
+    * Grace 0 reclaims everything unreferenced (the round-5 behavior).
     */
-  def vacuumGenerations(tablePath: String): Seq[String] = {
-    val live = readManifest(tablePath).values.toSet
+  def vacuumGenerations(tablePath: String, graceManifests: Int = 0): Seq[String] = {
     val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) return Seq.empty
     import scala.jdk.CollectionConverters._
+    val live = readManifest(tablePath).values.toSet ++
+      recentHistory(dir, graceManifests).flatMap(h => manifestValues(h))
     val s = Files.list(dir)
-    val gens =
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("gen-"))
-        .toList
-      finally s.close()
-    gens.filterNot(p => live.contains(p.getFileName.toString)).map { p =>
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      p.getFileName.toString
-    }
+    val (gens, staleTmp) =
+      try {
+        val entries = s.iterator().asScala.toList
+        (entries.filter(_.getFileName.toString.startsWith("gen-")),
+         entries.filter(_.getFileName.toString.startsWith("_manifest.tmp-")))
+      } finally s.close()
+    staleTmp.foreach(Files.deleteIfExists(_))
+    gens.filterNot(p => live.contains(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
+      .map { p => deleteRecursively(p); p.getFileName.toString }
+  }
+
+  /** The `n` most recent `_hist/` manifest snapshots, newest first,
+    * ordered by the (batchId, attempt) encoded in the generation name.
+    */
+  private def recentHistory(dir: Path, n: Int): Seq[Path] = {
+    val hist = dir.resolve("_hist")
+    if (n <= 0 || !Files.exists(hist)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(hist)
+    val snaps = try s.iterator().asScala.toList finally s.close()
+    // the newest snapshot duplicates the current manifest, so reaching n
+    // PRIOR committed manifests means taking n+1 snapshots
+    snaps.sortBy(p => genOrder(p.getFileName.toString)).reverse.take(n + 1)
+  }
+
+  /** Sort key for generation names: `gen-<batchId>` < `gen-<batchId>-r<k>`. */
+  private def genOrder(gen: String): (Long, Int) = {
+    val parts = gen.stripPrefix("gen-").split("-r", 2)
+    (parts(0).toLong, if (parts.length > 1) parts(1).toInt else 0)
+  }
+
+  private def manifestValues(p: Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .map(_.split(",", 2)(1)).toSet
   }
 }
 

@@ -69,6 +69,62 @@ class AtomicSinkSpec extends SparkSpec {
     assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
   }
 
+  test("redelivery of an already-committed batchId is a harmless no-op") {
+    // The round-5 staging dir was gen-<batchId> reused across attempts:
+    // replaying a COMMITTED batch overwrote the very generation the merge
+    // plan was lazily reading (and the manifest pointing at) — FileNotFound
+    // mid-job and a torn table. Attempt-unique staging dirs make the replay
+    // merge old-vs-new into a fresh generation instead.
+    val path = Files.createTempDirectory("graft-atomic4").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 4) _
+    sink(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+    sink(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L)
+    val committed = table(path)
+    assert(committed == Set(("a", 2L, 20L), ("b", 1L, 10L), ("c", 1L, 20L)))
+
+    // at-least-once delivery re-runs batch 1 verbatim
+    sink(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L)
+    assert(table(path) == committed)
+    // the replay staged under a new attempt directory; nothing was torn
+    assert(Files.exists(java.nio.file.Paths.get(path, "gen-1")))
+    assert(Files.exists(java.nio.file.Paths.get(path, "gen-1-r1")))
+
+    // and a second replay on top of the replay is equally harmless
+    sink(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L)
+    assert(table(path) == committed)
+    val removed = KeyedUpsertSink.vacuumGenerations(path)
+    assert(table(path) == committed)
+    assert(removed.nonEmpty) // superseded attempt dirs are garbage, reclaimed
+  }
+
+  test("vacuum grace window keeps the generations of a stalled reader's manifest") {
+    val path = Files.createTempDirectory("graft-atomic5").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 4) _
+    sink(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+
+    // a long-running reader resolves the CURRENT manifest (all buckets →
+    // gen-0) but hasn't finished scanning yet
+    val stalledReader = KeyedUpsertSink.readBucketedAtomic(spark, path)
+
+    // a superseding commit re-points every bucket at gen-1
+    sink(batchDf(("a", 2L, 20L), ("b", 2L, 20L)), 1L)
+
+    // grace=1 retains everything the previous committed manifest referenced
+    val removed = KeyedUpsertSink.vacuumGenerations(path, graceManifests = 1)
+    assert(!removed.contains("gen-0"))
+    // the stalled reader completes against its resolved (old) generation
+    val stale = stalledReader.select("k", "v", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(stale == Set(("a", 1L, 10L), ("b", 1L, 10L)))
+
+    // without grace, the superseded generation is reclaimed
+    val removed0 = KeyedUpsertSink.vacuumGenerations(path)
+    assert(removed0.contains("gen-0"))
+    assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
+  }
+
   test("atomic read-back equals the declarative LWW of all batches") {
     val path = Files.createTempDirectory("graft-atomic3").resolve("t").toString
     val ev = Tables.events(spark, Sf0001).select(col("user_id"),
