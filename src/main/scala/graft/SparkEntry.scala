@@ -308,6 +308,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8))
     }),
+    // label-free IVF: quantizer seeded from an md5-ranked sample of the
+    // corpus itself — `label` is DROPPED before the operator ever sees
+    // the table, the unlabeled-pretraining-corpus path.
+    "sim_ivf_ann_unlabeled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).drop("label")
+      Similarity.ivfTopKUnlabeled(emb, emb.filter(col("vec_id") < 8))
+    }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
     // public format() surface; md5-derived generator → the oracle
@@ -1147,6 +1154,45 @@ object SparkEntry {
     "sim_ivf_ann" ->
       s"""WITH cent0 AS (
          |  ${ivfCentroidSql("(SELECT label AS centroid_id, embedding FROM embeddings)")}
+         |), asn1 AS (
+         |  ${ivfAssignSql("cent0")}
+         |), cent1 AS (
+         |  ${ivfCentroidSql("asn1")}
+         |), asn2 AS (
+         |  ${ivfAssignSql("cent1")}
+         |), cent2 AS (
+         |  ${ivfCentroidSql("asn2")}
+         |), lists AS (
+         |  SELECT centroid_id, vec_id AS neighbor_id, embedding AS c_emb
+         |  FROM (${ivfAssignSql("cent2")})
+         |), probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ${ivfCosSql("e.embedding", "c.centroid")} AS d
+         |    FROM embeddings e CROSS JOIN cent2 c WHERE e.vec_id < 8)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= 2
+         |), scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${ivfCosSql("q_emb", "c_emb")} AS cos
+         |  FROM lists JOIN probes USING (centroid_id) WHERE query_id != neighbor_id
+         |)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+         |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // label-free IVF twin: identical unrolled Lloyd rounds, but cent0
+    // comes from the 8 corpus vectors ranked first by md5('ivfseed-' ||
+    // vec_id) — lexicographic hex order is engine-identical, so the seed
+    // set (and therefore the whole training replay) matches Spark's
+    // TakeOrderedAndProject selection exactly. No label column anywhere.
+    "sim_ivf_ann_unlabeled" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+         |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+         |), cent0 AS (
+         |  ${ivfCentroidSql("seeds")}
          |), asn1 AS (
          |  ${ivfAssignSql("cent0")}
          |), cent1 AS (

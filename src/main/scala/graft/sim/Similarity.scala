@@ -16,11 +16,13 @@ import graft.functions.VecText
   *     vector gets a b-bit sign signature from deterministic pseudo-random
   *     hyperplanes; candidates share a signature bucket. Map-side
   *     signatures + one (bucket) shuffle — the 100 TB path.
-  *  3. IVF-style coarse quantization: assign vectors to the nearest of K
-  *     coarse centroids, probe `nprobe` nearest lists per query. Here the
-  *     centroids are per-label decimal-sum vectors (a stand-in for
-  *     k-means — the plumbing, partitioning and probe logic are the real
-  *     thing, and the decimal sums make assignment deterministic).
+  *  3. IVF coarse quantization with a TRAINED quantizer: Lloyd's k-means
+  *     (fixed iterations, decimal-sum centroids so every round is exact
+  *     and engine-replayable), inverted lists keyed by centroid, queries
+  *     probe the `nprobe` nearest lists. Two seedings: per-label decimal
+  *     sums when a label column exists ([[ivfTopK]]), and a label-free
+  *     md5-ranked sample of the corpus itself ([[ivfTopKUnlabeled]]) for
+  *     the unlabeled-pretraining-corpus case.
   *
   * All dot products run in double precision via `aggregate`/`zip_with`
   * column expressions — codegen'd, no UDF.
@@ -222,15 +224,49 @@ object Similarity {
     * pre-partitioned by list → shuffle-free at query time).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2): DataFrame =
+    ivfFromSeed(corpus, queries,
+      corpus.select(col("label").as("centroid_id"), col("embedding")),
+      k, nprobe, lloydIters)
+
+  /** Label-free IVF ANN: identical trained quantizer and probe plan as
+    * [[ivfTopK]], but the initial centroids are `kCentroids` corpus
+    * vectors picked by md5 rank of the vec_id — a deterministic,
+    * RNG-free sample an unlabeled pretraining corpus can always provide
+    * (the case the label-seeded variant cannot serve). Selection is
+    * `ORDER BY md5('ivfseed-' || vec_id) LIMIT K`: lexicographic hex
+    * ordering is engine-identical, and Spark plans the global top-K as
+    * TakeOrderedAndProject — a bounded per-partition heap merge, never a
+    * full sort, so seeding costs one corpus scan at any scale. Each seed
+    * becomes its own one-vector "group" through the same
+    * [[decimalSumCentroids]] so initial centroids take the identical
+    * float→decimal→double route as every later round.
+    */
+  def ivfTopKUnlabeled(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 2, lloydIters: Int = 2, kCentroids: Int = 8): DataFrame = {
+    val seeds = corpus
+      .select(col("vec_id").as("centroid_id"), col("embedding"),
+        md5(concat(lit("ivfseed-"), col("vec_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("centroid_id"))
+      .limit(kCentroids)
+      .select("centroid_id", "embedding")
+    ivfFromSeed(corpus, queries, seeds, k, nprobe, lloydIters)
+  }
+
+  /** Shared IVF core: train from `seedGroups` (rows of (centroid_id,
+    * embedding) — a label partition or single seed vectors), build
+    * inverted lists, probe, exact re-rank. See [[ivfTopK]] Scaladoc for
+    * the determinism and scale contract.
+    */
+  private def ivfFromSeed(corpus: DataFrame, queries: DataFrame, seedGroups: DataFrame,
+      k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     // k-means is inherently iterative: materialize each round's K-row
     // centroid table eagerly (localCheckpoint, tiny) so (a) round r+1's
     // plan doesn't nest round r's whole lineage — Catalyst time grows
     // linearly, not geometrically — and (b) the trained table's TWO
     // consumers (inverted lists + query probes) don't re-run training.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val init = pin(decimalSumCentroids(corpus.select(col("label").as("centroid_id"),
-      col("embedding"))))
+    val init = pin(decimalSumCentroids(seedGroups))
     val trained = (1 to lloydIters).foldLeft(init) { (cents, _) =>
       val next = pin(decimalSumCentroids(
         assignToCentroids(corpus.select("vec_id", "embedding"), cents)

@@ -132,6 +132,8 @@ object ScaleProbe {
       time(s"embed_neardup_${c}x")(Similarity.embeddingNearDups(corpus).count())
       time(s"embed_neardup_lsh_${c}x")(Similarity.embeddingNearDupsLsh(corpus).count())
       time(s"ivf_ann_${c}x")(Similarity.ivfTopK(corpus, queries).count())
+      time(s"ivf_ann_unlabeled_${c}x")(Similarity.ivfTopKUnlabeled(
+        corpus.drop("label"), queries.drop("label")).count())
       if (c == 1) {
         // recall of the label-free LSH path against the exact label-blocked
         // twin, at the twin's own threshold (0.3 — deep in the isotropic

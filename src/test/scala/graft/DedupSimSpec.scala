@@ -125,6 +125,28 @@ class DedupSimSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall $recall too low for nprobe=2")
   }
 
+  test("ivfTopKUnlabeled trains without a label column and keeps real recall") {
+    // the unlabeled-pretraining-corpus path: no label column exists at all
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    assert(!emb.columns.contains("label"))
+    val q = emb.filter(col("vec_id") < 8)
+    val out = Similarity.ivfTopKUnlabeled(emb, q, k = 5, nprobe = 2,
+      lloydIters = 2, kCentroids = 8)
+      .orderBy("query_id", "rnk").collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+      val cosines = rows.map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sorted.reverse))
+    }
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall > 0.2, s"unlabeled IVF recall $recall too low for nprobe=2")
+  }
+
   test("bruteForceTopK returns k nearest with rank 1 = highest cosine") {
     val emb = Tables.embeddings(spark, Sf0001)
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
