@@ -32,7 +32,7 @@ object Bench {
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "sample_epoch_shuffle", "text_quality_classifier",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_cluster",
+    "dedup_cluster", "dedup_substring",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
     "sim_embed_neardup_lsh", "sim_ivf_ann", "sim_ivf_ann_unlabeled",
     "sim_hard_negatives",

@@ -227,6 +227,10 @@ object SparkEntry {
       Dedup.exactSurvivors(Tables.documents(s, dir)).select("doc_id", "lang", "source", "n_chars")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
+    // passage-level dedup: maximal token spans covered by window-grams
+    // occurring ≥2 times corpus-wide (rolling-hash chains → islands).
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupSpans(Tables.documents(s, dir))),
     // md5-derived signatures → both LSH pipelines are engine-reproducible
     // and oracle-checked stage by stage (signature, band bucket, pair).
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
@@ -790,6 +794,36 @@ object SparkEntry {
       s"""WITH $bigramShingleCte,
          |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    // passage dedup replayed stage by stage: per-token md5 hashes, the
+    // rollingHash recurrence folded over every 8-token window (Rabin-Karp
+    // mod 2^31-1), frequent grams (count ≥ 2 corpus-wide), matched
+    // positions merged gaps-and-islands into maximal spans.
+    "dedup_substring" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($toksSql,
+         |    t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, z['pos'] AS pos, z['gh'] AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(th) - 8 + 2),
+         |        i -> {'pos': i - 1,
+         |              'gh': list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+         |                                (acc, x) -> (acc * 31 + x) % 2147483647)})) AS z
+         |    FROM t)
+         |), freq AS (
+         |  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+         |), hits AS (
+         |  SELECT doc_id, pos FROM grams JOIN freq USING (gh)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM hits
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // 128-bit SimHash, reproduced bit by bit: each token's hash is the
     // FULL md5 as two unsigned 64-bit words (each assembled from two

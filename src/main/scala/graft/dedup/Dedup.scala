@@ -346,6 +346,95 @@ object Dedup {
     connectedComponents(
       docs.select("doc_id"), blockedJaccardPairs(docs, threshold))
 
+  // ----------------------------------------------- substring/passage dedup
+
+  /** Per-position rolling window hashes of a document's tokens: one row
+    * per (doc_id, pos, gh) where `gh` is the Rabin-Karp polynomial hash
+    * (the [[TextAnalysis.rollingHash]] recurrence — md5-derived token
+    * hashes folded mod 2^31-1) of the `window` tokens starting at
+    * 0-based position `pos`. Each token is md5-hashed ONCE; the window
+    * fold is O(window) integer ops per position. Engine-reproducible,
+    * so the whole passage-dedup pipeline replays in SQL.
+    */
+  private def positionGramHashes(docs: DataFrame, window: Int): DataFrame = {
+    val p = lit(2147483647L) // 2^31 - 1, same modulus as rollingHash
+    val tokHashes = transform(TextAnalysis.tokens(col("text")),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % p)
+    // Spark's sequence(a, b) DESCENDS when a > b — guard short documents
+    // explicitly instead of emitting phantom positions
+    val posStructs = when(size(col("th")) >= window,
+      transform(sequence(lit(0), size(col("th")) - window),
+        i => struct(i.cast("long").as("pos"),
+          aggregate(slice(col("th"), i + 1, lit(window)), lit(0L),
+            (acc, x) => (acc * lit(31L) + x) % p).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:bigint,gh:bigint>>"))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokHashes.as("th"))
+      .select(col("doc_id"), explode(posStructs).as("z"))
+      .select(col("doc_id"), col("z.pos").as("pos"), col("z.gh").as("gh"))
+  }
+
+  /** Substring/passage-level dedup: document-level dedup misses repeated
+    * PASSAGES — licenses, templated boilerplate, spam chains — living
+    * inside otherwise-distinct documents. This operator finds every
+    * maximal token span covered by "frequent" window-grams (grams whose
+    * corpus-wide occurrence count ≥ `minCount`, counting repeats within
+    * a document too) and emits one row per (doc, span) removal:
+    * `(doc_id, span_start, span_end, n_grams)` with inclusive 0-based
+    * token indices. [[stripSubstringDups]] applies the removals.
+    *
+    * Scale shape (the [[decontaminate]] discipline, self-indexed):
+    * gram hashing is map-side (one md5 pass per token, O(window) fold
+    * per position); the frequent-chain index is a count aggregate over
+    * gram hashes (partial-agg combines map-side, so the shuffle carries
+    * per-partition counts); the index is tiny (boilerplate, by
+    * definition rare among distinct grams) and BROADCAST back against a
+    * second map-side hashing pass — the corpus itself never shuffles.
+    * Only matched positions (sparse) shuffle for the per-doc
+    * island-merge window. Two linear corpus scans total, no cache
+    * dependency.
+    *
+    * Span merge is gaps-and-islands: consecutive matched positions
+    * (pos - row_number constant) collapse to one span; a span's token
+    * end is its last gram start + window - 1.
+    */
+  def substringDupSpans(docs: DataFrame, window: Int = 8, minCount: Long = 2): DataFrame = {
+    val grams = positionGramHashes(docs, window)
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select("gh")
+    val hits = grams.join(broadcast(freq), "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + window - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Apply [[substringDupSpans]] removals: rebuild each document's text
+    * from the tokens OUTSIDE every flagged span (the per-doc span list
+    * is small — it rides a hash join and an array filter; docs without
+    * spans pass through untouched via the left join).
+    */
+  def stripSubstringDups(docs: DataFrame, window: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = substringDupSpans(docs, window, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val keep = filter(TextAnalysis.tokens(col("text")),
+      (t, i) => !exists(col("spans"), s =>
+        i.cast("long") >= s.getField("span_start") &&
+          i.cast("long") <= s.getField("span_end")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("text", array_join(keep, " "))
+      .drop("spans")
+  }
+
   // ------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents that share at least

@@ -73,6 +73,7 @@ object ScaleProbe {
       time(s"simhash64_${c}x")(Dedup.simhashNearDups64(docs).count())
       time(s"simhash_${c}x")(Dedup.simhashNearDups(docs).count())
       time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
+      time(s"substring_${c}x")(Dedup.substringDupSpans(docs).count())
       time(s"cluster_${c}x")(Dedup.jaccardClusters(docs).count())
       time(s"decontaminate_${c}x")(
         Dedup.decontaminate(docs, col("doc_id") % 37 === 0).count())

@@ -41,4 +41,43 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(truthPairs.nonEmpty && lsh.nonEmpty)
     info(s"truth=${truthPairs.size} lsh=${lsh.size} strong=${strongPairs.size}")
   }
+
+  test("substringDupSpans pinpoints planted boilerplate; strip removes exactly it") {
+    // 10-token boilerplate passage planted in two docs at different
+    // offsets, plus one intra-doc repeat; one clean doc as control
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler tail one two"),        // at pos 3..12
+      (2L, s"$boiler other words here"),                     // at pos 0..9
+      (3L, "completely unrelated text with no duplication anywhere in sight today"),
+      (4L, s"xx yy $boiler zz $boiler")                      // twice in ONE doc
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.substringDupSpans(docs, window = 4, minCount = 2)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // every 4-gram inside the passage is frequent; grams straddling the
+    // boundary are unique per doc, so spans cover the passage EXACTLY
+    assert(spans == Set((1L, 3L, 12L), (2L, 0L, 9L), (4L, 2L, 11L), (4L, 13L, 22L)),
+      s"got $spans")
+
+    val stripped = Dedup.stripSubstringDups(docs, window = 4, minCount = 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "alpha beta gamma tail one two")
+    assert(stripped(2L) == "other words here")
+    assert(stripped(3L) == "completely unrelated text with no duplication anywhere in sight today")
+    assert(stripped(4L) == "xx yy zz")
+  }
+
+  test("substringDupSpans is empty on a corpus with no repeated windows") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(docs, window = 4, minCount = 2).count() == 0)
+    // and short documents (fewer tokens than the window) don't emit
+    // phantom positions through Spark's descending sequence()
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(short, window = 4, minCount = 2).count() == 0)
+  }
 }
