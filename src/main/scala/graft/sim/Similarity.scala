@@ -350,8 +350,21 @@ object Similarity {
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("vec_id_a") < col("vec_id_b") && col("band") === minShared)
       .select("vec_id_a", "vec_id_b")
-    // candidates are sparse → join embeddings back by id (two hash joins;
-    // Spark broadcasts the small side automatically at test scale)
+    verifyNearDupCandidates(cands, embeddings, threshold)
+  }
+
+  /** Exact-cosine verify of candidate id pairs against an embedding
+    * table: the final stage of [[embeddingNearDupsLsh]], shared with the
+    * streaming candidate generator
+    * ([[StreamingSimilarity.nearDupCandidates]]) so batch and
+    * incremental paths score pairs identically. Candidates are sparse →
+    * join embeddings back by id (two hash joins; Spark broadcasts the
+    * small side automatically at test scale).
+    */
+  def verifyNearDupCandidates(
+      cands: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
     val embN = embeddings.select(col("vec_id"), col("embedding"),
       fnorm(col("embedding")).as("nrm"))
     cands

@@ -28,6 +28,84 @@ object StreamingSimilarity {
   case class TopKSnapshot(
       query_id: Long, rnk: Long, neighbor_id: Long, cosine: Double, seen: Long)
 
+  /** Per-(band, bucket) LSH state: the (vec_id, 64-bit signature) of
+    * every vector seen in this bucket. Embeddings deliberately stay OUT
+    * of state — 16 bytes per member per band instead of the full vector,
+    * so continuous ingestion carries ~128 bytes of state per corpus
+    * vector at the default 8 bands.
+    */
+  case class BucketState(members: Seq[(Long, Long)])
+  case class CandidatePair(vec_id_a: Long, vec_id_b: Long)
+
+  /** Incremental embedding near-dup candidates: each arriving vector is
+    * checked against everything that EVER arrived in any of its LSH band
+    * buckets — the streaming twin of
+    * [[Similarity.embeddingNearDupsLsh]]'s candidate stage, with the
+    * same banding recipe (md5-derived hyperplanes, `bits/bandBits`
+    * bands) and the same emit-once discipline: a colliding pair is
+    * emitted only by the SMALLEST band both signatures share, so no
+    * cross-bucket duplicates ever reach the verify stage.
+    *
+    * Plan per micro-batch: signatures are map-side
+    * ([[Similarity.rhpSignature]], one pass per vector); the only
+    * shuffle is the (band, bucket) group hand-off; state grows by one
+    * 16-byte entry per (vector, band). Pair the output with
+    * [[Similarity.verifyNearDupCandidates]] against the embedding store
+    * (in continuous ingestion the store exists — vectors persist on
+    * arrival) for exact-cosine confirmation; batch and stream then score
+    * identically, which the convergence spec asserts.
+    *
+    * Redelivered vec_ids (at-least-once sources) are recognized in state
+    * and skipped — no duplicate pairs on replay.
+    */
+  def nearDupCandidates(
+      vecStream: DataFrame,
+      bits: Int = 64,
+      bandBits: Int = 8): Dataset[CandidatePair] = {
+    require(bits <= 64 && bits % bandBits == 0, "bits must be ≤64, a multiple of bandBits")
+    val nBands = bits / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val spark = vecStream.sparkSession
+    import spark.implicits._
+    def bslice(sig: Long, i: Int): Long = (sig >>> (i * bandBits)) & mask
+    // smallest band where the two signatures agree — the batch operator's
+    // min-shared-band dedup, computed scalar-side from the two sigs
+    def minShared(a: Long, b: Long): Int =
+      (0 until nBands).find(i => bslice(a, i) == bslice(b, i)).getOrElse(-1)
+    val banded = vecStream
+      .select(col("vec_id"), Similarity.rhpSignature(col("embedding"), bits).as("sig"))
+      .select(col("vec_id"), col("sig"),
+        posexplode(array((0 until nBands).map(i =>
+          shiftrightunsigned(col("sig"), i * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "sig", "band", "bucket")
+      .as[(Long, Long, Int, Long)]
+    banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[BucketState]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val known = prev.map(_._1).toSet
+          // intra-batch determinism: process fresh members in vec_id order
+          val fresh = rows.map(r => (r._1, r._2))
+            .filter(m => !known(m._1)).toSeq
+            .distinctBy(_._1).sortBy(_._1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          val seen = scala.collection.mutable.ArrayBuffer(prev: _*)
+          fresh.foreach { case (id, sig) =>
+            seen.foreach { case (oid, osig) =>
+              if (minShared(sig, osig) == band) {
+                out += (if (id < oid) CandidatePair(id, oid)
+                        else CandidatePair(oid, id))
+              }
+            }
+            seen += ((id, sig))
+          }
+          state.update(BucketState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   def topKStream(corpusStream: DataFrame, queries: DataFrame, k: Int = 5): Dataset[TopKSnapshot] = {
     val spark = corpusStream.sparkSession
     import spark.implicits._

@@ -58,4 +58,47 @@ class StreamingSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("incremental near-dup candidates + verify converge to the batch LSH answer") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    // two files -> at least two micro-batches with maxFilesPerTrigger=1,
+    // so cross-batch pairs must come through the bucket STATE
+    val dir = Files.createTempDirectory("graft-neardupstream")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(dir.resolve("even").toString)
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(dir.resolve("odd").toString)
+    val in = Files.createDirectory(dir.resolve("in"))
+    def moveParts(sub: String, prefix: String): Unit = {
+      val d = dir.resolve(sub)
+      val s = Files.list(d)
+      try s.filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.move(f, in.resolve(prefix + f.getFileName.toString))
+      } finally s.close()
+    }
+    moveParts("even", "a-")
+    moveParts("odd", "b-")
+
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamingSimilarity.nearDupCandidates(stream)
+      .toDF()
+      .writeStream.format("memory").queryName("neardup_cands")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    val cands = spark.table("neardup_cands")
+    // emit-once discipline: no duplicate pairs across buckets or batches
+    assert(cands.count() == cands.dropDuplicates("vec_id_a", "vec_id_b").count())
+
+    // verify against the embedding store with the SHARED batch stage →
+    // must equal the batch operator on the full (union) corpus exactly,
+    // cosines included
+    val got = Similarity.verifyNearDupCandidates(cands, emb, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Similarity.embeddingNearDupsLsh(emb, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
