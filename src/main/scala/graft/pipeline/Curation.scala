@@ -90,10 +90,17 @@ object Curation {
     // and because each branch prunes different columns their exchange
     // subtrees differ — Catalyst can't ReusedExchange them, so without
     // pinning, the scan + gate kernels + dedup window run three times.
-    // At 100 TB the same call holds: one materialization of the gated
-    // survivor set (a fraction of the corpus) vs three full passes.
-    // Values are unchanged (the pipeline is deterministic end to end),
-    // so the DuckDB oracle hash is unaffected.
+    // The PRINCIPLE holds at 100 TB (materialize the survivor fraction
+    // once vs three full corpus passes), but not this exact call:
+    // localCheckpoint is eager AND stores non-replicated executor-local
+    // blocks, so on a multi-executor cluster a lost executor makes the
+    // truncated lineage unrecoverable — there, swap for
+    // persist(MEMORY_AND_DISK)+count or a reliable checkpoint directory
+    // and accept the write cost. In this single-JVM build the
+    // fault-tolerance trade is moot and localCheckpoint is the cheapest
+    // correct pin. Values are unchanged either way (the pipeline is
+    // deterministic end to end), so the DuckDB oracle hash is
+    // unaffected.
     val survivorsAll = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .localCheckpoint(true)
