@@ -231,6 +231,10 @@ object SparkEntry {
     // occurring ≥2 times corpus-wide (rolling-hash chains → islands).
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDupSpans(Tables.documents(s, dir))),
+    // the applied removals: every document rebuilt without its flagged
+    // passages (docs without spans pass through verbatim).
+    "dedup_substring_strip" -> ((s, dir) =>
+      Dedup.stripSubstringDups(Tables.documents(s, dir)).select("doc_id", "text")),
     // md5-derived signatures → both LSH pipelines are engine-reproducible
     // and oracle-checked stage by stage (signature, band bucket, pair).
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
@@ -824,6 +828,45 @@ object SparkEntry {
          |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // strip = the spans query applied: rebuild each doc's text from the
+    // tokens outside every flagged span (DuckDB's indexed list_filter
+    // lambda is 1-based; Spark's is 0-based — hence i-1).
+    "dedup_substring_strip" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($toksSql,
+         |    t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, z['pos'] AS pos, z['gh'] AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(th) - 8 + 2),
+         |        i -> {'pos': i - 1,
+         |              'gh': list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+         |                                (acc, x) -> (acc * 31 + x) % 2147483647)})) AS z
+         |    FROM t)
+         |), freq AS (
+         |  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+         |), hits AS (
+         |  SELECT doc_id, pos FROM grams JOIN freq USING (gh)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM hits
+         |), spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island
+         |), sp AS (
+         |  SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spans GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  -- fully-stripped docs: DuckDB's array_to_string([]) is NULL,
+         |  -- Spark's array_join([]) is '' — coalesce to the Spark value
+         |  coalesce(array_to_string(
+         |    list_filter($toksSql, (x, i) ->
+         |      len(list_filter(coalesce(sp.spans, []),
+         |          s -> i - 1 >= s['s'] AND i - 1 <= s['e'])) = 0),
+         |    ' '), '') AS text
+         |FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id""".stripMargin,
 
     // 128-bit SimHash, reproduced bit by bit: each token's hash is the
     // FULL md5 as two unsigned 64-bit words (each assembled from two
