@@ -301,6 +301,13 @@ object SparkEntry {
     // md5-derived planes → fully oracle-replayable).
     "sim_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupsLsh(Tables.embeddings(s, dir))),
+    // near-dup clusters + one-survivor-per-cluster selection over the
+    // label-free pairs (connected components, endpoints-only iteration).
+    "sim_embed_clusters" -> ((s, dir) =>
+      Similarity.embeddingClusters(Tables.embeddings(s, dir))),
+    "sim_embed_dedup_survivors" -> ((s, dir) =>
+      Similarity.embeddingDedupSurvivors(Tables.embeddings(s, dir))
+        .select("vec_id", "label")),
     // contrastive hard negatives: nearest neighbors with a different label.
     "sim_hard_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -420,6 +427,44 @@ object SparkEntry {
        |                    FROM $src))
        |        GROUP BY centroid_id, pos)
        |  GROUP BY centroid_id""".stripMargin
+
+  /** RHP-LSH near-dup pair stages (the DuckDB twin of
+    * Similarity.embeddingNearDupsLsh up to its `scored` output) — shared
+    * by the pair, cluster and survivor oracles. The 64 hyperplanes
+    * regenerate from md5("rhp-p-i"); `scored` holds every candidate pair
+    * with its exact sequential-order cosine, pre-threshold.
+    */
+  private val rhpNearDupCtes =
+    """pl AS (
+      |  SELECT p, list(CAST(CAST(CONCAT('0x', substr(md5('rhp-' || p || '-' || i), 1, 15)) AS BIGINT)
+      |      % 1000000 AS DOUBLE) / 1000000.0 - 0.5 ORDER BY i) AS w
+      |  FROM range(64) tp(p) CROSS JOIN range(64) ti(i)
+      |  GROUP BY p
+      |), e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |), sigb AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * w[i])) AS dotp
+      |  FROM embeddings CROSS JOIN pl
+      |), sig AS (
+      |  SELECT vec_id, sum(CASE WHEN dotp > 0 THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS usig
+      |  FROM sigb GROUP BY vec_id
+      |), bands AS (
+      |  SELECT vec_id, band, CAST((usig >> (8 * band)) % 256 AS BIGINT) AS bucket
+      |  FROM sig CROSS JOIN range(8) tb(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), scored AS (
+      |  SELECT vec_id_a, vec_id_b,
+      |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
+      |  FROM cand JOIN e x ON cand.vec_id_a = x.vec_id JOIN e y ON cand.vec_id_b = y.vec_id
+      |)""".stripMargin
 
   /** Nearest-centroid assignment of every corpus vector against `cent` —
     * the DuckDB twin of Similarity.assignToCentroids.
@@ -1332,38 +1377,47 @@ object SparkEntry {
     // then the exact-cosine verify of sim_embed_neardup. DISTINCT here =
     // the Spark side's smallest-shared-band single emission.
     "sim_embed_neardup_lsh" ->
-      """WITH pl AS (
-        |  SELECT p, list(CAST(CAST(CONCAT('0x', substr(md5('rhp-' || p || '-' || i), 1, 15)) AS BIGINT)
-        |      % 1000000 AS DOUBLE) / 1000000.0 - 0.5 ORDER BY i) AS w
-        |  FROM range(64) tp(p) CROSS JOIN range(64) ti(i)
-        |  GROUP BY p
-        |), e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
-        |  FROM embeddings
-        |), sigb AS (
-        |  SELECT vec_id, p,
-        |    list_sum(list_transform(range(1, len(embedding) + 1),
-        |      i -> CAST(embedding[i] AS DOUBLE) * w[i])) AS dotp
-        |  FROM embeddings CROSS JOIN pl
-        |), sig AS (
-        |  SELECT vec_id, sum(CASE WHEN dotp > 0 THEN CAST(1 AS HUGEINT) << p ELSE 0 END) AS usig
-        |  FROM sigb GROUP BY vec_id
-        |), bands AS (
-        |  SELECT vec_id, band, CAST((usig >> (8 * band)) % 256 AS BIGINT) AS bucket
-        |  FROM sig CROSS JOIN range(8) tb(band)
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |), scored AS (
-        |  SELECT vec_id_a, vec_id_b,
-        |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
-        |  FROM cand JOIN e x ON cand.vec_id_a = x.vec_id JOIN e y ON cand.vec_id_b = y.vec_id
-        |)
-        |SELECT vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
-        |FROM scored WHERE cos >= 0.3""".stripMargin,
+      s"""WITH $rhpNearDupCtes
+         |SELECT vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+         |FROM scored WHERE cos >= 0.3""".stripMargin,
+
+    // near-dup clusters over the label-free LSH pairs: the dedup_cluster
+    // recursive-CTE walk applied to the embedding pair stage above.
+    "sim_embed_clusters" ->
+      s"""WITH RECURSIVE $rhpNearDupCtes,
+         |pairs AS (SELECT vec_id_a, vec_id_b FROM scored WHERE cos >= 0.3),
+         |edges AS (
+         |  SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+         |  UNION ALL SELECT vec_id_b, vec_id_a FROM pairs
+         |), walk(node, reach) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src
+         |), comp AS (
+         |  SELECT node AS vec_id, min(reach) AS min_reach FROM walk GROUP BY node
+         |)
+         |SELECT v.vec_id,
+         |  CAST(coalesce(least(c.min_reach, v.vec_id), v.vec_id) AS BIGINT) AS cluster_id
+         |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id""".stripMargin,
+
+    // one survivor per near-dup cluster (the cluster's min vec_id) — the
+    // embedding-level "deduplicated corpus" selection.
+    "sim_embed_dedup_survivors" ->
+      s"""WITH RECURSIVE $rhpNearDupCtes,
+         |pairs AS (SELECT vec_id_a, vec_id_b FROM scored WHERE cos >= 0.3),
+         |edges AS (
+         |  SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+         |  UNION ALL SELECT vec_id_b, vec_id_a FROM pairs
+         |), walk(node, reach) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src
+         |), comp AS (
+         |  SELECT node AS vec_id, min(reach) AS min_reach FROM walk GROUP BY node
+         |)
+         |SELECT v.vec_id, v.label
+         |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+         |WHERE coalesce(least(c.min_reach, v.vec_id), v.vec_id) = v.vec_id""".stripMargin,
 
     "mm_decode" ->
       """WITH a AS (

@@ -379,6 +379,34 @@ object Similarity {
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
+  /** Canonical near-dup clusters over the label-free LSH pairs: one
+    * `(vec_id, cluster_id)` row per corpus vector, cluster_id = the
+    * smallest vec_id reachable through verified near-dup pairs
+    * (singletons label themselves). Composition of
+    * [[embeddingNearDupsLsh]] with the endpoints-only connected
+    * components from the text tier — per-round cost O(|pairs|), the
+    * corpus joins back once at the end.
+    */
+  def embeddingClusters(embeddings: DataFrame, threshold: Double = 0.3,
+      bits: Int = 64, bandBits: Int = 8): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+      embeddings.select(col("vec_id").as("doc_id")),
+      embeddingNearDupsLsh(embeddings, threshold, bits, bandBits)
+        .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  /** The embedding-level deduplicated corpus: one survivor per
+    * [[embeddingClusters]] cluster (its min vec_id), with the vector's
+    * metadata joined back.
+    */
+  def embeddingDedupSurvivors(embeddings: DataFrame, threshold: Double = 0.3,
+      bits: Int = 64, bandBits: Int = 8): DataFrame =
+    embeddings.join(
+      embeddingClusters(embeddings, threshold, bits, bandBits)
+        .filter(col("vec_id") === col("cluster_id"))
+        .select("vec_id"),
+      "vec_id")
+
   /** Embedding near-duplicate pairs: same-label blocking + exact cosine ≥
     * threshold. SQL-expressible (unnest join) → oracle-checked.
     */

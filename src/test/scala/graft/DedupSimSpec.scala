@@ -106,6 +106,27 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
   }
 
+  test("embeddingClusters: pair endpoints share a cluster; survivors are cluster minima") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val clusters = Similarity.embeddingClusters(emb)
+      .as[(Long, Long)].collect().toMap
+    // every corpus vector is labeled, singletons by themselves
+    assert(clusters.size == emb.count())
+    // every verified near-dup pair's endpoints carry the same cluster id
+    val pairs = Similarity.embeddingNearDupsLsh(emb)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the min member; survivors are exactly the minima
+    val members = clusters.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    members.foreach { case (cid, minMember) => assert(cid == minMember) }
+    val survivors = Similarity.embeddingDedupSurvivors(emb)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == clusters.values.toSet)
+  }
+
   test("ivfTopK with Lloyd training returns valid ranked top-k with real recall") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = emb.filter(col("vec_id") < 8)
