@@ -243,15 +243,21 @@ object Similarity {
     * float→decimal→double route as every later round.
     */
   def ivfTopKUnlabeled(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nprobe: Int = 2, lloydIters: Int = 2, kCentroids: Int = 8): DataFrame = {
-    val seeds = corpus
+      nprobe: Int = 2, lloydIters: Int = 2, kCentroids: Int = 8): DataFrame =
+    ivfFromSeed(corpus, queries, ivfSeeds(corpus, kCentroids), k, nprobe, lloydIters)
+
+  /** The label-free seed stage of [[ivfTopKUnlabeled]], exposed so the
+    * plan-regression spec can assert it compiles to
+    * TakeOrderedAndProject (the seeding runs as its own checkpointed
+    * job, outside the final query's lineage).
+    */
+  private[graft] def ivfSeeds(corpus: DataFrame, kCentroids: Int): DataFrame =
+    corpus
       .select(col("vec_id").as("centroid_id"), col("embedding"),
         md5(concat(lit("ivfseed-"), col("vec_id").cast("string"))).as("__h"))
       .orderBy(col("__h"), col("centroid_id"))
       .limit(kCentroids)
       .select("centroid_id", "embedding")
-    ivfFromSeed(corpus, queries, seeds, k, nprobe, lloydIters)
-  }
 
   /** Shared IVF core: train from `seedGroups` (rows of (centroid_id,
     * embedding) — a label partition or single seed vectors), build

@@ -86,4 +86,37 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(exchanges.isEmpty, "repetition signals are a pure projection")
   }
+
+  test("dedup_substring: frequent-chain index broadcasts; corpus never sort-merges") {
+    val plan = executed(SparkEntry.queries("dedup_substring")(spark, Sf0001))
+    assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "position hits must probe the broadcast frequent-gram index")
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, "passage dedup must not shuffle-sort the corpus")
+  }
+
+  test("sim_ivf_ann_unlabeled: seed selection is a bounded top-K, never a global sort") {
+    // the seed stage runs as its own checkpointed job before training, so
+    // it must be asserted on its own plan, not the final query's lineage
+    val seeds = graft.sim.Similarity.ivfSeeds(
+      Tables.embeddings(spark, Sf0001).drop("label"), 8)
+    val seedPlan = executed(seeds)
+    val takeOrdered = collectWithSubqueries(seedPlan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty,
+      "md5-ranked seeding must plan as TakeOrderedAndProject (bounded heap)")
+    val globalSorts = collectWithSubqueries(seedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "seeding must never globally sort the corpus")
+    // and the final probe/re-rank plan is sort-free too
+    val plan = executed(SparkEntry.queries("sim_ivf_ann_unlabeled")(spark, Sf0001))
+    val finalGlobalSorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(finalGlobalSorts.isEmpty, "no stage of IVF may globally sort the corpus")
+  }
 }
