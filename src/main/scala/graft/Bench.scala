@@ -34,7 +34,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster", "dedup_substring",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
-    "sim_embed_neardup_lsh", "sim_ivf_ann", "sim_ivf_ann_unlabeled",
+    "sim_embed_neardup_lsh", "sim_embed_clusters", "sim_embed_decontaminate",
+    "sim_ivf_ann", "sim_ivf_ann_unlabeled",
     "sim_hard_negatives",
     "mm_decode", "mm_frames")
 

@@ -308,6 +308,14 @@ object SparkEntry {
     "sim_embed_dedup_survivors" -> ((s, dir) =>
       Similarity.embeddingDedupSurvivors(Tables.embeddings(s, dir))
         .select("vec_id", "label")),
+    // embedding-level benchmark decontamination: corpus vectors within
+    // cosine threshold of any held-out vector (vec_id % 37 = 0 stands in,
+    // mirroring text_decontaminate) — broadcast bench bands, map-side probe.
+    "sim_embed_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.embeddingDecontaminate(
+        emb.filter(col("vec_id") % 37 =!= 0), emb.filter(col("vec_id") % 37 === 0))
+    }),
     // contrastive hard negatives: nearest neighbors with a different label.
     "sim_hard_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -428,13 +436,13 @@ object SparkEntry {
        |        GROUP BY centroid_id, pos)
        |  GROUP BY centroid_id""".stripMargin
 
-  /** RHP-LSH near-dup pair stages (the DuckDB twin of
-    * Similarity.embeddingNearDupsLsh up to its `scored` output) — shared
-    * by the pair, cluster and survivor oracles. The 64 hyperplanes
-    * regenerate from md5("rhp-p-i"); `scored` holds every candidate pair
-    * with its exact sequential-order cosine, pre-threshold.
+  /** RHP signature/banding stages (the DuckDB twin of
+    * Similarity.rhpSignature + 8×8-bit banding over the embeddings
+    * table): the 64 hyperplanes regenerate from md5("rhp-p-i"); `bands`
+    * holds one (vec_id, band, bucket) row per vector per band, `e` the
+    * vectors with precomputed norms.
     */
-  private val rhpNearDupCtes =
+  private val rhpSigCtes =
     """pl AS (
       |  SELECT p, list(CAST(CAST(CONCAT('0x', substr(md5('rhp-' || p || '-' || i), 1, 15)) AS BIGINT)
       |      % 1000000 AS DOUBLE) / 1000000.0 - 0.5 ORDER BY i) AS w
@@ -455,7 +463,15 @@ object SparkEntry {
       |), bands AS (
       |  SELECT vec_id, band, CAST((usig >> (8 * band)) % 256 AS BIGINT) AS bucket
       |  FROM sig CROSS JOIN range(8) tb(band)
-      |), cand AS (
+      |)""".stripMargin
+
+  /** RHP-LSH near-dup pair stages (Similarity.embeddingNearDupsLsh up to
+    * its `scored` output) — shared by the pair, cluster and survivor
+    * oracles. `scored` holds every candidate pair with its exact
+    * sequential-order cosine, pre-threshold.
+    */
+  private val rhpNearDupCtes =
+    s"""$rhpSigCtes, cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -1380,6 +1396,24 @@ object SparkEntry {
       s"""WITH $rhpNearDupCtes
          |SELECT vec_id_a, vec_id_b, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
          |FROM scored WHERE cos >= 0.3""".stripMargin,
+
+    // embedding decontamination: cross-table RHP collisions (corpus side
+    // vec_id % 37 != 0 vs bench side = 0), exact-cosine verify, per-corpus
+    // vector hit tally. DISTINCT = Spark's min-shared-band single emission.
+    "sim_embed_decontaminate" ->
+      s"""WITH $rhpSigCtes, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS bench_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.vec_id % 37 != 0 AND b.vec_id % 37 = 0
+         |), dscored AS (
+         |  SELECT cand.vec_id AS vec_id, cand.bench_id AS bench_id,
+         |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN e x ON cand.vec_id = x.vec_id JOIN e y ON cand.bench_id = y.vec_id
+         |)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_benchmark_hits,
+         |  CAST(CAST(max(CAST(cos AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS max_cosine
+         |FROM dscored WHERE cos >= 0.3 GROUP BY vec_id""".stripMargin,
 
     // near-dup clusters over the label-free LSH pairs: the dedup_cluster
     // recursive-CTE walk applied to the embedding pair stage above.

@@ -413,6 +413,60 @@ object Similarity {
         .select("vec_id"),
       "vec_id")
 
+  /** Embedding-level benchmark decontamination: flag corpus vectors
+    * whose cosine to ANY benchmark vector reaches `threshold` — the
+    * semantic twin of the n-gram [[graft.dedup.Dedup.decontaminate]]
+    * (paraphrased eval data survives n-gram screens; its embedding
+    * doesn't move nearly as much).
+    *
+    * Scale shape mirrors the text version exactly: the benchmark side is
+    * tiny next to the corpus, so its banded RHP signatures build once
+    * and BROADCAST; the corpus computes signatures map-side and probes
+    * the broadcast bucket index with NO corpus shuffle at all. Candidate
+    * (corpus, bench) collisions dedupe via the min-shared-band rule
+    * (both signatures ride the joined row), exact cosine verifies, and
+    * the only shuffle is the per-corpus-vector hit aggregation —
+    * verified hits only, a vanishing fraction.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.3,
+      bits: Int = 64,
+      bandBits: Int = 8): DataFrame = {
+    require(bits <= 64 && bits % bandBits == 0, "bits must be ≤64, a multiple of bandBits")
+    val nBands = bits / bandBits
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    def bslice(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, i * bandBits).bitwiseAND(mask)
+    def banded(df: DataFrame, idName: String, sigName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
+          rhpSignature(col("embedding"), bits).as(sigName))
+        .select(col(idName), col(sigName),
+          posexplode(array((0 until nBands).map(bslice(col(sigName), _)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val benchBanded = banded(benchmark, "bench_id", "sig_b")
+    val corpusBanded = banded(corpus.repartition(para), "vec_id", "sig_a")
+    val minShared = array_min(array((0 until nBands).map(i =>
+      when(bslice(col("sig_a"), i) === bslice(col("sig_b"), i), lit(i))): _*))
+    val cands = corpusBanded.join(broadcast(benchBanded), Seq("band", "bucket"))
+      .filter(col("band") === minShared)
+      .select("vec_id", "bench_id")
+    val embN = (df: DataFrame, id: String, e: String, n: String) =>
+      df.select(col("vec_id").as(id), col("embedding").as(e),
+        fnorm(col("embedding")).as(n))
+    cands
+      .join(embN(corpus, "vec_id", "emb_a", "norm_a"), "vec_id")
+      .join(embN(benchmark, "bench_id", "emb_b", "norm_b"), "bench_id")
+      .withColumn("cos",
+        cosineWithNorms(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_benchmark_hits"),
+        max(col("cos").cast("decimal(18,6)")).cast("double").as("max_cosine"))
+  }
+
   /** Embedding near-duplicate pairs: same-label blocking + exact cosine ≥
     * threshold. SQL-expressible (unnest join) → oracle-checked.
     */

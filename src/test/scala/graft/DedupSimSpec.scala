@@ -106,6 +106,32 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
   }
 
+  test("embeddingDecontaminate: sound (subset of exact hits); finds planted bench copy") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val bench = emb.filter(col("vec_id") % 37 === 0)
+    val corpus = emb.filter(col("vec_id") % 37 =!= 0)
+      // plant an exact copy of a benchmark vector in the corpus
+      .unionByName(bench.limit(1).select((col("vec_id") + 1000000L).as("vec_id"),
+        col("label"), col("embedding")))
+    val flagged = Similarity.embeddingDecontaminate(corpus, bench, threshold = 0.3)
+      .select("vec_id", "n_benchmark_hits").as[(Long, Long)].collect().toMap
+    // the planted copy collides in every band and scores cosine 1.0
+    assert(flagged.contains(1000000L + bench.select(min("vec_id")).as[Long].head()))
+    // soundness: every flagged vector has a true exact-cosine hit
+    val exact = corpus.select(col("vec_id"), col("embedding").as("ea"),
+        Similarity.fnorm(col("embedding")).as("na"))
+      .crossJoin(broadcast(bench.select(col("vec_id").as("bid"),
+        col("embedding").as("eb"), Similarity.fnorm(col("embedding")).as("nb"))))
+      .withColumn("cos", Similarity.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.3)
+      .groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    flagged.foreach { case (v, hits) =>
+      assert(exact.contains(v), s"flagged $v has no exact benchmark hit")
+      assert(hits <= exact(v), s"flagged $v counts more hits than exist")
+    }
+  }
+
   test("embeddingClusters: pair endpoints share a cluster; survivors are cluster minima") {
     val emb = Tables.embeddings(spark, Sf0001)
     val clusters = Similarity.embeddingClusters(emb)
