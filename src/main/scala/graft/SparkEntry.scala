@@ -220,6 +220,31 @@ object SparkEntry {
     // the composed corpus-cleaning pipeline (quality → lang → dedup).
     "text_clean_corpus" -> ((s, dir) =>
       TextAnalysis.cleanCorpus(Tables.documents(s, dir))),
+    // PII redaction: the corpus text is [a-z ]-only, so the PII-bearing
+    // wire column is synthesized deterministically from doc_id (same
+    // discipline as the etl_* wire setups) — an email always, a phone
+    // unless doc_id%5=0, an IPv4 always, a 9-digit id when doc_id%3=0 —
+    // then redacted + counted by the codegen'd regexp chain.
+    "text_pii_redact" -> ((s, dir) => {
+      val raw = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+        when(col("doc_id") % 5 =!= 0,
+          concat(lit(" call "), (col("doc_id") % 800 + 200).cast("string"),
+            lit("-555-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 3) % 256).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ssn "),
+            lpad(((col("doc_id") * 13) % 1000000000).cast("string"), 9, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(Seq(col("doc_id"), TextAnalysis.redactPii(col("raw")).as("clean_text"))
+          ++ TextAnalysis.piiCounts(col("raw")): _*)
+    }),
 
     // ─────────────────────────────────────────────── dedup suite ──
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -248,6 +273,15 @@ object SparkEntry {
     // held-out "benchmark" subset (doc_id % 37 = 0 stands in for it).
     "text_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 37 === 0)),
+    // same contamination result via the Bloom-prefiltered physical path
+    // (map-side bitset test → exact verify): the shape for benchmark
+    // indexes too large to broadcast. False positives die in the verify
+    // join, so the oracle is the exact decontaminate SQL.
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0))
+    }),
     // top characteristic terms per doc (rational-idf tf-idf family).
     "text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir))),
     // Gopher-style repetition signals: most-repeated unigram/bigram mass.
@@ -288,6 +322,12 @@ object SparkEntry {
     // hashed-linear quality classifier (md5 stand-in weights).
     "text_quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Tables.documents(s, dir))),
+    // deterministic count-min sketch (4×1024, md5 cells): the
+    // approx-frequency sketch that — unlike HLL/KLL — IS fully
+    // oracle-checkable, because fixed hashing makes it a pure function
+    // of the data. Probes: the stopword list + one absent term.
+    "text_countmin" -> ((s, dir) => TextAnalysis.countMinFrequencies(
+      Tables.documents(s, dir), TextAnalysis.stopwords :+ "zyzzyva")),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -844,6 +884,54 @@ object SparkEntry {
          |  PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
          |  ORDER BY doc_id) = 1""".stripMargin,
 
+    // the sketch replays cell by cell: same md5 cell hashes, same
+    // cell-wise sums, same min-over-rows estimate. LEFT join + coalesce 0
+    // mirrors the Spark side's empty-cell handling.
+    "text_countmin" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+         |cells AS (
+         |  SELECT j,
+         |    CAST(CONCAT('0x', substr(md5('cm-' || CAST(j AS VARCHAR) || '-' || term), 1, 15)) AS BIGINT) % 1024 AS cell,
+         |    CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM tf CROSS JOIN range(4) r(j) GROUP BY 1, 2),
+         |probes AS (SELECT unnest(['the','a','of','and','to','in','is','it','zyzzyva']) AS term),
+         |pc AS (
+         |  SELECT term, j,
+         |    CAST(CONCAT('0x', substr(md5('cm-' || CAST(j AS VARCHAR) || '-' || term), 1, 15)) AS BIGINT) % 1024 AS cell
+         |  FROM probes CROSS JOIN range(4) r(j)),
+         |est AS (
+         |  SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est
+         |  FROM pc LEFT JOIN cells USING (j, cell) GROUP BY term)
+         |SELECT p.term, e.cm_est, CAST(coalesce(tf.tf, 0) AS BIGINT) AS n_exact
+         |FROM probes p JOIN est e USING (term) LEFT JOIN tf USING (term)""".stripMargin,
+
+    // same synthesized wire column, same 4 RE2/Java-portable rules: the
+    // replace chain and the raw-text counts replay verbatim in DuckDB.
+    "text_pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |  CASE WHEN doc_id % 5 <> 0 THEN ' call ' ||
+        |    CAST(doc_id % 800 + 200 AS VARCHAR) || '-555-' ||
+        |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |  CAST((doc_id * 3) % 256 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' ssn ' ||
+        |    lpad(CAST((doc_id * 13) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{9,}')) AS BIGINT) AS n_ids
+        |FROM w""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -1031,6 +1119,19 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
 
     "text_decontaminate" ->
+      s"""WITH $bigramShingleCte,
+         |x AS (SELECT doc_id, doc_id % 37 = 0 AS is_bench, unnest(sh) AS ng FROM sh),
+         |bench AS (SELECT DISTINCT ng, doc_id AS bench_doc_id FROM x WHERE is_bench),
+         |corpus AS (SELECT doc_id, ng FROM x WHERE NOT is_bench)
+         |SELECT doc_id, CAST(count(DISTINCT ng) AS BIGINT) AS n_shared_ngrams,
+         | CAST(count(DISTINCT bench_doc_id) AS BIGINT) AS n_benchmark_docs
+         |FROM corpus JOIN bench USING (ng)
+         |GROUP BY doc_id HAVING count(DISTINCT ng) >= 3""".stripMargin,
+
+    // identical result to text_decontaminate by construction (the Bloom
+    // stage only prunes; the verify join restores exactness), so the
+    // oracle replays the same exact SQL.
+    "text_decontaminate_bloom" ->
       s"""WITH $bigramShingleCte,
          |x AS (SELECT doc_id, doc_id % 37 = 0 AS is_bench, unnest(sh) AS ng FROM sh),
          |bench AS (SELECT DISTINCT ng, doc_id AS bench_doc_id FROM x WHERE is_bench),

@@ -478,4 +478,82 @@ object Dedup {
         countDistinct("bench_doc_id").cast("long").as("n_benchmark_docs"))
       .filter(col("n_shared_ngrams") >= minShared)
   }
+
+  /** Bloom hash j of an n-gram: md5-derived, mod mBits. Deterministic →
+    * the whole filter is engine-replayable (and the operator built on it
+    * stays oracle-checkable).
+    */
+  private def bloomPos(ng: Column, j: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"bloom-$j-"), ng)), 1, 15), 16, 10)
+      .cast("long") % mBits
+
+  /** The map-side Bloom prefilter stage of [[decontaminateBloom]],
+    * exposed for the spec to measure pruning and the superset property:
+    * corpus (doc_id, ng) pairs whose k Bloom bits are all set in the
+    * benchmark bitset.
+    */
+  private[graft] def bloomCandidates(
+      corpus: DataFrame,
+      benchIndex: DataFrame,
+      mBits: Int,
+      k: Int): DataFrame = {
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    // bitset build: set-bit positions → driver. Bounded by mBits (2^18
+    // bits = 32 KiB at the default) REGARDLESS of corpus/benchmark size —
+    // index metadata, not data; the same driver pattern as Spark's own
+    // DataFrameStatFunctions.bloomFilter.
+    val setBits = benchIndex.select(col("ng")).distinct()
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(col("ng"), j, mBits)): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    setBits.foreach(b => words(b.toInt >> 6) |= 1L << (b.toInt & 63))
+    // membership = k codegen'd element_at + bit tests against the constant
+    // array literal — no join, no shuffle, no per-row allocation
+    val mightContain = (0 until k).map { j =>
+      expr(s"(element_at(bits, cast(shiftright(p$j, 6) as int) + 1)" +
+        s" & shiftleft(1L, cast(p$j % 64 as int))) != 0")
+    }.reduce(_ && _)
+    corpus.repartition(para)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("ng"))
+      .select(Seq(col("doc_id"), col("ng"), lit(words).as("bits"))
+        ++ (0 until k).map(j => bloomPos(col("ng"), j, mBits).as(s"p$j")): _*)
+      .filter(mightContain)
+      .select("doc_id", "ng")
+  }
+
+  /** Bloom-prefiltered decontamination — the shape for when the benchmark
+    * n-gram index itself outgrows a broadcast (the full eval-suite union
+    * against a 100 TB corpus: billions of distinct n-grams). A fixed-size
+    * Bloom bitset (mBits bits, k md5-derived hashes) summarizes the
+    * index; the corpus tests its shingles against it MAP-SIDE, and only
+    * surviving candidates (true hits + the bounded false-positive
+    * trickle, ~(1-e^{-kn/m})^k of probes) reach the exact verify join,
+    * whose probe side is now tiny. False positives die in the verify
+    * join, so the result is IDENTICAL to [[decontaminateCorpus]] and the
+    * operator is oracle-checked against the exact SQL.
+    *
+    * The verify join is deliberately NOT hinted broadcast: the Bloom
+    * pass exists precisely for the regime where the index cannot
+    * broadcast — AQE still picks broadcast whenever it does fit.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minShared: Long = 3,
+      mBits: Int = 1 << 18,
+      k: Int = 3): DataFrame = {
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    val benchIndex = benchmark
+      .select(explode(shingles(col("text"), 2)).as("ng"),
+        col("doc_id").as("bench_doc_id")).distinct()
+    bloomCandidates(corpus, benchIndex, mBits, k)
+      .join(benchIndex, "ng")
+      .groupBy("doc_id")
+      .agg(countDistinct("ng").cast("long").as("n_shared_ngrams"),
+        countDistinct("bench_doc_id").cast("long").as("n_benchmark_docs"))
+      .filter(col("n_shared_ngrams") >= minShared)
+  }
 }

@@ -330,6 +330,99 @@ object TextAnalysis {
       .drop("len_g")
   }
 
+  /** Deterministic count-min sketch over corpus term frequencies
+    * (Cormode–Muthukrishnan): d rows × w columns, cell hash j of a term
+    * = md5("cm-j-" ‖ term) mod w. The estimate upper-bounds the true
+    * count — est(t) = min_j cells[j][h_j(t)] ≥ tf(t), overestimating by
+    * < 2·N/w with probability 1 − 2^−d — and NEVER underestimates.
+    *
+    * Unlike the HLL/KLL sketches (engine-internal binary layouts, no
+    * cross-engine oracle possible), a CMS with fixed md5 hashing is a
+    * pure function of the data: the DuckDB oracle replays the exact
+    * sketch cell by cell, so this approximate operator is fully
+    * hash-checked rather than rows-only.
+    *
+    * Scale shape: term frequencies partial-agg map-side (the vocab-sized
+    * shuffle exact counting needs anyway); the sketch is a second tiny
+    * aggregate (≤ d·w rows); probes join the broadcast sketch. At 100 TB
+    * the sketch is d·w longs — 32 KiB at the defaults — which is the
+    * point: a frequency oracle that ships anywhere, and merges across
+    * corpus shards by cell-wise addition.
+    */
+  def countMinFrequencies(
+      docs: DataFrame,
+      probes: Seq[String],
+      d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 and w >= 2; got d=$d, w=$w")
+    require(probes.nonEmpty, "need at least one probe term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def cell(term: Column, j: Int): Column =
+      conv(substring(md5(concat(lit(s"cm-$j-"), term)), 1, 15), 16, 10)
+        .cast("long") % w
+    val para = spark.sparkContext.defaultParallelism
+    val tf = docs.repartition(para)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val cells = tf
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"), cell(col("term"), j).as("cell"), col("tf"))): _*)).as("z"))
+      .groupBy(col("z.row").as("row"), col("z.cell").as("cell"))
+      .agg(sum(col("z.tf")).as("cnt"))
+    val probeDf = probes.toDF("term")
+    val probeCells = probeDf.select(col("term"),
+      explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"), cell(col("term"), j).as("cell"))): _*)).as("z"))
+      .select(col("term"), col("z.row").as("row"), col("z.cell").as("cell"))
+    // LEFT join: a probe hashing into an untouched cell reads 0 — an
+    // inner join would silently take the min over non-empty cells only
+    // and break the est ≥ tf guarantee's other face (est = 0 for terms
+    // provably absent)
+    val est = probeCells.join(broadcast(cells), Seq("row", "cell"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    probeDf.join(est, Seq("term"), "left")
+      .join(tf.filter(col("term").isin(probes.map(lit): _*)), Seq("term"), "left")
+      .select(col("term"), col("cm_est"),
+        coalesce(col("tf"), lit(0L)).as("n_exact"))
+  }
+
+  /** PII redaction rules: (count column, regex, replacement tag). The
+    * standard pre-training privacy pass — emails, phone numbers, IPv4
+    * addresses and long ID-like digit runs are tagged before a corpus
+    * ships. Patterns stay inside the regex subset where Java (Spark's
+    * `regexp_replace`) and RE2 (the DuckDB oracle) agree — character
+    * classes and bounded repetition only; no backreferences, no
+    * lookaround, no word boundaries. Rule order matters: the generic
+    * long-digit-run rule runs LAST so emails/phones/IPs are tagged by
+    * their specific rule first (tags themselves contain no digits, so
+    * later rules cannot re-match earlier redactions).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("n_phones", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("n_ips", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("n_ids", "[0-9]{9,}", "<ID>"))
+
+  /** Redacted text: every [[piiPatterns]] rule applied in order as a
+    * `regexp_replace` chain. Pure codegen'd projection — map-side only;
+    * at 100 TB the cost is one compiled-regex pass per rule per row,
+    * with no shuffle and nothing collected.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-category PII match counts, measured on the RAW text: counting
+    * after redaction would undercount wherever one rule's match contains
+    * digits another rule would also have matched.
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(name)
+    }
+
   /** Rolling polynomial hash (Rabin-Karp style) over tokens — the
     * order-sensitive fingerprint variant: hash = (hash*31 + tokenHash)
     * mod 2^31-1 (Mersenne prime keeps the accumulator overflow-free under

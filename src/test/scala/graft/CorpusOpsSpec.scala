@@ -233,4 +233,99 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 2: cherry (df=1) beats apple (df=3) at tf=1 each
     assert(got.contains((2L, 1L, "cherry")))
   }
+
+  test("countMinFrequencies never underestimates; absent terms read their cell floor") {
+    val docs = Tables.documents(spark, Sf0001)
+    val probes = TextAnalysis.stopwords ++ Seq("zyzzyva")
+    val got = TextAnalysis.countMinFrequencies(docs, probes)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSet == probes.toSet)
+    // the CMS guarantee: est >= exact for every probe
+    got.foreach { case (t, est, exact) => assert(est >= exact, s"term $t") }
+    // total-mass bound sanity: overestimate < N (trivially) and the
+    // stopword probes are genuinely present in the corpus
+    val n = docs.select(explode(TextAnalysis.tokens(col("text")))).count()
+    got.foreach { case (t, est, exact) => assert(est - exact < n, s"term $t") }
+    // the sf0.001 corpus genuinely contains at least some stopword mass
+    // (not every stopword need appear in ~50 synthetic docs)
+    assert(got.exists(r => TextAnalysis.stopwords.contains(r._1) && r._3 > 0))
+  }
+
+  test("countMin is exact when the sketch is collision-free") {
+    // 3 distinct terms into a 4×4096 sketch: md5 cells collide for none
+    // of them (deterministic — verified by this test), so est == exact
+    val docs = Seq((1L, "alpha beta beta"), (2L, "gamma alpha")).toDF("doc_id", "text")
+    val got = TextAnalysis.countMinFrequencies(
+        docs, Seq("alpha", "beta", "gamma", "delta"), d = 4, w = 4096)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("alpha") == ((2L, 2L)))
+    assert(got("beta") == ((2L, 2L)))
+    assert(got("gamma") == ((1L, 1L)))
+    assert(got("delta") == ((0L, 0L)))
+  }
+
+  test("decontaminateBloom equals the exact operator; the bitset prunes map-side") {
+    val docs = Tables.documents(spark, Sf0001)
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+    val exact = Dedup.decontaminateCorpus(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Dedup.decontaminateBloom(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact)
+    // the prefilter never drops a true hit (candidates ⊇ matching grams) …
+    val benchIndex = bench.select(explode(Dedup.shingles(col("text"), 2)).as("ng"),
+      col("doc_id").as("bench_doc_id")).distinct()
+    val corpusGrams = corpus
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("ng"))
+    val trueHits = corpusGrams.join(benchIndex.select("ng").distinct(), "ng")
+      .select("doc_id", "ng").distinct()
+    val candidates = Dedup.bloomCandidates(corpus, benchIndex, 1 << 18, 3)
+    assert(trueHits.exceptAll(candidates).count() == 0)
+    // … and it genuinely prunes: the candidate stream is a strict subset
+    // of the raw gram stream (false-positive rate bounded, not saturated)
+    val nAll = corpusGrams.count()
+    val nCand = candidates.count()
+    assert(nCand < nAll)
+  }
+
+  test("redactPii tags every category and counts on the raw text") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or call 415-555-0199"),
+      (2L, "server 192.168.001.42 logged card 4111111111111111 twice: 4111111111111111"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val got = rows.select(
+        Seq(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean"))
+          ++ TextAnalysis.piiCounts(col("text")): _*)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "mail me at <EMAIL> or call <PHONE>")
+    assert(got(1L)._3 == 1 && got(1L)._4 == 1 && got(1L)._5 == 0 && got(1L)._6 == 0)
+    assert(got(2L)._2 == "server <IP> logged card <ID> twice: <ID>")
+    assert(got(2L)._5 == 1 && got(2L)._6 == 2)
+    // no-PII text passes through byte-identical with all-zero counts
+    assert(got(3L)._2 == "no pii here at all")
+    assert(got(3L)._3 + got(3L)._4 + got(3L)._5 + got(3L)._6 == 0)
+  }
+
+  test("redacted corpus wire text retains no digit runs outside tags") {
+    // the synthesized text_pii_redact wire column, via the driver surface
+    val out = SparkEntry.queries("text_pii_redact")(spark, Sf0001)
+    assert(out.count() > 0)
+    // every residual digit sits inside an <IP>-free remnant of ≤8 digits:
+    // emails/phones/ips/ids are all gone, so no run of 9+ digits and no
+    // x.x.x.x quad survives anywhere
+    val leaky = out.filter(col("clean_text").rlike("[0-9]{9,}")
+      || col("clean_text").rlike("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+      || col("clean_text").rlike("@")
+      || col("clean_text").rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}")).count()
+    assert(leaky == 0)
+    // counts match the wire construction policy
+    val bad = out.filter(col("n_emails") =!= 1
+      || col("n_ips") =!= 1
+      || (col("n_phones") =!= when(col("doc_id") % 5 === 0, 0L).otherwise(1L))
+      || (col("n_ids") =!= when(col("doc_id") % 3 === 0, 1L).otherwise(0L))).count()
+    assert(bad == 0)
+  }
 }
