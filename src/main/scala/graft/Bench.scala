@@ -35,8 +35,8 @@ object Bench {
     "dedup_cluster", "dedup_substring",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
     "sim_embed_neardup_lsh", "sim_embed_clusters", "sim_embed_decontaminate",
-    "sim_ivf_ann", "sim_ivf_ann_unlabeled",
-    "sim_hard_negatives",
+    "sim_ivf_ann", "sim_ivf_ann_unlabeled", "sim_semdedup", "sim_sq8_ann",
+    "sim_hard_negatives", "text_chunk",
     "mm_decode", "mm_frames")
 
   def main(args: Array[String]): Unit = {

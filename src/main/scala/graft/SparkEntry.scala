@@ -328,6 +328,10 @@ object SparkEntry {
     // of the data. Probes: the stopword list + one absent term.
     "text_countmin" -> ((s, dir) => TextAnalysis.countMinFrequencies(
       Tables.documents(s, dir), TextAnalysis.stopwords :+ "zyzzyva")),
+    // context-length chunking: fixed 200-char windows, 150-char stride
+    // (overlapping), one row per chunk — row-local fan-out, no shuffle.
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -377,6 +381,17 @@ object SparkEntry {
     "sim_ivf_ann_unlabeled" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).drop("label")
       Similarity.ivfTopKUnlabeled(emb, emb.filter(col("vec_id") < 8))
+    }),
+    // SemDeDup: label-free k-means clusters (same trained quantizer as
+    // the IVF tier), then within-cluster cosine pruning — the
+    // near-linear semantic-dedup shape.
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir).drop("label"))),
+    // int8 scalar-quantized ANN: corpus-derived per-dim grid, ADC over
+    // dequantized codes — the 4×-memory-shrink tier.
+    "sim_sq8_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8))
     }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
@@ -905,6 +920,20 @@ object SparkEntry {
          |  FROM pc LEFT JOIN cells USING (j, cell) GROUP BY term)
          |SELECT p.term, e.cm_est, CAST(coalesce(tf.tf, 0) AS BIGINT) AS n_exact
          |FROM probes p JOIN est e USING (term) LEFT JOIN tf USING (term)""".stripMargin,
+
+    // chunk i covers [i·150, i·150+200); last-chunk index replays the
+    // ceil via double (exact at these magnitudes), empty docs keep one
+    // empty chunk.
+    "text_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(greatest(0, ceil((n_chars - 200) / 150.0)) AS BIGINT) + 1)) AS i
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM c""".stripMargin,
 
     // same synthesized wire column, same 4 RE2/Java-portable rules: the
     // replace chain and the raw-text counts replay verbatim in DuckDB.
@@ -1459,6 +1488,69 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
          |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
          |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // SemDeDup, stage by stage: the identical label-free trained
+    // quantizer replay as sim_ivf_ann_unlabeled (md5 seeds → 2 unrolled
+    // Lloyd rounds), then within-cluster domination — a vector is pruned
+    // when an earlier cluster-mate's exact cosine reaches the threshold.
+    "sim_semdedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+         |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+         |), cent0 AS (
+         |  ${ivfCentroidSql("seeds")}
+         |), asn1 AS (
+         |  ${ivfAssignSql("cent0")}
+         |), cent1 AS (
+         |  ${ivfCentroidSql("asn1")}
+         |), asn2 AS (
+         |  ${ivfAssignSql("cent1")}
+         |), cent2 AS (
+         |  ${ivfCentroidSql("asn2")}
+         |), asn AS (
+         |  ${ivfAssignSql("cent2")}
+         |), dominated AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM asn a JOIN asn b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE ${ivfCosSql("a.embedding", "b.embedding")} >= 0.3
+         |)
+         |SELECT vec_id, centroid_id AS cluster_id FROM asn
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dominated)""".stripMargin,
+
+    // int8 scalar quantization, stage by stage: per-dim (min, scale)
+    // grid over the corpus, u8 codes via half-away-from-zero round
+    // (engine-identical), ADC cosine over the DEQUANTIZED arrays in
+    // sequential double order, window top-k.
+    "sim_sq8_ann" ->
+      """WITH st AS (
+        |  SELECT z[2] AS pos, min(CAST(z[1] AS DOUBLE)) AS mn, max(CAST(z[1] AS DOUBLE)) AS mx
+        |  FROM (SELECT unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+        |        FROM embeddings)
+        |  GROUP BY pos
+        |), qp AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END ORDER BY pos) AS scs
+        |  FROM st
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> mns[i] + (CASE WHEN scs[i] > 0
+        |        THEN least(255.0, greatest(0.0,
+        |          round((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i])))
+        |        ELSE 0.0 END) * scs[i]) AS d
+        |  FROM embeddings CROSS JOIN qp
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.d, c.d), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(q.d, v -> v * v)))
+        |       * sqrt(list_sum(list_transform(c.d, v -> v * v)))) AS cos
+        |  FROM deq c CROSS JOIN deq q WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb

@@ -259,6 +259,29 @@ object Similarity {
       .limit(kCentroids)
       .select("centroid_id", "embedding")
 
+  /** Lloyd's k-means from deterministic seed groups: the shared trainer
+    * behind the IVF tiers and [[semDedup]]. Returns the pinned K-row
+    * trained centroid table (centroid_id, centroid: array<double>).
+    *
+    * k-means is inherently iterative: each round's K-row centroid table
+    * materializes eagerly (localCheckpoint, tiny) so (a) round r+1's
+    * plan doesn't nest round r's whole lineage — Catalyst time grows
+    * linearly, not geometrically — and (b) a trained table with several
+    * consumers (inverted lists + query probes) doesn't re-run training.
+    */
+  private def trainCentroids(corpus: DataFrame, seedGroups: DataFrame,
+      lloydIters: Int): DataFrame = {
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val init = pin(decimalSumCentroids(seedGroups))
+    (1 to lloydIters).foldLeft(init) { (cents, _) =>
+      val next = pin(decimalSumCentroids(
+        assignToCentroids(corpus.select("vec_id", "embedding"), cents)
+          .select(col("centroid_id"), col("embedding"))))
+      cents.unpersist(false)
+      next
+    }
+  }
+
   /** Shared IVF core: train from `seedGroups` (rows of (centroid_id,
     * embedding) — a label partition or single seed vectors), build
     * inverted lists, probe, exact re-rank. See [[ivfTopK]] Scaladoc for
@@ -266,20 +289,7 @@ object Similarity {
     */
   private def ivfFromSeed(corpus: DataFrame, queries: DataFrame, seedGroups: DataFrame,
       k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
-    // k-means is inherently iterative: materialize each round's K-row
-    // centroid table eagerly (localCheckpoint, tiny) so (a) round r+1's
-    // plan doesn't nest round r's whole lineage — Catalyst time grows
-    // linearly, not geometrically — and (b) the trained table's TWO
-    // consumers (inverted lists + query probes) don't re-run training.
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val init = pin(decimalSumCentroids(seedGroups))
-    val trained = (1 to lloydIters).foldLeft(init) { (cents, _) =>
-      val next = pin(decimalSumCentroids(
-        assignToCentroids(corpus.select("vec_id", "embedding"), cents)
-          .select(col("centroid_id"), col("embedding"))))
-      cents.unpersist(false)
-      next
-    }
+    val trained = trainCentroids(corpus, seedGroups, lloydIters)
     val lists = assignToCentroids(corpus.select("vec_id", "embedding"), trained)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))
@@ -482,6 +492,104 @@ object Similarity {
         cosineWithNorms(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup that
+    * makes the all-pairs cosine tractable by first clustering with
+    * k-means and only comparing WITHIN a cluster. Returns the surviving
+    * corpus — one `(vec_id, cluster_id)` row per kept vector; a vector
+    * is pruned when an earlier (smaller vec_id) vector in the same
+    * trained cluster sits within `threshold` cosine.
+    *
+    * Training reuses the label-free quantizer verbatim ([[ivfSeeds]] →
+    * [[trainCentroids]]): md5-ranked seed sample, fixed Lloyd rounds,
+    * decimal-sum centroids — so the whole operator, pruning included,
+    * is deterministic and oracle-replayable.
+    *
+    * Scale: this is THE trick that takes semantic dedup to 100 TB —
+    * global all-pairs is O(n²); with K clusters the pair stage is
+    * O(Σᵢ cᵢ²), so growing K with n (paper: K ≈ n/⟨cluster⟩, keeping
+    * cluster size roughly constant) keeps total work near-linear.
+    * Plan: training never shuffles the corpus (broadcast-argmax rounds,
+    * K×dims partial sums), then ONE shuffle partitions vectors by
+    * cluster_id and the pair join + anti-join run cluster-local. A
+    * pathological hot cluster re-introduces a quadratic block — the
+    * mitigations are more centroids or falling back to
+    * [[embeddingNearDupsLsh]] banding inside the hot cluster.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.3,
+      kCentroids: Int = 8, lloydIters: Int = 2): DataFrame = {
+    val trained = trainCentroids(embeddings, ivfSeeds(embeddings, kCentroids), lloydIters)
+    val assigned = assignToCentroids(embeddings.select("vec_id", "embedding"), trained)
+      .withColumn("nrm", fnorm(col("embedding")))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    val dominated = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(cosineWithNorms(col("emb_a"), col("emb_b"),
+        col("norm_a"), col("norm_b")) >= threshold)
+      .select(col("vec_id_b").as("vec_id"))
+    assigned.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+  }
+
+  /** Scalar-quantized (int8) ANN: the memory-footprint tier. Each
+    * dimension maps to an unsigned-8-bit code against corpus-derived
+    * per-dimension (min, scale) — a 4× shrink vs float32 (256× vs the
+    * double math), which at 100 TB is the difference between an index
+    * that fits executor memory and one that doesn't. Scoring is
+    * asymmetric-style ADC on DEQUANTIZED values (min + code·scale), so
+    * ranking error comes only from the quantization grid.
+    *
+    * Everything is deterministic and SQL-expressible: the stats pass is
+    * an explode + per-dimension min/max (map-side partial agg — the
+    * shuffle is partitions×dims rows, not n×dims), codes are
+    * `round((v−min)/scale)` in double (half-up == half-away-from-zero
+    * here since the operand is ≥0 — engine-identical), and the score is
+    * the usual sequential-order double cosine over dequantized arrays.
+    * Query vectors quantize against the same grid; ties break on
+    * neighbor_id. Recall vs [[bruteForceTopK]] is asserted in
+    * DedupSimSpec.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    // per-dimension quantization grid → one broadcast row of
+    // struct(mn, sc) per dim, aligned by pos
+    val qparams = corpus
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(min(col("col").cast("double")).as("mn"), max(col("col").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        struct(col("mn").as("mn"),
+          // zero-width dim (constant value) → scale 0; codes collapse to 0
+          when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0)
+            .otherwise(lit(0.0)).as("sc"))))).as("pp"))
+      .select(transform(col("pp"), p => p.getField("col2")).as("qp"))
+    def quantized(df: DataFrame, idName: String, deqName: String): DataFrame =
+      df.crossJoin(broadcast(qparams))
+        .select(col("vec_id").as(idName),
+          // code = round((v-mn)/sc) ∈ [0,255]; dequantize in the same
+          // expression so only the double math the oracle replays remains
+          // clamp keeps the code an honest u8 even for query values
+          // outside the corpus grid (round is half-away-from-zero on
+          // both engines)
+          zip_with(col("embedding"), col("qp"), (v, p) =>
+            p.getField("mn") + when(p.getField("sc") > 0,
+              least(lit(255.0), greatest(lit(0.0),
+                round((v.cast("double") - p.getField("mn")) / p.getField("sc")))))
+              .otherwise(lit(0.0)) * p.getField("sc")).as(deqName))
+    val q = quantized(queries, "query_id", "q_deq")
+    val c = quantized(corpus, "neighbor_id", "c_deq")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_deq"), col("c_deq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 }

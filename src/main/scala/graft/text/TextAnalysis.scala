@@ -436,4 +436,44 @@ object TextAnalysis {
       (acc, t) => (acc * lit(31L)
         + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % p) % p)
   }
+
+  /** Context-length chunking: split each document into fixed-`width`
+    * character windows advancing by `stride` (stride < width ⇒
+    * overlapping windows, the usual LM pretraining shape so no token
+    * near a boundary loses its left context). Emits one row per chunk:
+    * (doc_id, chunk_id, chunk_text, chunk_len).
+    *
+    * Chunk i covers [i·stride, i·stride+width); the last chunk starts at
+    * the largest i with i·stride < len (so it may be short but never
+    * empty), and an empty document still yields its one empty chunk —
+    * row count is exactly Σ max(1, ⌈(len−width)/stride⌉+1).
+    *
+    * Scale: pure row-local fan-out — `sequence` + `posexplode` +
+    * `substring`, whole-stage codegen, zero shuffle. Output size is
+    * width/stride × corpus, the caller's knob. The n_chars column is
+    * TRUSTED as the length (it matches length(text) in the test tables);
+    * computing it inline would be the same plan.
+    */
+  def chunkDocuments(docs: DataFrame, width: Int = 200, stride: Int = 150): DataFrame = {
+    require(width > 0 && stride > 0, s"width/stride must be positive: $width/$stride")
+    val len = col("n_chars")
+    // ⌈(len−width)/stride⌉ via integer floor-div on a non-negative
+    // numerator, clamped at 0 for short docs
+    val lastChunk = greatest(lit(0L), -floorDiv(-(len - width), lit(stride.toLong)))
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0L), lastChunk)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("text").substr((col("pos") * stride + 1).cast("int"), lit(width))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Floor division a/b for long columns (Spark's `div` truncates toward
+    * zero; chunking needs floor semantics for the negated-ceil trick).
+    * The quotient is exact by construction, so the double round-trip is
+    * lossless.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 }

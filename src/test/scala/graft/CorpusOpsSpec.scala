@@ -29,6 +29,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents: driver fast path and distributed loop label identically") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val docs = emb.select(col("vec_id").as("doc_id"))
+    val pairs = graft.sim.Similarity.embeddingNearDupsLsh(emb)
+      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+    val fast = Dedup.connectedComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(docs, pairs, driverEdgeLimit = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast.size == docs.count())
+  }
+
   test("jaccardClusters assigns every document exactly one cluster id") {
     val docs = Tables.documents(spark, Sf0001)
     val labels = Dedup.jaccardClusters(docs)

@@ -242,6 +242,60 @@ class DedupSimSpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low") // 16-bit sigs, 4 bands
   }
 
+  test("semDedup prunes planted duplicate, keeps cluster minima, partitions the corpus") {
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val n = emb.count()
+    val survivors = Similarity.semDedup(emb)
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    assert(ids.size < n, "semantic dedup should prune something on this corpus")
+    // a planted exact duplicate of vector 0 (new max id) must be pruned:
+    // same embedding → same cluster, cosine 1.0 to an earlier vector
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDup = emb.unionByName(dup)
+    val ids2 = Similarity.semDedup(withDup).select("vec_id").as[Long].collect().toSet
+    assert(!ids2.contains(100000L))
+    // the smallest vec_id of every cluster can never be dominated
+    val minPerCluster = survivors.groupBy("cluster_id").agg(min("vec_id"))
+    assert(minPerCluster.count() == survivors.select("cluster_id").distinct().count())
+  }
+
+  test("sq8TopK ranking matches brute force closely (fine 8-bit grid)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    // 255 levels per dim ⇒ quantization error ≪ neighbor gaps
+    assert(recall >= 0.8, s"sq8 recall $recall too low")
+  }
+
+  test("chunkDocuments covers every document with the right windows") {
+    val docs = Seq(
+      (1L, "a" * 100),  // short: 1 chunk
+      (2L, "b" * 200),  // exactly width: 1 chunk
+      (3L, "c" * 201),  // width+1: second chunk starts at stride
+      (4L, ""),         // empty: one empty chunk
+      (5L, "d" * 500))  // 1 + ceil(300/150) = 3 chunks
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val out = TextAnalysis.chunkDocuments(docs, width = 200, stride = 150)
+      .select("doc_id", "chunk_id", "chunk_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 100L),
+      (2L, 0L, 200L),
+      (3L, 0L, 200L), (3L, 1L, 51L),
+      (4L, 0L, 0L),
+      (5L, 0L, 200L), (5L, 1L, 200L), (5L, 2L, 200L)))
+    // overlapping windows really overlap: doc 5 chunk 1 starts at 150
+    val texts = TextAnalysis.chunkDocuments(docs, width = 200, stride = 150)
+      .filter(col("doc_id") === 5 && col("chunk_id") === 1)
+      .select("chunk_text").as[String].head()
+    assert(texts == "d" * 200)
+  }
+
   test("language id picks marker-dominant language, 'und' when none") {
     val docs = Seq(
       (1L, "der hund und die katze nicht das haus"),
