@@ -135,6 +135,13 @@ object ScaleProbe {
       time(s"ivf_ann_${c}x")(Similarity.ivfTopK(corpus, queries).count())
       time(s"ivf_ann_unlabeled_${c}x")(Similarity.ivfTopKUnlabeled(
         corpus.drop("label"), queries.drop("label")).count())
+      // SemDeDup: total pair work is Σ cᵢ² over trained clusters — with
+      // fixed K it grows ~quadratically in replicated data, so scale K
+      // with n (kCentroids = 8·c) the way the operator's contract says,
+      // and the growth should stay near-linear
+      time(s"semdedup_${c}x")(Similarity.semDedup(
+        corpus.drop("label"), kCentroids = 8 * c).count())
+      time(s"sq8_ann_${c}x")(Similarity.sq8TopK(corpus, queries).count())
       if (c == 1) {
         // recall of the label-free LSH path against the exact label-blocked
         // twin, at the twin's own threshold (0.3 — deep in the isotropic

@@ -119,4 +119,45 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(finalGlobalSorts.isEmpty, "no stage of IVF may globally sort the corpus")
   }
+
+  test("text_chunk: pure row-local fan-out — no shuffle at all") {
+    val plan = executed(SparkEntry.queries("text_chunk")(spark, Sf0001))
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "chunking is generate + substring, row-local")
+  }
+
+  test("sim_sq8_ann: quantization grid broadcasts; corpus never sort-merges") {
+    val plan = executed(SparkEntry.queries("sim_sq8_ann")(spark, Sf0001))
+    val bcastNL = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcastNL.nonEmpty, "qparams + query set must reach the corpus as broadcasts")
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, "SQ8 scoring must not shuffle-sort the corpus")
+  }
+
+  test("sim_semdedup: one corpus shuffle (by cluster) in the pair stage") {
+    // training is pinned via localCheckpoint, so the final plan shows
+    // only the post-training stages: the repartition by centroid_id,
+    // the within-cluster pair join and the survivor anti-join
+    val plan = executed(SparkEntry.queries("sim_semdedup")(spark, Sf0001))
+    // the only merge join allowed is the survivors LeftAnti (dominated
+    // ids can be a large corpus fraction — not broadcastable at scale,
+    // so a shuffled join with per-partition sort is the honest plan);
+    // the within-cluster PAIR join must stay a hash join on the cluster
+    // partitioning
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.forall(_.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"only the survivors anti-join may merge-join, got ${smj.map(_.joinType)}")
+    val globalSorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "semantic dedup must never globally sort the corpus")
+  }
 }
