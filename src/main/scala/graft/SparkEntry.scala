@@ -393,6 +393,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8))
     }),
+    // product-quantized ANN: per-subspace Lloyd codebooks (the shared
+    // md5-seeded trainer), 4-byte codes, ADC table scoring — the
+    // extreme-compression tier, fully oracle-replayed.
+    "sim_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).drop("label")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
     // public format() surface; md5-derived generator → the oracle
@@ -546,6 +553,85 @@ object SparkEntry {
        |          ${ivfCosSql("e.embedding", "c.centroid")} AS d
        |        FROM embeddings e CROSS JOIN $cent c)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) = 1""".stripMargin
+
+  /** Decimal MEAN centroid of `src` rows — the DuckDB twin of
+    * Similarity.decimalMeanCentroids (PQ codebooks need magnitude-
+    * faithful means; the division runs in double on both engines).
+    */
+  private def pqMeanCentroidSql(src: String): String =
+    s"""SELECT centroid_id, list(vd ORDER BY pos) AS centroid
+       |  FROM (SELECT centroid_id, pos, CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) / count(*) AS vd
+       |        FROM (SELECT centroid_id, z[2] AS pos, CAST(CAST(z[1] AS VARCHAR) AS DECIMAL(18,9)) AS v
+       |              FROM (SELECT centroid_id, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+       |                    FROM $src))
+       |        GROUP BY centroid_id, pos)
+       |  GROUP BY centroid_id""".stripMargin
+
+  /** [[ivfAssignSql]] over the [lo,hi] sub-vector slice — the per-
+    * subspace assignment of the PQ oracle (DuckDB list slices are
+    * 1-based inclusive, mirroring Spark's `slice(col, lo, len)`).
+    */
+  private def pqAssignSql(cent: String, lo: Int, hi: Int): String =
+    s"""SELECT vec_id, embedding, centroid_id
+       |  FROM (SELECT e.vec_id, e.embedding[$lo:$hi] AS embedding, c.centroid_id,
+       |          ${ivfCosSql(s"e.embedding[$lo:$hi]", "c.centroid")} AS d
+       |        FROM embeddings e CROSS JOIN $cent c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) = 1""".stripMargin
+
+  /** The full PQ oracle: per-subspace md5-seeded decimal-sum Lloyd
+    * training unrolled exactly like the IVF oracles (2 rounds), codes
+    * from the final per-subspace assignment, ADC scoring with explicit
+    * left-to-right sums over subspaces so no engine-divergent reduction
+    * order exists anywhere.
+    */
+  private def pqOracleSql(numSub: Int = 4, subDim: Int = 16, subK: Int = 16): String = {
+    val subs = (0 until numSub).map { m =>
+      val (lo, hi) = (m * subDim + 1, m * subDim + subDim)
+      s"""cent0_$m AS (
+         |  ${ivfCentroidSql(s"(SELECT centroid_id, embedding[$lo:$hi] AS embedding FROM seeds)")}
+         |), asn1_$m AS (
+         |  ${pqAssignSql(s"cent0_$m", lo, hi)}
+         |), cent1_$m AS (
+         |  ${ivfCentroidSql(s"asn1_$m")}
+         |), asn2_$m AS (
+         |  ${pqAssignSql(s"cent1_$m", lo, hi)}
+         |), book_$m AS (
+         |  ${pqMeanCentroidSql(s"asn2_$m")}
+         |), codes_$m AS (
+         |  SELECT vec_id, centroid_id AS code FROM (${pqAssignSql(s"book_$m", lo, hi)})
+         |)""".stripMargin
+    }.mkString(", ")
+    val dotTerms = (0 until numSub).map { m =>
+      val (lo, hi) = (m * subDim + 1, m * subDim + subDim)
+      s"""list_sum(list_transform(list_zip(qq.embedding[$lo:$hi], k$m.centroid),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+    }
+    val nTerms = (0 until numSub).map(m =>
+      s"list_sum(list_transform(k$m.centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val joins = (0 until numSub).map(m =>
+      s"JOIN codes_$m z$m ON c.vec_id = z$m.vec_id JOIN book_$m k$m ON z$m.code = k$m.centroid_id")
+      .mkString("\n    ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+       |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $subK
+       |), $subs, qq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qn
+       |  FROM embeddings WHERE vec_id < 8
+       |), scored AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (${dotTerms.mkString("\n     + ")})
+       |    / (qq.qn * sqrt(${nTerms.mkString(" + ")})) AS cos
+       |  FROM embeddings c
+       |    $joins
+       |    CROSS JOIN qq
+       |  WHERE qq.vec_id != c.vec_id
+       |)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+       |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+       |FROM scored QUALIFY rnk <= 5""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "etl_pipeline" ->
@@ -1551,6 +1637,9 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // PQ: per-subspace Lloyd codebooks + ADC — see pqOracleSql.
+    "sim_pq_ann" -> pqOracleSql(),
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb

@@ -182,6 +182,24 @@ object Similarity {
         collect_list(struct(col("pos"), col("vsum").cast("double").as("v")))).as("pv"))
       .select(col("centroid_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
 
+  /** Per-dimension decimal MEAN centroid — the magnitude-faithful
+    * variant [[pqTopK]]'s codebooks need: ADC reconstruction
+    * CONCATENATES sub-centroids, so a sum-centroid would scale each
+    * subspace by its cluster size and corrupt the cross-subspace dot
+    * (cosine-probed IVF never notices — per-centroid scale cancels
+    * there). The decimal sum divides by the exact member count in
+    * double, so the mean is as deterministic as the sum.
+    */
+  private def decimalMeanCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")))
+      .groupBy("centroid_id", "pos")
+      .agg((sum(col("col").cast("string").cast("decimal(18,9)")).cast("double")
+        / count(lit(1))).as("v"))
+      .groupBy("centroid_id").agg(array_sort(
+        collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("centroid_id"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+
   /** Nearest-centroid assignment by cosine (ties → lowest centroid_id),
     * with ZERO shuffle of the corpus: the K centroids collapse to one
     * sorted array on a single-row broadcast table, and the argmax runs
@@ -535,6 +553,123 @@ object Similarity {
       .select(col("vec_id_b").as("vec_id"))
     assigned.join(dominated, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+  }
+
+  /** Product-quantized ANN (Jégou et al. '11, spherical variant): the
+    * extreme-compression index tier. The vector splits into `numSub`
+    * subspaces; each subspace gets its own `subK`-centroid codebook
+    * (trained with the SAME md5-seeded decimal-sum Lloyd loop as the
+    * IVF tier, per sub-vector), and a corpus vector is stored as just
+    * `numSub` codes — log₂(subK) bits each, a 64-dim float vector
+    * compressed to 4 bytes here. Queries score by asymmetric distance
+    * computation (ADC): one dot product per (query, sub-centroid) up
+    * front — numSub×subK values — then each corpus candidate costs
+    * `numSub` table lookups instead of a `dims`-wide dot product.
+    * Assignment uses cosine (spherical k-means), so the whole operator
+    * reuses the IVF kernels and stays deterministic + oracle-replayable.
+    *
+    * Scale: codebooks train on sub-vectors with the canonical k-means
+    * shape (corpus never shuffles; subK×subDim partial sums per round);
+    * encoding is map-side against the broadcast codebooks; scoring is a
+    * broadcast of the tiny query table (with its ADC tables precomputed)
+    * against one scan of the CODES — the index a real deployment holds
+    * in memory where the raw vectors never fit. Reconstruction norms
+    * ride with the codes (computed once at encode time), so cosine
+    * needs no corpus-side float math at query time.
+    *
+    * Determinism: every sum that shapes output is either sequential
+    * (per-subspace dots) or an explicit left-to-right sum over the
+    * `numSub` terms — no engine-divergent reduction anywhere.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      numSub: Int = 4, subK: Int = 16, lloydIters: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSub == 0, s"dims $dims must split evenly into $numSub subspaces")
+    require(lloydIters >= 1, "PQ needs at least the mean-codebook round")
+    val subDim = dims / numSub
+    def sub(df: DataFrame, m: Int): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), m * subDim + 1, subDim).as("embedding"))
+    def subSeed(seeds: DataFrame, m: Int): DataFrame =
+      seeds.select(col("centroid_id"),
+        slice(col("embedding"), m * subDim + 1, subDim).as("embedding"))
+    val seeds = ivfSeeds(corpus, subK).localCheckpoint(true)
+    // per-subspace codebooks, each a pinned subK-row table. The numSub
+    // trainings are independent, and each is a chain of TINY jobs
+    // (subK×subDim partial sums per round) whose wall-clock is job
+    // overhead, not compute — so submit them concurrently; Spark's
+    // scheduler interleaves the rounds across subspaces (measured ~2×
+    // on the sf0.1 probe, and on a busy cluster the tiny stages just
+    // slot into free executor capacity)
+    val books = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until numSub).toList.map(m => Future {
+          val subM = sub(corpus, m)
+          // lloydIters-1 sum-centroid rounds, then the final round emits
+          // the MEAN of its clusters as the codebook (see
+          // decimalMeanCentroids — a mean-vs-sum codebook has identical
+          // directions, so assignment/codes are unchanged, but ADC
+          // reconstruction needs the faithful magnitude). Total
+          // reassignments = lloydIters, same as the IVF tier.
+          val trainedSums = trainCentroids(subM, subSeed(seeds, m), lloydIters - 1)
+          val book = decimalMeanCentroids(
+            assignToCentroids(subM, trainedSums)
+              .select(col("centroid_id"), col("embedding")))
+            .localCheckpoint(true)
+          trainedSums.unpersist(false)
+          book
+        })), Duration.Inf)
+    }
+    // ONE broadcast row holding every codebook (sorted by centroid id),
+    // pinned: it feeds BOTH the encode and the ADC-table broadcasts, and
+    // without the pin each branch would re-run the numSub K-row aggs
+    val bookArrs = books.zipWithIndex.map { case (b, m) =>
+      b.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as(s"cents_$m"))
+    }.reduce(_.crossJoin(_)).localCheckpoint(true)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    // encode: nprobe-free map-side argmax per subspace + the
+    // reconstruction norm² (explicit left-to-right sum over subspaces)
+    val codeCols = (0 until numSub).map(m =>
+      VecText.nearest_centroid(col(s"cents_$m"),
+        slice(col("embedding"), m * subDim + 1, subDim)).as(s"code_$m"))
+    def chosen(m: Int): Column =
+      element_at(filter(col(s"cents_$m"),
+        p => p.getField("centroid_id") === col(s"code_$m")), 1).getField("centroid")
+    val coded = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bookArrs))
+      .select(col("vec_id") +:
+        (0 until numSub).map(m => col(s"cents_$m")) ++: codeCols: _*)
+      .select((col("vec_id").as("neighbor_id") +:
+        (0 until numSub).map(m => col(s"code_$m"))) :+
+          (0 until numSub).map(m => dotD(chosen(m), chosen(m)))
+            .reduceLeft(_ + _).as("recon_nsq"): _*)
+    // ADC tables: per query and subspace, the dot against every
+    // sub-centroid, keyed by centroid id
+    val tabCols = (0 until numSub).map(m =>
+      transform(col(s"cents_$m"), c => struct(c.getField("centroid_id").as("id"),
+        dotD(slice(col("embedding"), m * subDim + 1, subDim),
+          c.getField("centroid")).as("d"))).as(s"tab_$m"))
+    val qTabs = queries.select(col("vec_id").as("query_id"), col("embedding"),
+        fnorm(col("embedding")).as("q_norm"))
+      .crossJoin(broadcast(bookArrs))
+      .select(col("query_id") +: col("q_norm") +: tabCols: _*)
+    def lookup(m: Int): Column =
+      element_at(filter(col(s"tab_$m"),
+        p => p.getField("id") === col(s"code_$m")), 1).getField("d")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    coded.join(broadcast(qTabs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("q_norm") * sqrt(col("recon_nsq")) > 0,
+          (0 until numSub).map(lookup).reduceLeft(_ + _)
+            / (col("q_norm") * sqrt(col("recon_nsq")))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
   }
 
   /** Scalar-quantized (int8) ANN: the memory-footprint tier. Each

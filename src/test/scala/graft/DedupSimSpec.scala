@@ -272,6 +272,28 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.8, s"sq8 recall $recall too low")
   }
 
+  test("pqTopK: 4-byte codes rank true neighbors far above chance") {
+    // sf0.01, not sf0.001: PQ needs enough vectors to train 16-centroid
+    // codebooks, and a 500-candidate pool makes the chance baseline 2%
+    // instead of 20% — the recall number means something here. This
+    // corpus is near-isotropic (avg pairwise cosine ~0.003), PQ's
+    // documented worst case, so the floor is chance-relative: measured
+    // recall@10 of the true top-5 is ~0.23 ≈ 11× chance.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").drop("label")
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.15, s"PQ recall@10 $recall within noise of the 2% chance floor")
+    // ranks are a valid contiguous 1..n per query
+    val ranks = Similarity.pqTopK(emb, q, k = 10).groupBy("query_id")
+      .agg(min("rnk").as("lo"), max("rnk").as("hi"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    ranks.foreach { case (_, lo, hi, n) => assert(lo == 1L && hi == n) }
+  }
+
   test("chunkDocuments covers every document with the right windows") {
     val docs = Seq(
       (1L, "a" * 100),  // short: 1 chunk

@@ -140,6 +140,21 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(smj.isEmpty, "SQ8 scoring must not shuffle-sort the corpus")
   }
 
+  test("sim_pq_ann: codebooks and ADC tables broadcast; the corpus never shuffles") {
+    // training is pinned (localCheckpoint), so the final plan is encode
+    // + score: both must reach the corpus scan as broadcasts
+    val plan = executed(SparkEntry.queries("sim_pq_ann")(spark, Sf0001))
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only permissible shuffle is the final top-k window partition
+    assert(exchanges.size <= 1, s"PQ encode/score must not shuffle the corpus: $exchanges")
+    val smj = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, "PQ scoring must be broadcast, never sort-merge")
+  }
+
   test("sim_semdedup: one corpus shuffle (by cluster) in the pair stage") {
     // training is pinned via localCheckpoint, so the final plan shows
     // only the post-training stages: the repartition by centroid_id,
