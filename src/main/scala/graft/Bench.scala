@@ -72,14 +72,23 @@ object Bench {
     // whatever async cleanup happens to overlap it (observed 3-10x
     // outliers on single-sample runs); the min is the steady-state cost.
     val names = headline.filter(SparkEntry.queries.contains)
-    def once(name: String): Double = {
+    // per-query GC attribution: cumulative collection millis across all
+    // collectors, sampled around the BEST rep — so a stalled sample can
+    // be read as "GC" vs "something else" straight from the driver
+    // artifact (round-6 observed 2-5 s stalls that survive min-of-3 and
+    // move between runs; this pins down their nature without a rerun)
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def once(name: String): (Double, Double) = {
       val fn = SparkEntry.queries(name)
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
     }
     val results = names.zipWithIndex.map { case (name, _) =>
       // settle before every query: finished queries leave broadcast and
@@ -88,21 +97,23 @@ object Bench {
       // queries like dedup_cluster are the most exposed). The settle is
       // untimed — it trades wall-clock for stable steady-state samples.
       System.gc(); Thread.sleep(250)
-      val t1 = once(name)
-      val t2 = once(name)
-      val best = math.min(t1, t2)
+      val s1 = once(name)
+      val s2 = once(name)
+      val best = math.min(s1._1, s2._1)
       // samples disagreeing by >2x means one absorbed async cleanup/GC —
       // a third rep resolves which was real; likewise when even the best
       // sample is slow in absolute terms (heavy compositions show rare
       // ~7s environmental stalls that can hit both reps)
-      val t = if (math.max(t1, t2) > 2 * best || best > 2.5)
-        math.min(best, once(name)) else best
-      name -> t
+      val samples = if (math.max(s1._1, s2._1) > 2 * best || best > 2.5)
+        Seq(s1, s2, once(name)) else Seq(s1, s2)
+      name -> samples.minBy(_._1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
