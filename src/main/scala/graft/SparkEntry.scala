@@ -400,6 +400,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).drop("label")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8))
     }),
+    // IVF-PQ: trained coarse lists prune to nprobe lists per query, PQ
+    // codes ADC-score the survivors — the composed billion-scale index.
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).drop("label")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
     // public format() surface; md5-derived generator → the oracle
@@ -584,8 +590,11 @@ object SparkEntry {
     * left-to-right sums over subspaces so no engine-divergent reduction
     * order exists anywhere.
     */
-  private def pqOracleSql(numSub: Int = 4, subDim: Int = 16, subK: Int = 16): String = {
-    val subs = (0 until numSub).map { m =>
+  /** Per-subspace PQ training CTEs (seed slice → unrolled Lloyd →
+    * mean codebook → codes) — shared by the PQ and IVF-PQ oracles.
+    */
+  private def pqSubCtes(numSub: Int, subDim: Int): String =
+    (0 until numSub).map { m =>
       val (lo, hi) = (m * subDim + 1, m * subDim + subDim)
       s"""cent0_$m AS (
          |  ${ivfCentroidSql(s"(SELECT centroid_id, embedding[$lo:$hi] AS embedding FROM seeds)")}
@@ -601,6 +610,11 @@ object SparkEntry {
          |  SELECT vec_id, centroid_id AS code FROM (${pqAssignSql(s"book_$m", lo, hi)})
          |)""".stripMargin
     }.mkString(", ")
+
+  /** The ADC cosine expression over joined codes/books — explicit
+    * left-to-right sums so no engine-divergent reduction order exists.
+    */
+  private def pqAdcCosSql(numSub: Int, subDim: Int): String = {
     val dotTerms = (0 until numSub).map { m =>
       val (lo, hi) = (m * subDim + 1, m * subDim + subDim)
       s"""list_sum(list_transform(list_zip(qq.embedding[$lo:$hi], k$m.centroid),
@@ -608,29 +622,85 @@ object SparkEntry {
     }
     val nTerms = (0 until numSub).map(m =>
       s"list_sum(list_transform(k$m.centroid, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val joins = (0 until numSub).map(m =>
+    s"""(${dotTerms.mkString("\n     + ")})
+       |    / (qq.qn * sqrt(${nTerms.mkString(" + ")}))""".stripMargin
+  }
+
+  private def pqCodeJoins(numSub: Int): String =
+    (0 until numSub).map(m =>
       s"JOIN codes_$m z$m ON c.vec_id = z$m.vec_id JOIN book_$m k$m ON z$m.code = k$m.centroid_id")
       .mkString("\n    ")
+
+  private val pqQqCte =
+    """qq AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qn
+      |  FROM embeddings WHERE vec_id < 8
+      |)""".stripMargin
+
+  private val pqTopKSelect =
+    """SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
+      |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
+      |FROM scored QUALIFY rnk <= 5""".stripMargin
+
+  private def pqOracleSql(numSub: Int = 4, subDim: Int = 16, subK: Int = 16): String =
     s"""WITH seeds AS (
        |  SELECT vec_id AS centroid_id, embedding FROM embeddings
        |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $subK
-       |), $subs, qq AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qn
-       |  FROM embeddings WHERE vec_id < 8
-       |), scored AS (
+       |), ${pqSubCtes(numSub, subDim)}, $pqQqCte, scored AS (
        |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    (${dotTerms.mkString("\n     + ")})
-       |    / (qq.qn * sqrt(${nTerms.mkString(" + ")})) AS cos
+       |    ${pqAdcCosSql(numSub, subDim)} AS cos
        |  FROM embeddings c
-       |    $joins
+       |    ${pqCodeJoins(numSub)}
        |    CROSS JOIN qq
        |  WHERE qq.vec_id != c.vec_id
        |)
-       |SELECT query_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
-       |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
-       |FROM scored QUALIFY rnk <= 5""".stripMargin
+       |$pqTopKSelect""".stripMargin
+
+  /** IVF-PQ oracle: the unlabeled IVF coarse training (cseeds/ccent*)
+    * prunes to nprobe lists per query; PQ codes score the survivors.
+    * Every stage reuses the proven IVF/PQ CTE generators.
+    */
+  private def ivfPqOracleSql(numSub: Int = 4, subDim: Int = 16, subK: Int = 16,
+      coarseK: Int = 8, nprobe: Int = 2): String = {
+    def cAssign(cent: String): String = ivfAssignSql(cent)
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+       |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $subK
+       |), cseeds AS (
+       |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+       |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $coarseK
+       |), ccent0 AS (
+       |  ${ivfCentroidSql("cseeds")}
+       |), casn1 AS (
+       |  ${cAssign("ccent0")}
+       |), ccent1 AS (
+       |  ${ivfCentroidSql("casn1")}
+       |), casn2 AS (
+       |  ${cAssign("ccent1")}
+       |), ccent2 AS (
+       |  ${ivfCentroidSql("casn2")}
+       |), lists AS (
+       |  SELECT vec_id, centroid_id AS list_id FROM (${cAssign("ccent2")})
+       |), ${pqSubCtes(numSub, subDim)}, $pqQqCte, probes AS (
+       |  SELECT vec_id AS query_id, centroid_id AS list_id
+       |  FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ${ivfCosSql("e.embedding", "c.centroid")} AS d
+       |    FROM embeddings e CROSS JOIN ccent2 c WHERE e.vec_id < 8)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= $nprobe
+       |), scored AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${pqAdcCosSql(numSub, subDim)} AS cos
+       |  FROM embeddings c
+       |    ${pqCodeJoins(numSub)}
+       |    JOIN lists l ON c.vec_id = l.vec_id
+       |    JOIN probes p ON p.list_id = l.list_id
+       |    JOIN qq ON qq.vec_id = p.query_id
+       |  WHERE qq.vec_id != c.vec_id
+       |)
+       |$pqTopKSelect""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1640,6 +1710,8 @@ object SparkEntry {
 
     // PQ: per-subspace Lloyd codebooks + ADC — see pqOracleSql.
     "sim_pq_ann" -> pqOracleSql(),
+    // IVF-PQ: coarse-list pruning + ADC — see ivfPqOracleSql.
+    "sim_ivfpq_ann" -> ivfPqOracleSql(),
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb

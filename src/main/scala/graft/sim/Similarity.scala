@@ -583,7 +583,31 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       numSub: Int = 4, subK: Int = 16, lloydIters: Int = 2,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    pqCore(corpus, queries, k, numSub, subK, lloydIters, dims, coarse = None)
+
+  /** IVF-PQ: the composed billion-scale index (the FAISS `IVFx,PQy`
+    * shape). A full-vector coarse quantizer (the IVF tier's trained
+    * k-means, `coarseK` lists) prunes the search to the `nprobe` lists
+    * nearest each query, and PQ codes score the survivors via ADC — so
+    * query cost is (lists probed)/(total lists) of the corpus × numSub
+    * table lookups, while the index stores only codes + one list id per
+    * vector. At deployment the coded table is PARTITIONED BY list id,
+    * so probing reads nprobe partitions and the rest of the corpus is
+    * never touched; at test scale the same semantics run as a
+    * broadcast-join filter. Training, encoding, probing and scoring all
+    * reuse the proven IVF/PQ stages unchanged, so the oracle replays
+    * the whole composition.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      numSub: Int = 4, subK: Int = 16, lloydIters: Int = 2,
+      dims: Int = 64, coarseK: Int = 8, nprobe: Int = 2): DataFrame =
+    pqCore(corpus, queries, k, numSub, subK, lloydIters, dims,
+      coarse = Some((coarseK, nprobe)))
+
+  private def pqCore(corpus: DataFrame, queries: DataFrame, k: Int,
+      numSub: Int, subK: Int, lloydIters: Int, dims: Int,
+      coarse: Option[(Int, Int)]): DataFrame = {
     require(dims % numSub == 0, s"dims $dims must split evenly into $numSub subspaces")
     require(lloydIters >= 1, "PQ needs at least the mean-codebook round")
     val subDim = dims / numSub
@@ -625,10 +649,21 @@ object Similarity {
     // ONE broadcast row holding every codebook (sorted by centroid id),
     // pinned: it feeds BOTH the encode and the ADC-table broadcasts, and
     // without the pin each branch would re-run the numSub K-row aggs
-    val bookArrs = books.zipWithIndex.map { case (b, m) =>
+    val pqArrs = books.zipWithIndex.map { case (b, m) =>
       b.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as(s"cents_$m"))
     }.reduce(_.crossJoin(_)).localCheckpoint(true)
+    // optional IVF coarse quantizer: trained full-vector k-means whose
+    // lists prune the search; rides the same broadcast row
+    val coarseTrained = coarse.map { case (coarseK, _) =>
+      trainCentroids(corpus.select("vec_id", "embedding"),
+        ivfSeeds(corpus, coarseK), lloydIters)
+    }
+    val bookArrs = coarseTrained.fold(pqArrs) { ct =>
+      pqArrs.crossJoin(ct.agg(array_sort(
+        collect_list(struct(col("centroid_id"), col("centroid")))).as("coarse_cents")))
+        .localCheckpoint(true)
+    }
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     // encode: nprobe-free map-side argmax per subspace + the
@@ -639,12 +674,15 @@ object Similarity {
     def chosen(m: Int): Column =
       element_at(filter(col(s"cents_$m"),
         p => p.getField("centroid_id") === col(s"code_$m")), 1).getField("centroid")
+    val listCol = coarse.toSeq.map(_ =>
+      VecText.nearest_centroid(col("coarse_cents"), col("embedding")).as("list_id"))
     val coded = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(bookArrs))
       .select(col("vec_id") +:
-        (0 until numSub).map(m => col(s"cents_$m")) ++: codeCols: _*)
+        (0 until numSub).map(m => col(s"cents_$m")) ++: codeCols ++: listCol: _*)
       .select((col("vec_id").as("neighbor_id") +:
-        (0 until numSub).map(m => col(s"code_$m"))) :+
+        (0 until numSub).map(m => col(s"code_$m")) ++:
+        coarse.toSeq.map(_ => col("list_id"))) :+
           (0 until numSub).map(m => dotD(chosen(m), chosen(m)))
             .reduceLeft(_ + _).as("recon_nsq"): _*)
     // ADC tables: per query and subspace, the dot against every
@@ -660,8 +698,29 @@ object Similarity {
     def lookup(m: Int): Column =
       element_at(filter(col(s"tab_$m"),
         p => p.getField("id") === col(s"code_$m")), 1).getField("d")
+    // with a coarse stage: each query probes its nprobe nearest lists,
+    // and the probe set rides the broadcast next to the ADC tables —
+    // the scoring join keys on list id, so only probed lists score
+    val qSide = coarse.fold(qTabs) { case (_, nprobe) =>
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("d").desc, col("centroid_id"))
+      val probes = queries.select(col("vec_id").as("query_id"), col("embedding"))
+        .crossJoin(broadcast(bookArrs.select(col("coarse_cents"))))
+        .select(col("query_id"), col("embedding"), explode(col("coarse_cents")).as("c"))
+        .select(col("query_id"), col("c.centroid_id").as("centroid_id"),
+          cosine(col("embedding"), col("c.centroid")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("centroid_id").as("list_id"))
+      probes.join(qTabs, Seq("query_id"))
+    }
+    val joined = coarse match {
+      case Some(_) => coded.join(broadcast(qSide), Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      case None => coded.join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
+    }
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    coded.join(broadcast(qTabs), col("query_id") =!= col("neighbor_id"))
+    joined
       .withColumn("cos",
         when(col("q_norm") * sqrt(col("recon_nsq")) > 0,
           (0 until numSub).map(lookup).reduceLeft(_ + _)

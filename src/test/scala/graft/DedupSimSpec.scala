@@ -294,6 +294,25 @@ class DedupSimSpec extends SparkSpec {
     ranks.foreach { case (_, lo, hi, n) => assert(lo == 1L && hi == n) }
   }
 
+  test("ivfPqTopK prunes to probed lists and agrees with full PQ inside them") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").drop("label")
+    val q = emb.filter(col("vec_id") < 8)
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5).collect()
+    assert(ivfpq.length == 40)
+    // the coarse stage only prunes — it never re-scores: every IVF-PQ
+    // result must appear in the UNPRUNED PQ ranking with the same
+    // cosine (probing costs recall, never correctness of the scores)
+    val full = Similarity.pqTopK(emb, q, k = emb.count().toInt)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(full.contains(key), s"$key missing from full PQ ranking")
+      assert(math.abs(full(key) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+  }
+
   test("chunkDocuments covers every document with the right windows") {
     val docs = Seq(
       (1L, "a" * 100),  // short: 1 chunk
