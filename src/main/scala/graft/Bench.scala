@@ -80,15 +80,21 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    def once(name: String): (Double, Double) = {
+    // JIT wall isn't 1:1 with query wall (compiler threads run
+    // concurrently), but a stalled sample with multi-second jit delta
+    // and zero gc reads as recompilation pressure, not a plan change
+    def jitMillis(): Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def once(name: String): (Double, Double, Double) = {
       val fn = SparkEntry.queries(name)
-      val g0 = gcMillis()
+      val g0 = gcMillis(); val j0 = jitMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
+      ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
+        (jitMillis() - j0) / 1e3)
     }
     val results = names.zipWithIndex.map { case (name, _) =>
       // settle before every query: finished queries leave broadcast and
@@ -97,6 +103,19 @@ object Bench {
       // queries like dedup_cluster are the most exposed). The settle is
       // untimed — it trades wall-clock for stable steady-state samples.
       System.gc(); Thread.sleep(250)
+      // ...and wait for JIT quiescence: on a saturated local[32] the C2
+      // compiler threads compete with the query for cores, and async
+      // recompilation kicked off by query N lands inside query N+1's
+      // timed reps (jit_sec showed 2-3 s of concurrent compilation in
+      // stalled-but-gc-0 samples). Bounded wait: quiet 200 ms window or
+      // 3 s cap.
+      var lastJit = jitMillis(); var waited = 0
+      while (waited < 3000) {
+        Thread.sleep(200)
+        val now = jitMillis()
+        if (now - lastJit < 20) waited = 3000
+        else { lastJit = now; waited += 200 }
+      }
       val s1 = once(name)
       val s2 = once(name)
       val best = math.min(s1._1, s2._1)
@@ -108,12 +127,14 @@ object Bench {
         Seq(s1, s2, once(name)) else Seq(s1, s2)
       name -> samples.minBy(_._1)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g, _)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val jits = results.map { case (k, (_, _, j)) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"jit_sec":$jits,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
