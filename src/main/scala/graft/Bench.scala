@@ -85,12 +85,17 @@ object Bench {
     // and zero gc reads as recompilation pressure, not a plan change
     def jitMillis(): Long = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
+    // a failed query must not masquerade as a fast one in the artifact:
+    // record it in a `failed` list the driver JSON carries alongside the
+    // (fast-fail) wall time, so a regression can't read as a speedup
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String): (Double, Double, Double) = {
       val fn = SparkEntry.queries(name)
       val g0 = gcMillis(); val j0 = jitMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
@@ -134,7 +139,8 @@ object Bench {
     val jits = results.map { case (k, (_, _, j)) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"jit_sec":$jits,"sf":"$sfDir"}""")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"jit_sec":$jits,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1193,13 +1193,15 @@ object SparkEntry {
          |  SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spans GROUP BY doc_id
          |)
          |SELECT d.doc_id,
+         |  -- span-free docs keep their ORIGINAL text byte-for-byte;
          |  -- fully-stripped docs: DuckDB's array_to_string([]) is NULL,
          |  -- Spark's array_join([]) is '' — coalesce to the Spark value
-         |  coalesce(array_to_string(
+         |  CASE WHEN sp.spans IS NULL THEN d.text
+         |  ELSE coalesce(array_to_string(
          |    list_filter($toksSql, (x, i) ->
-         |      len(list_filter(coalesce(sp.spans, []),
+         |      len(list_filter(sp.spans,
          |          s -> i - 1 >= s['s'] AND i - 1 <= s['e'])) = 0),
-         |    ' '), '') AS text
+         |    ' '), '') END AS text
          |FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id""".stripMargin,
 
     // 128-bit SimHash, reproduced bit by bit: each token's hash is the

@@ -281,14 +281,17 @@ object Dedup {
     *  - **small-graph fast path** (edge count ≤ `driverEdgeLimit`):
     *    union-find on the driver. Near-dup EDGES — not the corpus — are
     *    what comes back, and on every corpus this engine has met they
-    *    are a vanishing fraction (159 pairs per 500 docs at sf0.01);
-    *    5M edges ≈ 80 MB, far under driver headroom. Distributed
-    *    min-label propagation pays O(diameter/log) ROUNDS of fixed job
-    *    overhead on a tiny table — seconds of scheduler time to move
-    *    kilobytes (18 rounds / 15.7 s at sf0.1). Adaptive cutover to a
-    *    local algorithm below an explicit size bound is the same design
-    *    as AQE's local-shuffle-read, and the bound keeps driver memory
-    *    honest.
+    *    are a vanishing fraction (159 pairs per 500 docs at sf0.01).
+    *    The JVM cost is boxed-object cost, not payload cost: 1M edges
+    *    is ~50 MB of tuples plus ~150 MB of boxed HashMap entries over
+    *    up to 2M nodes — comfortable on any realistic driver, which is
+    *    why the default bound is 1M, not the naive bytes-per-edge
+    *    estimate. Distributed min-label propagation pays
+    *    O(diameter/log) ROUNDS of fixed job overhead on a tiny table —
+    *    seconds of scheduler time to move kilobytes (18 rounds /
+    *    15.7 s at sf0.1). Adaptive cutover to a local algorithm below
+    *    an explicit size bound is the same design as AQE's
+    *    local-shuffle-read, and the bound keeps driver memory honest.
     *  - **distributed loop** (above the limit): min-label propagation
     *    with one pointer-jump per round (label ← label(label): labels
     *    point at endpoint nodes and label(u) ≤ u, so the hop only
@@ -313,7 +316,7 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25,
-      driverEdgeLimit: Long = 5000000L): DataFrame = {
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // materialize the (possibly expensive) pairwise stage ONCE — deriving
     // both edge directions from an unmaterialized plan would execute it
     // twice (the verify stage is map-side, so there is no exchange for
@@ -462,10 +465,13 @@ object Dedup {
     * gram hashes (partial-agg combines map-side, so the shuffle carries
     * per-partition counts); the index is tiny (boilerplate, by
     * definition rare among distinct grams) and BROADCAST back against a
-    * second map-side hashing pass — the corpus itself never shuffles.
-    * Only matched positions (sparse) shuffle for the per-doc
-    * island-merge window. Two linear corpus scans total, no cache
-    * dependency.
+    * second map-side hashing pass — the corpus never shuffle-sorts for
+    * a join. (Each pass opens with a spreading `repartition`, which IS
+    * a corpus-text shuffle: it exists because the test input is one
+    * file; a deployment scan with real splits should drop it and let
+    * input partitioning provide the parallelism.) Only matched
+    * positions (sparse) shuffle for the per-doc island-merge window.
+    * Two linear corpus scans total, no cache dependency.
     *
     * Span merge is gaps-and-islands: consecutive matched positions
     * (pos - row_number constant) collapse to one span; a span's token
@@ -501,9 +507,13 @@ object Dedup {
         i.cast("long") >= s.getField("span_start") &&
           i.cast("long") <= s.getField("span_end")))
     docs.join(spans, Seq("doc_id"), "left")
-      .withColumn("spans", coalesce(col("spans"),
-        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
-      .withColumn("text", array_join(keep, " "))
+      // docs without spans keep their ORIGINAL text byte-for-byte — the
+      // token rebuild (split + join) would otherwise silently normalize
+      // whitespace of documents this operator found nothing in, which
+      // byte-level downstream consumers (fingerprints, offsets) would
+      // see as a changed corpus
+      .withColumn("text", when(col("spans").isNotNull,
+        array_join(keep, " ")).otherwise(col("text")))
       .drop("spans")
   }
 

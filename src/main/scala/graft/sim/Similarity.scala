@@ -664,6 +664,14 @@ object Similarity {
         collect_list(struct(col("centroid_id"), col("centroid")))).as("coarse_cents")))
         .localCheckpoint(true)
     }
+    // bookArrs is pinned and self-contained — release every upstream
+    // pinned table NOW so repeated invocations (bench reps, composed
+    // pipelines) don't accumulate dead checkpoint blocks in the block
+    // manager (the same leak class the CC loop unpersists eagerly)
+    seeds.unpersist(false)
+    books.foreach(_.unpersist(false))
+    coarseTrained.foreach(_.unpersist(false))
+    if (coarseTrained.isDefined) pqArrs.unpersist(false)
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     // encode: nprobe-free map-side argmax per subspace + the

@@ -373,10 +373,37 @@ object KeyedUpsertSink {
         (entries.filter(_.getFileName.toString.startsWith("gen-")),
          entries.filter(_.getFileName.toString.startsWith("_manifest.tmp-")))
       } finally s.close()
-    staleTmp.foreach(Files.deleteIfExists(_))
+    // only reclaim tmp files demonstrably ABANDONED: a concurrent writer
+    // may be between writeFsynced(tmp) and the atomic rename right now,
+    // and deleting its tmp would fail that commit. One minute dwarfs any
+    // write-fsync-rename window while still reclaiming crash leftovers.
+    val tmpGraceMs = 60000L
+    val now = System.currentTimeMillis()
+    staleTmp
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis > tmpGraceMs)
+      .foreach(Files.deleteIfExists(_))
+    // prune _hist beyond what the reader grace window needs — a
+    // long-running streaming sink otherwise accumulates one snapshot per
+    // commit forever (keep a healthy multiple so the window can be
+    // widened retroactively)
+    pruneHistory(dir, keep = math.max(graceManifests + 1, 16) * 4)
     gens.filterNot(p => live.contains(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
       .map { p => deleteRecursively(p); p.getFileName.toString }
+  }
+
+  /** Delete `_hist/` snapshots beyond the newest `keep` (by commit
+    * order). Called from vacuum so history stays bounded for long-running
+    * sinks.
+    */
+  private def pruneHistory(dir: Path, keep: Int): Unit = {
+    val hist = dir.resolve("_hist")
+    if (!Files.exists(hist)) return
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(hist)
+    val snaps = try s.iterator().asScala.toList finally s.close()
+    snaps.sortBy(p => genOrder(p.getFileName.toString)).reverse.drop(keep)
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** The `n` most recent `_hist/` manifest snapshots, newest first,

@@ -416,7 +416,11 @@ object TextAnalysis {
 
   /** Per-category PII match counts, measured on the RAW text: counting
     * after redaction would undercount wherever one rule's match contains
-    * digits another rule would also have matched.
+    * digits another rule would also have matched. The flip side is
+    * deliberate too: rules count INDEPENDENTLY, so one character run can
+    * land in two categories (a 9+-digit run inside an email counts as
+    * both n_emails and n_ids) — per-category totals answer "how often
+    * does rule X fire", not "how many distinct PII substrings exist".
     */
   def piiCounts(text: Column): Seq[Column] =
     piiPatterns.map { case (name, pat, _) =>

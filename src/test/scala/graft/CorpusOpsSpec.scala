@@ -29,6 +29,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents: empty pair set leaves every document a singleton") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(docs, noPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("connectedComponents: driver fast path and distributed loop label identically") {
     val emb = Tables.embeddings(spark, Sf0001)
     val docs = emb.select(col("vec_id").as("doc_id"))

@@ -67,6 +67,14 @@ class DedupGroundTruthSpec extends SparkSpec {
     assert(stripped(2L) == "other words here")
     assert(stripped(3L) == "completely unrelated text with no duplication anywhere in sight today")
     assert(stripped(4L) == "xx yy zz")
+
+    // span-free docs pass through BYTE-for-byte: irregular whitespace
+    // must survive (the token rebuild would silently normalize it)
+    val ragged = docs.unionByName(
+      Seq((5L, "clean  doc   with ragged   spacing ")).toDF("doc_id", "text"))
+    val rs = Dedup.stripSubstringDups(ragged, window = 4, minCount = 2)
+      .filter(col("doc_id") === 5L).select("text").as[String].head()
+    assert(rs == "clean  doc   with ragged   spacing ")
   }
 
   test("substringDupSpans is empty on a corpus with no repeated windows") {
