@@ -144,6 +144,8 @@ object ScaleProbe {
       time(s"sq8_ann_${c}x")(Similarity.sq8TopK(corpus, queries).count())
       time(s"pq_ann_${c}x")(Similarity.pqTopK(
         corpus.drop("label"), queries.drop("label")).count())
+      time(s"ivfpq_ann_${c}x")(Similarity.ivfPqTopK(
+        corpus.drop("label"), queries.drop("label")).count())
       if (c == 1) {
         // recall of the label-free LSH path against the exact label-blocked
         // twin, at the twin's own threshold (0.3 — deep in the isotropic
