@@ -387,6 +387,11 @@ object SparkEntry {
     // near-linear semantic-dedup shape.
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir).drop("label"))),
+    // diversity-preserving subsample: ≤32 vectors per trained semantic
+    // cluster, md5-ranked — uniform sampling over-represents dense
+    // regions; per-cluster quotas keep tail topics.
+    "sample_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir).drop("label"))),
     // int8 scalar-quantized ANN: corpus-derived per-dim grid, ADC over
     // dequantized codes — the 4×-memory-shrink tier.
     "sim_sq8_ann" -> ((s, dir) => {
@@ -1709,6 +1714,29 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk,
         |  neighbor_id, CAST(CAST(CAST(cos AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS cosine
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // cluster-balanced sample: identical trained-quantizer replay, then
+    // a per-cluster md5-rank quota.
+    "sample_cluster_balanced" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+         |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+         |), cent0 AS (
+         |  ${ivfCentroidSql("seeds")}
+         |), asn1 AS (
+         |  ${ivfAssignSql("cent0")}
+         |), cent1 AS (
+         |  ${ivfCentroidSql("asn1")}
+         |), asn2 AS (
+         |  ${ivfAssignSql("cent1")}
+         |), cent2 AS (
+         |  ${ivfCentroidSql("asn2")}
+         |), asn AS (
+         |  ${ivfAssignSql("cent2")}
+         |)
+         |SELECT vec_id, centroid_id AS cluster_id FROM asn
+         |QUALIFY row_number() OVER (PARTITION BY centroid_id
+         |  ORDER BY md5('cbs-' || CAST(vec_id AS VARCHAR)), vec_id) <= 32""".stripMargin,
 
     // PQ: per-subspace Lloyd codebooks + ADC — see pqOracleSql.
     "sim_pq_ann" -> pqOracleSql(),

@@ -555,6 +555,27 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
   }
 
+  /** Cluster-balanced sampling: at most `perCluster` vectors from each
+    * trained semantic cluster, chosen by deterministic md5 rank — the
+    * diversity-preserving subsample (uniform sampling over-represents
+    * dense regions of embedding space; per-cluster quotas keep the tail
+    * topics). Same label-free trained quantizer as the IVF/SemDeDup
+    * tiers; the per-cluster pick is a rank window Spark prunes map-side
+    * (WindowGroupLimit), so the full corpus never sorts globally.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, perCluster: Int = 32,
+      kCentroids: Int = 8, lloydIters: Int = 2): DataFrame = {
+    val trained = trainCentroids(embeddings.select("vec_id", "embedding"),
+      ivfSeeds(embeddings, kCentroids), lloydIters)
+    val assigned = assignToCentroids(embeddings.select("vec_id", "embedding"), trained)
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(concat(lit("cbs-"), col("vec_id").cast("string"))), col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCluster)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+  }
+
   /** Product-quantized ANN (Jégou et al. '11, spherical variant): the
     * extreme-compression index tier. The vector splits into `numSub`
     * subspaces; each subspace gets its own `subK`-centroid codebook

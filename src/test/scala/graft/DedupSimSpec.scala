@@ -294,6 +294,24 @@ class DedupSimSpec extends SparkSpec {
     ranks.foreach { case (_, lo, hi, n) => assert(lo == 1L && hi == n) }
   }
 
+  test("clusterBalancedSample enforces per-cluster quotas deterministically") {
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val n = emb.count()
+    val s1 = Similarity.clusterBalancedSample(emb, perCluster = 4)
+    val rows = s1.collect()
+    // quota: no cluster exceeds 4
+    val perCluster = rows.groupBy(_.getAs[Long]("cluster_id")).view.mapValues(_.length)
+    perCluster.foreach { case (c, cnt) => assert(cnt <= 4, s"cluster $c quota broken") }
+    // sample ⊆ corpus, deterministic across invocations
+    val ids1 = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids1.size == rows.length && ids1.size <= n)
+    val ids2 = Similarity.clusterBalancedSample(emb, perCluster = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids1 == ids2)
+    // raising the quota to the corpus size returns every vector
+    assert(Similarity.clusterBalancedSample(emb, perCluster = n.toInt).count() == n)
+  }
+
   test("ivfPqTopK prunes to probed lists and agrees with full PQ inside them") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").drop("label")
     val q = emb.filter(col("vec_id") < 8)
