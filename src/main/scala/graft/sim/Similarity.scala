@@ -539,9 +539,17 @@ object Similarity {
   def semDedup(embeddings: DataFrame, threshold: Double = 0.3,
       kCentroids: Int = 8, lloydIters: Int = 2): DataFrame = {
     val trained = trainCentroids(embeddings, ivfSeeds(embeddings, kCentroids), lloydIters)
+    // stage the assignment ONCE: the pair sides and the survivors
+    // anti-join are three consumers, and neither Catalyst's ReuseExchange
+    // nor AQE collapsed their branch-specific projections — without the
+    // pin the corpus argmax scan ran three times (plan-guard-asserted
+    // now). Single-JVM localCheckpoint is the cheapest pin; on a real
+    // cluster stage it with persist(MEMORY_AND_DISK) or a reliable
+    // checkpoint dir and accept the write for the two saved scans.
     val assigned = assignToCentroids(embeddings.select("vec_id", "embedding"), trained)
       .withColumn("nrm", fnorm(col("embedding")))
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("centroid_id"))
+      .localCheckpoint(true)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_b"),
@@ -550,9 +558,13 @@ object Similarity {
       .filter(col("vec_id_a") < col("vec_id_b"))
       .filter(cosineWithNorms(col("emb_a"), col("emb_b"),
         col("norm_a"), col("norm_b")) >= threshold)
-      .select(col("vec_id_b").as("vec_id"))
-    assigned.join(dominated, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+      .select(col("vec_id_b").as("dom_id"))
+    // survivors derive from the SAME projection as the pair branches —
+    // all three consumers then share one canonical exchange, so AQE's
+    // exchange reuse runs the corpus argmax scan once, not three times
+    // (an anti branch with its own pruned projection defeated reuse)
+    a.join(dominated, col("vec_id_a") === col("dom_id"), "left_anti")
+      .select(col("vec_id_a").as("vec_id"), col("centroid_id").as("cluster_id"))
   }
 
   /** Cluster-balanced sampling: at most `perCluster` vectors from each

@@ -174,5 +174,11 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case s: org.apache.spark.sql.execution.SortExec if s.global => s
     }
     assert(globalSorts.isEmpty, "semantic dedup must never globally sort the corpus")
+    // the corpus argmax scan must run ONCE: pair sides and the survivors
+    // anti-join all derive from one canonical projection, so AQE's
+    // exchange reuse collapses them (a branch-specific pruned projection
+    // regressed this to three scans once)
+    val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+    assert(scans.size <= 1, s"expected the corpus scan once, got ${scans.size}")
   }
 }
