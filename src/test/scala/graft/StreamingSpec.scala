@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming chunking: context windows emit per-arrival, equal to the batch result") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, Sf0001)
+    val root = Files.createTempDirectory("graft-stream-chunk")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(landing + "/w0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(landing + "/w1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    // chunking is row-local (no shuffle, no state) so the SAME operator
+    // runs on a stream untouched — continuous-ingestion chunking needs
+    // no second implementation
+    val q = TextAnalysis.chunkDocuments(stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "chunk_id", "chunk_len")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = TextAnalysis.chunkDocuments(docs)
+      .select("doc_id", "chunk_id", "chunk_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("upsertBucketed merges LWW and rewrites only touched bucket dirs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
