@@ -89,6 +89,23 @@ object SparkEntry {
         .select(col("detail.event_id").as("event_id"), col("detail.user_id").as("user_id"))
     }),
 
+    // General EventBridge matcher set (beyond-parity Rules.matches): per
+    // field matchers OR, across fields AND — prefix + wildcard + exact on
+    // event_type, numeric range on value, exists + anything-but on a JSON
+    // detail field. The full pattern language the reference's bus exposes.
+    "etl_route_matchers" -> ((s, dir) => {
+      import Rules.Match
+      val bus = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+      bus.filter(Rules.matches(Map(
+          "event_type" -> Seq(Match.Prefix("cl"), Match.Wildcard("v*w"),
+            Match.AnyOf("purchase")),
+          "value"      -> Seq(Match.Numeric(">" -> 2.0, "<=" -> 75.0)),
+          "props"      -> Seq(Match.Exists(true)),
+          "k"          -> Seq(Match.AnythingBut("13", "17", "29")))))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
     // K1 keyed LWW upsert semantics as a query (load.ts:61-78).
     "etl_upsert_lww" -> ((s, dir) => EventAnalytics.latestPerUser(Tables.events(s, dir))),
 
@@ -722,6 +739,15 @@ object SparkEntry {
     "etl_route_transform" ->
       "SELECT event_id, user_id FROM events WHERE event_type IN ('click','view')",
 
+    "etl_route_matchers" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (event_type LIKE 'cl%' OR regexp_matches(event_type, '^v.*w$')
+        |       OR event_type = 'purchase')
+        |  AND (CAST(value AS DOUBLE) > 2.0 AND CAST(value AS DOUBLE) <= 75.0)
+        |  AND props IS NOT NULL
+        |  AND (json_extract_string(props, '$.k') IS NOT NULL
+        |       AND json_extract_string(props, '$.k') NOT IN ('13','17','29'))""".stripMargin,
+
     "etl_upsert_lww" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
@@ -939,20 +965,27 @@ object SparkEntry {
         |   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders""".stripMargin,
 
+    // Exact ×100 fixed-point LONG moment sums, mirroring the Spark
+    // formulation (DuckDB sum(BIGINT) is an exact HUGEINT — no hi/lo
+    // split needed here; same exact integers → same doubles).
     "q_stats" ->
-      """WITH s AS (
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qf,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yf
+        |  FROM lineitem),
+        |s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
-        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS syy,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag),
+        |    sum(qf) AS sxf, sum(qf * qf) AS sxxf,
+        |    sum(yf) AS syf, sum(yf * yf) AS syyf, sum(qf * yf) AS sxyf
+        |  FROM f GROUP BY l_returnflag),
         |d AS (
         |  SELECT l_returnflag, n,
-        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
-        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
-        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+        |    CAST(CAST(sxf AS VARCHAR) AS DOUBLE) / 100.0 AS dx,
+        |    CAST(CAST(sxxf AS VARCHAR) AS DOUBLE) / 10000.0 AS dxx,
+        |    CAST(CAST(syf AS VARCHAR) AS DOUBLE) / 100.0 AS dy,
+        |    CAST(CAST(syyf AS VARCHAR) AS DOUBLE) / 10000.0 AS dyy,
+        |    CAST(CAST(sxyf AS VARCHAR) AS DOUBLE) / 10000.0 AS dxy
         |  FROM s)
         |SELECT l_returnflag, n,
         | CAST(CAST(CAST(sqrt((dxx - pow(dx, 2) / n) / (n - 1)) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS stddev_qty,

@@ -246,28 +246,56 @@ object Queries {
     * oracle-hash-stable: identical decimal sums → identical IEEE ops.
     */
   def statsQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
-    val x = dec6(col("l_quantity"))
-    val y = dec6(col("l_extendedprice"))
-    // element products as IEEE double mult cast to decimal: deterministic
-    // and identical cross-engine, and it sidesteps DuckDB's refusal to
-    // auto-widen int64 decimal multiplication
-    def sq(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
-      (c * d).cast("decimal(28,6)")
+    // Exact LONG fixed-point moment sums — quantity and price carry at
+    // most 2 decimal digits, so ×100 integers are exact (verified: the
+    // max |x*100 - round(x*100)| over sf0.1 is 9.3e-10 ≪ 0.5). Integer
+    // sums are exact and engine-independent like the previous
+    // decimal(38,6) formulation, but long partial aggregation is a
+    // codegen'd primitive add vs BigDecimal chains — the whole point of
+    // the rewrite (q_stats was the slowest shared bench query on decimal
+    // cost alone). The two big product moments (price², qty·price) are
+    // split hi/lo at 1e8 so their per-group totals stay inside a LONG at
+    // any plausible sf (lo ≤ 1e8·n: overflows only past ~9e10 rows;
+    // hi ≤ ~1.2e6·n), and reconstructed exactly in decimal(38,0) before
+    // the ONE cast to double. ANSI long-sum overflow throws loudly — a
+    // scale beyond the documented envelope fails, never returns garbage.
+    val qf = round(col("l_quantity") * 100).cast("long")
+    val yf = round(col("l_extendedprice") * 100).cast("long")
+    val split = 100000000L
+    val pYY = yf * yf
+    val pXY = qf * yf
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), qf.as("qf"), yf.as("yf"),
+        (qf * qf).as("p_xx"),
+        // `/` on longs promotes to double in Spark; the quotient is still
+        // exact-to-truncation here (p < 2^53, so the division error
+        // ~1e-10 never crosses a 1e-8-spaced truncation boundary) and the
+        // cast back to long restores the integral hi word
+        (pYY / split).cast("long").as("yy_hi"), (pYY % split).as("yy_lo"),
+        (pXY / split).cast("long").as("xy_hi"), (pXY % split).as("xy_lo"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("decimal(38,6)").as("sx"),
-        sum(sq(col("l_quantity"), col("l_quantity"))).cast("decimal(38,6)").as("sxx"),
-        sum(y).cast("decimal(38,6)").as("sy"),
-        sum(sq(col("l_extendedprice"), col("l_extendedprice"))).cast("decimal(38,6)").as("syy"),
-        sum(sq(col("l_quantity"), col("l_extendedprice"))).cast("decimal(38,6)").as("sxy"))
+        sum(col("qf")).as("sxf"), sum(col("p_xx")).as("sxxf"),
+        sum(col("yf")).as("syf"),
+        sum(col("yy_hi")).as("syy_hi"), sum(col("yy_lo")).as("syy_lo"),
+        sum(col("xy_hi")).as("sxy_hi"), sum(col("xy_lo")).as("sxy_lo"))
       .select({
+        // reconstruct the exact integer moments, then ONE double cast
+        // each — identical exact value on both engines → identical IEEE
+        // arithmetic downstream
+        def rejoin(hi: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column) =
+          (hi.cast("decimal(38,0)") * lit(split) + lo).cast("double")
+        val dx  = col("sxf").cast("double") / 100.0
+        val dxx = col("sxxf").cast("double") / 10000.0
+        val dy  = col("syf").cast("double") / 100.0
+        val dyy = rejoin(col("syy_hi"), col("syy_lo")) / 10000.0
+        val dxy = rejoin(col("sxy_hi"), col("sxy_lo")) / 10000.0
         // ANSI /0 guards: a single-row group breaks stddev's n-1, a
         // constant-valued group zeroes corr's variance product — NULL in
         // both cases (what DuckDB's /0 yields), never a thrown job
-        val varX = col("sxx").cast("double") - pow(col("sx").cast("double"), 2) / col("n")
-        val varY = col("syy").cast("double") - pow(col("sy").cast("double"), 2) / col("n")
-        val cov = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")
+        val varX = dxx - pow(dx, 2) / col("n")
+        val varY = dyy - pow(dy, 2) / col("n")
+        val cov = dxy - dx * dy / col("n")
         Seq(col("l_returnflag"), col("n"),
           outDouble(when(col("n") > 1, sqrt(varX / (col("n") - 1)))
             .cast("decimal(18,6)")).as("stddev_qty"),
