@@ -1,5 +1,7 @@
 package graft.dedup
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -321,10 +323,10 @@ object Dedup {
     // both edge directions from an unmaterialized plan would execute it
     // twice (the verify stage is map-side, so there is no exchange for
     // Spark to reuse between the two union branches)
-    val p = pairs.localCheckpoint(true)
+    val p = graft.Staging.pin(pairs)
     val labels =
       if (p.count() <= driverEdgeLimit) {
-        val l = unionFindLocal(p); p.unpersist(false); l
+        val l = unionFindLocal(p); graft.Staging.unpin(p); l
       } else propagateLabels(p, maxIter)
     docs.select("doc_id")
       .join(broadcast(labels), Seq("doc_id"), "left")
@@ -376,7 +378,7 @@ object Dedup {
     // not O(|corpus|); singletons join back once at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .pipe(graft.Staging.pin)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -399,18 +401,18 @@ object Dedup {
             .as("cluster_id"))
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") < col("old_label")).as("changed"))
-        .localCheckpoint(true)
+        .pipe(graft.Staging.pin)
       converged = next.filter(col("changed")).isEmpty
       if (sys.props.contains("graft.cc.debug"))
         println(s"CC round $iter converged=$converged")
       // drop the superseded round's blocks NOW — leaving them to the async
       // ContextCleaner lets O(rounds) checkpoint sets pile up in the block
       // manager (and, under repeated invocation, into later queries' heap)
-      labels.unpersist(false)
+      graft.Staging.unpin(labels)
       labels = next.drop("changed")
       iter += 1
     }
-    p.unpersist(false)
+    graft.Staging.unpin(p)
     labels
   }
 

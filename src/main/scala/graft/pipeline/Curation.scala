@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,19 +92,16 @@ object Curation {
     // subtrees differ — Catalyst can't ReusedExchange them, so without
     // pinning, the scan + gate kernels + dedup window run three times.
     // The PRINCIPLE holds at 100 TB (materialize the survivor fraction
-    // once vs three full corpus passes), but not this exact call:
-    // localCheckpoint is eager AND stores non-replicated executor-local
-    // blocks, so on a multi-executor cluster a lost executor makes the
-    // truncated lineage unrecoverable — there, swap for
-    // persist(MEMORY_AND_DISK)+count or a reliable checkpoint directory
-    // and accept the write cost. In this single-JVM build the
-    // fault-tolerance trade is moot and localCheckpoint is the cheapest
-    // correct pin. Values are unchanged either way (the pipeline is
-    // deterministic end to end), so the DuckDB oracle hash is
+    // once vs three full corpus passes); the mechanism is the Staging
+    // seam — default localCheckpoint for single-JVM, -Dgraft.staging=
+    // persist|reliable on a cluster where executor loss must be
+    // recoverable (see Staging's scaladoc for the trade). Values are
+    // unchanged under every strategy (the pipeline is deterministic end
+    // to end; StagingStrategySpec), so the DuckDB oracle hash is
     // unaffected.
     val survivorsAll = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .localCheckpoint(true)
+      .pipe(graft.Staging.pin)
     val survivorsWithText = survivorsAll.select("doc_id", "text")
     val survivors = survivorsAll.select("doc_id", "source", "lang_pred",
       "n_tokens", "stopword_ratio", "top_bigram_frac")

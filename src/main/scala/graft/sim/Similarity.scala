@@ -1,5 +1,6 @@
 package graft.sim
 
+import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -289,13 +290,13 @@ object Similarity {
     */
   private def trainCentroids(corpus: DataFrame, seedGroups: DataFrame,
       lloydIters: Int): DataFrame = {
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
     val init = pin(decimalSumCentroids(seedGroups))
     (1 to lloydIters).foldLeft(init) { (cents, _) =>
       val next = pin(decimalSumCentroids(
         assignToCentroids(corpus.select("vec_id", "embedding"), cents)
           .select(col("centroid_id"), col("embedding"))))
-      cents.unpersist(false)
+      graft.Staging.unpin(cents)
       next
     }
   }
@@ -532,38 +533,88 @@ object Similarity {
     * Plan: training never shuffles the corpus (broadcast-argmax rounds,
     * K×dims partial sums), then ONE shuffle partitions vectors by
     * cluster_id and the pair join + anti-join run cluster-local. A
-    * pathological hot cluster re-introduces a quadratic block — the
-    * mitigations are more centroids or falling back to
-    * [[embeddingNearDupsLsh]] banding inside the hot cluster.
+    * pathological hot cluster (mass-duplicated boilerplate collapsing
+    * into one centroid) would re-introduce one quadratic TASK — so
+    * clusters above `blockRows` rows take the triangle sub-block path:
+    * rows get a deterministic salt in [0, m) (m = ⌈size/blockRows⌉) and
+    * the pair stage joins on (cluster, blockᵢ, blockⱼ) with the left
+    * side fanned to blocks ≥ its salt and the right side to blocks ≤ its
+    * salt — every unordered pair meets in exactly one of the m(m+1)/2
+    * block tasks, each bounded at ~blockRows² comparisons. Total work is
+    * unchanged (all-pairs-within-cluster IS the operator); what the
+    * sub-blocking buys is that no single straggler task is quadratic in
+    * the hot cluster — the classic salted-skew-join construction applied
+    * to a self-join triangle. Normal-sized clusters never pay the
+    * (m+1)-fold fan-out: they keep the zero-exchange single-key join on
+    * the pinned cluster partitioning (SemDedupSkewSpec pins equality of
+    * the two paths; the plan guard keeps both hash-join-shaped).
     */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.3,
-      kCentroids: Int = 8, lloydIters: Int = 2): DataFrame = {
+      kCentroids: Int = 8, lloydIters: Int = 2,
+      blockRows: Int = 65536): DataFrame = {
     val trained = trainCentroids(embeddings, ivfSeeds(embeddings, kCentroids), lloydIters)
     // stage the assignment ONCE: the pair sides and the survivors
     // anti-join are three consumers, and neither Catalyst's ReuseExchange
     // nor AQE collapsed their branch-specific projections — without the
     // pin the corpus argmax scan ran three times (plan-guard-asserted
-    // now). Single-JVM localCheckpoint is the cheapest pin; on a real
-    // cluster stage it with persist(MEMORY_AND_DISK) or a reliable
-    // checkpoint dir and accept the write for the two saved scans.
+    // now). Staged via the Staging seam: localCheckpoint single-JVM,
+    // -Dgraft.staging=persist|reliable where executor loss must be
+    // recoverable — output is strategy-independent (StagingStrategySpec).
     val assigned = assignToCentroids(embeddings.select("vec_id", "embedding"), trained)
       .withColumn("nrm", fnorm(col("embedding")))
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("centroid_id"))
-      .localCheckpoint(true)
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_a"),
+      .pipe(graft.Staging.pin)
+    // K-row cluster-size table decides per cluster which path its rows
+    // take; broadcast back onto the pinned assignment (stream side keeps
+    // its partitioning, so the small path below still joins exchange-free)
+    val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("c_n"))
+    val tagged = assigned.join(broadcast(sizes), Seq("centroid_id"))
+      .withColumn("n_blk",
+        greatest(lit(1L), ceil(col("c_n").cast("double") / blockRows)).cast("int"))
+    val small = tagged.filter(col("n_blk") === 1)
+    val hot = tagged.filter(col("n_blk") > 1)
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), col("n_blk")).cast("int"))
+
+    val a = small.select(col("centroid_id"), col("vec_id").as("vec_id_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_b"),
+    val b = small.select(col("centroid_id"), col("vec_id").as("vec_id_b"),
       col("embedding").as("emb_b"), col("nrm").as("norm_b"))
-    val dominated = a.join(b, Seq("centroid_id"))
+    val dominatedSmall = a.join(b, Seq("centroid_id"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .filter(cosineWithNorms(col("emb_a"), col("emb_b"),
         col("norm_a"), col("norm_b")) >= threshold)
       .select(col("vec_id_b").as("dom_id"))
+
+    // triangle fan-out: left row (salt s) covers block pairs (s, s..m-1),
+    // right row (salt s) covers (0..s, s) — pair (x, y) meets exactly once,
+    // at (min salt, max salt); same-salt pairs meet twice and the id
+    // inequality below keeps one. shuffle_hash hint: the block join must
+    // stay a hash join (sorting the fanned-out hot rows buys nothing)
+    val left = hot.select(col("centroid_id"), col("blk").as("blk_a"),
+      explode(sequence(col("blk"), col("n_blk") - 1)).as("blk_b"),
+      col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("norm_a"))
+    val right = hot.select(col("centroid_id"),
+      explode(sequence(lit(0), col("blk"))).as("blk_a"), col("blk").as("blk_b"),
+      col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("norm_b"))
+    val dominatedHot = left.join(right.hint("shuffle_hash"),
+        Seq("centroid_id", "blk_a", "blk_b"))
+      .filter((col("blk_a") === col("blk_b") && col("vec_id_a") < col("vec_id_b"))
+        || col("blk_a") =!= col("blk_b"))
+      .filter(cosineWithNorms(col("emb_a"), col("emb_b"),
+        col("norm_a"), col("norm_b")) >= threshold)
+      // cross-block pairs meet with arbitrary id order; the dominated
+      // member of any within-threshold pair is always the LATER id
+      .select(greatest(col("vec_id_a"), col("vec_id_b")).as("dom_id"))
+
     // survivors derive from the SAME projection as the pair branches —
     // all three consumers then share one canonical exchange, so AQE's
     // exchange reuse runs the corpus argmax scan once, not three times
     // (an anti branch with its own pruned projection defeated reuse)
-    a.join(dominated, col("vec_id_a") === col("dom_id"), "left_anti")
+    val aAll = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_a"))
+    aAll.join(dominatedSmall.unionByName(dominatedHot),
+        col("vec_id_a") === col("dom_id"), "left_anti")
       .select(col("vec_id_a").as("vec_id"), col("centroid_id").as("cluster_id"))
   }
 
@@ -649,7 +700,7 @@ object Similarity {
     def subSeed(seeds: DataFrame, m: Int): DataFrame =
       seeds.select(col("centroid_id"),
         slice(col("embedding"), m * subDim + 1, subDim).as("embedding"))
-    val seeds = ivfSeeds(corpus, subK).localCheckpoint(true)
+    val seeds = ivfSeeds(corpus, subK).pipe(graft.Staging.pin)
     // per-subspace codebooks, each a pinned subK-row table. The numSub
     // trainings are independent, and each is a chain of TINY jobs
     // (subK×subDim partial sums per round) whose wall-clock is job
@@ -674,8 +725,8 @@ object Similarity {
           val book = decimalMeanCentroids(
             assignToCentroids(subM, trainedSums)
               .select(col("centroid_id"), col("embedding")))
-            .localCheckpoint(true)
-          trainedSums.unpersist(false)
+            .pipe(graft.Staging.pin)
+          graft.Staging.unpin(trainedSums)
           book
         })), Duration.Inf)
     }
@@ -685,7 +736,7 @@ object Similarity {
     val pqArrs = books.zipWithIndex.map { case (b, m) =>
       b.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as(s"cents_$m"))
-    }.reduce(_.crossJoin(_)).localCheckpoint(true)
+    }.reduce(_.crossJoin(_)).pipe(graft.Staging.pin)
     // optional IVF coarse quantizer: trained full-vector k-means whose
     // lists prune the search; rides the same broadcast row
     val coarseTrained = coarse.map { case (coarseK, _) =>
@@ -695,16 +746,16 @@ object Similarity {
     val bookArrs = coarseTrained.fold(pqArrs) { ct =>
       pqArrs.crossJoin(ct.agg(array_sort(
         collect_list(struct(col("centroid_id"), col("centroid")))).as("coarse_cents")))
-        .localCheckpoint(true)
+        .pipe(graft.Staging.pin)
     }
     // bookArrs is pinned and self-contained — release every upstream
     // pinned table NOW so repeated invocations (bench reps, composed
     // pipelines) don't accumulate dead checkpoint blocks in the block
     // manager (the same leak class the CC loop unpersists eagerly)
-    seeds.unpersist(false)
-    books.foreach(_.unpersist(false))
-    coarseTrained.foreach(_.unpersist(false))
-    if (coarseTrained.isDefined) pqArrs.unpersist(false)
+    graft.Staging.unpin(seeds)
+    books.foreach(graft.Staging.unpin(_))
+    coarseTrained.foreach(graft.Staging.unpin(_))
+    if (coarseTrained.isDefined) graft.Staging.unpin(pqArrs)
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     // encode: nprobe-free map-side argmax per subspace + the

@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Column ↔ Expression bridge. Spark 4's Column wraps a ColumnNode and the
   * conversion helpers are `private[sql]`, so libraries adding custom
@@ -12,4 +15,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A DataFrame whose logical plan is a LEAF over `rows` (no upstream
+    * lineage in Catalyst; the RDD keeps its own lineage for recovery).
+    * `internalCreateDataFrame` is `private[sql]` — this is the
+    * no-Row-conversion path graft.Staging's persist strategy uses to cut
+    * iterative plans without paying InternalRow↔Row round-trips.
+    */
+  def leafDataFrame(spark: SparkSession, rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
 }
