@@ -38,7 +38,7 @@ object Bench {
     "sim_ivf_ann", "sim_ivf_ann_unlabeled", "sim_semdedup", "sim_sq8_ann",
     "sim_pq_ann", "sim_ivfpq_ann", "sample_cluster_balanced",
     "sim_hard_negatives", "text_chunk",
-    "mm_decode", "mm_frames")
+    "mm_decode", "mm_frames", "mm_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = Config.benchSfDir() // fail fast on a missing/typo'd dir

@@ -448,7 +448,22 @@ object SparkEntry {
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
     // md5-derived feature seeds → oracle-checked.
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
-      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))))
+      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))),
+
+    // Perceptual (block-hash) near-dup over binary payloads. The corpus
+    // has no natural byte-level near-identical payloads, so the query
+    // PLANTS them — every 20th document gets a copy with one character
+    // substituted (same construction in the oracle): a localized edit
+    // flips ≤1 block bit, which the 4×16-bit Hamming banding must find.
+    "mm_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val mutated = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            col("text").substr(lit(11), length(col("text")))).as("text"))
+      Multimodal.perceptualNearDups(
+        Multimodal.syntheticAssets(docs.unionByName(mutated)))
+    }))
 
   // ────────────────────────────────────────────────── oracle SQL ──
 
@@ -1916,5 +1931,39 @@ object SparkEntry {
         |  SELECT asset_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM d)
         |SELECT asset_id, frame_idx,
         |  CAST(CONCAT('0x', substr(md5(asset_id || '-' || frame_idx), 1, 15)) AS BIGINT) AS feature_seed
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // Block-hash signature replayed stage by stage: proportional block
+    // bounds by integer division, md5-parity bit per block, MSB-first
+    // 32-bit words, 4×16-bit band buckets, full-Hamming verify.
+    "mm_neardup" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS asset_id,
+        |    concat(substr(text, 1, 9), 'Z', substr(text, 11, length(text))) AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), b AS (
+        |  SELECT asset_id, i,
+        |    CAST(CONCAT('0x', substr(md5(substr(text,
+        |        CAST((i*length(text))//64 + 1 AS INT),
+        |        CAST(((i+1)*length(text))//64 - (i*length(text))//64 AS INT))), 32, 1))
+        |      AS INT) % 2 AS bit
+        |  FROM assets CROSS JOIN range(64) t(i)
+        |), su AS (
+        |  SELECT asset_id,
+        |    sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << CAST(31 - i AS INT) ELSE 0 END) AS w0,
+        |    sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS w1
+        |  FROM b GROUP BY asset_id
+        |), bands AS (
+        |  SELECT asset_id, w0, w1, band,
+        |    CASE band WHEN 0 THEN w0 // 65536 WHEN 1 THEN w0 % 65536
+        |              WHEN 2 THEN w1 // 65536 ELSE w1 % 65536 END AS bucket
+        |  FROM su CROSS JOIN range(4) t(band)
+        |)
+        |SELECT DISTINCT a.asset_id AS asset_id_a, b.asset_id AS asset_id_b,
+        |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3""".stripMargin)
 }

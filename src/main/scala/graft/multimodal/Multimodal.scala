@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -119,4 +119,73 @@ object Multimodal {
     frames.select(col("asset_id"), col("frame_idx"),
       conv(substring(md5(concat_ws("-", col("asset_id"), col("frame_idx"))), 1, 15), 16, 10)
         .cast("long").as("feature_seed"))
+
+  // ------------------------------------------------- perceptual near-dup
+
+  /** One 32-bit word of the 64-bit block-hash signature (blocks
+    * `lo..lo+31`, MSB first). See [[perceptualNearDups]] for the design.
+    */
+  private def phashWord(s: Column, lo: Int): Column =
+    aggregate(
+      transform(sequence(lit(lo), lit(lo + 31)), i => {
+        val len = length(s).cast("long")
+        val iL = i.cast("long")
+        // proportional block bounds via exact integer math: the double
+        // division is by 64 (a power of two, exact) on products < 2^53
+        val st = (iL * len / 64).cast("long")
+        val en = ((iL + 1) * len / 64).cast("long")
+        val blk = s.substr((st + 1).cast("int"), (en - st).cast("int"))
+        conv(substring(md5(blk), 32, 1), 16, 10).cast("long") % 2
+      }),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** 64-bit perceptual signature of a payload, as two 32-bit words
+    * `[w0, w1]` — the block-hash family of perceptual hashes (Blockhash,
+    * Yang et al.): split the content into 64 proportional blocks, one
+    * bit per block. A localized edit touches one block → ≤1 bit per
+    * word, while unrelated payloads agree on ~32 bits by chance.
+    *
+    * The per-block reduction here is md5-parity over the RAW payload
+    * bytes — the codec-free stand-in for "mean of the decoded pixel
+    * block" (this container ships no image/audio decoders; a real
+    * deployment swaps the block reduction for block-mean-of-pixels and
+    * keeps everything else). md5-parity is deliberately
+    * engine-reproducible, so the full pipeline is oracle-checkable.
+    */
+  def phashWords(payloadText: Column): Column =
+    array(phashWord(payloadText, 0), phashWord(payloadText, 32))
+
+  /** Perceptual near-duplicate pairs over multimodal payloads: signature
+    * map-side, then Hamming-banded candidates exactly like the SimHash
+    * text tier — 4×16-bit bands over the 64-bit signature, so any pair
+    * within `maxHamming` ≤ 3 shares ≥1 band (pigeonhole: exhaustive),
+    * verified by full Hamming distance.
+    *
+    * Scale shape is [[graft.dedup.Dedup.simhashNearDups]] verbatim: the
+    * payload never shuffles (signatures are 16 bytes), candidates shuffle
+    * on (band, bucket), and the verify is a bit_count on the joined rows.
+    */
+  def perceptualNearDups(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = assets
+      .select(col("asset_id"), phashWords(col("payload").cast("string")).as("pw"))
+      .select(col("asset_id"),
+        element_at(col("pw"), 1).as("w0"), element_at(col("pw"), 2).as("w1"))
+    val banded = sigs.select(col("asset_id"), col("w0"), col("w1"),
+      posexplode(array(
+        shiftrightunsigned(col("w0"), 16), col("w0").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("w1"), 16), col("w1").bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("asset_id").as("asset_id_a"), col("w0").as("w0_a"), col("w1").as("w1_a"))
+      .repartition(assets.sparkSession.sparkContext.defaultParallelism)
+    val b = banded.select(col("band"), col("bucket"),
+      col("asset_id").as("asset_id_b"), col("w0").as("w0_b"), col("w1").as("w1_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("asset_id_a") < col("asset_id_b"))
+      .select(col("asset_id_a"), col("asset_id_b"),
+        (bit_count(col("w0_a").bitwiseXOR(col("w0_b"))) +
+          bit_count(col("w1_a").bitwiseXOR(col("w1_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

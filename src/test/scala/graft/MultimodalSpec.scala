@@ -35,6 +35,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.nonEmpty)
   }
 
+  test("perceptualNearDups: planted one-char-edit payload copies are always found") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    // substitute one char at position 30 — a different offset than the
+    // driver query, so the recall property isn't tied to one byte
+    val mutated = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("text"), 1, 29), lit("#"),
+          col("text").substr(lit(31), length(col("text")))).as("text"))
+    val planted = mutated.select((col("doc_id") - 100000L).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    val pairs = Multimodal.perceptualNearDups(
+      Multimodal.syntheticAssets(docs.unionByName(mutated)))
+    val got = pairs.select("asset_id_a", "asset_id_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(got),
+      s"missed planted copies: ${planted -- got}") // exhaustive for hamming<=3
+    // a localized edit flips at most 2 block bits (the touched block per word)
+    val h = pairs.filter(col("asset_id_b") >= 100000L)
+      .select(max("hamming")).as[Long].head()
+    assert(h <= 2, s"one-char edit should stay within 2 signature bits, got $h")
+  }
+
+  test("phash signature: unrelated payloads do not band-collide at sf0.001") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val pairs = Multimodal.perceptualNearDups(Multimodal.syntheticAssets(docs))
+    // corpus has no byte-level near-identical payloads (verified against
+    // DuckDB during design): zero verified pairs means zero false accepts
+    assert(pairs.isEmpty)
+  }
+
   test("corrupt CSV rows land in quarantine, clean rows parse") {
     val dir = Files.createTempDirectory("graft-quarantine")
     Files.writeString(dir.resolve("in.csv"),
