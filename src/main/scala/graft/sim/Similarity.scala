@@ -213,7 +213,7 @@ object Similarity {
     * `ORDER BY d DESC, centroid_id` window is documented on the kernel
     * (VecTextKernels.nearestCentroid).
     */
-  private def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroids.agg(array_sort(
       collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
     vectors.crossJoin(broadcast(centArr))
@@ -300,6 +300,18 @@ object Similarity {
       next
     }
   }
+
+  /** The standalone trained coarse quantizer — `(centroid_id, centroid)`,
+    * pinned — for callers that maintain an IVF index across time rather
+    * than answer one query: train ONCE on the base corpus, freeze, hand
+    * to [[StreamingSimilarity.maintainIvfLists]] for continuous
+    * ingestion, retrain when its drift/mass trigger fires. Same
+    * deterministic label-free training as [[ivfTopKUnlabeled]].
+    */
+  def trainQuantizer(corpus: DataFrame, kCentroids: Int = 8,
+      lloydIters: Int = 2): DataFrame =
+    trainCentroids(corpus.select("vec_id", "embedding"),
+      ivfSeeds(corpus, kCentroids), lloydIters)
 
   /** Shared IVF core: train from `seedGroups` (rows of (centroid_id,
     * embedding) — a label partition or single seed vectors), build

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
+import graft.functions.VecText
+
 /** Streaming similarity search: maintain the exact top-k nearest
   * neighbors per query over a GROWING corpus stream (the "time series /
   * interactive top-k similarity" shape from the streaming-search
@@ -102,6 +104,94 @@ object StreamingSimilarity {
             seen += ((id, sig))
           }
           state.update(BucketState(seen.toSeq))
+          out.iterator
+      }
+  }
+
+  /** One arriving vector, assigned to its coarse list. */
+  case class AssignedVec(centroid_id: Long, vec_id: Long, cos: Double)
+
+  /** Per-list maintenance state: member ids (for at-least-once replay
+    * dedup, 8 B each — same budget class as [[BucketState]]) plus the
+    * running cosine mass for the drift signal.
+    */
+  case class IvfListState(ids: Seq[Long], cosSum: Double)
+
+  /** One emitted maintenance event: vector `vec_id` joined list
+    * `centroid_id`, which now holds `list_n` streamed members whose mean
+    * cosine-to-centroid is `mean_cos`; `retrain` fires when either
+    * trigger crosses its bound.
+    */
+  case class IvfListUpdate(centroid_id: Long, vec_id: Long, list_n: Long,
+      mean_cos: Double, retrain: Boolean)
+
+  /** Streaming IVF index maintenance — the first operational need of a
+    * continuously-ingesting embedding store: arriving vectors are
+    * assigned to the FROZEN trained coarse quantizer's nearest list
+    * (same broadcast argmax kernel as the batch tier —
+    * `VecText.nearest_centroid`, map-side, zero corpus shuffle), and
+    * per-list state tracks membership and a drift signal. Downstream, the
+    * emitted (centroid_id, vec_id) stream IS the inverted-list delta a
+    * deployment appends to its list store partition-by-partition.
+    *
+    * Retrain trigger (`retrain = true` on the emitted event) when either:
+    *  - mass: a list's streamed membership reaches `massLimit` — lists
+    *    have outgrown the quantizer's training-time shape; or
+    *  - drift: the list's cumulative mean cosine of arrivals to their
+    *    centroid falls below `minMeanCos` — arrivals no longer resemble
+    *    the centroid they're forced into. (Cumulative, not windowed, so
+    *    replay yields identical events; a production variant would decay.)
+    * The trigger is an EVENT, not an action: retraining means re-running
+    * [[Similarity.trainQuantizer]] on the accumulated store and swapping
+    * quantizers — a batch job this stream deliberately does not own.
+    *
+    * Assignment parity with the batch tier is the contract:
+    * stream-maintained lists equal [[Similarity.assignToCentroids]] of
+    * the union of all arrivals against the same frozen centroids
+    * (StreamingSimilaritySpec). Redelivered vec_ids are recognized in
+    * state and skipped — counts and drift never double-book on replay.
+    */
+  def maintainIvfLists(
+      vecStream: DataFrame,
+      trainedCentroids: DataFrame,
+      massLimit: Long = 100000L,
+      minMeanCos: Double = -1.0): Dataset[IvfListUpdate] = {
+    val spark = vecStream.sparkSession
+    import spark.implicits._
+    // one broadcast row: the sorted centroid table, as both the argmax
+    // array and an id→vector map for the drift cosine
+    val centArr = trainedCentroids
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("cents"))
+    val assigned = vecStream
+      .crossJoin(broadcast(centArr))
+      .withColumn("centroid_id",
+        VecText.nearest_centroid(col("cents"), col("embedding")))
+      .withColumn("cos",
+        coalesce(Similarity.cosine(col("embedding"),
+          element_at(map_from_entries(col("cents")), col("centroid_id"))), lit(0.0)))
+      .select(col("centroid_id"), col("vec_id"), col("cos"))
+      .as[AssignedVec]
+    assigned.groupByKey(_.centroid_id)
+      .flatMapGroupsWithState[IvfListState, IvfListUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case (cid, rows, state: GroupState[IvfListState]) =>
+          val prev = state.getOption.getOrElse(IvfListState(Seq.empty, 0.0))
+          val known = prev.ids.toSet
+          // intra-batch determinism: admit fresh members in vec_id order
+          val fresh = rows.filter(r => !known(r.vec_id)).toSeq
+            .distinctBy(_.vec_id).sortBy(_.vec_id)
+          var n = prev.ids.size.toLong
+          var cosSum = prev.cosSum
+          val out = fresh.map { r =>
+            n += 1
+            cosSum += r.cos
+            val meanCos = cosSum / n
+            IvfListUpdate(cid, r.vec_id, n, meanCos,
+              n >= massLimit || meanCos < minMeanCos)
+          }
+          state.update(IvfListState(prev.ids ++ fresh.map(_.vec_id), cosSum))
           out.iterator
       }
   }

@@ -101,4 +101,58 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming IVF maintenance equals batch assignment; replay-safe; mass trigger fires at the bound") {
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val total = emb.count()
+    val trained = Similarity.trainQuantizer(emb)
+
+    val dir = Files.createTempDirectory("graft-ivfmaint")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(dir.resolve("even").toString)
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(dir.resolve("odd").toString)
+    val in = Files.createDirectory(dir.resolve("in"))
+    def copyParts(sub: String, prefix: String): Unit = {
+      val d = dir.resolve(sub)
+      val s = Files.list(d)
+      try s.filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.copy(f, in.resolve(prefix + f.getFileName.toString))
+      } finally s.close()
+    }
+    copyParts("even", "a-")
+    copyParts("odd", "b-")
+    copyParts("even", "c-replay-") // at-least-once: same vec_ids re-delivered
+
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamingSimilarity.maintainIvfLists(stream, trained, massLimit = 50L)
+      .toDF()
+      .writeStream.format("memory").queryName("ivf_maint")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ivf_maint")
+      .select(col("centroid_id"), col("vec_id"), col("list_n"), col("retrain"))
+      .as[(Long, Long, Long, Boolean)].collect()
+
+    // replay-safe: every vector admitted exactly once despite the
+    // re-delivered file
+    assert(rows.length.toLong == total, s"expected $total admissions, got ${rows.length}")
+    assert(rows.map(_._2).distinct.length.toLong == total)
+
+    // the maintained lists ARE the batch assignment of the union against
+    // the same frozen quantizer
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val want = Similarity
+      .assignToCentroids(emb.select("vec_id", "embedding"), trained)
+      .select(col("centroid_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+
+    // mass trigger: every admission at/after the bound flags retrain,
+    // none before it (default drift bound is disabled at -1)
+    assert(rows.forall(r => r._4 == (r._3 >= 50L)))
+    assert(rows.exists(_._4), "500 vectors over 8 lists must cross a 50-row bound")
+  }
 }
