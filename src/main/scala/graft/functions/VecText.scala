@@ -16,6 +16,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecTextKernels {
 
+
+  /** 64-bit block-hash perceptual signature as two 32-bit words
+    * [w0, w1] (graft.multimodal.Multimodal.phashWords is the operator
+    * doc): 64 proportional SQL-substring char blocks; one bit per block
+    * = parity of the last md5 hex digit of the block (= digest byte 15
+    * & 1 — `conv(substring(md5(b),32,1),16,10) % 2` in the HOF anchor
+    * and the DuckDB oracle); MSB-first packing per word. Block bounds
+    * use exact long floor division — the same values as the HOF's
+    * double division by 64 (power of two, products < 2^53).
+    */
+  def phashWords(s: UTF8String): ArrayData = {
+    val md = md5Local.get()
+    val L = s.numChars()
+    var w0 = 0L
+    var w1 = 0L
+    var i = 0
+    while (i < 64) {
+      val st = (i.toLong * L / 64).toInt
+      val en = ((i + 1).toLong * L / 64).toInt
+      md.reset()
+      val d = md.digest(s.substringSQL(st + 1, en - st).getBytes)
+      val bit = (d(15) & 1).toLong
+      if (i < 32) w0 = w0 * 2 + bit else w1 = w1 * 2 + bit
+      i += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
   /** Mersenne prime 2^61-1: the modulus for MinHash universal hashing.
     * Chosen so every stage is reproducible OUTSIDE the JVM: any engine
     * with md5 and 128-bit integer arithmetic (e.g. DuckDB's HUGEINT)
@@ -473,6 +501,20 @@ object VecText {
   /** 64-bit SimHash: per-bit votes of each element's md5-derived 64-bit
     * hash (engine-reproducible; see VecTextKernels.md5U64).
     */
+
+  /** Perceptual block-hash signature [w0, w1] of a payload string (see
+    * VecTextKernels.phashWords for the bit recipe and oracle parity).
+    */
+  case class PhashWords(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      VecTextKernels.phashWords(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecTextKernels.phashWords($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
@@ -679,6 +721,7 @@ object VecText {
   def repetition_stats(c: Column): Column = column(RepetitionStats(expr(c)))
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
+  def phash_words(c: Column): Column = column(PhashWords(expr(c)))
   def simhash_wide(c: Column): Column = column(SimHashWide(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))
   def nearest_centroid(cents: Column, emb: Column): Column =

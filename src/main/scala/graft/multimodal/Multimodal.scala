@@ -123,9 +123,13 @@ object Multimodal {
   // ------------------------------------------------- perceptual near-dup
 
   /** One 32-bit word of the 64-bit block-hash signature (blocks
-    * `lo..lo+31`, MSB first). See [[perceptualNearDups]] for the design.
+    * `lo..lo+31`, MSB first) — the interpreted HOF REFERENCE formulation,
+    * kept as the property-test anchor for the codegen kernel (the same
+    * pattern as `Similarity.rhpSignatureHof`). 64 interpreted
+    * substr+md5+conv chains per row cost ~10 s at sf0.1; the kernel does
+    * one tight loop.
     */
-  private def phashWord(s: Column, lo: Int): Column =
+  private def phashWordHof(s: Column, lo: Int): Column =
     aggregate(
       transform(sequence(lit(lo), lit(lo + 31)), i => {
         val len = length(s).cast("long")
@@ -139,6 +143,10 @@ object Multimodal {
       }),
       lit(0L), (acc, b) => acc * 2 + b)
 
+  /** HOF formulation of [[phashWords]] (slow; the parity anchor). */
+  def phashWordsHof(payloadText: Column): Column =
+    array(phashWordHof(payloadText, 0), phashWordHof(payloadText, 32))
+
   /** 64-bit perceptual signature of a payload, as two 32-bit words
     * `[w0, w1]` — the block-hash family of perceptual hashes (Blockhash,
     * Yang et al.): split the content into 64 proportional blocks, one
@@ -151,9 +159,12 @@ object Multimodal {
     * deployment swaps the block reduction for block-mean-of-pixels and
     * keeps everything else). md5-parity is deliberately
     * engine-reproducible, so the full pipeline is oracle-checkable.
+    *
+    * Single-pass codegen kernel (VecText.PhashWords); [[phashWordsHof]]
+    * is the interpreted reference it is spec'd value-identical to.
     */
   def phashWords(payloadText: Column): Column =
-    array(phashWord(payloadText, 0), phashWord(payloadText, 32))
+    graft.functions.VecText.phash_words(payloadText)
 
   /** Perceptual near-duplicate pairs over multimodal payloads: signature
     * map-side, then Hamming-banded candidates exactly like the SimHash

@@ -57,6 +57,19 @@ class MultimodalSpec extends SparkSpec {
     assert(h <= 2, s"one-char edit should stay within 2 signature bits, got $h")
   }
 
+  test("phash codegen kernel equals the interpreted HOF reference on the corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+      .unionByName(Tables.documents(spark, Sf0001)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          substring(col("text"), 1, 3).as("text"),
+          col("lang"), col("source"), col("n_chars"))) // short/empty-block edge
+    val mismatch = docs.select(
+      Multimodal.phashWords(col("text")).as("k"),
+      Multimodal.phashWordsHof(col("text")).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(mismatch == 0)
+  }
+
   test("phash signature: unrelated payloads do not band-collide at sf0.001") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
     val pairs = Multimodal.perceptualNearDups(Multimodal.syntheticAssets(docs))
