@@ -29,6 +29,7 @@ object Bench {
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_clean_corpus", "text_decontaminate", "text_top_terms",
     "text_repetition", "text_curation_pipeline", "text_length_filter",
+    "text_retrieval_bm25",
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "sample_epoch_shuffle", "text_quality_classifier",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",

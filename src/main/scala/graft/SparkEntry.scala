@@ -301,6 +301,11 @@ object SparkEntry {
     }),
     // top characteristic terms per doc (rational-idf tf-idf family).
     "text_top_terms" -> ((s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir))),
+
+    // BM25-family ranked retrieval (rational idf — see the operator doc
+    // for why ln stays out of the oracle-checked score).
+    "text_retrieval_bm25" -> ((s, dir) => TextAnalysis.retrievalScore(
+      Tables.documents(s, dir), Seq("join", "scan", "slow"))),
     // Gopher-style repetition signals: most-repeated unigram/bigram mass.
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
@@ -1380,6 +1385,35 @@ object SparkEntry {
          | CAST(count(DISTINCT bench_doc_id) AS BIGINT) AS n_benchmark_docs
          |FROM corpus JOIN bench USING (ng)
          |GROUP BY doc_id HAVING count(DISTINCT ng) >= 3""".stripMargin,
+
+    // BM25 with rational idf, every fractional literal forced ::DOUBLE
+    // (DuckDB parses bare 0.5 as DECIMAL, which would change the IEEE
+    // op sequence vs Spark's double arithmetic); term contributions sum
+    // left-to-right in query-term order, exactly as the Spark reduce.
+    "text_retrieval_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
+         |    CAST(len(list_filter($toksSql, x -> x = 'join')) AS BIGINT) AS tf0,
+         |    CAST(len(list_filter($toksSql, x -> x = 'scan')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter($toksSql, x -> x = 'slow')) AS BIGINT) AS tf2
+         |  FROM documents),
+         |g AS (
+         |  SELECT count(*) AS n, sum(dl) AS sdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(CAST(CAST(
+         |    ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * 2.2::DOUBLE)
+         |      / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n))))
+         |  + ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * 2.2::DOUBLE)
+         |      / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n))))
+         |  + ((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE)) * (tf2 * 2.2::DOUBLE)
+         |      / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n))))
+         |  AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS score
+         |FROM d CROSS JOIN g
+         |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
 
     "text_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -44,6 +44,46 @@ object VecTextKernels {
     new GenericArrayData(Array(w0, w1))
   }
 
+
+  /** One-pass document-length + per-term frequencies over the corpus
+    * tokenizer's semantics (tokens = maximal runs of non-space bytes —
+    * exactly `filter(split(text, " +"), len > 0)`; the corpus alphabet
+    * is single-byte, space-delimited). Returns [dl, tf0, tf1, ...].
+    * The HOF formulation (4 interpreted split+filter chains per row)
+    * cost 2.9 s at sf0.1; this is one tight byte scan.
+    */
+  def termFreqs(s: UTF8String, terms: ArrayData): ArrayData = {
+    val bytes = s.getBytes
+    val nT = terms.numElements()
+    val termBytes = Array.tabulate(nT)(i => terms.getUTF8String(i).getBytes)
+    val out = new Array[Long](nT + 1)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && bytes(i) != ' ') i += 1
+        out(0) += 1
+        var t = 0
+        while (t < nT) {
+          val tb = termBytes(t)
+          if (tb.length == i - start) {
+            var j = 0
+            var eq = true
+            while (eq && j < tb.length) {
+              if (tb(j) != bytes(start + j)) eq = false
+              j += 1
+            }
+            if (eq) out(t + 1) += 1
+          }
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Mersenne prime 2^61-1: the modulus for MinHash universal hashing.
     * Chosen so every stage is reproducible OUTSIDE the JVM: any engine
     * with md5 and 128-bit integer arithmetic (e.g. DuckDB's HUGEINT)
@@ -502,6 +542,17 @@ object VecText {
     * hash (engine-reproducible; see VecTextKernels.md5U64).
     */
 
+  /** [dl, tf0, tf1, ...] in one pass (VecTextKernels.termFreqs). */
+  case class TermFreqs(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(text: Any, terms: Any): Any =
+      VecTextKernels.termFreqs(text.asInstanceOf[UTF8String], terms.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, q) => s"graft.functions.VecTextKernels.termFreqs($t, $q)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Perceptual block-hash signature [w0, w1] of a payload string (see
     * VecTextKernels.phashWords for the bit recipe and oracle parity).
     */
@@ -722,6 +773,8 @@ object VecText {
   def minhash_sig(c: Column, numPerm: Int): Column = column(MinHashSignature(expr(c), numPerm))
   def simhash64(c: Column): Column = column(SimHash64(expr(c)))
   def phash_words(c: Column): Column = column(PhashWords(expr(c)))
+  def term_freqs(text: Column, terms: Column): Column =
+    column(TermFreqs(expr(text), expr(terms)))
   def simhash_wide(c: Column): Column = column(SimHashWide(expr(c)))
   def fvec_dot(a: Column, b: Column): Column = column(FloatVecDot(expr(a), expr(b)))
   def nearest_centroid(cents: Column, emb: Column): Column =

@@ -720,10 +720,20 @@ object Similarity {
     // scheduler interleaves the rounds across subspaces (measured ~2×
     // on the sf0.1 probe, and on a busy cluster the tiny stages just
     // slot into free executor capacity)
-    val books = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // the coarse quantizer (full-vector k-means) is independent of the
+    // subspace codebooks — launch it FIRST so its tiny training jobs
+    // interleave with theirs instead of running as a sequential tail
+    // (the same concurrent-tiny-jobs rationale as the codebook Futures)
+    val coarseFut = coarse.map { case (coarseK, _) =>
+      Future {
+        trainCentroids(corpus.select("vec_id", "embedding"),
+          ivfSeeds(corpus, coarseK), lloydIters)
+      }
+    }
+    val books =
       Await.result(
         Future.sequence((0 until numSub).toList.map(m => Future {
           val subM = sub(corpus, m)
@@ -741,7 +751,6 @@ object Similarity {
           graft.Staging.unpin(trainedSums)
           book
         })), Duration.Inf)
-    }
     // ONE broadcast row holding every codebook (sorted by centroid id),
     // pinned: it feeds BOTH the encode and the ADC-table broadcasts, and
     // without the pin each branch would re-run the numSub K-row aggs
@@ -749,12 +758,7 @@ object Similarity {
       b.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as(s"cents_$m"))
     }.reduce(_.crossJoin(_)).pipe(graft.Staging.pin)
-    // optional IVF coarse quantizer: trained full-vector k-means whose
-    // lists prune the search; rides the same broadcast row
-    val coarseTrained = coarse.map { case (coarseK, _) =>
-      trainCentroids(corpus.select("vec_id", "embedding"),
-        ivfSeeds(corpus, coarseK), lloydIters)
-    }
+    val coarseTrained = coarseFut.map(Await.result(_, Duration.Inf))
     val bookArrs = coarseTrained.fold(pqArrs) { ct =>
       pqArrs.crossJoin(ct.agg(array_sort(
         collect_list(struct(col("centroid_id"), col("centroid")))).as("coarse_cents")))

@@ -39,6 +39,8 @@ object ScaleProbe100 {
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
                  else Seq(1, 10, 100)
+    // second arg: "all" (default), "skew" / "cc" to run just that section
+    val mode = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,7 +93,7 @@ object ScaleProbe100 {
       println(f"SCALE100 $label ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
 
-    scales.foreach { c =>
+    if (mode == "all") scales.foreach { c =>
       val docs = docsAt(c)
       val emb = embAt(c).drop("label")
       val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
@@ -124,10 +126,44 @@ object ScaleProbe100 {
         Similarity.ivfPqTopK(emb, queries, coarseK = sqrtK).count())
     }
 
+    // ---- SemDeDup skew guard at scale: one pathological hot cluster ----
+    // 30k near-copies of one vector (mass-duplicated boilerplate) joined
+    // to the 1× corpus, K=8: the hot cluster holds ~30k rows → ~450M
+    // within-cluster pairs. Single-block runs that as ONE task; the
+    // triangle sub-block path (blockRows=4096 → m=8, 36 block tasks)
+    // spreads it across the cluster. Same survivors either way.
+    if ((scales.contains(100) && mode == "all") || mode == "skew") {
+      val hot = cached(s"$tmp/emb_hotcluster") {
+        val base1 = embAt(1).drop("label")
+        val copies = base1.filter(col("vec_id") === 0)
+          .crossJoin(spark.range(1, 30001).toDF("i"))
+          .select((col("i") + 50000000L).as("vec_id"),
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") * (lit(1.0) +
+                (pmod(xxhash64(concat_ws("-", col("i"), j)), lit(100))
+                  - 50).cast("double") / 5000.0)).cast("float")).as("embedding"))
+        base1.unionByName(copies)
+      }
+      var sub: Set[Long] = null
+      time("skew_semdedup_subblocked") {
+        val s = Similarity.semDedup(hot, kCentroids = 8, blockRows = 4096)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        sub = s; s.size.toLong
+      }
+      var single: Set[Long] = null
+      time("skew_semdedup_singleblock") {
+        val s = Similarity.semDedup(hot, kCentroids = 8, blockRows = 1 << 30)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        single = s; s.size.toLong
+      }
+      println(s"SCALE100 skew_survivors_equal ${sub == single} (must be true)")
+      require(sub == single, "sub-blocked and single-block survivors diverged!")
+    }
+
     // ---- connected components beyond driverEdgeLimit, on real data ----
     // EXACT copies: every original doc becomes a 30-clique of verified
     // minhash pairs → ~5000 · C(30,2) ≈ 2.2M edges > the 1M driver bound.
-    if (scales.contains(100) || sys.props.contains("graft.probe.ccOnly")) {
+    if ((scales.contains(100) && mode == "all") || mode == "cc") {
       val c = 30
       val docs = cached(s"$tmp/docs_exact_${c}x") {
         (0 until c).map { i =>

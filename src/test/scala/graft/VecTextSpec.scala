@@ -174,6 +174,36 @@ class VecTextSpec extends SparkSpec {
     assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 40L))
   }
 
+  test("termFreqs kernel equals the HOF tokenizer counts (corpus + edges)") {
+    import graft.text.TextAnalysis
+    val edges = Seq("", " ", "  a  b a ", "a", "join join join",
+      "   leading and trailing   ").toDF("text")
+    val docs = Tables.documents(spark, Sf0001).select("text").unionByName(edges)
+    val terms = Seq("join", "a", "scan")
+    val f = VecText.term_freqs(col("text"), array(terms.map(lit): _*))
+    val mismatch = docs.select(
+      f.as("k"),
+      array(
+        TextAnalysis.tokenCount(col("text")).cast("long") +:
+          terms.map(t => size(filter(TextAnalysis.tokens(col("text")),
+            x => x === lit(t))).cast("long")): _*).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(mismatch == 0)
+  }
+
+  test("retrievalScore ranks higher tf above lower at equal length; drops no-hit docs") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "join join scan scan"), // tf(join)=2
+      (2L, "join scan scan scan"), // tf(join)=1, tf(scan)=3
+      (3L, "merge sort rows here")) // no query terms
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.retrievalScore(docs, Seq("join"))
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(3L))
+    assert(got(1L) > got(2L))
+  }
+
   test("rollingHash is order-sensitive where fingerprint is not") {
     import graft.text.TextAnalysis
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
