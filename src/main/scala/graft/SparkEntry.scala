@@ -314,6 +314,10 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
       col("lang"))),
     // deterministic content-hash sampling: reruns select the same subset.
+    // Deterministic train/val/test split assignment (growth-stable).
+    "sample_split" -> ((s, dir) => Sampling.datasetSplit(
+      Tables.documents(s, dir).select("doc_id"), col("doc_id"))),
+
     "sample_hash" -> ((s, dir) => Sampling.hashBernoulli(
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
       col("doc_id"), sixteenths = 4)),
@@ -1429,6 +1433,21 @@ object SparkEntry {
          | term, tf, df, score
          |FROM scored QUALIFY rnk <= 3""".stripMargin,
 
+    // md5-fraction split; 4294967296.0 and the fractions forced ::DOUBLE
+    // (DuckDB parses bare decimals as DECIMAL); the val bound is written
+    // as the same two-term double sum Scala computes.
+    "sample_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5('split1-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0::DOUBLE AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.05::DOUBLE THEN 'test'
+        |       WHEN u < 0.05::DOUBLE + 0.05::DOUBLE THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM u""".stripMargin,
+
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
@@ -1971,12 +1990,16 @@ object SparkEntry {
     // bounds by integer division, md5-parity bit per block, MSB-first
     // 32-bit words, 4×16-bit band buckets, full-Hamming verify.
     "mm_neardup" ->
-      """WITH assets AS (
+      """WITH assets0 AS (
         |  SELECT doc_id AS asset_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 100000 AS asset_id,
         |    concat(substr(text, 1, 9), 'Z', substr(text, 11, length(text))) AS text
         |  FROM documents WHERE doc_id % 20 = 0
+        |), assets AS (
+        |  -- minBytes=64 guard: sub-block-size payloads have degenerate
+        |  -- signatures (ASCII corpus: octet length = char length)
+        |  SELECT * FROM assets0 WHERE length(text) >= 64
         |), b AS (
         |  SELECT asset_id, i,
         |    CAST(CONCAT('0x', substr(md5(substr(text,

@@ -172,12 +172,22 @@ object Multimodal {
     * within `maxHamming` ≤ 3 shares ≥1 band (pigeonhole: exhaustive),
     * verified by full Hamming distance.
     *
+    * Payloads below `minBytes` are excluded: with fewer bytes than
+    * blocks the signature is mostly empty/single-byte blocks — no
+    * structure, so unrelated tiny payloads sit at low Hamming and form
+    * quadratic cliques (measured: the 100× ScaleProbe corpus produced
+    * 3.76M degenerate pairs before the guard). The pHash family's
+    * standard minimum-content-size rule; dedup tiny payloads EXACTLY
+    * instead (they are cheap to hash whole).
+    *
     * Scale shape is [[graft.dedup.Dedup.simhashNearDups]] verbatim: the
     * payload never shuffles (signatures are 16 bytes), candidates shuffle
     * on (band, bucket), and the verify is a bit_count on the joined rows.
     */
-  def perceptualNearDups(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualNearDups(assets: DataFrame, maxHamming: Int = 3,
+      minBytes: Int = 64): DataFrame = {
     val sigs = assets
+      .filter(octet_length(col("payload")) >= minBytes)
       .select(col("asset_id"), phashWords(col("payload").cast("string")).as("pw"))
       .select(col("asset_id"),
         element_at(col("pw"), 1).as("w0"), element_at(col("pw"), 2).as("w1"))

@@ -51,6 +51,24 @@ object Sampling {
   def hashFraction(key: Column): Column =
     conv(substring(hashKey(key), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
 
+  /** Deterministic train/val/test split: every row gets a stable split
+    * label from the md5 fraction of its salted key — reproducible across
+    * engines/runs (the same contract as every sampler here), stable
+    * under corpus growth (a document's split never changes when other
+    * documents arrive — the property random split lacks), and salted so
+    * independent experiments draw independent splits. Pure map-side.
+    */
+  def datasetSplit(df: DataFrame, key: Column, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, salt: String = "split1"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"fractions must be nonnegative and sum below 1: $valFrac/$testFrac")
+    val u = hashFraction(concat_ws("-", lit(salt), key.cast("string")))
+    df.withColumn("split",
+      when(u < testFrac, "test")
+        .when(u < testFrac + valFrac, "val")
+        .otherwise("train"))
+  }
+
   /** Temperature-0.5 mixture rebalancing: downsample over-represented
     * groups (languages, sources) so group shares flatten from p_g toward
     * sqrt(p_g) — the standard multilingual-mixing temperature step.

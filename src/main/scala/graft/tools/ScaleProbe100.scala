@@ -124,6 +124,16 @@ object ScaleProbe100 {
         Similarity.ivfTopKUnlabeled(emb, queries, kCentroids = sqrtK).count())
       time(s"ivfpq_${c}x")(
         Similarity.ivfPqTopK(emb, queries, coarseK = sqrtK).count())
+
+      // round-7 additions: perceptual near-dup (banded signatures),
+      // substring dedup (broadcast frequent-chain index), BM25 retrieval
+      // (one-pass kernel + broadcast stats row)
+      time(s"mm_neardup_${c}x")(
+        graft.multimodal.Multimodal.perceptualNearDups(
+          graft.multimodal.Multimodal.syntheticAssets(docs)).count())
+      time(s"substring_${c}x")(Dedup.substringDupSpans(docs).count())
+      time(s"bm25_${c}x")(graft.text.TextAnalysis.retrievalScore(
+        docs, Seq("join", "scan", "slow")).count())
     }
 
     // ---- SemDeDup skew guard at scale: one pathological hot cluster ----

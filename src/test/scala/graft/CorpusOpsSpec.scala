@@ -349,4 +349,24 @@ class CorpusOpsSpec extends SparkSpec {
       || (col("n_ids") =!= when(col("doc_id") % 3 === 0, 1L).otherwise(0L))).count()
     assert(bad == 0)
   }
+
+  test("datasetSplit: growth-stable assignments, fractions near target, salt changes the draw") {
+    import graft.sample.Sampling
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val full = Sampling.datasetSplit(ids, col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    // growth stability: the split of the first 1000 ids is identical when
+    // the other 9000 don't exist (random split has no such property)
+    val small = Sampling.datasetSplit(ids.filter(col("doc_id") < 1000), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => full(id) == s })
+    // fractions concentrate near 5/5/90 (md5 uniformity, n=10000)
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("test") - 500) < 150, s"test=${counts("test")}")
+    assert(math.abs(counts("val") - 500) < 150, s"val=${counts("val")}")
+    // a different salt draws a different split
+    val other = Sampling.datasetSplit(ids, col("doc_id"), salt = "split2")
+      .as[(Long, String)].collect().toMap
+    assert(other.exists { case (id, s) => full(id) != s })
+  }
 }

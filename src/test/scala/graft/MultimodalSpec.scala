@@ -37,7 +37,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("perceptualNearDups: planted one-char-edit payload copies are always found") {
     import spark.implicits._
+    // the recall guarantee holds above the minBytes=64 degenerate-signature
+    // guard (tiny payloads are excluded by contract — dedup them exactly)
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .filter(length(col("text")) >= 64)
     // substitute one char at position 30 — a different offset than the
     // driver query, so the recall property isn't tied to one byte
     val mutated = docs.filter(pmod(col("doc_id"), lit(10)) === 0)

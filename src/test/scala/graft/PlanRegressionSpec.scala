@@ -155,6 +155,39 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(smj.isEmpty, "PQ scoring must be broadcast, never sort-merge")
   }
 
+  test("text_retrieval_bm25: stats row broadcasts; document rows never shuffle") {
+    val plan = executed(SparkEntry.queries("text_retrieval_bm25")(spark, Sf0001))
+    // the only join is the 1-row corpus-stats crossJoin, as a broadcast
+    val nl = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(nl.nonEmpty, "corpus stats must reach the scorer as a broadcast")
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the stats aggregate is the only permissible exchange (1 row to the
+    // driver-side agg); document rows themselves must never shuffle
+    assert(exchanges.size <= 1, s"document rows must not shuffle: $exchanges")
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "retrieval scoring must never sort-merge the corpus")
+  }
+
+  test("mm_neardup: signatures shuffle on (band,bucket); payloads pruned from the scan") {
+    val plan = executed(SparkEntry.queries("mm_neardup")(spark, Sf0001))
+    // banding join may hash-shuffle 16-byte signatures, never sort-merge
+    // the payload side
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "perceptual banding must stay a hash join")
+    val globalSorts = collectWithSubqueries(plan) {
+      case st: org.apache.spark.sql.execution.SortExec if st.global => st
+    }
+    assert(globalSorts.isEmpty, "no global sort anywhere in the near-dup plan")
+  }
+
   test("sim_semdedup: one corpus shuffle (by cluster) in the pair stage") {
     // training is pinned via localCheckpoint, so the final plan shows
     // only the post-training stages: the repartition by centroid_id,
