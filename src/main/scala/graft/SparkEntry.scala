@@ -801,14 +801,25 @@ object SparkEntry {
     "etl_wire_roundtrip" ->
       "SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name FROM customer",
 
+    // Exact ×100 fixed-point mirror of the Spark formulation (DuckDB
+    // sums are exact HUGEINT; same exact integers → same doubles).
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-        | CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-        | count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH f AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qf,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yf,
+        |    100 - CAST(round(l_discount * 100) AS BIGINT) AS dfac
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'),
+        |s AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        |    sum(qf) AS sq, sum(yf) AS sy, sum(yf * dfac) AS sp
+        |  FROM f GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        | CAST(CAST(sq AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 100.0 AS sum_base_price,
+        | CAST(CAST(sp AS VARCHAR) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        | count_order
+        |FROM s""".stripMargin,
 
     "q3_topk" ->
       """SELECT l_orderkey, orderdate, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue FROM (
@@ -856,14 +867,14 @@ object SparkEntry {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        | CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n,
-        | CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        | CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "events_asof_join" ->

@@ -44,18 +44,41 @@ object Queries {
 
   /** TPC-H Q1-shaped pricing summary: single scan, partial-agg, tiny
     * shuffle (one group per flag×status). The flagship full-scan agg.
+    *
+    * Exact ×100 LONG fixed-point sums — the statsQuantityPrice rewrite
+    * applied to the flagship (quantity/price/discount carry ≤2 decimal
+    * digits; verified slack ≤9e-10 over sf0.1): long partial aggregation
+    * is a codegen'd primitive add vs the previous BigDecimal chains.
+    * disc_price rows are cents×(100−disc%) — scale 1e4, ≤1.05e9 per row
+    * — split hi/lo at 1e8 so group totals hold in a LONG at any
+    * plausible sf (ANSI overflow would throw loudly, never corrupt).
+    * Output doubles are value-identical to the decimal formulation:
+    * both correctly round the same exact rationals.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val qf = round(col("l_quantity") * 100).cast("long")
+    val yf = round(col("l_extendedprice") * 100).cast("long")
+    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
+    val split = 100000000L
+    val p = yf * dfac
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .select(col("l_returnflag"), col("l_linestatus"), qf.as("qf"), yf.as("yf"),
+        // `/` promotes to double; exact-to-truncation (p < 2^53, error
+        // ~1e-15 never crosses a 1e-8-spaced boundary) — see q_stats
+        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"),
-        outDouble(sum(dec6(col("l_extendedprice"))).cast("decimal(38,6)")).as("sum_base_price"),
-        outDouble(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
-          .cast("decimal(38,6)")).as("sum_disc_price"),
+      .agg(sum(col("qf")).as("sq"), sum(col("yf")).as("sy"),
+        sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("sq").cast("double") / 100.0).as("sum_qty"),
+        (col("sy").cast("double") / 100.0).as("sum_base_price"),
+        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** TPC-H Q3-shaped top-k: broadcast the filtered customer dimension into
     * the orders⋈lineitem join, aggregate revenue per order, global top 10.
@@ -160,13 +183,14 @@ object Queries {
     */
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qf")) // exact ×100 long (see q1)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"),
-        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sq"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("n"), col("sum_qty"))
+        col("n"), (col("sq").cast("double") / 100.0).as("sum_qty"))
 
   /** Anti join: customers with no orders (NOT EXISTS). Broadcast-safe at
     * any scale where the distinct custkey set of orders fits; otherwise a
@@ -194,13 +218,14 @@ object Queries {
   /** Cube (full grouping-sets lattice) over (flag, status). */
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qf")) // exact ×100 long (see q1)
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"),
-        outDouble(sum(dec6(col("l_quantity"))).cast("decimal(38,6)")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sq"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("n"), col("sum_qty"))
+        col("n"), (col("sq").cast("double") / 100.0).as("sum_qty"))
 
   /** Quantile sketch (approx_percentile): the constant-memory quantile
     * path for 100 TB distributions (exact median stays oracle-checked in
