@@ -135,11 +135,13 @@ object Bench {
     }
     // The driver records only a bounded tail of stdout, so the artifact of
     // record (total + per-query wall map) must be the LAST thing printed and
-    // compact enough to fit the window whole. Diagnostics (gc/jit maps) go
-    // on their own preceding line that deliberately does NOT start with
-    // `{"metric"` so the driver's line regex can't latch onto it; wall times
-    // are rounded to 0.1 ms — far below run-to-run variance.
-    def f4(v: Double): String = f"$v%.4f"
+    // compact enough to fit the window whole: 1 ms rounding keeps the
+    // 74-query map at ~1.8 KB with headroom for the window's other tenants
+    // (sbt's [info] prefix and trailing [success] line) and future queries.
+    // Diagnostics (gc/jit maps) go on their own preceding line that
+    // deliberately does NOT start with `{"metric"` so the driver's line
+    // regex can't latch onto it.
+    def f4(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, (_, g, _)) => "\"" + k + "\":" + f4(g) }
