@@ -490,9 +490,6 @@ object SparkEntry {
   // while its string→double parse is correctly rounded and therefore
   // matches Spark/Java BigDecimal.doubleValue. Verified against DuckDB
   // locally; regression pinned in tools/check_oracle.py selftest.
-  private val revenueSql =
-    "CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
-
   private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
 
   /** Distinct word-bigram shingles per document — the DuckDB twin of
@@ -835,7 +832,10 @@ object SparkEntry {
         |  ORDER BY revenue DESC, l_orderkey LIMIT 10)""".stripMargin,
 
     "q5_join" ->
-      s"""SELECT n_name, r_name, $revenueSql AS revenue
+      s"""SELECT n_name, r_name,
+         | CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS VARCHAR) AS DOUBLE)
+         |   / 10000.0 AS revenue
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN orders ON l_orderkey = o_orderkey

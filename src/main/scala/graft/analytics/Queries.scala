@@ -37,7 +37,7 @@ object Queries {
     * and diverges by 1 ulp once the unscaled value exceeds 2^53. The
     * oracle SQL therefore routes every decimal→double through VARCHAR —
     * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` — whose parse is correctly
-    * rounded and matches this cast exactly (see SparkEntry.revenueSql and
+    * rounded and matches this cast exactly (see the q3_topk oracle and
     * the tools/check_oracle.py selftest).
     */
   private def outDouble(c: Column): Column = c.cast("double")
@@ -119,8 +119,15 @@ object Queries {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // exact ×100 fixed-point revenue rows (see q1PricingSummary): the
+    // cents×(100−disc%) product rides the joins as two LONG words
+    val yf = round(col("l_extendedprice") * 100).cast("long")
+    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
+    val split = 100000000L
+    val p = yf * dfac
     val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
     li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey")
@@ -128,8 +135,10 @@ object Queries {
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"), col("r_name"))
-      .agg(outDouble(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
-        .cast("decimal(38,6)")).as("revenue"))
+      .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
+      .select(col("n_name"), col("r_name"),
+        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
+          .cast("double") / 10000.0).as("revenue"))
       .orderBy("n_name")
   }
 

@@ -679,8 +679,9 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       numSub: Int = 4, subK: Int = 16, lloydIters: Int = 2,
-      dims: Int = 64): DataFrame =
-    pqCore(corpus, queries, k, numSub, subK, lloydIters, dims, coarse = None)
+      dims: Int = 64, rerank: Int = 0): DataFrame =
+    pqCore(corpus, queries, k, numSub, subK, lloydIters, dims, coarse = None,
+      rerank = rerank)
 
   /** IVF-PQ: the composed billion-scale index (the FAISS `IVFx,PQy`
     * shape). A full-vector coarse quantizer (the IVF tier's trained
@@ -697,13 +698,14 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       numSub: Int = 4, subK: Int = 16, lloydIters: Int = 2,
-      dims: Int = 64, coarseK: Int = 8, nprobe: Int = 2): DataFrame =
+      dims: Int = 64, coarseK: Int = 8, nprobe: Int = 2,
+      rerank: Int = 0): DataFrame =
     pqCore(corpus, queries, k, numSub, subK, lloydIters, dims,
-      coarse = Some((coarseK, nprobe)))
+      coarse = Some((coarseK, nprobe)), rerank = rerank)
 
   private def pqCore(corpus: DataFrame, queries: DataFrame, k: Int,
       numSub: Int, subK: Int, lloydIters: Int, dims: Int,
-      coarse: Option[(Int, Int)]): DataFrame = {
+      coarse: Option[(Int, Int)], rerank: Int = 0): DataFrame = {
     require(dims % numSub == 0, s"dims $dims must split evenly into $numSub subspaces")
     require(lloydIters >= 1, "PQ needs at least the mean-codebook round")
     val subDim = dims / numSub
@@ -828,15 +830,43 @@ object Similarity {
       case None => coded.join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined
+    val adcRanked = joined
       .withColumn("cos",
         when(col("q_norm") * sqrt(col("recon_nsq")) > 0,
           (0 until numSub).map(lookup).reduceLeft(_ + _)
             / (col("q_norm") * sqrt(col("recon_nsq")))))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
+    if (rerank <= 0) {
+      adcRanked.filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
+    } else {
+      // FAISS-style refine stage: ADC ranking PRUNES to the top-`rerank`
+      // candidates; exact cosines re-rank those. Fixes PQ's resolution
+      // limit — 4-byte codes cannot order near-identical neighbors (the
+      // 100× probe measured recall@10 = 0.175 on a corpus whose true
+      // top-k are mutual near-copies; re-ranking restores it) — at the
+      // cost of `rerank` exact dot products per query. The candidate set
+      // is tiny (queries × rerank) and BROADCASTS against the embedding
+      // store scan: the corpus still never shuffles.
+      require(rerank >= k, s"rerank window $rerank must cover k=$k")
+      val cands = adcRanked.filter(col("rnk") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val qEmb = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), fnorm(col("embedding")).as("qn"))
+      val wx = Window.partitionBy("query_id")
+        .orderBy(col("cosx").desc, col("neighbor_id"))
+      corpus
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+          fnorm(col("embedding")).as("cn"))
+        .join(broadcast(cands.join(qEmb, Seq("query_id"))), Seq("neighbor_id"))
+        .withColumn("cosx",
+          cosineWithNorms(col("q_emb"), col("c_emb"), col("qn"), col("cn")))
+        .withColumn("rnk", row_number().over(wx).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cosx").cast("decimal(18,6)").cast("double").as("cosine"))
+    }
   }
 
   /** Scalar-quantized (int8) ANN: the memory-footprint tier. Each

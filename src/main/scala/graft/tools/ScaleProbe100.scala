@@ -136,6 +136,30 @@ object ScaleProbe100 {
         docs, Seq("join", "scan", "slow")).count())
     }
 
+    // ---- ANN recall at scale: does √n-list IVF keep quality at 100×? ----
+    // Latency without recall is half the story: brute force is the exact
+    // oracle (8 queries × n cosines — cheap even at 200k), and recall@10
+    // = |IVF top-10 ∩ exact top-10| / 10 averaged over queries.
+    if (mode == "all" || mode == "recall") scales.foreach { c =>
+      val emb = embAt(c).drop("label")
+      val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
+      val sqrtK = 8 * math.sqrt(c).round.toInt
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "neighbor_id")
+      def recall(name: String, ann: DataFrame): Unit = {
+        val hit = exact.join(ann.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val tot = exact.count()
+        println(f"SCALE100 recall_${name}_${c}x ${hit.toDouble / tot}%.3f ($hit/$tot)")
+      }
+      recall("ivf", Similarity.ivfTopKUnlabeled(emb, queries, k = 10, kCentroids = sqrtK))
+      recall("ivfpq", Similarity.ivfPqTopK(emb, queries, k = 10, coarseK = sqrtK))
+      // FAISS-style refine: exact re-rank of the top-40 ADC candidates —
+      // the fix for PQ's resolution limit among near-identical neighbors
+      recall("ivfpq_rr40", Similarity.ivfPqTopK(emb, queries, k = 10,
+        coarseK = sqrtK, rerank = 40))
+    }
+
     // ---- SemDeDup skew guard at scale: one pathological hot cluster ----
     // 30k near-copies of one vector (mass-duplicated boilerplate) joined
     // to the 1× corpus, K=8: the hot cluster holds ~30k rows → ~450M

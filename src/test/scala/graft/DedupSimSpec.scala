@@ -312,6 +312,20 @@ class DedupSimSpec extends SparkSpec {
     assert(Similarity.clusterBalancedSample(emb, perCluster = n.toInt).count() == n)
   }
 
+  test("PQ with a full-width refine window equals brute force exactly") {
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val q = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    // rerank >= corpus size: ADC only orders candidates, the refine
+    // re-scores every one exactly -> must reproduce the exact search,
+    // cosines included
+    val got = Similarity.pqTopK(emb, q, k = 5, rerank = n)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, q, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("ivfPqTopK prunes to probed lists and agrees with full PQ inside them") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").drop("label")
     val q = emb.filter(col("vec_id") < 8)
