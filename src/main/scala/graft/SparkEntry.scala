@@ -431,6 +431,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).drop("label")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8))
     }),
+    // PQ + FAISS-style refine: ADC ranking prunes to the top-40
+    // candidates, exact cosines re-rank them — the fix for PQ's
+    // resolution limit among near-identical neighbors (the 100× probe
+    // measured ADC-only recall@10 = 0.175 on a near-copy-dominated
+    // corpus). Candidates broadcast; the corpus still never shuffles.
+    "sim_pq_refine_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).drop("label")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), rerank = 40)
+    }),
     // IVF-PQ: trained coarse lists prune to nprobe lists per query, PQ
     // codes ADC-score the survivors — the composed billion-scale index.
     "sim_ivfpq_ann" -> ((s, dir) => {
@@ -701,6 +710,38 @@ object SparkEntry {
        |)
        |$pqTopKSelect""".stripMargin
 
+  /** PQ + refine oracle: the [[pqOracleSql]] ADC ranking prunes to the
+    * top-`rerank` candidates per query; exact sequential-order cosines
+    * (the [[Similarity.bruteForceTopK]] formulation) re-rank them. ADC
+    * cosines are bit-identical per pair, so the rank-`rerank` cut is
+    * engine-identical, not just the top-k.
+    */
+  private def pqRefineOracleSql(rerank: Int, numSub: Int = 4, subDim: Int = 16,
+      subK: Int = 16): String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding FROM embeddings
+       |  ORDER BY md5('ivfseed-' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $subK
+       |), ${pqSubCtes(numSub, subDim)}, $pqQqCte, adc AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${pqAdcCosSql(numSub, subDim)} AS cos
+       |  FROM embeddings c
+       |    ${pqCodeJoins(numSub)}
+       |    CROSS JOIN qq
+       |  WHERE qq.vec_id != c.vec_id
+       |), cand AS (
+       |  SELECT query_id, neighbor_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $rerank
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list_transform(list_zip(qq.embedding, c.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (qq.qn * sqrt(list_sum(list_transform(c.embedding,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM cand JOIN embeddings c ON cand.neighbor_id = c.vec_id
+       |            JOIN qq ON cand.query_id = qq.vec_id
+       |)
+       |$pqTopKSelect""".stripMargin
+
   /** IVF-PQ oracle: the unlabeled IVF coarse training (cseeds/ccent*)
     * prunes to nprobe lists per query; PQ codes score the survivors.
     * Every stage reuses the proven IVF/PQ CTE generators.
@@ -819,9 +860,10 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q3_topk" ->
-      """SELECT l_orderkey, orderdate, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue FROM (
+      """SELECT l_orderkey, orderdate, CAST(CAST(s AS VARCHAR) AS DOUBLE) / 10000.0 AS revenue FROM (
         |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
+        |   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -829,7 +871,7 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1999-01-01'
         |    AND l_shipdate > TIMESTAMP '1999-01-01'
         |  GROUP BY l_orderkey, orderdate
-        |  ORDER BY revenue DESC, l_orderkey LIMIT 10)""".stripMargin,
+        |  ORDER BY s DESC, l_orderkey LIMIT 10)""".stripMargin,
 
     "q5_join" ->
       s"""SELECT n_name, r_name,
@@ -1852,6 +1894,8 @@ object SparkEntry {
 
     // PQ: per-subspace Lloyd codebooks + ADC — see pqOracleSql.
     "sim_pq_ann" -> pqOracleSql(),
+
+    "sim_pq_refine_ann" -> pqRefineOracleSql(rerank = 40),
     // IVF-PQ: coarse-list pruning + ADC — see ivfPqOracleSql.
     "sim_ivfpq_ann" -> ivfPqOracleSql(),
 

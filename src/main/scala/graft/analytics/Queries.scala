@@ -37,8 +37,8 @@ object Queries {
     * and diverges by 1 ulp once the unscaled value exceeds 2^53. The
     * oracle SQL therefore routes every decimal→double through VARCHAR —
     * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` — whose parse is correctly
-    * rounded and matches this cast exactly (see the q3_topk oracle and
-    * the tools/check_oracle.py selftest).
+    * rounded and matches this cast exactly (see the q_window_running
+    * oracle and the tools/check_oracle.py selftest).
     */
   private def outDouble(c: Column): Column = c.cast("double")
 
@@ -92,21 +92,26 @@ object Queries {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
+    // exact ×100 fixed-point revenue (see q1PricingSummary): the per-order
+    // sums ride the join as two LONG words; the top-k sort compares the
+    // exact integer, so ties and near-ties rank engine-independently
+    val yf = round(col("l_extendedprice") * 100).cast("long")
+    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
+    val split = 100000000L
+    val p = yf * dfac
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
-      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .select(col("l_orderkey"), (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
     li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      // round to the output scale BEFORE the top-k sort so the LIMIT's
-      // tie-break matches the oracle, which orders by the rounded alias
-      // (rows differing only beyond 6 decimals would otherwise rank
-      // engine-dependently)
-      .agg(sum(dec6(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec6(col("l_discount"))))
-        .cast("decimal(38,6)").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
+      .withColumn("rev_fp",
+        col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
+      .orderBy(col("rev_fp").desc, col("l_orderkey"))
       .limit(10)
-      .select(col("l_orderkey"), col("orderdate"), outDouble(col("revenue")).as("revenue"))
+      .select(col("l_orderkey"), col("orderdate"),
+        (col("rev_fp").cast("double") / 10000.0).as("revenue"))
   }
 
   /** TPC-H Q5-shaped star join: revenue by nation. All four dimension

@@ -153,11 +153,19 @@ object ScaleProbe100 {
         println(f"SCALE100 recall_${name}_${c}x ${hit.toDouble / tot}%.3f ($hit/$tot)")
       }
       recall("ivf", Similarity.ivfTopKUnlabeled(emb, queries, k = 10, kCentroids = sqrtK))
+      // coarse recall is the nprobe knob: 2/K lists probed is the floor
+      recall("ivf_np4", Similarity.ivfTopKUnlabeled(emb, queries, k = 10,
+        kCentroids = sqrtK, nprobe = 4))
       recall("ivfpq", Similarity.ivfPqTopK(emb, queries, k = 10, coarseK = sqrtK))
-      // FAISS-style refine: exact re-rank of the top-40 ADC candidates —
-      // the fix for PQ's resolution limit among near-identical neighbors
+      // FAISS-style refine: exact re-rank of the top-R ADC candidates —
+      // the fix for PQ's resolution limit among near-identical neighbors.
+      // R must exceed the duplicate-tie multiplicity (~`c` near-copies per
+      // true neighbor here): R=40 < 10·c at 100× recovers only partially,
+      // R=400 covers the tie set
       recall("ivfpq_rr40", Similarity.ivfPqTopK(emb, queries, k = 10,
         coarseK = sqrtK, rerank = 40))
+      recall("ivfpq_rr400", Similarity.ivfPqTopK(emb, queries, k = 10,
+        coarseK = sqrtK, rerank = 400))
     }
 
     // ---- SemDeDup skew guard at scale: one pathological hot cluster ----
