@@ -196,6 +196,90 @@ object StreamingSimilarity {
       }
   }
 
+  /** The retrain-and-swap loop the [[maintainIvfLists]] trigger asks
+    * for — a continuously-ingested IVF index owned by a foreachBatch
+    * driver loop. Per micro-batch:
+    *
+    *  1. replay-safe append: batch vectors not already in the embedding
+    *     store (anti-join on vec_id) are pinned and appended — the store
+    *     is the parquet table a deployment already keeps, vectors persist
+    *     on arrival;
+    *  2. admission check: full-store assignment under the CURRENT
+    *     quantizer (map-side broadcast argmax, one scan, zero shuffle);
+    *     if any list's mass reaches `massLimit`, retrain fires;
+    *  3. retrain + swap: [[Similarity.trainQuantizer]] re-runs on the
+    *     full store with K grown to `max(currentK, ceil(2n/massLimit))`
+    *     — aiming mean list size at massLimit/2, the nlist-growth rule
+    *     that actually relieves a mass bound (re-centering with the same
+    *     K cannot; total mass is conserved). The swap is atomic from the
+    *     reader's view: [[IvfIndexMaintainer.lists]] always serves the
+    *     full store under exactly one quantizer generation.
+    *
+    * Determinism: the trainer's md5-ranked seeds and decimal sums are
+    * row-order-independent, so the swapped quantizer is a pure function
+    * of (store contents, K) — the convergence spec asserts the streamed
+    * index equals batch training on the union whenever the final batch
+    * trips the bound. At deployment scale the per-generation assignment
+    * would be materialized (partitioned by list id) rather than
+    * recomputed per read, and the store append would ride the atomic
+    * generation-manifest sink (`sink/Sinks`); single-JVM, the parquet
+    * append + recompute keeps every moving part observable.
+    */
+  final class IvfIndexMaintainer(
+      storeDir: String,
+      initialCentroids: DataFrame,
+      massLimit: Long = 100000L,
+      lloydIters: Int = 2) {
+    @volatile private var cents: DataFrame = initialCentroids
+    @volatile private var gen: Long = 0L
+    @volatile private var k: Int = initialCentroids.count().toInt
+
+    private def spark = initialCentroids.sparkSession
+    private def storeExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir))
+
+    /** Current quantizer (generation [[generation]]). */
+    def centroids: DataFrame = cents
+    def generation: Long = gen
+    def kCentroids: Int = k
+
+    /** Every vector ingested so far. */
+    def store: DataFrame = spark.read.parquet(storeDir)
+
+    /** The served index: full-store assignment under the current
+      * quantizer — never a stale mix of generations.
+      */
+    def lists: DataFrame =
+      Similarity.assignToCentroids(store.select("vec_id", "embedding"), cents)
+
+    /** Ingest one micro-batch; retrain + swap if the mass bound trips. */
+    def ingest(batch: DataFrame): Unit = synchronized {
+      val incoming = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
+      // pin before writing: `fresh` reads the same files the append
+      // extends, so materialize the anti-join first
+      val fresh = graft.Staging.pin(
+        if (storeExists) incoming.join(store, Seq("vec_id"), "left_anti")
+        else incoming)
+      try fresh.write.mode("append").parquet(storeDir)
+      finally graft.Staging.unpin(fresh)
+      val maxRow = lists.groupBy("centroid_id").count().agg(max("count")).head()
+      val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      if (maxN >= massLimit) {
+        val n = store.count()
+        k = math.max(k, math.ceil(2.0 * n / massLimit).toInt)
+        cents = Similarity.trainQuantizer(store, k, lloydIters)
+        gen += 1
+      }
+    }
+  }
+
+  /** foreachBatch adapter wiring a vector stream into `maintainer`. */
+  def ivfIngestWithRetrain(vecStream: DataFrame,
+      maintainer: IvfIndexMaintainer): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        maintainer.ingest(b.toDF()))
+
   def topKStream(corpusStream: DataFrame, queries: DataFrame, k: Int = 5): Dataset[TopKSnapshot] = {
     val spark = corpusStream.sparkSession
     import spark.implicits._

@@ -155,4 +155,58 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r._4 == (r._3 >= 50L)))
     assert(rows.exists(_._4), "500 vectors over 8 lists must cross a 50-row bound")
   }
+
+  test("retrain-swap loop: continuously ingested IVF index converges to batch training on the union") {
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val total = emb.count()
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+
+    val dir = Files.createTempDirectory("graft-ivfretrain")
+    firstHalf.write.parquet(dir.resolve("even").toString)
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(dir.resolve("odd").toString)
+    val in = Files.createDirectory(dir.resolve("in"))
+    def copyParts(sub: String, prefix: String): Unit = {
+      val d = dir.resolve(sub)
+      val s = Files.list(d)
+      try s.filter(_.toString.endsWith(".parquet")).forEach { f =>
+        Files.copy(f, in.resolve(prefix + f.getFileName.toString))
+      } finally s.close()
+    }
+    copyParts("even", "a-")
+    copyParts("odd", "b-")
+    copyParts("even", "c-replay-") // at-least-once: same vec_ids re-delivered
+
+    // deployed index: trained on the pre-stream base (the first half);
+    // massLimit 60 ⇒ 500 vectors over ≤8 initial lists must trip it
+    val massLimit = 60L
+    val maintainer = new StreamingSimilarity.IvfIndexMaintainer(
+      dir.resolve("store").toString,
+      Similarity.trainQuantizer(firstHalf),
+      massLimit = massLimit)
+
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val q = StreamingSimilarity.ivfIngestWithRetrain(stream, maintainer)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // replay-safe store: every vector exactly once despite redelivery
+    assert(maintainer.store.count() == total)
+    assert(maintainer.store.select("vec_id").distinct().count() == total)
+    assert(maintainer.generation >= 1L, "the mass bound must have fired")
+
+    // K grew by the nlist rule and the final retrain ran on the full
+    // store, so the served index IS batch training of the union
+    val kExp = math.max(8, math.ceil(2.0 * total / massLimit).toInt)
+    assert(maintainer.kCentroids == kExp)
+    val got = maintainer.lists
+      .select("centroid_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = Similarity
+      .assignToCentroids(emb, Similarity.trainQuantizer(emb, kExp))
+      .select("centroid_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }
