@@ -37,7 +37,8 @@ object Bench {
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
     "sim_embed_neardup_lsh", "sim_embed_clusters", "sim_embed_decontaminate",
     "sim_ivf_ann", "sim_ivf_ann_unlabeled", "sim_semdedup", "sim_sq8_ann",
-    "sim_pq_ann", "sim_pq_refine_ann", "sim_ivfpq_ann", "sample_cluster_balanced",
+    "sim_pq_ann", "sim_pq_refine_ann", "sim_ivfpq_ann", "sim_ivfpq_refine_ann",
+    "sample_cluster_balanced",
     "sim_hard_negatives", "text_chunk",
     "mm_decode", "mm_frames", "mm_neardup")
 

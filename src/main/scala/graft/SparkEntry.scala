@@ -440,6 +440,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).drop("label")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), rerank = 40)
     }),
+    // IVF-PQ + refine: the full deployment stack — coarse lists prune,
+    // ADC codes rank the survivors, exact cosines re-rank the top-40
+    // (FAISS `IVFx,PQy,RFlat`). The 100× recall probe shows this is the
+    // only PQ configuration that holds recall on a near-copy-dominated
+    // corpus; candidates broadcast, the corpus never shuffles.
+    "sim_ivfpq_refine_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).drop("label")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), rerank = 40)
+    }),
     // IVF-PQ: trained coarse lists prune to nprobe lists per query, PQ
     // codes ADC-score the survivors — the composed billion-scale index.
     "sim_ivfpq_ann" -> ((s, dir) => {
@@ -744,10 +753,14 @@ object SparkEntry {
 
   /** IVF-PQ oracle: the unlabeled IVF coarse training (cseeds/ccent*)
     * prunes to nprobe lists per query; PQ codes score the survivors.
-    * Every stage reuses the proven IVF/PQ CTE generators.
+    * Every stage reuses the proven IVF/PQ CTE generators. With
+    * `rerank > 0` the ADC ranking over the probed lists further prunes
+    * to the top-`rerank` candidates and exact cosines re-rank them —
+    * the FAISS `IVFx,PQy,RFlat` shape, the configuration the 100×
+    * recall probe shows is what you'd actually deploy (SURVEY §12).
     */
   private def ivfPqOracleSql(numSub: Int = 4, subDim: Int = 16, subK: Int = 16,
-      coarseK: Int = 8, nprobe: Int = 2): String = {
+      coarseK: Int = 8, nprobe: Int = 2, rerank: Int = 0): String = {
     def cAssign(cent: String): String = ivfAssignSql(cent)
     s"""WITH seeds AS (
        |  SELECT vec_id AS centroid_id, embedding FROM embeddings
@@ -774,7 +787,7 @@ object SparkEntry {
        |      ${ivfCosSql("e.embedding", "c.centroid")} AS d
        |    FROM embeddings e CROSS JOIN ccent2 c WHERE e.vec_id < 8)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) <= $nprobe
-       |), scored AS (
+       |), ${if (rerank > 0) "adc" else "scored"} AS (
        |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${pqAdcCosSql(numSub, subDim)} AS cos
        |  FROM embeddings c
@@ -783,7 +796,18 @@ object SparkEntry {
        |    JOIN probes p ON p.list_id = l.list_id
        |    JOIN qq ON qq.vec_id = p.query_id
        |  WHERE qq.vec_id != c.vec_id
-       |)
+       |)${if (rerank > 0) s""", cand AS (
+       |  SELECT query_id, neighbor_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $rerank
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list_transform(list_zip(qq.embedding, c.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (qq.qn * sqrt(list_sum(list_transform(c.embedding,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM cand JOIN embeddings c ON cand.neighbor_id = c.vec_id
+       |            JOIN qq ON cand.query_id = qq.vec_id
+       |)""" else ""}
        |$pqTopKSelect""".stripMargin
   }
 
@@ -1898,6 +1922,8 @@ object SparkEntry {
     "sim_pq_refine_ann" -> pqRefineOracleSql(rerank = 40),
     // IVF-PQ: coarse-list pruning + ADC — see ivfPqOracleSql.
     "sim_ivfpq_ann" -> ivfPqOracleSql(),
+    // IVF-PQ + exact refine — same oracle with the re-rank tail.
+    "sim_ivfpq_refine_ann" -> ivfPqOracleSql(rerank = 40),
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
