@@ -184,6 +184,7 @@ object SparkEntry {
     "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
     "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
+    "q_grouping_sets"  -> ((s, dir) => Queries.groupingSetsCounts(s, dir)),
     // sketch internals are engine-specific → rows-only checks.
     "q_approx_distinct" -> ((s, dir) => Queries.approxDistinctParts(s, dir)),
     "q_approx_quantiles" -> ((s, dir) => Queries.approxQuantiles(s, dir)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "events_tally"      -> ((s, dir) => EventAnalytics.tally(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventAnalytics.sessionize(Tables.events(s, dir))),
     "events_tumbling"   -> ((s, dir) => EventAnalytics.tumblingDaily(Tables.events(s, dir))),
+    "events_gap_fill"   -> ((s, dir) => EventAnalytics.gapFillHourly(Tables.events(s, dir))),
     "events_funnel"     -> ((s, dir) =>
       EventAnalytics.funnel(Tables.events(s, dir), "signup", "purchase")),
     // as-of join: every purchase matched to the user's latest prior click.
@@ -943,6 +945,14 @@ object SparkEntry {
         | CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
+
     "events_asof_join" ->
       """SELECT a.event_id, a.user_id, epoch_us(a.ts)//1000 AS ts_ms,
         | b.event_id AS asof_event_id, epoch_us(b.ts)//1000 AS asof_ts_ms
@@ -992,6 +1002,24 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY day, event_type""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM span
+        |)
+        |SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H') AS hour,
+        |  coalesce(h.n, 0) AS n,
+        |  CAST(CAST(last_value(h.sv IGNORE NULLS)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS value_locf
+        |FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour""".stripMargin,
 
     "events_funnel" ->
       """SELECT a.user_id FROM

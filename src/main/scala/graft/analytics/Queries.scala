@@ -241,6 +241,26 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), (col("sq").cast("double") / 100.0).as("sum_qty"))
 
+  /** Explicit GROUPING SETS — the general lattice form rollup and cube
+    * are shorthands for: ((flag,status),(flag),(status)) is neither a
+    * rollup (no grand total) nor a cube (no () set). One shuffle, the
+    * expand happens map-side before the partial agg, so the exchange
+    * carries |sets|× the group cardinality (tiny), not |sets|× the data.
+    */
+  def groupingSetsCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qf")) // exact ×100 long (see q1)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sq"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), (col("sq").cast("double") / 100.0).as("sum_qty"))
+
   /** Quantile sketch (approx_percentile): the constant-memory quantile
     * path for 100 TB distributions (exact median stays oracle-checked in
     * q_median; sketch internals are engine-specific → rows-only). Emitted

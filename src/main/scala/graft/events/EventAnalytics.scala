@@ -73,6 +73,40 @@ object EventAnalytics {
         // surface the same float64 to the driver's hash (see Queries.outDouble)
         sum(dec6(col("value"))).cast("decimal(38,6)").cast("double").as("sum_value"))
 
+  /** Time-series gap fill: regularize the per-type hourly series onto a
+    * dense grid — missing hours get count 0 and a last-observation-
+    * carried-forward (LOCF) value sum. The densification primitive every
+    * downstream resampler/forecaster assumes (and Spark has no native
+    * GAP FILL operator — this is the compose-built-ins form: per-key
+    * span agg → `sequence` explode → left join → `last(ignoreNulls)`).
+    *
+    * Scale shape: the hourly agg shuffles only (hour × type) groups
+    * (map-side partials); the grid is |types| × span rows — output-
+    * sized, generated from a |types|-row span table, never from the
+    * event data. The LOCF window partitions by type over grid rows.
+    * The grid starts at each type's first observed hour, so LOCF is
+    * never null. Value sums stay decimal-exact until the final double
+    * cast (see tumblingDaily).
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts_utc")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec6(col("value"))).cast("decimal(38,6)").as("sv"))
+    val span = hourly.groupBy("event_type")
+      .agg(min("hour").as("lo"), max("hour").as("hi"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sv"), ignoreNulls = true).over(w)
+          .cast("double").as("value_locf"))
+  }
+
   /** Simple two-step funnel: users who did `from` then later `to`. */
   def funnel(events: DataFrame, from: String, to: String): DataFrame = {
     val a = events.filter(col("event_type") === from)

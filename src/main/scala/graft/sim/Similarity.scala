@@ -321,13 +321,28 @@ object Similarity {
   private def ivfFromSeed(corpus: DataFrame, queries: DataFrame, seedGroups: DataFrame,
       k: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     val trained = trainCentroids(corpus, seedGroups, lloydIters)
-    val lists = assignToCentroids(corpus.select("vec_id", "embedding"), trained)
+    ivfServe(assignToCentroids(corpus.select("vec_id", "embedding"), trained),
+      trained, queries, k, nprobe)
+  }
+
+  /** Serve top-k from an ALREADY-BUILT IVF index: `assigned` is the
+    * inverted-list table ((vec_id, embedding, centroid_id) — what
+    * [[assignToCentroids]] emits and what a continuously-maintained
+    * index stores, partitionable by centroid_id at deployment), `cents`
+    * the quantizer it was assigned under. The query path of every
+    * ivfTopK* variant, split from training so an index owner (e.g.
+    * [[StreamingSimilarity.IvfIndexMaintainer]]) pays training only at
+    * swap time, not per query. Probes broadcast against the list table;
+    * the corpus never shuffles.
+    */
+  def ivfServe(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val lists = assigned
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))
-    val centroids = trained
     val wProbe = Window.partitionBy("query_id").orderBy(col("d").desc, col("centroid_id"))
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("d", cosine(col("q_emb"), col("centroid")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)

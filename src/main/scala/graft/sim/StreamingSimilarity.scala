@@ -252,6 +252,16 @@ object StreamingSimilarity {
     def lists: DataFrame =
       Similarity.assignToCentroids(store.select("vec_id", "embedding"), cents)
 
+    /** Answer ANN queries from the maintained index — the serve side of
+      * ingest → retrain → swap → serve. Identical to what a batch
+      * [[Similarity.ivfTopKUnlabeled]] over the current store computes
+      * (same quantizer: training is a pure function of (store, K)), but
+      * pays only the probe + within-list scoring per query, not
+      * training.
+      */
+    def topK(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame =
+      Similarity.ivfServe(lists, cents, queries, k, nprobe)
+
     /** Ingest one micro-batch; retrain + swap if the mass bound trips. */
     def ingest(batch: DataFrame): Unit = synchronized {
       val incoming = batch.select("vec_id", "embedding").dropDuplicates("vec_id")

@@ -215,4 +215,31 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("gap fill densifies the hourly series: contiguous grid, zero counts, LOCF values") {
+    val filled = EventAnalytics.gapFillHourly(batchEvents)
+      .select("event_type", "hour", "n", "value_locf")
+      .as[(String, String, Long, Double)].collect()
+    val byType = filled.groupBy(_._1)
+    byType.foreach { case (_, rows) =>
+      val hours = rows.map(_._2).sorted
+      // dense: row count == span between first and last hour, inclusive
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
+      def t(s: String) = java.time.LocalDateTime.parse(s, fmt)
+      val span = java.time.Duration.between(t(hours.head), t(hours.last)).toHours + 1
+      assert(rows.length == span, s"grid not dense: ${rows.length} rows over $span hours")
+      assert(hours.distinct.length == hours.length)
+      // LOCF: a zero-count hour carries the previous hour's value forward
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) if cur._3 == 0L =>
+          assert(cur._4 == prev._4, s"LOCF broken at ${cur._2}")
+        case _ =>
+      }
+    }
+    // the operator must actually have filled something at this sf
+    assert(filled.exists(_._3 == 0L), "no gaps filled — test data too dense to exercise LOCF")
+    // first grid hour per type is an observed hour: value_locf never null/NaN
+    assert(filled.forall(r => !r._4.isNaN))
+  }
 }

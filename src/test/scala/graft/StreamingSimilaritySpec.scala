@@ -208,5 +208,16 @@ class StreamingSimilaritySpec extends SparkSpec {
       .assignToCentroids(emb, Similarity.trainQuantizer(emb, kExp))
       .select("centroid_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(got == want)
+
+    // serve side: the maintained index answers queries exactly like the
+    // batch unlabeled IVF over the same corpus at the same K
+    val queries = emb.filter(col("vec_id") < 8)
+    val served = maintainer.topK(queries, k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = Similarity.ivfTopKUnlabeled(emb, queries, k = 5,
+        kCentroids = kExp, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == batch)
+    assert(served.nonEmpty)
   }
 }
