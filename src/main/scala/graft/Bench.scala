@@ -38,7 +38,7 @@ object Bench {
     "sim_embed_neardup_lsh", "sim_embed_clusters", "sim_embed_decontaminate",
     "sim_ivf_ann", "sim_ivf_ann_unlabeled", "sim_semdedup", "sim_sq8_ann",
     "sim_pq_ann", "sim_pq_refine_ann", "sim_ivfpq_ann", "sim_ivfpq_refine_ann",
-    "sample_cluster_balanced",
+    "sample_cluster_balanced", "q_grouping_sets", "events_gap_fill", "q_pagerank",
     "sim_hard_negatives", "text_chunk",
     "mm_decode", "mm_frames", "mm_neardup")
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Queries
+import graft.analytics.{GraphAnalytics, Queries}
 import graft.dedup.Dedup
 import graft.events.EventAnalytics
 import graft.ingest.CsvExtract
@@ -185,6 +185,11 @@ object SparkEntry {
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
     "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
     "q_grouping_sets"  -> ((s, dir) => Queries.groupingSetsCounts(s, dir)),
+    // exact fixed-point PageRank over the customer↔supplier graph —
+    // integer floor arithmetic makes every iteration engine-identical,
+    // so the oracle (same iterations unrolled as CTEs) hash-checks the
+    // whole dynamics, not just a projection
+    "q_pagerank"       -> ((s, dir) => GraphAnalytics.supplierCustomerPageRank(s, dir)),
     // sketch internals are engine-specific → rows-only checks.
     "q_approx_distinct" -> ((s, dir) => Queries.approxDistinctParts(s, dir)),
     "q_approx_quantiles" -> ((s, dir) => Queries.approxQuantiles(s, dir)),
@@ -458,6 +463,19 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8))
     }),
 
+    // ORC round-trip: the storage schema written to and read back from
+    // the second columnar lake format (vectorized scan, same pushdown
+    // surface as parquet). Full-table output: every row, type, and
+    // timestamp must survive the trip — the oracle reads the original
+    // parquet, so any roundtrip corruption hash-fails.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      graft.sources.Formats.orcRoundtrip(ord,
+        s"/tmp/graft-orc-roundtrip-${new java.io.File(dir).getName}")
+    }),
+
     // DSv2 connector smoke: deterministic synthetic source through the
     // public format() surface; md5-derived generator → the oracle
     // regenerates the stream from range(10000).
@@ -721,6 +739,39 @@ object SparkEntry {
        |)
        |$pqTopKSelect""".stripMargin
 
+  /** Fixed-point PageRank oracle: the same integer floor-arithmetic
+    * iterations as [[GraphAnalytics.supplierCustomerPageRank]], unrolled
+    * as CTEs (the Lloyd-unroll pattern). DuckDB `//` and Spark `div`
+    * both floor on positive longs; `sum(BIGINT)` is HUGEINT in DuckDB,
+    * so the per-iteration mass is cast back to BIGINT (values stay far
+    * below 2^63 by construction: total mass ≤ 1e12, ×85 ≤ 8.5e13).
+    */
+  private def pageRankOracleSql(iters: Int = 3): String = {
+    val its = (1 to iters).map { k =>
+      s"""it$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS m
+         |  FROM edges e JOIN pr${k - 1} p ON e.src = p.id JOIN deg d ON e.src = d.id
+         |  GROUP BY 1
+         |), pr$k AS (
+         |  SELECT id, CAST((150000000000 // n) + ((m * 85) // 100) AS BIGINT) AS pr
+         |  FROM it$k, nn
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       |), deg AS (
+       |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1
+       |), nn AS (
+       |  SELECT count(*) AS n FROM deg
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000000000 // n AS BIGINT) AS pr FROM deg, nn
+       |), $its
+       |SELECT id AS node_id, pr FROM pr$iters""".stripMargin
+  }
+
   /** PQ + refine oracle: the [[pqOracleSql]] ADC ranking prunes to the
     * top-`rerank` candidates per query; exact sequential-order cosines
     * (the [[Similarity.bruteForceTopK]] formulation) re-rank them. ADC
@@ -944,6 +995,8 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pagerank" -> pageRankOracleSql(),
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1170,6 +1223,13 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    // ORC roundtrip: the oracle is the ORIGINAL parquet — the roundtrip
+    // must be invisible.
+    "source_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM orders""".stripMargin,
 
     // the DSv2 source's generator, replayed: each field of synthetic row
     // i regenerates from md5("evt-<seed>-<k>-<i>") (SyntheticEvents

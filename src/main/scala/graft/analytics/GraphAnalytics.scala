@@ -1,0 +1,67 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics beyond connected components (`dedup/Dedup`): node
+  * importance over graphs the lake already contains.
+  *
+  * PageRank here is EXACT fixed-point integer arithmetic, not float:
+  * ranks carry as ×1e12 longs, every division is integer floor (`div`),
+  * the damping multiply is `(m * 85) div 100`. Floors make each
+  * iteration a pure integer function of the previous one, so Spark and
+  * the DuckDB oracle (which unrolls the same iterations as CTEs — the
+  * Lloyd-unroll pattern from the IVF oracles) agree bit-for-bit, and
+  * the driver hash check covers the whole iteration, not just the
+  * final projection. Total mass shrinks by < n per iteration to floor
+  * loss — irrelevant to ranking, essential to determinism.
+  *
+  * Scale shape: the canonical distributed PageRank — the edge table
+  * shuffles once to build degrees, then each iteration is one
+  * partial-aggregated shuffle of (dst, contribution) keyed by node.
+  * Iterations are a fixed small constant; edges and degrees are pinned
+  * (`Staging.pin`) so the scan and degree shuffle are paid once, not
+  * per iteration. No driver-side collect anywhere: the node count
+  * rides as a broadcast one-row frame.
+  */
+object GraphAnalytics {
+
+  /** PageRank over the undirected customer↔supplier graph induced by
+    * line items (edge = "this customer bought from this supplier").
+    * Supplier node ids are offset by 1e6 to keep the id spaces
+    * disjoint. Every node has degree ≥ 1 by construction, so there are
+    * no dangling nodes and every node is present in every iteration.
+    */
+  def supplierCustomerPageRank(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val edges = graft.Staging.pin(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.Staging.pin(
+      edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg")))
+    // node count as a broadcast one-row param frame — no driver collect
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    val scale = 1000000000000L // ranks are ×1e12 longs
+    var pr = deg.crossJoin(broadcast(nRow))
+      .select(col("id"), expr(s"${scale}L div n").as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(pr, edges("src") === pr("id"))
+        .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      pr = contrib.crossJoin(broadcast(nRow))
+        .select(col("dst").as("id"),
+          expr(s"(${15 * (scale / 100)}L div n) + ((m * 85L) div 100L)").as("pr"))
+    }
+    pr.select(col("id").as("node_id"), col("pr"))
+  }
+}

@@ -168,6 +168,50 @@ object ScaleProbe100 {
         coarseK = sqrtK, rerank = 400))
     }
 
+    // ---- Serve vs train+serve: what the maintained index saves ----
+    // A continuously-ingested deployment trains at swap time and serves
+    // per query (IvfIndexMaintainer). This measures the per-query cost
+    // split: ivfServe over pre-built lists vs ivfTopKUnlabeled paying
+    // Lloyd training inline. The gap is the amortization argument.
+    if (mode == "all" || mode == "serve") scales.foreach { c =>
+      val emb = embAt(c).drop("label")
+      val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
+      val sqrtK = 8 * math.sqrt(c).round.toInt
+      var cents: DataFrame = null
+      var lists: DataFrame = null
+      time(s"ivf_train_${c}x") {
+        cents = graft.Staging.pin(Similarity.trainQuantizer(emb, sqrtK))
+        lists = graft.Staging.pin(Similarity.assignToCentroids(
+          emb.select("vec_id", "embedding"), cents))
+        lists.count()
+      }
+      time(s"ivf_serve_${c}x")(
+        Similarity.ivfServe(lists, cents, queries, k = 10).count())
+      time(s"ivf_train_and_serve_${c}x")(
+        Similarity.ivfTopKUnlabeled(emb, queries, k = 10, kCentroids = sqrtK).count())
+      // The deployment shape: the list table stored PARTITIONED BY list
+      // id, so a serve scans only the probed lists (dynamic partition
+      // pruning from the broadcast probe side), not the corpus. This —
+      // not the flat scan above — is what "partitionable by list id"
+      // buys at 100 TB.
+      // control: same store as FLAT parquet — separates columnar-scan
+      // speed from genuine list pruning
+      val fdir = s"$tmp/lists_flat_${c}x"
+      lists.write.mode("overwrite").parquet(fdir)
+      time(s"ivf_serve_flatparquet_${c}x")(
+        Similarity.ivfServe(spark.read.parquet(fdir), cents, queries, k = 10).count())
+      val pdir = s"$tmp/lists_${c}x"
+      time(s"ivf_store_partitioned_${c}x") {
+        lists.write.mode("overwrite").partitionBy("centroid_id").parquet(pdir)
+        0L
+      }
+      val plists = spark.read.parquet(pdir)
+        .select(col("vec_id"), col("embedding"), col("centroid_id").cast("long"))
+      time(s"ivf_serve_partitioned_${c}x")(
+        Similarity.ivfServe(plists, cents, queries, k = 10).count())
+      graft.Staging.unpin(lists); graft.Staging.unpin(cents)
+    }
+
     // ---- SemDeDup skew guard at scale: one pathological hot cluster ----
     // 30k near-copies of one vector (mass-duplicated boilerplate) joined
     // to the 1× corpus, K=8: the hot cluster holds ~30k rows → ~450M

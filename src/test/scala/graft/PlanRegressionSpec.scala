@@ -214,4 +214,31 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
     assert(scans.size <= 1, s"expected the corpus scan once, got ${scans.size}")
   }
+
+  test("ivfServe over a list-partitioned store: dynamic partition pruning scans only probed lists") {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Similarity
+    val emb = Tables.embeddings(spark, Sf0001).drop("label")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.trainQuantizer(emb, 8)
+    val lists = Similarity.assignToCentroids(emb.select("vec_id", "embedding"), cents)
+    val pdir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/lists"
+    lists.write.partitionBy("centroid_id").parquet(pdir)
+    val plists = spark.read.parquet(pdir)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").cast("long"))
+    val served = Similarity.ivfServe(plists, cents, queries, k = 5)
+    val plan = executed(served)
+    // the store scan must carry a dynamic-pruning partition filter fed
+    // from the probe side — the plan property that makes a 100 TB serve
+    // scan nprobe lists, not the corpus
+    val scan = collectWithSubqueries(plan) {
+      case s: FileSourceScanExec
+        if s.requiredSchema.fieldNames.contains("embedding") => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on the list store scan: ${scan.partitionFilters}")
+    // and the answer is the same as serving the unpartitioned assignment
+    val want = Similarity.ivfServe(lists, cents, queries, k = 5).collect().toSet
+    assert(served.collect().toSet == want)
+  }
 }
