@@ -194,6 +194,9 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => Queries.approxDistinctParts(s, dir)),
     "q_approx_quantiles" -> ((s, dir) => Queries.approxQuantiles(s, dir)),
     "q_anti_join"      -> ((s, dir) => Queries.customersWithoutOrders(s, dir)),
+    // salted skew join: oracle is the PLAIN join — hash match proves the
+    // salting construction is invisible to results (Layout.saltedJoin).
+    "q_skew_join"      -> ((s, dir) => Queries.skewJoinRevenue(s, dir)),
     "q_semi_join"      -> ((s, dir) => Queries.partsWithSales(s, dir)),
     "q_distinct_agg"   -> ((s, dir) => Queries.distinctCustomersPerSegment(s, dir)),
 
@@ -474,6 +477,15 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       graft.sources.Formats.orcRoundtrip(ord,
         s"/tmp/graft-orc-roundtrip-${new java.io.File(dir).getName}")
+    }),
+
+    // JSON-lines roundtrip under a pinned schema (the reference's landing
+    // format): oracle reads the ORIGINAL parquet, so any write→read drift
+    // (double formatting, null handling, schema inference) hash-fails.
+    "source_json_roundtrip" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      graft.sources.Formats.jsonRoundtrip(cust,
+        s"/tmp/graft-json-roundtrip-${new java.io.File(dir).getName}")
     }),
 
     // DSv2 connector smoke: deterministic synthetic source through the
@@ -1023,6 +1035,16 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity > 48)""".stripMargin,
 
+    // deliberately the PLAIN join: the Spark side salts, the oracle does
+    // not — the hash match is the proof the salting is result-invisible.
+    "q_skew_join" ->
+      """SELECT p_brand,
+        | CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS VARCHAR) AS DOUBLE)
+        |   / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
         | count(*) AS n_customers
@@ -1230,6 +1252,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM orders""".stripMargin,
+
+    "source_json_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 
     // the DSv2 source's generator, replayed: each field of synthetic row
     // i regenerates from md5("evt-<seed>-<k>-<i>") (SyntheticEvents

@@ -147,6 +147,34 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** Salted skew join, oracle-upgraded from spec-only: lineitem ⋈ part on
+    * l_partkey routed through `Layout.saltedJoin` (salt=8), then exact
+    * ×100 fixed-point revenue per brand. The salt column scatters each
+    * key's rows across 8 sub-keys and replicates the dimension side 8× —
+    * the shape that bounds the largest task when one part id dominates the
+    * fact table. Semantics must be IDENTICAL to the plain equi-join, and
+    * the oracle IS the plain join — a hash match proves the salting is
+    * invisible to results, not just to a spec's toy frame.
+    */
+  def skewJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val yf = round(col("l_extendedprice") * 100).cast("long")
+    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
+    val split = 100000000L
+    val p = yf * dfac
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Layout.saltedJoin(li, part, "l_partkey", 8)
+      .groupBy("p_brand")
+      .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
+      .select(col("p_brand"),
+        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** Window ranking: top-3 orders per customer by totalprice (deterministic
     * tie-break on o_orderkey). One shuffle on o_custkey.
     */

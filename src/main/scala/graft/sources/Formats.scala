@@ -23,4 +23,17 @@ object Formats {
     df.write.mode(SaveMode.Overwrite).orc(path)
     df.sparkSession.read.orc(path)
   }
+
+  /** Write `df` as JSON lines and read it back under the SAME schema.
+    * JSON is the reference's landing format (`lambda-fns/load` writes
+    * items as JSON documents); the explicit-schema read is the part
+    * that matters at scale — schema inference is a full extra pass over
+    * the data and can drift run-to-run, so a lake pipeline always pins
+    * the schema. Doubles survive exactly (Jackson emits the shortest
+    * round-trippable decimal form).
+    */
+  def jsonRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
 }
