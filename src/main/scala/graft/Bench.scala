@@ -40,7 +40,55 @@ object Bench {
     "sim_pq_ann", "sim_pq_refine_ann", "sim_ivfpq_ann", "sim_ivfpq_refine_ann",
     "sample_cluster_balanced", "q_grouping_sets", "events_gap_fill", "q_pagerank",
     "sim_hard_negatives", "text_chunk",
-    "mm_decode", "mm_frames", "mm_neardup")
+    "mm_decode", "mm_frames", "mm_neardup",
+    // round 8: every remaining corpus-scale green query. Excluded from the
+    // bench on purpose (and why): etl_pipeline / etl_zip_naive /
+    // etl_wire_roundtrip / events_tally / events_json_extract-style 5-row
+    // fixtures measure nothing but fixed job overhead; source_dsv2_scan is
+    // the same 5-row fixture behind a DSv2 facade; mm_features duplicates
+    // mm_frames' scan shape; streaming surfaces (StreamingSpec,
+    // StreamingSimilaritySpec) have no batch wall to measure.
+    "q_skew_join", "source_orc_roundtrip", "source_json_roundtrip",
+    "sample_split", "etl_route_matchers", "text_pii_redact", "text_countmin",
+    "text_decontaminate_bloom", "dedup_substring_strip",
+    "dedup_exact_survivors", "sim_embed_dedup_survivors")
+
+  /** Compact-key scheme for the driver artifact line.
+    *
+    * The driver records only the last 2000 characters of stdout, and the
+    * round-7 line (79 queries, full names) already clipped its leading
+    * `{"m` — at 90 queries full names cannot fit, so the artifact line uses
+    * mechanically shortened keys. Expansion is the reverse of this table
+    * (longest-match prefixes first, then the suffix/infix rules); the
+    * full-name, 3-decimal map is also written to `bench_full.json` in the
+    * working directory so no fidelity is lost.
+    *
+    * Prefixes: events_→ev_  text_→tx_  sample_→sa_  dedup_→dd_  sim_→si_
+    *           source_→sr_  etl_→et_
+    * Suffix/infix: _curation_pipeline→_curation  _cluster_balanced→_clbal
+    *   _hard_negatives→_hardneg  _pipeline_scale→_scale  _retrieval_bm25→_bm25
+    *   _roundtrip→_rt  _survivors→_sv  _decontaminate→_dc  _unlabeled→_u
+    *   _bruteforce→_bf  _classifier→_clf  _refine_→_rf_  _embed_→_em_
+    *   _neardup→_nd  _substring→_substr  _fingerprint→_fp  _sessionize→_sess
+    */
+  private val keyPrefixes = Seq(
+    "events_" -> "ev_", "text_" -> "tx_", "sample_" -> "sa_",
+    "dedup_" -> "dd_", "sim_" -> "si_", "source_" -> "sr_", "etl_" -> "et_")
+  private val keyInfixes = Seq(
+    "_curation_pipeline" -> "_curation", "_cluster_balanced" -> "_clbal",
+    "_hard_negatives" -> "_hardneg", "_pipeline_scale" -> "_scale",
+    "_retrieval_bm25" -> "_bm25", "_roundtrip" -> "_rt",
+    "_survivors" -> "_sv", "_decontaminate" -> "_dc", "_unlabeled" -> "_u",
+    "_bruteforce" -> "_bf", "_classifier" -> "_clf", "_refine_" -> "_rf_",
+    "_embed_" -> "_em_", "_neardup" -> "_nd", "_substring" -> "_substr",
+    "_fingerprint" -> "_fp", "_sessionize" -> "_sess")
+  def compactKey(name: String): String = {
+    val p = keyPrefixes.collectFirst {
+      case (full, short) if name.startsWith(full) =>
+        short + name.substring(full.length)
+    }.getOrElse(name)
+    keyInfixes.foldLeft(p) { case (s, (full, short)) => s.replace(full, short) }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = Config.benchSfDir() // fail fast on a missing/typo'd dir
@@ -134,25 +182,45 @@ object Bench {
         Seq(s1, s2, once(name)) else Seq(s1, s2)
       name -> samples.minBy(_._1)
     }
-    // The driver records only a bounded tail of stdout, so the artifact of
-    // record (total + per-query wall map) must be the LAST thing printed and
-    // compact enough to fit the window whole: 1 ms rounding keeps the
-    // 74-query map at ~1.8 KB with headroom for the window's other tenants
-    // (sbt's [info] prefix and trailing [success] line) and future queries.
-    // Diagnostics (gc/jit maps) go on their own preceding line that
-    // deliberately does NOT start with `{"metric"` so the driver's line
-    // regex can't latch onto it.
-    def f4(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + f4(v) }
-      .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g, _)) => "\"" + k + "\":" + f4(g) }
-      .mkString("{", ",", "}")
-    val jits = results.map { case (k, (_, _, j)) => "\"" + k + "\":" + f4(j) }
-      .mkString("{", ",", "}")
+    // The driver records only the LAST 2000 characters of stdout, which must
+    // hold the whole artifact line plus sbt's trailing [success] line
+    // (~76 chars) — so the artifact of record (total + per-query wall map)
+    // is printed LAST, with compact keys (see `compactKey`), 2-decimal
+    // walls, and the sf basename, which keeps the 90-query line ≤ ~1.85 KB.
+    // Run-to-run variance (≫ 10 ms, see round-6/7 stall notes) makes the
+    // 10 ms rounding floor irrelevant for grading; sub-10ms claims come
+    // from tools/Timeit. Full fidelity — full names, 3-decimal walls,
+    // gc/jit attribution maps — goes to `bench_full.json` in the CWD (the
+    // round-end commit picks it up). Locale.ROOT formatting everywhere:
+    // the f"" interpolator uses the JVM default locale, which under e.g.
+    // de_DE would emit comma decimals and corrupt the JSON artifact.
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"diag":"bench","gc_sec":$gcs,"jit_sec":$jits}""")
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
+        jmap(results.map { case (k, (v, _, _)) => k -> fmt(v, 3) })},"gc_sec":${
+        jmap(results.map { case (k, (_, g, _)) => k -> fmt(g, 3) })},"jit_sec":${
+        jmap(results.map { case (k, (_, _, j)) => k -> fmt(j, 3) })},"failed":$failedArr,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    val sfBase = new java.io.File(sfDir).getName
+    val failedField = if (failed.isEmpty) "" else s""","failed":$failedArr"""
+    val compact =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
+        jmap(results.map { case (k, (v, _, _)) => compactKey(k) -> fmt(v, 2) })
+        }$failedField,"sf":"$sfBase"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — may clip in driver tail")
+    println(s"""{"diag":"bench","full_artifact":"bench_full.json","key_scheme":"see Bench.compactKey scaladoc"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the last 2000 chars of stdout; the artifact line
+  * (compact keys + 2-decimal walls) must fit alongside sbt's trailing
+  * [success] line (~76 chars). Round 7's 79-query full-name line already
+  * clipped its opening brace — these guards keep the 90-query line inside
+  * the window and the compact-key scheme invertible.
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  test("every headline query exists in SparkEntry.queries") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names without a query: $missing")
+  }
+
+  test("compact keys are collision-free over the headline set") {
+    val keys = Bench.headline.map(Bench.compactKey)
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"compact-key collisions: $dups")
+  }
+
+  test("worst-case artifact line fits the driver's 2000-char tail") {
+    // worst case: every wall two digits before the point ("99.99" = 5 chars),
+    // total five digits ("99999.999"), longest sf basename in testdata
+    val qs = Bench.headline
+      .map(n => "\"" + Bench.compactKey(n) + "\":99.99")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"sf":"sf0.001"}"""
+    assert(line.length <= 1900,
+      s"artifact line ${line.length} chars — exceeds the 1900-char safety budget " +
+        "(2000-char driver tail minus sbt's [success] line); shorten keys")
+  }
+}
