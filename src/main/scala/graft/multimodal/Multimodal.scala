@@ -196,9 +196,12 @@ object Multimodal {
         shiftrightunsigned(col("w0"), 16), col("w0").bitwiseAND(lit(0xFFFFL)),
         shiftrightunsigned(col("w1"), 16), col("w1").bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // no pre-join repartition: the (band, bucket) join hash-partitions
+    // both sides itself, so a round-robin exchange here is a pure extra
+    // shuffle of the banded rows (parallelism for the phash kernel comes
+    // from the scan's row-group splits, upstream of the banding)
     val a = banded.select(col("band"), col("bucket"),
       col("asset_id").as("asset_id_a"), col("w0").as("w0_a"), col("w1").as("w1_a"))
-      .repartition(assets.sparkSession.sparkContext.defaultParallelism)
     val b = banded.select(col("band"), col("bucket"),
       col("asset_id").as("asset_id_b"), col("w0").as("w0_b"), col("w1").as("w1_b"))
     a.join(b, Seq("band", "bucket"))

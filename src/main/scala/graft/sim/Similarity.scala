@@ -575,10 +575,17 @@ object Similarity {
     * (m+1)-fold fan-out: they keep the zero-exchange single-key join on
     * the pinned cluster partitioning (SemDedupSkewSpec pins equality of
     * the two paths; the plan guard keeps both hash-join-shaped).
+    *
+    * `blockRows` default 4096 bounds a task at ~4096² ≈ 16.7M pair
+    * cosines (~10 s at 64 dims) — the configuration the skew probe
+    * measured (planted 30k-copy hot cluster: 327 s as one task → 86 s
+    * sub-blocked, 36 tasks saturating local[32]). A larger bound (the
+    * old 65536 default allowed ~4.3e9 pairs/task) leaves the guard
+    * inert for exactly the straggler sizes it exists to break up.
     */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.3,
       kCentroids: Int = 8, lloydIters: Int = 2,
-      blockRows: Int = 65536): DataFrame = {
+      blockRows: Int = 4096): DataFrame = {
     val trained = trainCentroids(embeddings, ivfSeeds(embeddings, kCentroids), lloydIters)
     // stage the assignment ONCE: the pair sides and the survivors
     // anti-join are three consumers, and neither Catalyst's ReuseExchange
