@@ -770,7 +770,7 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString(", ")
     s"""WITH e0 AS (
-       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |), edges AS (
        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0

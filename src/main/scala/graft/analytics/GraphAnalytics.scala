@@ -30,9 +30,13 @@ object GraphAnalytics {
 
   /** PageRank over the undirected customer↔supplier graph induced by
     * line items (edge = "this customer bought from this supplier").
-    * Supplier node ids are offset by 1e6 to keep the id spaces
-    * disjoint. Every node has degree ≥ 1 by construction, so there are
-    * no dangling nodes and every node is present in every iteration.
+    * Supplier node ids are offset by 1e12 to keep the id spaces
+    * disjoint — the id envelope: valid while max(o_custkey) < 1e12,
+    * i.e. up to ~SF 6.6M (TPC-H customers = 150k×SF; the old 1e6
+    * offset silently merged id spaces from ~SF 7). Offset ids stay
+    * < 1e12 + 1e7 ≪ 2^63. Every node has degree ≥ 1 by construction,
+    * so there are no dangling nodes and every node is present in every
+    * iteration.
     */
   def supplierCustomerPageRank(spark: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
@@ -40,8 +44,17 @@ object GraphAnalytics {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(1000000L)).as("dst"))
+        (col("l_suppkey") + lit(1000000000000L)).as("dst"))
       .distinct()
+    pageRank(e0, iters)
+  }
+
+  /** PageRank over an arbitrary undirected edge list — `e0` holds one
+    * row per unordered edge (src, dst); both directions are derived
+    * here. Extracted so scale probes can run the identical iteration
+    * kernel over synthesized edge tables of any size.
+    */
+  def pageRank(e0: DataFrame, iters: Int): DataFrame = {
     val edges = graft.Staging.pin(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = graft.Staging.pin(
@@ -52,7 +65,7 @@ object GraphAnalytics {
     val scale = 1000000000000L // ranks are ×1e12 longs
     var pr = deg.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${scale}L div n").as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { k =>
       val contrib = edges
         .join(pr, edges("src") === pr("id"))
         .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
@@ -61,6 +74,13 @@ object GraphAnalytics {
       pr = contrib.crossJoin(broadcast(nRow))
         .select(col("dst").as("id"),
           expr(s"(${15 * (scale / 100)}L div n) + ((m * 85L) div 100L)").as("pr"))
+      // pin every 2nd iteration: each round nests the previous plan under
+      // two more joins, and Catalyst's size-only stats MULTIPLY across the
+      // nested subtrees — by ~6 unpinned iterations the driver burns
+      // minutes in BigInteger multiplication inside
+      // SizeInBytesOnlyStatsPlanVisitor (the round-6 CC failure mode).
+      // Values are exact integers, so pinning never changes the result.
+      if (k % 2 == 0 && k < iters) pr = graft.Staging.pin(pr)
     }
     pr.select(col("id").as("node_id"), col("pr"))
   }

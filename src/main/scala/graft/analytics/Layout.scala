@@ -48,9 +48,30 @@ object Layout {
     * so no single task receives a whole hot key. Semantics are identical
     * to `left.join(right, key)` — verified in LayoutSpec.
     *
-    * Use when a key's row count exceeds what one task should hold and
-    * the right side is too big to broadcast but cheap to replicate
-    * `salt`×; otherwise prefer AQE's skewJoin (enabled by default here).
+    * Measured decision rule vs AQE's skew-split (`ScaleProbe100 …
+    * skewjoin`: planted 50%-hot key, dim = 100k rows, broadcast
+    * disabled, AQE thresholds lowered to 16 MB to stay proportionate at
+    * probe scale; local[32]):
+    *
+    * {{{
+    * fact rows      plain/noAQE  AQE skewJoin  salted×8  salted×16
+    * 10M  (5M hot)     4.5 s        2.7 s        2.6 s     1.7 s
+    * 100M (50M hot)   82.2 s       35.1 s       13.7 s    13.8 s
+    * }}}
+    *
+    * Both recover the straggler, but differently: AQE splits the hot
+    * partition at shuffle-read time — automatic, no code change, and it
+    * capped the blowup at ~2.3× recovered; salting spreads the hot key
+    * at shuffle-WRITE time, so map output is already balanced and the
+    * sort/merge of each task stays small — ~6× recovered at the 50M-hot
+    * point (salted+AQE together was strictly worse than salted alone:
+    * the extra AQE re-planning buys nothing once writes are balanced).
+    * Rule: let AQE handle incidental skew (hot key ≲ a few advisory
+    * partition sizes); reach for `saltedJoin` when one key's mass is
+    * tens of advisory partitions or more — the regime where the
+    * shuffle-read split still leaves a serial sort/fetch bottleneck.
+    * `salt` beyond the hot key's partition-spread stops helping (×8 ≈
+    * ×16 at 100M): size it to ~hot-key rows / target task rows.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",

@@ -705,6 +705,14 @@ object Similarity {
     pqCore(corpus, queries, k, numSub, subK, lloydIters, dims, coarse = None,
       rerank = rerank)
 
+  /** `rerank` contract (pqTopK / ivfPqTopK): 0 disables the refine
+    * stage (pure ADC ranking); > 0 is a fixed FAISS-`RFlat`-style
+    * window; < 0 sizes the window automatically as k × m̂ where m̂ is
+    * the largest code-group multiplicity in the encoded corpus (capped
+    * at 1024) — see the sizing note inside [[pqCore]].
+    */
+  val AutoRerank: Int = -1
+
   /** IVF-PQ: the composed billion-scale index (the FAISS `IVFx,PQy`
     * shape). A full-vector coarse quantizer (the IVF tier's trained
     * k-means, `coarseK` lists) prunes the search to the `nprobe` lists
@@ -846,10 +854,32 @@ object Similarity {
         .select(col("query_id"), col("centroid_id").as("list_id"))
       probes.join(qTabs, Seq("query_id"))
     }
+    // auto-sized refine window (rerank < 0): the tie set ADC cannot
+    // order is exactly the rows sharing one code tuple, so the window
+    // must cover k × (the largest code-group multiplicity m̂) — the
+    // sizing rule the 100× recall table measured (R=40 < k·m̂ recovers
+    // only partially; R ≥ k·m̂ restores brute-force recall). m̂ comes
+    // from ONE partial-aggregated count over the coded table (map
+    // output is bounded by distinct code tuples per partition, not n);
+    // group-by-codes beats an exact-dup-fingerprint estimate because
+    // near-copies a fingerprint would miss STILL collapse to one code
+    // tuple — code multiplicity is the quantity that breaks ADC. The
+    // coded table is pinned in this mode so the estimate and the
+    // scoring join share one encode scan. Capped at 1024: the refine
+    // candidate set (queries × R) must stay broadcast-sized.
+    val (codedEff, effRerank) =
+      if (rerank >= 0) (coded, rerank)
+      else {
+        val codedP = graft.Staging.pin(coded)
+        val mhat = codedP
+          .groupBy((0 until numSub).map(m => col(s"code_$m")): _*)
+          .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+        (codedP, math.min(math.max(k * mhat, k.toLong), 1024L).toInt)
+      }
     val joined = coarse match {
-      case Some(_) => coded.join(broadcast(qSide), Seq("list_id"))
+      case Some(_) => codedEff.join(broadcast(qSide), Seq("list_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
-      case None => coded.join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
+      case None => codedEff.join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     val adcRanked = joined
@@ -858,7 +888,7 @@ object Similarity {
           (0 until numSub).map(lookup).reduceLeft(_ + _)
             / (col("q_norm") * sqrt(col("recon_nsq")))))
       .withColumn("rnk", row_number().over(w).cast("long"))
-    if (rerank <= 0) {
+    if (effRerank <= 0) {
       adcRanked.filter(col("rnk") <= k)
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
@@ -871,8 +901,8 @@ object Similarity {
       // cost of `rerank` exact dot products per query. The candidate set
       // is tiny (queries × rerank) and BROADCASTS against the embedding
       // store scan: the corpus still never shuffles.
-      require(rerank >= k, s"rerank window $rerank must cover k=$k")
-      val cands = adcRanked.filter(col("rnk") <= rerank)
+      require(effRerank >= k, s"rerank window $effRerank must cover k=$k")
+      val cands = adcRanked.filter(col("rnk") <= effRerank)
         .select(col("query_id"), col("neighbor_id"))
       val qEmb = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), fnorm(col("embedding")).as("qn"))

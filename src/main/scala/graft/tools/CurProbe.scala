@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, Tables}
@@ -12,14 +11,7 @@ import graft.sample.Sampling
 object CurProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+        val spark = ProbeCorpus.session()
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"CURPROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r

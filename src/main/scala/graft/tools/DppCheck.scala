@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.sim.Similarity
@@ -10,11 +9,7 @@ import graft.sim.Similarity
   */
 object DppCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeCorpus.session(8)
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").drop("label")
     val queries = emb.filter(col("vec_id") < 8)
     val cents = Similarity.trainQuantizer(emb, 8)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** Dev-only: Timeit with a Bench-style System.gc() settle before each rep
@@ -12,15 +11,7 @@ object GcTimeit {
     val dir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+        val spark = ProbeCorpus.session()
     names.foreach { name =>
       (1 to reps).foreach { r =>
         System.gc(); Thread.sleep(250)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 import graft.Tables
@@ -10,13 +9,7 @@ import graft.analytics.Layout
 object LayoutDemo {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+        val spark = ProbeCorpus.session(8)
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")

@@ -14,26 +14,11 @@ import graft.dedup.Dedup
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 5
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeCorpus.session()
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
-    def corpus(copies: Int): DataFrame =
-      (0 until copies).map { i =>
-        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    def corpus(copies: Int): DataFrame = ProbeCorpus.exactDocCopies(base, copies)
+    val time = ProbeCorpus.time("SCALE") _
 
     // candidate volume of a banded signature scheme: Σ n_b·(n_b-1)/2 over
     // (band, bucket) groups — the work the verify stage would pay, before
@@ -92,16 +77,9 @@ object ScaleProbe {
 
     // events scale: replicate 10x (unique event_ids) and run the window/
     // join-heavy event operators
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.1")
     Seq(1, 10).foreach { c =>
-      val events = (0 until c).map { i =>
-        ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))
-      }.reduce(_ unionByName _)
+      val events = ProbeCorpus.eventCopies(ev, c)
       println(s"== events ${c}x (${100000 * c} rows)")
       import graft.events.EventAnalytics
       time(s"sessionize_${c}x")(EventAnalytics.sessionize(events).count())
@@ -115,10 +93,7 @@ object ScaleProbe {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     import graft.sim.Similarity
     Seq(1, 10).foreach { c =>
-      val corpus = (0 until c).map { i =>
-        emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-          col("embedding"), col("label"))
-      }.reduce(_ unionByName _)
+      val corpus = ProbeCorpus.exactEmbCopies(emb, c)
       val queries = emb.filter(col("vec_id") < 8)
       println(s"== embeddings ${c}x (${2000 * c} vectors)")
       // RHP band-collision volume for the label-free near-dup path

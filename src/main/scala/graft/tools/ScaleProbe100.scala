@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,94 +7,50 @@ import graft.dedup.Dedup
 import graft.pipeline.Curation
 import graft.sim.Similarity
 
-/** Dev-only 100× scale probe for the headline dedup/ANN/curation tier —
-  * the measurement behind the 100 TB design claims (previously
-  * extrapolated from [[ScaleProbe]]'s 10×).
+/** Dev-only 100× scale probe for the headline operator tiers — the
+  * measurement behind the 100 TB design claims (previously extrapolated
+  * from [[ScaleProbe]]'s 10×). Growth models and caching live in
+  * [[ProbeCorpus]]; see its scaladoc for why mutated-copy / hash-noise
+  * corpora are the regime where "near-linear" is even testable.
   *
-  * Corpus growth model: copy `i` of a document has every 4th token
-  * replaced by a copy-specific salt token, so
-  *  - cross-copy Jaccard falls to ~1/3 (below the 0.7 near-dup
-  *    threshold): replicas do NOT form n² near-dup cliques;
-  *  - near-dup pairs WITHIN a copy keep their original similarity (both
-  *    members mutate at the same positions with the same salt), so
-  *    near-dup density per document stays constant as the corpus grows —
-  *    the regime where "near-linear" is even a claim one can test.
-  * Embedding copies get deterministic multiplicative hash-noise per
-  * (vec_id, copy, dim) — distinct vectors that keep the corpus'
-  * cluster structure.
+  * Sections (arg 2): `all` (default), `recall`, `serve`, `skew`, `cc`,
+  * `relational` (PageRank at 10 iterations, hourly gap fill, salted
+  * fact⋈dim at growing fact), `skewjoin` (the AQE-vs-salted crossover
+  * measurement on a planted 50%-hot key).
   *
-  * Separately, an EXACT-copy 30× corpus (replica cliques: ~2.2M verified
-  * minhash edges > the 1M `driverEdgeLimit`) drives the connected-
-  * components DISTRIBUTED path on real over-bound data and asserts it
-  * labels identically to the driver union-find on the same pairs.
+  * Separately from the mutated-copy corpus, an EXACT-copy 30× corpus
+  * (replica cliques: ~2.2M verified minhash edges > the 1M
+  * `driverEdgeLimit`) drives the connected-components DISTRIBUTED path
+  * on real over-bound data and asserts it labels identically to the
+  * driver union-find on the same pairs.
   *
-  * Corpora are synthesized once into /tmp and read back, so timings
-  * measure the operators, not the synthesis. One rep per (op, scale):
-  * coarse, but the quantity of interest is the growth EXPONENT across
-  * two decades, not ±20% on one point.
+  * One rep per (op, scale): coarse, but the quantity of interest is the
+  * growth EXPONENT across two decades, not ±20% on one point.
   */
 object ScaleProbe100 {
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
                  else Seq(1, 10, 100)
-    // second arg: "all" (default), "skew" / "cc" to run just that section
     val mode = if (args.length > 1) args(1) else "all"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeCorpus.session()
     val tmp = "/tmp/graft-scale100"
+    val sfDir = "/root/testdata/sf0.1"
 
-    val baseDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-    def cached(path: String)(build: => DataFrame): DataFrame = {
-      if (!Files.exists(Paths.get(path)))
-        build.repartition(32).write.parquet(path)
-      spark.read.parquet(path)
-    }
-
-    /** Mutated-copy documents: near-dup structure constant per copy. */
-    def docsAt(c: Int): DataFrame = cached(s"$tmp/docs_${c}x") {
-      (0 until c).map { i =>
-        val t =
-          if (i == 0) col("text")
-          else regexp_replace(col("text"),
-            "(\\S+\\s+\\S+\\s+\\S+\\s+)\\S+", "$1u" + i + "x")
-        baseDocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          t.as("text"), col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-    }
-
-    /** Hash-noise embedding copies: distinct vectors, same structure. */
-    def embAt(c: Int): DataFrame = cached(s"$tmp/emb_${c}x") {
-      (0 until c).map { i =>
-        val e =
-          if (i == 0) col("embedding")
-          else transform(col("embedding"), (x, j) =>
-            (x.cast("double") * (lit(1.0) +
-              (pmod(xxhash64(concat_ws("-", col("vec_id"), lit(i), j)), lit(600))
-                - 300).cast("double") / 1000.0)).cast("float"))
-        baseEmb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-          e.as("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-    }
-
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE100 $label ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
-    }
+    def cached(path: String)(build: => DataFrame): DataFrame =
+      ProbeCorpus.cached(spark, path)(build)
+    def docsAt(c: Int): DataFrame =
+      cached(s"$tmp/docs_${c}x")(ProbeCorpus.mutatedDocCopies(baseDocs, c))
+    def embAt(c: Int): DataFrame =
+      cached(s"$tmp/emb_${c}x")(ProbeCorpus.hashNoiseEmbCopies(baseEmb, c))
+    val time = ProbeCorpus.time("SCALE100") _
 
     if (mode == "all") scales.foreach { c =>
       val docs = docsAt(c)
-      val emb = embAt(c).drop("label")
-      val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
+      val emb = embAt(c)
+      val queries = embAt(1).filter(col("vec_id") < 8)
       println(s"== scale ${c}x: ${5000L * c} docs, ${2000L * c} vectors")
 
       // minhash near-dup + CC clustering over its pairs (the scale path;
@@ -141,8 +95,8 @@ object ScaleProbe100 {
     // oracle (8 queries × n cosines — cheap even at 200k), and recall@10
     // = |IVF top-10 ∩ exact top-10| / 10 averaged over queries.
     if (mode == "all" || mode == "recall") scales.foreach { c =>
-      val emb = embAt(c).drop("label")
-      val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
+      val emb = embAt(c)
+      val queries = embAt(1).filter(col("vec_id") < 8)
       val sqrtK = 8 * math.sqrt(c).round.toInt
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select("query_id", "neighbor_id")
@@ -174,8 +128,8 @@ object ScaleProbe100 {
     // split: ivfServe over pre-built lists vs ivfTopKUnlabeled paying
     // Lloyd training inline. The gap is the amortization argument.
     if (mode == "all" || mode == "serve") scales.foreach { c =>
-      val emb = embAt(c).drop("label")
-      val queries = embAt(1).drop("label").filter(col("vec_id") < 8)
+      val emb = embAt(c)
+      val queries = embAt(1).filter(col("vec_id") < 8)
       val sqrtK = 8 * math.sqrt(c).round.toInt
       var cents: DataFrame = null
       var lists: DataFrame = null
@@ -220,7 +174,7 @@ object ScaleProbe100 {
     // spreads it across the cluster. Same survivors either way.
     if ((scales.contains(100) && mode == "all") || mode == "skew") {
       val hot = cached(s"$tmp/emb_hotcluster") {
-        val base1 = embAt(1).drop("label")
+        val base1 = embAt(1)
         val copies = base1.filter(col("vec_id") === 0)
           .crossJoin(spark.range(1, 30001).toDF("i"))
           .select((col("i") + 50000000L).as("vec_id"),
@@ -251,12 +205,8 @@ object ScaleProbe100 {
     // minhash pairs → ~5000 · C(30,2) ≈ 2.2M edges > the 1M driver bound.
     if ((scales.contains(100) && mode == "all") || mode == "cc") {
       val c = 30
-      val docs = cached(s"$tmp/docs_exact_${c}x") {
-        (0 until c).map { i =>
-          baseDocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            col("text"), col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ unionByName _)
-      }
+      val docs = cached(s"$tmp/docs_exact_${c}x")(
+        ProbeCorpus.exactDocCopies(baseDocs, c))
       var pairs: DataFrame = null
       time(s"overbound_minhash_${c}x_exact") {
         pairs = graft.Staging.pin(Dedup.minhashNearDups(docs)); pairs.count()
@@ -281,6 +231,99 @@ object ScaleProbe100 {
       println(s"SCALE100 overbound_label_diff $diff (must be 0)")
       require(diff == 0L, "distributed and driver CC labelings diverged!")
       graft.Staging.unpin(pairs); graft.Staging.unpin(dist); graft.Staging.unpin(drv)
+    }
+
+    // ---- relational/graph tier at 1×/10×/100× ----
+    // PageRank at 10 iterations (not the oracle's 3 — deep iteration is
+    // where unpinned plan nesting would meet the Catalyst stats blowup),
+    // hourly gap fill over replicated events, and the salted fact⋈dim
+    // behind q_skew_join at growing fact size.
+    if (mode == "all" || mode == "relational") {
+      import graft.analytics.GraphAnalytics
+      import graft.events.EventAnalytics
+      // edge table of the q_pagerank graph, replicated with disjoint node
+      // ids per copy (copies stay inside each side's id space: custkeys
+      // < 1e12 get +i·1e8, supplier ids ≥ 1e12 get +i·1e8 on top of the
+      // 1e12 offset) — c disjoint replicas, so per-iteration shuffle
+      // volume grows exactly c× while the fixed-point dynamics per
+      // replica stay those of the real graph
+      val li = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      val ord = graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      val e1 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000000L)).as("dst"))
+        .distinct()
+      def edgesAt(c: Int): DataFrame = cached(s"$tmp/edges_${c}x") {
+        (0 until c).map { i =>
+          e1.select((col("src") + lit(i * 100000000L)).as("src"),
+            (col("dst") + lit(i * 100000000L)).as("dst"))
+        }.reduce(_ unionByName _)
+      }
+      val ev1 = graft.Tables.events(spark, sfDir)
+      scales.foreach { c =>
+        val edges = edgesAt(c)
+        println(s"== relational ${c}x: ${edges.count()} edges, ${100000L * c} events")
+        time(s"pagerank10_${c}x")(GraphAnalytics.pageRank(edges, iters = 10).count())
+        time(s"gapfill_${c}x")(
+          EventAnalytics.gapFillHourly(ProbeCorpus.eventCopies(ev1, c)).count())
+        // q_skew_join's shape at growing fact: lineitem replicated c×
+        // (same part keys → per-key mass grows c×), part side unchanged
+        val fact = (0 until c).map(_ => li.select(col("l_suppkey").as("k"),
+          col("l_orderkey").as("v"))).reduce(_ unionByName _)
+        val dim = graft.Tables.part(spark, sfDir)
+          .select(col("p_partkey").as("k"), col("p_brand"))
+        time(s"salted_fact_join_${c}x")(
+          graft.analytics.Layout.saltedJoin(
+              fact.withColumnRenamed("k", "l_partkey"),
+              dim.withColumnRenamed("k", "l_partkey"), "l_partkey", 8)
+            .groupBy("p_brand").agg(count(lit(1))).count())
+      }
+    }
+
+    // ---- AQE-vs-salted skew crossover: the one decision a 100 TB ----
+    // operator must make with this API. Planted skew: 50% of fact rows
+    // on ONE key, the rest uniform over 100k keys; dim = one row per
+    // key. Broadcast is disabled (the regime where salting/AQE matter is
+    // exactly "dim too big to broadcast"), and AQE's skew-split
+    // thresholds are lowered to stay proportionate to the local corpus
+    // (256 MB partitions do not exist at probe scale).
+    if (mode == "skewjoin") {
+      val nKeys = 100000L
+      def factAt(c: Int): DataFrame = cached(s"$tmp/skewfact_${c}x") {
+        spark.range(1000000L * c).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+          col("id").as("v"))
+      }
+      val dim = cached(s"$tmp/skewdim") {
+        spark.range(nKeys).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("attr"))
+      }
+      def run(label: String, skewOn: Boolean, salt: Int, c: Int): Unit = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        val fact = factAt(c)
+        val joined =
+          if (salt <= 1) fact.join(dim, "k")
+          else graft.analytics.Layout.saltedJoin(fact, dim, "k", salt)
+        ProbeCorpus.time("SKEWJOIN")(s"${label}_${c}x")(
+          joined.agg(count(lit(1)).as("n"), sum(length(col("attr"))).as("s"))
+            .head().getLong(0))
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+      scales.filter(_ > 1).foreach { c =>
+        println(s"== skewjoin ${c}x: ${1000000L * c} fact rows, 50% on one key")
+        run("plain_noaqe", skewOn = false, salt = 1, c)
+        run("plain_aqeskew", skewOn = true, salt = 1, c)
+        run("salted8_noaqe", skewOn = false, salt = 8, c)
+        run("salted16_noaqe", skewOn = false, salt = 16, c)
+        run("salted8_aqeskew", skewOn = true, salt = 8, c)
+      }
     }
     spark.stop()
   }

@@ -1,15 +1,9 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 import graft.Tables
 import graft.functions.GraftFunctions
 object SqlDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProbeCorpus.session(8)
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     GraftFunctions.register(spark)
     println("DEMO " + spark.sql("SELECT count(*) FROM lineitem").head().getLong(0))

@@ -220,4 +220,78 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(served == batch)
     assert(served.nonEmpty)
   }
+
+  test("chaos: crash after store-append + batch replay under persist staging " +
+      "always serves one consistent quantizer over the full store") {
+    // the serve invariant under attack: after ANY prefix of the ingest
+    // loop — including a crash in the window between the parquet append
+    // and the retrain check, and an at-least-once redelivery of the same
+    // batch afterwards — `lists` must be the full store assigned under
+    // exactly the current quantizer generation, never a stale mix.
+    // Run under `persist` staging (the cluster default for long jobs) so
+    // the pins inside ingest exercise the executor-loss-recoverable path.
+    def assertOneGeneration(m: StreamingSimilarity.IvfIndexMaintainer): Unit = {
+      val got = m.lists.select("centroid_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      val want = Similarity.assignToCentroids(
+          m.store.select("vec_id", "embedding"), m.centroids)
+        .select("centroid_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(got == want, "served lists are not the full store under the current quantizer")
+      assert(got.map(_._2).size.toLong == m.store.count(), "served lists lost store rows")
+      assert(m.centroids.count() == m.kCentroids.toLong,
+        "quantizer is not exactly one K-row generation")
+    }
+    val prevStaging = sys.props.get("graft.staging")
+    sys.props("graft.staging") = "persist"
+    try {
+      val emb = Tables.embeddings(spark, Sf0001).drop("label")
+      val batch1 = emb.filter(col("vec_id") % 2 === 0)
+      val batch2 = emb.filter(col("vec_id") % 2 === 1)
+      val dir = Files.createTempDirectory("graft-ivfchaos")
+      val storeDir = dir.resolve("store").toString
+      val massLimit = 40L
+      val maintainer = new StreamingSimilarity.IvfIndexMaintainer(
+        storeDir, Similarity.trainQuantizer(batch1), massLimit = massLimit)
+
+      maintainer.ingest(batch1)
+      val genAfter1 = maintainer.generation
+      assertOneGeneration(maintainer)
+
+      // CRASH SIMULATION: the ingest loop dies after step 1 (the store
+      // append) and before the admission check — exactly what a killed
+      // driver/executor leaves behind. The store now holds batch2 but no
+      // retrain ever ran for it.
+      batch2.select("vec_id", "embedding").dropDuplicates("vec_id")
+        .join(maintainer.store, Seq("vec_id"), "left_anti")
+        .write.mode("append").parquet(storeDir)
+      assert(maintainer.generation == genAfter1, "crash must not advance the generation")
+      assertOneGeneration(maintainer) // fresh rows serve under the OLD quantizer
+
+      // RECOVERY: the at-least-once source redelivers batch2. The
+      // anti-join admits nothing twice; the admission check now runs and
+      // the mass bound (500 rows over the initial K=8 lists ≫ 40) trips.
+      maintainer.ingest(batch2)
+      val total = emb.count()
+      assert(maintainer.store.count() == total, "replay duplicated store rows")
+      assert(maintainer.store.select("vec_id").distinct().count() == total)
+      assert(maintainer.generation > genAfter1, "recovery ingest must trip the mass bound")
+      assertOneGeneration(maintainer)
+
+      // a second redelivery after the swap: no new rows, and whatever the
+      // admission check decides, the serve invariant and the pure-function
+      // quantizer contract hold — training is a function of (store, K),
+      // so an idempotent re-retrain cannot change the served index
+      val listsBefore = maintainer.lists.select("centroid_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      maintainer.ingest(batch2)
+      assert(maintainer.store.count() == total, "post-swap replay duplicated store rows")
+      assertOneGeneration(maintainer)
+      val listsAfter = maintainer.lists.select("centroid_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      assert(listsAfter == listsBefore, "post-swap replay changed the served index")
+    } finally prevStaging match {
+      case Some(v) => sys.props("graft.staging") = v
+      case None => sys.props.remove("graft.staging")
+    }
+  }
 }
