@@ -51,7 +51,9 @@ object Bench {
     "q_skew_join", "source_orc_roundtrip", "source_json_roundtrip",
     "sample_split", "etl_route_matchers", "text_pii_redact", "text_countmin",
     "text_decontaminate_bloom", "dedup_substring_strip",
-    "dedup_exact_survivors", "sim_embed_dedup_survivors")
+    "dedup_exact_survivors", "sim_embed_dedup_survivors",
+    // round 8 LM-curation additions
+    "text_ppl", "text_dsir")
 
   /** Compact-key scheme for the driver artifact line.
     *

@@ -316,6 +316,14 @@ object SparkEntry {
     // for why ln stays out of the oracle-checked score).
     "text_retrieval_bm25" -> ((s, dir) => TextAnalysis.retrievalScore(
       Tables.documents(s, dir), Seq("join", "scan", "slow"))),
+    // LM-based curation: CCNet-style bigram surprisal gate and
+    // DSIR-style importance weights, both against the English slice as
+    // the reference/target model (fixed-point mean-ratio forms — see the
+    // operator docs for why ln stays out of the oracle-checked scores).
+    "text_ppl" -> ((s, dir) => TextAnalysis.bigramSurprisal(
+      Tables.documents(s, dir), col("lang") === "en")),
+    "text_dsir" -> ((s, dir) => TextAnalysis.dsirWeights(
+      Tables.documents(s, dir), col("lang") === "en")),
     // Gopher-style repetition signals: most-repeated unigram/bigram mass.
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
@@ -1608,6 +1616,49 @@ object SparkEntry {
          |  AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS score
          |FROM d CROSS JOIN g
          |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
+
+    // bigram-LM surprisal: all-integer fixed point (x10000 floor-div)
+    // until ONE final double division, so no ln/exp enters the hash.
+    // DuckDB `//` floors like Spark's `div` on the positive operands here;
+    // the HUGEINT sum casts through BIGINT (exact: sums < 2^53).
+    "text_ppl" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |bgall AS (
+         |  SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT)+1] AS w2
+         |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |bm AS (SELECT w1, w2, count(*) AS cb FROM bgall WHERE lang = 'en' GROUP BY 1, 2),
+         |um AS (SELECT w1, count(*) AS cu
+         |       FROM (SELECT unnest(toks) AS w1 FROM t WHERE lang = 'en') GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM um),
+         |term AS (
+         |  SELECT b.doc_id,
+         |    ((coalesce(um.cu, 0) + vv.v) * 10000) // (coalesce(bm.cb, 0) + 1) AS s_fp
+         |  FROM bgall b
+         |  LEFT JOIN bm ON b.w1 = bm.w1 AND b.w2 = bm.w2
+         |  LEFT JOIN um ON b.w1 = um.w1
+         |  CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(CAST(sum(s_fp) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) * 10000 AS DOUBLE) AS surprisal
+         |FROM term GROUP BY doc_id""".stripMargin,
+
+    // DSIR mean likelihood ratio, same fixed-point discipline.
+    "text_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, unnest($toksSql) AS w FROM documents),
+         |m AS (SELECT w, count(*) AS cb,
+         |        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |      FROM t GROUP BY 1),
+         |s AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(ct) AS BIGINT) AS nt,
+         |        count(*) AS v FROM m),
+         |term AS (
+         |  SELECT t.doc_id,
+         |    ((m.ct + 1) * (s.nb + s.v) * 10000) // ((m.cb + 1) * (s.nt + s.v)) AS r_fp
+         |  FROM t JOIN m USING (w) CROSS JOIN s)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(CAST(sum(r_fp) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) * 10000 AS DOUBLE) AS dsir_w
+         |FROM term GROUP BY doc_id""".stripMargin,
 
     "text_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -534,4 +534,116 @@ object TextAnalysis {
       .select(col("doc_id"),
         score.cast("decimal(18,6)").cast("double").as("score"))
   }
+
+  /** Ordered word bigrams per document: (doc_id, w1, w2), one row per
+    * adjacent token pair. Shared by the bigram LM operators below.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+
+  /** CCNet-style LM quality gate: score every document by how SURPRISING
+    * its word transitions are under a bigram model trained on a reference
+    * subset (`refPredicate` — the "clean" slice, e.g. one language or a
+    * vetted source). High surprisal = the doc's transitions rarely occur
+    * in reference text — the perplexity-filtering signal, emitted as a
+    * score so callers gate/weight/stratify downstream.
+    *
+    * Hash-green form: the score is the MEAN INVERSE smoothed transition
+    * probability, not exp-mean-log perplexity — per bigram the model
+    * assigns p = (c(w1,w2)+1)/(c(w1)+V) (add-one smoothing over the
+    * reference vocabulary V; unseen w1 ⇒ c=0), and the doc aggregates
+    * 1/p. The log/exp of true perplexity is deliberately absent: ln is
+    * correctly-rounded in neither engine's contract, while this form is
+    * all integer arithmetic until ONE final IEEE division — per bigram
+    * the fixed-point term ((c(w1)+V)·scale) div (c(w1,w2)+1) is an exact
+    * LONG, the per-doc sum of longs is order-independent (so the shuffle
+    * needs no ordering discipline), and surprisal = sum/(n·scale) casts
+    * once. Envelope: per-doc sums stay < 2^53 while
+    * T·(c(w1)+V)·scale < 9e15 — at larger corpora lower `scale` or move
+    * the sum to decimal(38,0) (both engines keep it exact).
+    *
+    * Scale shape — the canonical distributed n-gram LM build + score:
+    * the model is one groupBy (w1,w2) over the reference's exploded
+    * bigrams (map-side partials); scoring joins doc bigrams against the
+    * model on the same key (the model is corpus-derived — potentially
+    * huge — so this is a keyed join, NOT a broadcast; AQE may still
+    * broadcast a small model at small SF, which is the optimizer's
+    * call); the per-doc reduce is one more partial-agged shuffle.
+    * Nothing quadratic, nothing driver-side; V rides as a broadcast
+    * one-row frame.
+    */
+  def bigramSurprisal(docs: DataFrame, refPredicate: Column,
+      scale: Long = 10000L): DataFrame = {
+    val ref = docs.filter(refPredicate)
+    val bigModel = bigramPairs(ref).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb"))
+    val uniModel = ref
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vRow = uniModel.agg(count(lit(1)).as("v"))
+    bigramPairs(docs)
+      .join(bigModel, Seq("w1", "w2"), "left")
+      .join(uniModel, Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"),
+        expr(s"((coalesce(cu, 0L) + v) * ${scale}L) div (coalesce(cb, 0L) + 1L)")
+          .as("s_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_fp").as("s_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s_sum").cast("double")
+          / (col("n_bigrams") * scale).cast("double")).as("surprisal"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. '23 shape): weight every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram model (trained on the `targetPredicate` slice — the
+    * distribution you want more of) than under the BACKGROUND model
+    * (the whole corpus). Downstream, importance resampling feeds the
+    * weight into the existing samplers ([[graft.sample.Sampling]]).
+    *
+    * Hash-green form: the weight is the MEAN token-level likelihood
+    * ratio rather than the exp-sum-log form — per token the smoothed
+    * ratio p_t/p_b = ((c_t(w)+1)·(N_b+V)) / ((c_b(w)+1)·(N_t+V)) is
+    * computed in fixed point (one LONG floor-div after exact integer
+    * products; envelope: (c_t+1)·(N_b+V)·scale < 2^63, per-doc sums
+    * < 2^53 — same discipline as [[bigramSurprisal]]), summed
+    * order-independently, divided once. The arithmetic-for-geometric
+    * mean swap is monotone-equivalent for gating/stratifying use and is
+    * what keeps the whole operator oracle-checkable.
+    *
+    * Scale shape: ONE exploded-token pass builds both models (the
+    * target count is a conditional sum in the same groupBy(w) — not a
+    * second scan); scoring joins tokens to the model on w (keyed join;
+    * the model of a 100 TB corpus is itself large), then one per-doc
+    * partial-agged reduce. N_t/N_b/V ride as one broadcast stats row.
+    */
+  def dsirWeights(docs: DataFrame, targetPredicate: Column,
+      scale: Long = 10000L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), targetPredicate.as("is_t"),
+        explode(tokens(col("text"))).as("w"))
+    val model = toks.groupBy("w")
+      .agg(count(lit(1)).as("cb"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val stats = model
+      .agg(sum("cb").as("nb"), sum("ct").as("nt"), count(lit(1)).as("v"))
+    toks.select(col("doc_id"), col("w"))
+      .join(model, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(s"((ct + 1L) * (nb + v) * ${scale}L) div ((cb + 1L) * (nt + v))")
+          .as("r_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("r_fp").as("r_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("r_sum").cast("double")
+          / (col("n_tokens") * scale).cast("double")).as("dsir_w"))
+  }
 }
