@@ -233,6 +233,21 @@ object ScaleProbe100 {
       graft.Staging.unpin(pairs); graft.Staging.unpin(dist); graft.Staging.unpin(drv)
     }
 
+    // ---- LM-curation tier at 1×/10×/100× ----
+    // Bigram surprisal + DSIR weights: model build is a groupBy over
+    // exploded n-grams, scoring a keyed join + per-doc reduce — the
+    // growth exponent should be ~linear in tokens (model keys saturate:
+    // the mutated-copy corpus adds salt tokens per copy, so vocabulary
+    // grows slowly while token volume grows c×).
+    if (mode == "lm") scales.foreach { c =>
+      val docs = docsAt(c)
+      println(s"== lm ${c}x: ${5000L * c} docs")
+      time(s"ppl_${c}x")(graft.text.TextAnalysis.bigramSurprisal(
+        docs, col("lang") === "en").count())
+      time(s"dsir_${c}x")(graft.text.TextAnalysis.dsirWeights(
+        docs, col("lang") === "en").count())
+    }
+
     // ---- relational/graph tier at 1×/10×/100× ----
     // PageRank at 10 iterations (not the oracle's 3 — deep iteration is
     // where unpinned plan nesting would meet the Catalyst stats blowup),

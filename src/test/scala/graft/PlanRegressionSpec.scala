@@ -174,6 +174,28 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(smj.isEmpty, "retrieval scoring must never sort-merge the corpus")
   }
 
+  test("text_ppl / text_dsir: pruned scans, no cartesian, no global sort") {
+    Seq("text_ppl", "text_dsir").foreach { q =>
+      val plan = executed(SparkEntry.queries(q)(spark, Sf0001))
+      // the documents scan must read only (doc_id, lang, text) — n_chars
+      // and source are dead columns for the LM scorers
+      val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.foreach(s => assert(s.requiredSchema.size <= 3,
+        s"$q scan reads ${s.requiredSchema.fieldNames.mkString(",")}"))
+      // model scoring is joins + partial-agged groupBys: anything
+      // quadratic or globally sorted is a regression
+      val cart = collectWithSubqueries(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"$q must not build a cartesian product")
+      val globalSorts = collectWithSubqueries(plan) {
+        case st: org.apache.spark.sql.execution.SortExec if st.global => st
+      }
+      assert(globalSorts.isEmpty, s"$q must not sort globally")
+    }
+  }
+
   test("mm_neardup: signatures shuffle on (band,bucket); payloads pruned from the scan") {
     val plan = executed(SparkEntry.queries("mm_neardup")(spark, Sf0001))
     // banding join may hash-shuffle 16-byte signatures, never sort-merge
