@@ -568,6 +568,11 @@ object TextAnalysis {
     * T·(c(w1)+V)·scale < 9e15 — at larger corpora lower `scale` or move
     * the sum to decimal(38,0) (both engines keep it exact).
     *
+    * An EMPTY reference slice yields V = 0 and all-zero surprisal —
+    * callers selecting the reference by predicate should sanity-check
+    * coverage (the scores are meaningless, not wrong, under an empty
+    * model; LmCurationSpec exercises the populated case).
+    *
     * Scale shape — the canonical distributed n-gram LM build + score:
     * the model is one groupBy (w1,w2) over the reference's exploded
     * bigrams (map-side partials); scoring joins doc bigrams against the
