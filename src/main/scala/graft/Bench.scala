@@ -52,8 +52,8 @@ object Bench {
     "sample_split", "etl_route_matchers", "text_pii_redact", "text_countmin",
     "text_decontaminate_bloom", "dedup_substring_strip",
     "dedup_exact_survivors", "sim_embed_dedup_survivors",
-    // round 8 LM-curation additions
-    "text_ppl", "text_dsir")
+    // round 8 LM-curation + edit-distance + range-frame additions
+    "text_ppl", "text_dsir", "dedup_editdist", "q_window_range")
 
   /** Compact-key scheme for the driver artifact line.
     *
@@ -66,16 +66,20 @@ object Bench {
     * working directory so no fidelity is lost.
     *
     * Prefixes: events_→ev_  text_→tx_  sample_→sa_  dedup_→dd_  sim_→si_
-    *           source_→sr_  etl_→et_
+    *           source_→sr_  etl_→et_  q_→(dropped — "stats" means
+    *           "q_stats"; collision-free vs every other family's prefix,
+    *           guarded by BenchArtifactSpec)
     * Suffix/infix: _curation_pipeline→_curation  _cluster_balanced→_clbal
     *   _hard_negatives→_hardneg  _pipeline_scale→_scale  _retrieval_bm25→_bm25
     *   _roundtrip→_rt  _survivors→_sv  _decontaminate→_dc  _unlabeled→_u
     *   _bruteforce→_bf  _classifier→_clf  _refine_→_rf_  _embed_→_em_
     *   _neardup→_nd  _substring→_substr  _fingerprint→_fp  _sessionize→_sess
+    *   window_→w ("wrange" means "q_window_range")
     */
   private val keyPrefixes = Seq(
     "events_" -> "ev_", "text_" -> "tx_", "sample_" -> "sa_",
-    "dedup_" -> "dd_", "sim_" -> "si_", "source_" -> "sr_", "etl_" -> "et_")
+    "dedup_" -> "dd_", "sim_" -> "si_", "source_" -> "sr_", "etl_" -> "et_",
+    "q_" -> "")
   private val keyInfixes = Seq(
     "_curation_pipeline" -> "_curation", "_cluster_balanced" -> "_clbal",
     "_hard_negatives" -> "_hardneg", "_pipeline_scale" -> "_scale",
@@ -83,7 +87,7 @@ object Bench {
     "_survivors" -> "_sv", "_decontaminate" -> "_dc", "_unlabeled" -> "_u",
     "_bruteforce" -> "_bf", "_classifier" -> "_clf", "_refine_" -> "_rf_",
     "_embed_" -> "_em_", "_neardup" -> "_nd", "_substring" -> "_substr",
-    "_fingerprint" -> "_fp", "_sessionize" -> "_sess")
+    "_fingerprint" -> "_fp", "_sessionize" -> "_sess", "window_" -> "w")
   def compactKey(name: String): String = {
     val p = keyPrefixes.collectFirst {
       case (full, short) if name.startsWith(full) =>

@@ -182,6 +182,8 @@ object SparkEntry {
     // same result via the bounded-heap TypedImperativeAggregate
     "q_topk_agg"       -> ((s, dir) => Queries.topOrdersPerCustomerAgg(s, dir)),
     "q_window_running" -> ((s, dir) => Queries.runningQtyPerSupplier(s, dir)),
+    // RANGE-frame analytic: 30-day trailing revenue per customer.
+    "q_window_range" -> ((s, dir) => Queries.trailingRevenuePerCustomer(s, dir)),
     "q_rollup"         -> ((s, dir) => Queries.rollupCounts(s, dir)),
     "q_cube"           -> ((s, dir) => Queries.cubeCounts(s, dir)),
     "q_grouping_sets"  -> ((s, dir) => Queries.groupingSetsCounts(s, dir)),
@@ -290,6 +292,10 @@ object SparkEntry {
     // md5-derived signatures → both LSH pipelines are engine-reproducible
     // and oracle-checked stage by stage (signature, band bucket, pair).
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
+    // same banded candidates, character-level Levenshtein verify (the
+    // OCR-noise/template-drift gate; banded threshold DP, exact integer
+    // distance in both engines).
+    "dedup_editdist" -> ((s, dir) => Dedup.editDistanceNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     // connected components over the exact near-dup pairs: one canonical
     // cluster id per document (oracle: recursive CTE over the same pairs).
@@ -563,6 +569,38 @@ object SparkEntry {
        |      ELSE [array_to_string(toks, ' ')] END AS sh
        |  FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
        |)""".stripMargin
+
+  /** Banded-minhash candidate pairs (64 perms, 16 bands of 4) — the
+    * DuckDB twin of `Dedup.minhashCandidates`, ending at the `mcand`
+    * CTE. Shared by the jaccard-verified (`dedup_minhash`) and
+    * levenshtein-verified (`dedup_editdist`) oracles. Expects
+    * `bigramShingleCte` in scope.
+    */
+  private val minhashCandSql =
+    """hx AS (
+      |  SELECT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+      |), perm AS (
+      |  SELECT i,
+      |    1 + CAST(CONCAT('0x', substr(md5('minhash-a-' || i), 1, 15)) AS BIGINT)
+      |      % 2305843009213693950 AS a,
+      |    CAST(CONCAT('0x', substr(md5('minhash-b-' || i), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS b
+      |  FROM range(64) t(i)
+      |), sv AS (
+      |  SELECT doc_id, i,
+      |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+      |  FROM hx CROSS JOIN perm GROUP BY doc_id, i
+      |), sig AS (
+      |  SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+      |  FROM sig CROSS JOIN range(16) t(b)
+      |), mcand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |)""".stripMargin
 
   /** Length-blocked candidate pairs + exact Jaccard score — the DuckDB
     * twin of `Dedup.blockedJaccardPairs` minus the final threshold/cast.
@@ -1001,6 +1039,21 @@ object SparkEntry {
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+
+    // RANGE frame over a day number: the frame sum is an exact LONG in
+    // cents, cast once (< 2^53, exact both engines); 100.0 forced
+    // ::DOUBLE (DuckDB parses bare decimals as DECIMAL).
+    "q_window_range" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  CAST(CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / 100.0::DOUBLE AS rev30
+        |FROM o""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1512,30 +1565,7 @@ object SparkEntry {
     // verified like the ngram oracle.
     "dedup_minhash" ->
       s"""WITH $bigramShingleCte,
-         |hx AS (
-         |  SELECT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
-         |), perm AS (
-         |  SELECT i,
-         |    1 + CAST(CONCAT('0x', substr(md5('minhash-a-' || i), 1, 15)) AS BIGINT)
-         |      % 2305843009213693950 AS a,
-         |    CAST(CONCAT('0x', substr(md5('minhash-b-' || i), 1, 15)) AS BIGINT)
-         |      % 2305843009213693951 AS b
-         |  FROM range(64) t(i)
-         |), sv AS (
-         |  SELECT doc_id, i,
-         |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
-         |  FROM hx CROSS JOIN perm GROUP BY doc_id, i
-         |), sig AS (
-         |  SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, b AS band, array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
-         |  FROM sig CROSS JOIN range(16) t(b)
-         |), mcand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |), mscored AS (
+         |$minhashCandSql, mscored AS (
          |  SELECT c.doc_id_a, c.doc_id_b,
          |    CAST(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
@@ -1543,6 +1573,18 @@ object SparkEntry {
          |)
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard
          |FROM mscored WHERE jaccard >= 0.7""".stripMargin,
+
+    // same candidate CTEs, Levenshtein verify (exact integer DP in both
+    // engines; threshold 5 mirrors Dedup.editDistanceNearDups' default).
+    "dedup_editdist" ->
+      s"""WITH $bigramShingleCte,
+         |$minhashCandSql, ed AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |  FROM mcand c
+         |  JOIN documents a ON c.doc_id_a = a.doc_id
+         |  JOIN documents b ON c.doc_id_b = b.doc_id)
+         |SELECT doc_id_a, doc_id_b, dist FROM ed WHERE dist <= 5""".stripMargin,
 
     // same pairwise stage as dedup_ngram_jaccard, then connected
     // components via a recursive CTE: reach = transitive closure of the

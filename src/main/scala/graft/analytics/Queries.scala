@@ -219,6 +219,33 @@ object Queries {
         outDouble(col("running_qty").cast("decimal(38,6)")).as("running_qty"))
   }
 
+  /** 30-day trailing revenue per customer — the RANGE-frame window
+    * (`range between 30 preceding and current row` over a day number),
+    * the value-range analytic the ROWS-frame queries cannot express:
+    * the frame is defined by ORDER-BY VALUE distance, so same-day peer
+    * rows share one frame and the result is row-order-independent by
+    * construction — which is also exactly what makes a windowed sum
+    * over duplicate keys hash-checkable. Revenue rides as ×100 LONG
+    * cents (o_totalprice carries 2 decimals; slack ≤ 4e-9 verified):
+    * the frame sum is an exact integer, cast once to double (trailing
+    * sums ≪ 2^53) and divided by 100.0 — one IEEE op per row.
+    *
+    * Scale: one shuffle on o_custkey; within partitions Spark's window
+    * range-frame is a sliding two-pointer over the sorted run, O(rows),
+    * no per-frame rescans.
+    */
+  def trailingRevenuePerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rev30", sum("cents").over(w).cast("double") / lit(100.0))
+      .select("o_custkey", "o_orderkey", "day", "rev30")
+  }
+
   /** Rollup (grouping-sets family): counts at (flag,status), (flag), ().
     * Spark and DuckDB agree on ROLLUP null-fill semantics; we mark
     * subtotal levels explicitly to keep the sort keys non-null.

@@ -97,6 +97,16 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    val (candidates, withSig) = minhashCandidates(docs, k, numPerm, bands)
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** The banded-minhash candidate stage shared by the verify variants:
+    * (candidate id pairs, per-doc shingle+signature table).
+    */
+  private def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
@@ -110,8 +120,41 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    val sh = withSig.select(col("doc_id"), col("sh"))
-    verifyJaccard(candidates, sh, threshold)
+    (candidates, withSig)
+  }
+
+  /** Edit-distance-verified near-duplicates: the same banded-minhash
+    * candidate stage as [[minhashNearDups]], verified with Levenshtein
+    * distance instead of shingle Jaccard — the gate to use when
+    * CHARACTER-level closeness is the dedup criterion (OCR noise,
+    * template drift, small insertions), where token-set Jaccard is
+    * blind to ordering and double-counts moved spans.
+    *
+    * Verify cost is the banded threshold DP — Spark's 3-argument
+    * `levenshtein(a, b, threshold)` computes O(len·maxDist) per pair,
+    * not O(len²), and returns -1 past the bound, so hopeless pairs pay
+    * only the banded scan. Candidate texts reach the verify through two
+    * keyed joins against the document store (only candidate pairs' texts
+    * move — the corpus itself never fans out). The distance is an exact
+    * integer in both engines (classic unit-cost DP), so the operator
+    * hash-checks end to end.
+    */
+  def editDistanceNearDups(
+      docs: DataFrame,
+      k: Int = 2,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      maxDist: Int = 5): DataFrame = {
+    val (candidates, _) = minhashCandidates(docs, k, numPerm, bands)
+    val texts = docs.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("doc_id_a"), col("text").as("text_a")),
+        Seq("doc_id_a"))
+      .join(texts.select(col("doc_id").as("doc_id_b"), col("text").as("text_b")),
+        Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Exact-Jaccard verification of candidate pairs, engineered for a large

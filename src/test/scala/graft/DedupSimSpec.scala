@@ -389,4 +389,25 @@ class DedupSimSpec extends SparkSpec {
     // ceil(5/4)+ceil(4/4)+ceil(5/4) = 2+1+2
     assert(nsw == 5)
   }
+
+  test("editDistanceNearDups: small planted edits pass, large edits are rejected") {
+    val docs = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    // +4 chars (within maxDist=5) vs +21 chars (past the bound); both
+    // stay shingle-near-dups, so BOTH reach the candidate stage and the
+    // verdict is decided by the Levenshtein verify alone
+    val close = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zzz")).as("text"))
+    val far = docs.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" aaaaaaaaaaaaaaaaaaaa")).as("text"))
+    val pairs = Dedup.editDistanceNearDups(
+        docs.unionByName(close).unionByName(far))
+      .select("doc_id_a", "doc_id_b", "dist")
+      .as[(Long, Long, Long)].collect()
+    val set = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 50L).foreach(i =>
+      assert(set.contains((i, i + 100000)), s"close pair $i missing"))
+    assert(!pairs.exists(p => p._2 >= 200000), "far copies must be rejected")
+    assert(pairs.forall(_._3 <= 5))
+  }
 }
