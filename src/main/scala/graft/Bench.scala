@@ -52,8 +52,9 @@ object Bench {
     "sample_split", "etl_route_matchers", "text_pii_redact", "text_countmin",
     "text_decontaminate_bloom", "dedup_substring_strip",
     "dedup_exact_survivors", "sim_embed_dedup_survivors",
-    // round 8 LM-curation + edit-distance + range-frame additions
-    "text_ppl", "text_dsir", "dedup_editdist", "q_window_range")
+    // round 8 LM-curation + edit-distance + range-frame + interval-join
+    "text_ppl", "text_dsir", "dedup_editdist", "q_window_range",
+    "events_interval_join")
 
   /** Compact-key scheme for the driver artifact line.
     *
@@ -74,7 +75,8 @@ object Bench {
     *   _roundtrip→_rt  _survivors→_sv  _decontaminate→_dc  _unlabeled→_u
     *   _bruteforce→_bf  _classifier→_clf  _refine_→_rf_  _embed_→_em_
     *   _neardup→_nd  _substring→_substr  _fingerprint→_fp  _sessionize→_sess
-    *   window_→w ("wrange" means "q_window_range")
+    *   window_→w ("wrange" means "q_window_range")  _interval_join→_ij
+    *   grouping_sets→gsets
     */
   private val keyPrefixes = Seq(
     "events_" -> "ev_", "text_" -> "tx_", "sample_" -> "sa_",
@@ -87,7 +89,8 @@ object Bench {
     "_survivors" -> "_sv", "_decontaminate" -> "_dc", "_unlabeled" -> "_u",
     "_bruteforce" -> "_bf", "_classifier" -> "_clf", "_refine_" -> "_rf_",
     "_embed_" -> "_em_", "_neardup" -> "_nd", "_substring" -> "_substr",
-    "_fingerprint" -> "_fp", "_sessionize" -> "_sess", "window_" -> "w")
+    "_fingerprint" -> "_fp", "_sessionize" -> "_sess", "window_" -> "w",
+    "_interval_join" -> "_ij", "grouping_sets" -> "gsets")
   def compactKey(name: String): String = {
     val p = keyPrefixes.collectFirst {
       case (full, short) if name.startsWith(full) =>

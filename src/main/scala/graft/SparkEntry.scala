@@ -219,6 +219,10 @@ object SparkEntry {
     // bucketized range join: same-user events within 60s after a purchase.
     "events_range_join" -> ((s, dir) =>
       EventAnalytics.rangeJoinAfter(Tables.events(s, dir), "purchase", 60)),
+    // keyless interval-overlap join (grid-bucketed, emit-once): user
+    // sessions live during global error bursts.
+    "events_interval_join" -> ((s, dir) =>
+      EventAnalytics.sessionsDuringBursts(Tables.events(s, dir))),
     "q_median" -> ((s, dir) => Queries.medianOrderValue(s, dir)),
     "events_lead_lag" -> ((s, dir) =>
       EventAnalytics.eventNeighborhood(Tables.events(s, dir))),
@@ -1133,6 +1137,46 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // overlap join replayed as the plain predicate join (the grid
+    // bucketing + emit-once rule is pure plumbing — same pair set);
+    // bursts/sessions rebuilt with the lag/cumsum recipe above.
+    "events_interval_join" ->
+      """WITH em AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts)//1000 AS ts_ms,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events
+        |), bm AS (
+        |  SELECT ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 600000 THEN 1 ELSE 0 END AS nb
+        |  FROM em WHERE event_type = 'error'
+        |  WINDOW w AS (ORDER BY ts_ms, event_id)
+        |), bursts AS (
+        |  SELECT CAST(sum(nb) OVER (ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS burst_id, ts_ms
+        |  FROM bm
+        |), bi AS (
+        |  SELECT burst_id, min(ts_ms) AS lo, max(ts_ms) AS hi FROM bursts GROUP BY 1
+        |), sm AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns,
+        |    ts_us, event_id
+        |  FROM em
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id, ts_ms
+        |  FROM sm
+        |), si AS (
+        |  SELECT user_id, session_id, min(ts_ms) AS lo, max(ts_ms) AS hi
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT b.burst_id, s.user_id, s.session_id,
+        |  least(b.hi, s.hi) - greatest(b.lo, s.lo) AS overlap_ms
+        |FROM bi b JOIN si s ON b.lo <= s.hi AND s.lo <= b.hi""".stripMargin,
 
     "events_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,

@@ -61,6 +61,85 @@ object EventAnalytics {
         max("ts_ms").as("session_end_ms"))
   }
 
+  /** Global burst intervals of one event type: consecutive events closer
+    * than `gapMs` merge into one [lo, hi] interval (the sessionize gap
+    * rule without the user key — "error bursts", "deploy windows").
+    *
+    * The global window is a deliberate single-partition sort: the input
+    * is the FILTERED sparse stream (one event type), which is the only
+    * regime where global bursts are a meaningful concept — a dense
+    * stream's "bursts" would be one giant interval. At 100 TB the same
+    * result comes from per-shard sessionization + a merge pass over
+    * shard boundary intervals; the operator keeps the direct form
+    * because its input is assumed orders-of-magnitude sparser than the
+    * event table.
+    */
+  def globalBursts(events: DataFrame, eventType: String, gapMs: Long): DataFrame = {
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+    events.filter(col("event_type") === eventType)
+      .withColumn("prev", lag("ts_ms", 1).over(w))
+      .withColumn("nb",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("burst_id", sum("nb").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("burst_id")
+      .agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Keyless interval-overlap join via grid bucketing — the two-sided
+    * interval join Spark's optimizer cannot plan as anything but a
+    * nested-loop: `a` rows (a_id, a_lo, a_hi) paired with `b` rows
+    * (b_id, b_lo, b_hi) whenever the closed intervals overlap.
+    *
+    * Scale shape (the standard spatial-grid construction, 1-D): each
+    * interval fans out to its covered grid cells (⌈len/grid⌉+1 rows of
+    * three longs — the payload never fans out), the join runs per cell
+    * as an equi-hash-join, and the emit-once rule keeps exactly the
+    * copy in the cell containing max(a_lo, b_lo) — every overlapping
+    * pair meets there and only there, so no distinct/shuffle-dedup is
+    * ever needed. Work is Σ per-cell |A_cell|·|B_cell|: grid should
+    * sit near the typical interval length (too coarse → dense cells,
+    * too fine → fan-out rows). All arithmetic is integer, so the
+    * operator hash-checks against a plain overlap-predicate replay.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, gridMs: Long): DataFrame = {
+    require(gridMs > 0, s"grid must be positive: $gridMs")
+    val ac = a.select(col("a_id"), col("a_lo"), col("a_hi"),
+      explode(sequence(expr(s"a_lo div ${gridMs}L"), expr(s"a_hi div ${gridMs}L")))
+        .as("cell"))
+    val bc = b.select(col("b_id"), col("b_lo"), col("b_hi"),
+      explode(sequence(expr(s"b_lo div ${gridMs}L"), expr(s"b_hi div ${gridMs}L")))
+        .as("cell"))
+    ac.join(bc, Seq("cell"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .filter(col("cell") === expr(s"greatest(a_lo, b_lo) div ${gridMs}L"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+          .as("overlap_ms"))
+  }
+
+  /** Which user sessions were live during an error burst — the composed
+    * demo of [[globalBursts]] ⋈ [[sessionize]] through
+    * [[intervalOverlapJoin]] (hour grid). Session identity rides the
+    * join as user_id·10⁶ + session_id (valid while a user stays under
+    * 1e6 sessions) and is decomposed back on output.
+    */
+  def sessionsDuringBursts(events: DataFrame, burstType: String = "error",
+      burstGapMs: Long = 600000L, gridMs: Long = 3600000L): DataFrame = {
+    val bursts = globalBursts(events, burstType, burstGapMs)
+      .select(col("burst_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val sessions = sessionize(events)
+      .select((col("user_id") * 1000000L + col("session_id")).as("b_id"),
+        col("session_start_ms").as("b_lo"), col("session_end_ms").as("b_hi"))
+    intervalOverlapJoin(bursts, sessions, gridMs)
+      .select(col("a_id").as("burst_id"),
+        expr("b_id div 1000000L").as("user_id"),
+        expr("b_id % 1000000L").as("session_id"),
+        col("overlap_ms"))
+  }
+
   /** Tumbling daily window per event type — the batch form of
     * `groupBy(window($"ts", "1 day"), $"event_type")`.
     */
