@@ -39,4 +39,27 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(salted == plain)
   }
+
+  test("morton2 matches a reference bit interleave and orders rectangles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (12345L, 67890L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (0x12345678L, 0x0FEDCBA9L))
+    val got = samples.toDF("a", "b")
+      .select(Layout.morton2(col("a"), col("b")))
+      .as[Long].collect()
+    samples.map { case (a, b) => ref(a, b) }.zip(got).foreach {
+      case (want, g) => assert(g == want, s"interleave mismatch: $g != $want")
+    }
+  }
 }
