@@ -606,13 +606,22 @@ object Dedup {
       .filter(col("n_shared_ngrams") >= minShared)
   }
 
-  /** Bloom hash j of an n-gram: md5-derived, mod mBits. Deterministic →
-    * the whole filter is engine-replayable (and the operator built on it
-    * stays oracle-checkable).
+  /** The k Bloom positions of an n-gram from ONE md5: position j reads
+    * its own disjoint 5-hex-char (20-bit) slice of the digest, mod
+    * mBits. One digest instead of k salted digests matters because this
+    * runs per corpus SHINGLE on the map side — the md5 work was the
+    * dominant cost of the whole Bloom pass (3 salted digests per
+    * shingle benched the Bloom variant SLOWER than its exact broadcast
+    * twin at sf0.1; one digest makes the prefilter actually cheap).
+    * Slices are independent bits of a 128-bit digest, so the k
+    * positions keep the independence the false-positive bound assumes.
+    * Deterministic → the filter stays engine-replayable.
     */
-  private def bloomPos(ng: Column, j: Int, mBits: Int): Column =
-    conv(substring(md5(concat(lit(s"bloom-$j-"), ng)), 1, 15), 16, 10)
-      .cast("long") % mBits
+  private def bloomPositions(ng: Column, k: Int, mBits: Int): Seq[Column] = {
+    val h = md5(concat(lit("bloom-"), ng))
+    (0 until k).map(j =>
+      conv(substring(h, j * 5 + 1, 5), 16, 10).cast("long") % mBits)
+  }
 
   /** The map-side Bloom prefilter stage of [[decontaminateBloom]],
     * exposed for the spec to measure pruning and the superset property:
@@ -630,8 +639,7 @@ object Dedup {
     // index metadata, not data; the same driver pattern as Spark's own
     // DataFrameStatFunctions.bloomFilter.
     val setBits = benchIndex.select(col("ng")).distinct()
-      .select(explode(array((0 until k).map(j =>
-        bloomPos(col("ng"), j, mBits)): _*)).as("bit"))
+      .select(explode(array(bloomPositions(col("ng"), k, mBits): _*)).as("bit"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](mBits / 64)
     setBits.foreach(b => words(b.toInt >> 6) |= 1L << (b.toInt & 63))
@@ -641,10 +649,11 @@ object Dedup {
       expr(s"(element_at(bits, cast(shiftright(p$j, 6) as int) + 1)" +
         s" & shiftleft(1L, cast(p$j % 64 as int))) != 0")
     }.reduce(_ && _)
+    val pos = bloomPositions(col("ng"), k, mBits)
     corpus.repartition(para)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("ng"))
       .select(Seq(col("doc_id"), col("ng"), lit(words).as("bits"))
-        ++ (0 until k).map(j => bloomPos(col("ng"), j, mBits).as(s"p$j")): _*)
+        ++ pos.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)
       .filter(mightContain)
       .select("doc_id", "ng")
   }
@@ -670,9 +679,10 @@ object Dedup {
       minShared: Long = 3,
       mBits: Int = 1 << 18,
       k: Int = 3): DataFrame = {
-    require((mBits & (mBits - 1)) == 0 && mBits >= 64,
-      s"mBits must be a power of two >= 64, got $mBits")
-    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64 && mBits <= (1 << 20),
+      s"mBits must be a power of two in [64, 2^20], got $mBits")
+    // k*5 hex chars must fit one 32-char digest (bloomPositions slices)
+    require(k >= 1 && k <= 6, s"k must be in [1, 6], got $k")
     val benchIndex = benchmark
       .select(explode(shingles(col("text"), 2)).as("ng"),
         col("doc_id").as("bench_doc_id")).distinct()
