@@ -246,6 +246,10 @@ object ScaleProbe100 {
         docs, col("lang") === "en").count())
       time(s"dsir_${c}x")(graft.text.TextAnalysis.dsirWeights(
         docs, col("lang") === "en").count())
+      // edit-distance near-dup: candidate volume is the minhash banding's
+      // (measured ×100-linear above); this adds the banded-DP verify
+      time(s"editdist_${c}x")(
+        graft.dedup.Dedup.editDistanceNearDups(docs).count())
     }
 
     // ---- relational/graph tier at 1×/10×/100× ----
@@ -292,6 +296,10 @@ object ScaleProbe100 {
               fact.withColumnRenamed("k", "l_partkey"),
               dim.withColumnRenamed("k", "l_partkey"), "l_partkey", 8)
             .groupBy("p_brand").agg(count(lit(1))).count())
+        // grid interval join: replicated events grow both interval sets
+        time(s"interval_join_${c}x")(
+          EventAnalytics.sessionsDuringBursts(
+            ProbeCorpus.eventCopies(ev1, c)).count())
       }
     }
 
