@@ -196,6 +196,32 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_window_range: RANGE-frame window, no global sort beyond the window's own") {
+    val plan = executed(SparkEntry.queries("q_window_range")(spark, Sf0001))
+    val wins = collectWithSubqueries(plan) { case w: WindowExec => w }
+    assert(wins.nonEmpty, "range query must plan a Window operator")
+    // exactly one exchange: the o_custkey partitioning the window needs
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"range window needs one shuffle, got ${exchanges.size}")
+  }
+
+  test("events_interval_join / dedup_editdist: no cartesian product anywhere") {
+    Seq("events_interval_join", "dedup_editdist").foreach { q =>
+      val plan = executed(SparkEntry.queries(q)(spark, Sf0001))
+      val cart = collectWithSubqueries(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"$q must never plan a cartesian product")
+      val bnl = collectWithSubqueries(plan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnl.isEmpty, s"$q must never plan a nested-loop join " +
+        "(the grid/banding exists to make these equi-joins)")
+    }
+  }
+
   test("mm_neardup: signatures shuffle on (band,bucket); payloads pruned from the scan") {
     val plan = executed(SparkEntry.queries("mm_neardup")(spark, Sf0001))
     // banding join may hash-shuffle 16-byte signatures, never sort-merge
