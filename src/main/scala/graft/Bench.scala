@@ -221,7 +221,10 @@ object Bench {
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
     val sfBase = new java.io.File(sfDir).getName
-    val failedField = if (failed.isEmpty) "" else s""","failed":$failedArr"""
+    // always present (empty list when clean): a fast-fail wall in the line
+    // of record must carry its failure marker IN the same line — the full
+    // artifact may not survive a driver that only keeps the stdout tail
+    val failedField = s""","failed":$failedArr"""
     val compact =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
         jmap(results.map { case (k, (v, _, _)) => compactKey(k) -> fmt(v, 2) })

@@ -1147,13 +1147,13 @@ object SparkEntry {
         |    epoch_us(ts) AS ts_us
         |  FROM events
         |), bm AS (
-        |  SELECT ts_ms,
+        |  SELECT ts_ms, event_id,
         |    CASE WHEN lag(ts_ms) OVER w IS NULL
         |           OR ts_ms - lag(ts_ms) OVER w > 600000 THEN 1 ELSE 0 END AS nb
         |  FROM em WHERE event_type = 'error'
         |  WINDOW w AS (ORDER BY ts_ms, event_id)
         |), bursts AS (
-        |  SELECT CAST(sum(nb) OVER (ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  SELECT CAST(sum(nb) OVER (ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS burst_id, ts_ms
         |  FROM bm
         |), bi AS (

@@ -123,15 +123,21 @@ object EventAnalytics {
   /** Which user sessions were live during an error burst — the composed
     * demo of [[globalBursts]] ⋈ [[sessionize]] through
     * [[intervalOverlapJoin]] (hour grid). Session identity rides the
-    * join as user_id·10⁶ + session_id (valid while a user stays under
-    * 1e6 sessions) and is decomposed back on output.
+    * join as user_id·10⁶ + session_id and is decomposed back on output;
+    * the 1e6 envelope is ENFORCED per row (`raise_error`, map-side, no
+    * extra pass) — a user with ≥1e6 sessions fails the job loudly
+    * instead of silently corrupting (user_id, session_id) on decode.
     */
   def sessionsDuringBursts(events: DataFrame, burstType: String = "error",
       burstGapMs: Long = 600000L, gridMs: Long = 3600000L): DataFrame = {
     val bursts = globalBursts(events, burstType, burstGapMs)
       .select(col("burst_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val guardedSession = when(col("session_id") < 1000000L, col("session_id"))
+      .otherwise(raise_error(concat(
+        lit("sessionsDuringBursts: session_id overflows the 1e6 pack envelope for user "),
+        col("user_id").cast("string"))))
     val sessions = sessionize(events)
-      .select((col("user_id") * 1000000L + col("session_id")).as("b_id"),
+      .select((col("user_id") * 1000000L + guardedSession).as("b_id"),
         col("session_start_ms").as("b_lo"), col("session_end_ms").as("b_hi"))
     intervalOverlapJoin(bursts, sessions, gridMs)
       .select(col("a_id").as("burst_id"),

@@ -871,9 +871,14 @@ object Similarity {
       if (rerank >= 0) (coded, rerank)
       else {
         val codedP = graft.Staging.pin(coded)
-        val mhat = codedP
+        // max of an empty aggregate is one NULL row — fail with the real
+        // reason (no corpus) rather than an NPE out of getLong
+        val mRow = codedP
           .groupBy((0 until numSub).map(m => col(s"code_$m")): _*)
-          .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+          .agg(count(lit(1)).as("n")).agg(max("n")).head()
+        require(!mRow.isNullAt(0),
+          "PQ auto-rerank: empty corpus — no code groups to size the refine window against")
+        val mhat = mRow.getLong(0)
         (codedP, math.min(math.max(k * mhat, k.toLong), 1024L).toInt)
       }
     val joined = coarse match {
@@ -888,7 +893,7 @@ object Similarity {
           (0 until numSub).map(lookup).reduceLeft(_ + _)
             / (col("q_norm") * sqrt(col("recon_nsq")))))
       .withColumn("rnk", row_number().over(w).cast("long"))
-    if (effRerank <= 0) {
+    val result = if (effRerank <= 0) {
       adcRanked.filter(col("rnk") <= k)
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("cos").cast("decimal(18,6)").cast("double").as("cosine"))
@@ -918,6 +923,16 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("cosx").cast("decimal(18,6)").cast("double").as("cosine"))
+    }
+    // auto mode pinned the corpus-sized coded table; the final ranking is
+    // queries×k rows, so pin THAT (tiny, GC-reclaimed) and release the
+    // coded blocks before returning — repeated AutoRerank calls must not
+    // accumulate corpus-sized checkpoint blocks until GC
+    if (rerank >= 0) result
+    else {
+      val out = graft.Staging.pin(result)
+      graft.Staging.unpin(codedEff)
+      out
     }
   }
 

@@ -16,7 +16,11 @@ import graft.sim.Similarity
   * Sections (arg 2): `all` (default), `recall`, `serve`, `skew`, `cc`,
   * `relational` (PageRank at 10 iterations, hourly gap fill, salted
   * fact⋈dim at growing fact), `skewjoin` (the AQE-vs-salted crossover
-  * measurement on a planted 50%-hot key).
+  * measurement on a planted 50%-hot key), `lm` (bigram surprisal +
+  * DSIR weights + edit-distance near-dup — the round-8 LM-tier
+  * numbers; included in `all`), `mem` (memory-envelope: run the five
+  * biggest-shuffle queries at 10× and report peak execution memory +
+  * spill — pair with a small heap, see the section comment).
   *
   * Separately from the mutated-copy corpus, an EXACT-copy 30× corpus
   * (replica cliques: ~2.2M verified minhash edges > the 1M
@@ -239,7 +243,7 @@ object ScaleProbe100 {
     // growth exponent should be ~linear in tokens (model keys saturate:
     // the mutated-copy corpus adds salt tokens per copy, so vocabulary
     // grows slowly while token volume grows c×).
-    if (mode == "lm") scales.foreach { c =>
+    if (mode == "all" || mode == "lm") scales.foreach { c =>
       val docs = docsAt(c)
       println(s"== lm ${c}x: ${5000L * c} docs")
       time(s"ppl_${c}x")(graft.text.TextAnalysis.bigramSurprisal(
