@@ -54,7 +54,9 @@ object Bench {
     "dedup_exact_survivors", "sim_embed_dedup_survivors",
     // round 8 LM-curation + edit-distance + range-frame + interval-join
     "text_ppl", "text_dsir", "dedup_editdist", "q_window_range",
-    "events_interval_join")
+    "events_interval_join",
+    // round 9: paragraph boilerplate removal, per-domain cap, z-order scan
+    "text_boilerplate", "sample_domain_cap", "layout_zorder_scan")
 
   /** Compact-key scheme for the driver artifact line.
     *

@@ -386,6 +386,25 @@ object SparkEntry {
     // (overlapping), one row per chunk — row-local fan-out, no shuffle.
     "text_chunk" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+    // paragraph-level boilerplate removal over a synthesized multi-
+    // paragraph wire corpus: every doc gets a shared header (cased and
+    // spaced differently per parity — exercises normalization) + footer,
+    // a third get a newsletter banner (all corpus-frequent → dropped at
+    // maxFreq=20), a seventh get one of 5 promo-code paragraphs (~14
+    // occurrences each → kept), bodies from the real text.
+    "text_boilerplate" -> ((s, dir) => {
+      val wire = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n\n",
+          when(col("doc_id") % 2 === 0, lit("NAV Menu  Home About Contact"))
+            .otherwise(lit("nav menu home about contact")),
+          substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter today")),
+          substring(col("text"), 81, 120),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("promo code "), (col("doc_id") % 5).cast("string"))),
+          lit("copyright 2026 example site all rights reserved")).as("text"))
+      TextAnalysis.removeBoilerplateParagraphs(wire)
+    }),
 
     // ──────────────────────────────────────────── similarity/ANN ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -1447,6 +1466,34 @@ object SparkEntry {
         |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text,
         |  CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
         |FROM c""".stripMargin,
+
+    // same wire synthesis, same normalize→md5→frequency>k→rebuild chain:
+    // DuckDB's list_filter/list_contains mirror the Spark higher-order
+    // filter, so paragraph order is preserved without positional explode.
+    "text_boilerplate" ->
+      """WITH wire AS (
+        |  SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'NAV Menu  Home About Contact'
+        |         ELSE 'nav menu home about contact' END,
+        |    substr(text, 1, 80),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today' END,
+        |    substr(text, 81, 120),
+        |    CASE WHEN doc_id % 7 = 0 THEN 'promo code ' || CAST(doc_id % 5 AS VARCHAR) END,
+        |    'copyright 2026 example site all rights reserved') AS text
+        |  FROM documents),
+        |ph AS (
+        |  SELECT md5(lower(regexp_replace(trim(unnest(string_split(text, chr(10)||chr(10)))), '\s+', ' ', 'g'))) AS h
+        |  FROM wire),
+        |freq AS (SELECT h FROM ph GROUP BY h HAVING count(*) > 20),
+        |fs AS (SELECT coalesce(list(h ORDER BY h), []) AS bp FROM freq)
+        |SELECT w.doc_id,
+        |  array_to_string(list_filter(string_split(w.text, chr(10)||chr(10)),
+        |    p -> NOT list_contains(fs.bp, md5(lower(regexp_replace(trim(p), '\s+', ' ', 'g'))))), chr(10)||chr(10)) AS clean_text,
+        |  CAST(len(string_split(w.text, chr(10)||chr(10))) AS BIGINT) AS n_paras,
+        |  CAST(len(string_split(w.text, chr(10)||chr(10)))
+        |    - len(list_filter(string_split(w.text, chr(10)||chr(10)),
+        |        p -> NOT list_contains(fs.bp, md5(lower(regexp_replace(trim(p), '\s+', ' ', 'g')))))) AS BIGINT) AS n_dropped
+        |FROM wire w CROSS JOIN fs""".stripMargin,
 
     // same synthesized wire column, same 4 RE2/Java-portable rules: the
     // replace chain and the raw-text counts replay verbatim in DuckDB.

@@ -651,4 +651,48 @@ object TextAnalysis {
         (col("r_sum").cast("double")
           / (col("n_tokens") * scale).cast("double")).as("dsir_w"))
   }
+
+  /** CCNet-style paragraph-level boilerplate removal — the web-corpus
+    * curation step BETWEEN span-level substring dedup and doc-level
+    * dedup: navigation bars, cookie banners, footers repeat VERBATIM as
+    * whole paragraphs across a site's pages, so hash each
+    * whitespace-normalized paragraph, find hashes whose corpus
+    * occurrence count exceeds `maxFreq`, and rebuild every document
+    * with those paragraphs removed (order preserved).
+    *
+    * Scale shape: the ONLY shuffle is the paragraph-hash frequency
+    * aggregate — compact md5 strings with map-side partial counts; the
+    * corpus itself never shuffles. The frequent-hash set is bounded by
+    * corpus_paragraphs / maxFreq and in practice tiny (boilerplate is by
+    * definition a small set repeated massively), so it rides as ONE
+    * broadcast one-row array frame — the same broadcast-param-frame
+    * idiom as the PQ codebooks — and the rebuild is a pure map-side
+    * `filter`/`array_join` over each document row. At 100 TB the
+    * frequency agg reads hashes only (no text movement), and a set too
+    * large to broadcast would mean `maxFreq` is misconfigured, not that
+    * the algorithm needs a corpus shuffle.
+    *
+    * Determinism: md5 over a canonical normal form (trim, collapse
+    * whitespace runs, lowercase) — both engines replay it exactly, so
+    * the whole operator is hash-checkable.
+    */
+  def removeBoilerplateParagraphs(docs: DataFrame, maxFreq: Long = 20,
+      sep: String = "\n\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    def normHash(p: Column): Column =
+      md5(lower(regexp_replace(trim(p), "\\s+", " ")))
+    val paras = split(col("text"), sepRe)
+    val freqSet = docs
+      .select(explode(paras).as("para"))
+      .select(normHash(col("para")).as("ph"))
+      .groupBy("ph").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxFreq)
+      .agg(array_sort(collect_list(col("ph"))).as("bp"))
+    val kept = filter(paras, p => !array_contains(col("bp"), normHash(p)))
+    docs.crossJoin(broadcast(freqSet))
+      .select(col("doc_id"),
+        array_join(kept, sep).as("clean_text"),
+        size(paras).cast("long").as("n_paras"),
+        (size(paras) - size(kept)).cast("long").as("n_dropped"))
+  }
 }
