@@ -373,6 +373,23 @@ object SparkEntry {
     "sample_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(
       Tables.documents(s, dir).select("doc_id"),
       col("doc_id"), epoch = 1, nShards = 8)),
+    // per-domain cap over synthesized messy URLs (scheme/case/www/port/
+    // query/fragment variants, 37 domains): canonicalize, then keep the
+    // md5-rank top 8 per domain — the standard web-corpus source gate.
+    "sample_domain_cap" -> ((s, dir) => {
+      val wire = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+            .when(col("doc_id") % 3 === 1, lit("http://")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Site"), (col("doc_id") % 37).cast("string"), lit(".Example.COM"),
+          when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/page/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&ref=x")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      Sampling.domainCap(wire, col("url"), col("doc_id"), n = 8)
+        .select("doc_id", "domain", "rn")
+    }),
     // hashed-linear quality classifier (md5 stand-in weights).
     "text_quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Tables.documents(s, dir))),
@@ -404,6 +421,21 @@ object SparkEntry {
             concat(lit("promo code "), (col("doc_id") % 5).cast("string"))),
           lit("copyright 2026 example site all rights reserved")).as("text"))
       TextAnalysis.removeBoilerplateParagraphs(wire)
+    }),
+
+    // Z-ORDER clustered layout under a two-dimension range filter: write
+    // the events projection Morton-clustered on (user_id, hour), read it
+    // back under the 2-D filter. Layout must not change CONTENT — the
+    // oracle applies the same filter to the original parquet; the
+    // bytes-read pruning evidence lives in ZOrderScanSpec/ZOrderProbe.
+    "layout_zorder_scan" -> ((s, dir) => {
+      val path = s"/tmp/graft-zorder-scan-${new java.io.File(dir).getName}"
+      val base = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts_ms div 3600000").as("hour"), col("event_type"), col("value"))
+      graft.analytics.Layout.writeZOrdered(base, "user_id", "hour", path, 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(3, 7)
+          && col("hour").between(473500L, 473560L))
     }),
 
     // ──────────────────────────────────────────── similarity/ANN ──
@@ -1197,6 +1229,15 @@ object SparkEntry {
         |  least(b.hi, s.hi) - greatest(b.lo, s.lo) AS overlap_ms
         |FROM bi b JOIN si s ON b.lo <= s.hi AND s.lo <= b.hi""".stripMargin,
 
+    // layout must not change content: the same 2-D filter on the
+    // ORIGINAL table reproduces the z-ordered read exactly.
+    "layout_zorder_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts)//3600000000 AS hour,
+        |  event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
+        |  AND epoch_us(ts)//3600000000 BETWEEN 473500 AND 473560""".stripMargin,
+
     "events_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_value
@@ -1970,6 +2011,30 @@ object SparkEntry {
         | CAST(row_number() OVER (
         |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |FROM documents QUALIFY rn <= 50""".stripMargin,
+
+    // same URL synthesis, same anchored canonicalization regexes (all
+    // RE2/Java portable), same md5-rank per-domain quota.
+    "sample_domain_cap" ->
+      """WITH wire AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'http://' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_extract(
+        |      regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''),
+        |      '^([^/?#]*)', 1), ':[0-9]+$', ''), '^www\.', '') AS domain
+        |  FROM wire)
+        |SELECT doc_id, domain,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |FROM canon QUALIFY rn <= 8""".stripMargin,
 
     // repetition signals: bigrams counted WITH multiplicity (range over
     // positions), unlike the distinct-shingle CTE.

@@ -147,4 +147,43 @@ object Sampling {
       .withColumn("seq_idx", expr(s"cum_before div $budget"))
       .withColumn("seq_offset", col("cum_before") % budget)
   }
+
+  /** Canonical registrable domain of a URL, in pure column ops: lowercase
+    * + trim, scheme stripped (anchored, so replace-all == replace-first
+    * in both engines), host taken up to the first `/`/`?`/`#`, trailing
+    * `:port` dropped, leading `www.` dropped. Every regex is RE2/Java
+    * portable — the canonicalization replays exactly in DuckDB.
+    */
+  def canonicalDomain(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_extract(
+          regexp_replace(lower(trim(url)), "^[a-z][a-z0-9+.-]*://", ""),
+          "^([^/?#]*)", 1),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** Per-domain source cap — the standard web-corpus gate next to the
+    * gopher-style quality filters: no single site may contribute more
+    * than `n` documents. Selection WITHIN a domain is md5-rank (the
+    * deterministic "random" order every sampler here uses), so the kept
+    * subset is a pure function of the data — reproducible across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape: one shuffle on the canonical domain; the window is
+    * `row_number <= n`, which Spark's InferWindowGroupLimit prunes to
+    * ~n rows per domain MAP-SIDE before the exchange — so the shuffle
+    * moves O(domains × n) rows, not the corpus (the same plan shape as
+    * [[stratifiedTopN]]; guarded by DomainCapSpec). Skew note: a
+    * mega-domain's map-side groups are pruned to n per input partition
+    * before any data moves, so even a domain holding half the corpus
+    * contributes ≤ n × partitions shuffled rows, never its full mass.
+    */
+  def domainCap(df: DataFrame, url: Column, key: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = Window.partitionBy(col("domain")).orderBy(hashKey(key), key)
+    df.withColumn("domain", canonicalDomain(url))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
 }
