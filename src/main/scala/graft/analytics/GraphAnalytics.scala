@@ -53,8 +53,29 @@ object GraphAnalytics {
     * row per unordered edge (src, dst); both directions are derived
     * here. Extracted so scale probes can run the identical iteration
     * kernel over synthesized edge tables of any size.
+    *
+    * `convergeEps` > 0 adds an exact-integer delta stop: at every pin
+    * point (every 2nd iteration — the places a lineage snapshot exists
+    * anyway) compute max |pr − pr_prev| against the previous snapshot
+    * and stop once it is ≤ eps; `iters` stays the hard fallback bound.
+    * The check is one scalar aggregate per pin (a one-row join+max —
+    * the only driver-visible value, same envelope as the AutoRerank m̂
+    * lookup), so a converged graph pays 2 iterations per check instead
+    * of running blind to the constant. Because ranks are exact ×1e12
+    * integers, "converged" is an exact property, not a float tolerance
+    * — reruns stop at the SAME iteration every time. eps = 0 (default)
+    * disables the check and preserves the historical fixed-iteration
+    * behavior bit-for-bit (the driver's q_pagerank contract).
     */
-  def pageRank(e0: DataFrame, iters: Int): DataFrame = {
+  def pageRank(e0: DataFrame, iters: Int, convergeEps: Long = 0L): DataFrame =
+    pageRankConverged(e0, iters, convergeEps)._1
+
+  /** [[pageRank]] plus the number of iterations actually executed —
+    * the observable the convergence spec (and an operator dashboard)
+    * needs.
+    */
+  def pageRankConverged(e0: DataFrame, iters: Int,
+      convergeEps: Long = 0L): (DataFrame, Int) = {
     val edges = graft.Staging.pin(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = graft.Staging.pin(
@@ -65,7 +86,12 @@ object GraphAnalytics {
     val scale = 1000000000000L // ranks are ×1e12 longs
     var pr = deg.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${scale}L div n").as("pr"))
-    (1 to iters).foreach { k =>
+    // last snapshot the delta check compared against (the initial
+    // uniform vector first — it is cheap, rebuilt from pinned deg)
+    var prev = pr
+    var k = 1
+    var done = 0
+    while (k <= iters && done == 0) {
       val contrib = edges
         .join(pr, edges("src") === pr("id"))
         .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
@@ -80,8 +106,18 @@ object GraphAnalytics {
       // minutes in BigInteger multiplication inside
       // SizeInBytesOnlyStatsPlanVisitor (the round-6 CC failure mode).
       // Values are exact integers, so pinning never changes the result.
-      if (k % 2 == 0 && k < iters) pr = graft.Staging.pin(pr)
+      if (k % 2 == 0 && (k < iters || convergeEps > 0)) {
+        pr = graft.Staging.pin(pr)
+        if (convergeEps > 0) {
+          val dRow = pr.join(prev.withColumnRenamed("pr", "pr0"), "id")
+            .agg(max(abs(col("pr") - col("pr0")))).head()
+          if (!dRow.isNullAt(0) && dRow.getLong(0) <= convergeEps) done = k
+          prev = pr
+        }
+      }
+      k += 1
     }
-    pr.select(col("id").as("node_id"), col("pr"))
+    (pr.select(col("id").as("node_id"), col("pr")),
+      if (done > 0) done else iters)
   }
 }

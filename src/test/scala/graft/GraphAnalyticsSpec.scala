@@ -29,6 +29,43 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(wall < 90.0, s"iters=10 took ${wall}s — stats blowup regression?")
   }
 
+  test("convergence stop: a regular graph (exact integer fixed point) exits at the first check") {
+    import spark.implicits._
+    // a cycle is degree-regular, so the uniform vector is an EXACT fixed
+    // point of the integer iteration: delta is 0 at the first pin (k=2)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (prEarly, ran) = GraphAnalytics.pageRankConverged(cycle, iters = 10, convergeEps = 1L)
+    assert(ran == 2, s"expected early exit at the first check, ran $ran iterations")
+    // early exit must not change values: the full 10-iteration run lands
+    // on the same fixed point
+    val prFull = GraphAnalytics.pageRank(cycle, iters = 10)
+    assert(prEarly.unionByName(prFull).distinct().count() == 4)
+    assert(prEarly.agg(min("pr"), max("pr")).head().toSeq.distinct.size == 1,
+      "regular graph must stay uniform")
+  }
+
+  test("convergence stop: iters stays the hard bound when the graph hasn't converged") {
+    import spark.implicits._
+    // a star is NOT degree-regular: ranks keep moving, eps=0-strictness
+    // (eps=1) won't trigger in 4 iterations — the fallback bound rules
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val (_, ran) = GraphAnalytics.pageRankConverged(star, iters = 4, convergeEps = 1L)
+    assert(ran == 4, s"star graph must run to the bound, ran $ran")
+  }
+
+  test("eps=0 (driver default) is the historical fixed-iteration path, bit for bit") {
+    val a = GraphAnalytics.supplierCustomerPageRank(spark, Sf0001, iters = 3)
+    val b = GraphAnalytics.pageRankConverged(
+      graft.Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_suppkey")
+        .join(graft.Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000000L)).as("dst"))
+        .distinct(), iters = 3, convergeEps = 0L)
+    assert(b._2 == 3)
+    assert(a.unionByName(b._1).distinct().count() == a.count())
+  }
+
   test("node id spaces stay disjoint under the 1e12 supplier offset") {
     val pr = GraphAnalytics.supplierCustomerPageRank(spark, Sf0001, iters = 1)
     val suppliers = pr.filter(col("node_id") >= 1000000000000L).count()
