@@ -113,6 +113,19 @@ object Curation {
     val flagged = Dedup.decontaminateCorpus(
       survivorsWithText, docs.filter(isBenchmark), minShared).select("doc_id")
     val clean = survivors.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    finalizeCorpus(clean, budget)
+  }
+
+  /** The global finalize stage shared by the batch pipeline and
+    * [[StreamingCuration.corpusView]]: temperature-0.5 mixture rebalance +
+    * token-budget packing over the clean survivors. Split out so the
+    * streaming path is batch-equal BY CONSTRUCTION — both run this exact
+    * plan over the same survivor relation (`doc_id, source, lang_pred,
+    * n_tokens, stopword_ratio, top_bigram_frac`). Mixture rates and pack
+    * offsets are global properties of the corpus, so this stage is a
+    * deterministic function of the survivor SET, never of arrival order.
+    */
+  def finalizeCorpus(clean: DataFrame, budget: Long = 2048L): DataFrame = {
     val mixed = Sampling.mixtureSqrt(clean, col("lang_pred"), col("doc_id"))
     Sampling.packSequences(mixed, col("source"), col("doc_id"),
         col("n_tokens"), budget)
