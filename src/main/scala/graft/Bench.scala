@@ -68,23 +68,31 @@ object Bench {
     * full-name, 3-decimal map is also written to `bench_full.json` in the
     * working directory so no fidelity is lost.
     *
-    * Prefixes: events_→ev_  text_→tx_  sample_→sa_  dedup_→dd_  sim_→si_
-    *           source_→sr_  etl_→et_  q_→(dropped — "stats" means
-    *           "q_stats"; collision-free vs every other family's prefix,
-    *           guarded by BenchArtifactSpec)
-    * Suffix/infix: _curation_pipeline→_curation  _cluster_balanced→_clbal
-    *   _hard_negatives→_hardneg  _pipeline_scale→_scale  _retrieval_bm25→_bm25
-    *   _roundtrip→_rt  _survivors→_sv  _decontaminate→_dc  _unlabeled→_u
-    *   _bruteforce→_bf  _classifier→_clf  _refine_→_rf_  _embed_→_em_
-    *   _neardup→_nd  _substring→_substr  _fingerprint→_fp  _sessionize→_sess
+    * Prefixes (family prefix replaced, NO underscore kept — "evsess" means
+    * "events_sessionize"): events_→ev  text_→tx  sample_→sa  dedup_→dd
+    *   sim_→si  source_→sr  etl_→et  q_→(dropped — "stats" means
+    *   "q_stats"; collision-free vs every other family's prefix, guarded
+    *   by BenchArtifactSpec)
+    * Suffix/infix (applied after the prefix): _curation_pipeline→_curation
+    *   _cluster_balanced→_clbal _hard_negatives→_hardneg
+    *   _pipeline_scale→_scale  _retrieval_bm25→_bm25 _roundtrip→_rt
+    *   _survivors→_sv  _decontaminate→_dc  _unlabeled→_u  _bruteforce→_bf
+    *   _classifier→_clf  _refine_→_rf_  _embed_→_em_ _neardup→_nd
+    *   _substring→_substr  _fingerprint→_fp  _sessionize→_sess
     *   window_→w ("wrange" means "q_window_range")  _interval_join→_ij
-    *   grouping_sets→gsets
+    *   grouping_sets→gsets  layout_zorder_scan→zorder
+    *   _epoch_shuffle→_eshuf  _stratified→_strat  _histogram→_hist
+    *   _retention→_ret  pack_sequences→packseq  _upsert_→_up_
+    *   approx_→apx_  _quantiles→_qnt  _transform→_xfm  _matchers→_mch
+    *   _jaccard→_jac  _length_filter→_lenf  _clean_corpus→_clean
+    *   json_extract→jsonx
     */
   private val keyPrefixes = Seq(
-    "events_" -> "ev_", "text_" -> "tx_", "sample_" -> "sa_",
-    "dedup_" -> "dd_", "sim_" -> "si_", "source_" -> "sr_", "etl_" -> "et_",
+    "events_" -> "ev", "text_" -> "tx", "sample_" -> "sa",
+    "dedup_" -> "dd", "sim_" -> "si", "source_" -> "sr", "etl_" -> "et",
     "q_" -> "")
   private val keyInfixes = Seq(
+    "layout_zorder_scan" -> "zorder", "pack_sequences" -> "packseq",
     "_curation_pipeline" -> "_curation", "_cluster_balanced" -> "_clbal",
     "_hard_negatives" -> "_hardneg", "_pipeline_scale" -> "_scale",
     "_retrieval_bm25" -> "_bm25", "_roundtrip" -> "_rt",
@@ -92,14 +100,32 @@ object Bench {
     "_bruteforce" -> "_bf", "_classifier" -> "_clf", "_refine_" -> "_rf_",
     "_embed_" -> "_em_", "_neardup" -> "_nd", "_substring" -> "_substr",
     "_fingerprint" -> "_fp", "_sessionize" -> "_sess", "window_" -> "w",
-    "_interval_join" -> "_ij", "grouping_sets" -> "gsets")
+    "_interval_join" -> "_ij", "grouping_sets" -> "gsets",
+    "_epoch_shuffle" -> "_eshuf", "_stratified" -> "_strat",
+    "_histogram" -> "_hist", "_retention" -> "_ret", "_upsert_" -> "_up_",
+    "approx_" -> "apx_", "_quantiles" -> "_qnt", "_transform" -> "_xfm",
+    "_matchers" -> "_mch", "_jaccard" -> "_jac", "_length_filter" -> "_lenf",
+    "_clean_corpus" -> "_clean", "json_extract" -> "jsonx")
   def compactKey(name: String): String = {
-    val p = keyPrefixes.collectFirst {
-      case (full, short) if name.startsWith(full) =>
-        short + name.substring(full.length)
-    }.getOrElse(name)
-    keyInfixes.foldLeft(p) { case (s, (full, short)) => s.replace(full, short) }
+    // infixes first (they anchor on underscores the prefix step removes)
+    val infixed = keyInfixes.foldLeft(name) {
+      case (s, (full, short)) => s.replace(full, short)
+    }
+    keyPrefixes.collectFirst {
+      case (full, short) if infixed.startsWith(full) =>
+        short + infixed.substring(full.length)
+    }.getOrElse(infixed)
   }
+
+  /** Headline `value` = sum of PASSED walls only. A failed query exits in
+    * ~0.05 s; letting that wall into the total made the round-10
+    * regression (16 queries down) read as a 10% speedup in a cross-round
+    * total comparison. Failed names still appear in `failed` with their
+    * fast-fail wall in `queries`, and `n_passed` makes the comparison
+    * basis explicit in the same line.
+    */
+  def passedTotal(walls: Seq[(String, Double)], failed: Set[String]): Double =
+    walls.collect { case (n, w) if !failed.contains(n) => w }.sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = Config.benchSfDir() // fail fast on a missing/typo'd dir
@@ -113,6 +139,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud fixture drift diagnosis (stderr only — the driver's
+    // 2000-char stdout tail must stay reserved for the artifact line)
+    Tables.probeFixtures(spark, sfDir)
 
     // JVM/codegen warmup: run every headline query once at the smallest SF
     // untimed, so timed numbers measure steady-state plans rather than
@@ -210,10 +239,11 @@ object Bench {
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    val total = passedTotal(results.map { case (k, (v, _, _)) => k -> v }, failed.toSet)
+    val nPassed = results.size - failed.size
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => k -> fmt(v, 3) })},"gc_sec":${
         jmap(results.map { case (k, (_, g, _)) => k -> fmt(g, 3) })},"jit_sec":${
         jmap(results.map { case (k, (_, _, j)) => k -> fmt(j, 3) })},"failed":$failedArr,"sf":"$sfDir"}"""
@@ -228,7 +258,7 @@ object Bench {
     // artifact may not survive a driver that only keeps the stdout tail
     val failedField = s""","failed":$failedArr"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => compactKey(k) -> fmt(v, 2) })
         }$failedField,"sf":"$sfBase"}"""
     if (compact.length > 1900)

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** The `events` table is written with parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects unless nanos are surfaced as raw
-    * longs. We read nanos-as-long and expose typed views below.
+  /** Some fixture generations write `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+    * nanos are surfaced as raw longs. Keeping the conf on is harmless for
+    * µs/NTZ fixtures (it only affects the NANOS physical type), so it
+    * stays set unconditionally; [[normalizeEventTs]] dispatches on what
+    * the scan actually yields.
     */
   def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,16 +51,103 @@ object Tables {
     events(spark, dir).createOrReplaceTempView("events")
   }
 
-  /** `events` with the nano-epoch `ts` kept as a long (`ts_ns`) plus
-    * derived, oracle-friendly forms. IMPORTANT precision note: DuckDB reads
-    * parquet TIMESTAMP(NANOS) truncated to MICROsecond precision, so every
+  /** Normalize a scanned `events` frame — whatever the fixture's physical
+    * `ts` encoding — into the canonical derived columns the whole engine
+    * consumes: `ts_ns` (long nanos), `ts_us` (long micros), `ts_ms` (long
+    * millis), `ts_utc` (TIMESTAMP instant). Two encodings exist in the
+    * wild for the driver fixtures:
+    *
+    *   - legacy parquet TIMESTAMP(NANOS), surfaced as a raw long via
+    *     `spark.sql.legacy.parquet.nanosAsLong` → `ts` scans as BIGINT;
+    *   - parquet timestamp[us] (isAdjustedToUTC=false) → `ts` scans as
+    *     TIMESTAMP_NTZ (or TIMESTAMP when adjusted).
+    *
+    * Dispatching on the SCANNED type (not a config) makes schema drift in
+    * the lake a non-event: both encodings produce identical `ts_us` rows
+    * (pinned by EventsEncodingSpec). IMPORTANT precision note: DuckDB reads
+    * parquet nanos truncated to MICROsecond precision, so every
     * cross-engine-visible ordering or arithmetic must use `ts_us`
-    * (= `epoch_us(ts)` in DuckDB, exactly), never raw nanos.
+    * (= `epoch_us(ts)` in DuckDB, exactly), never raw nanos — for the µs
+    * encoding `ts_ns` is a *derived* `ts_us * 1000` kept only so callers
+    * have a uniform column set.
+    *
+    * Works on batch and streaming frames alike (pure projection; the cast
+    * NTZ→TIMESTAMP uses the session time zone, which every entry point in
+    * this engine pins to UTC).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val withUs = df.schema("ts").dataType match {
+      case LongType => // legacy NANOS-as-long fixture
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+      case _ => // timestamp[us] / TIMESTAMP_NTZ fixture
+        df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .drop("ts")
+    }
+    withUs
+      .withColumn("ts_ms", expr("ts_us div 1000"))
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+  }
+
+  /** `events` with the canonical derived time columns (see
+    * [[normalizeEventTs]] for the encoding dispatch and the µs-precision
+    * contract).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** Expected column names per fixture table (TESTDATA.md). Types are NOT
+    * pinned here on purpose — [[normalizeEventTs]] absorbs the known
+    * `events.ts` encoding drift; what the probe must catch loudly is a
+    * column disappearing/renaming or a table going missing.
+    */
+  val expectedColumns: Map[String, Set[String]] = Map(
+    "region"   -> Set("r_regionkey", "r_name"),
+    "nation"   -> Set("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders"   -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"),
+    "events"   -> Set("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Set("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Set("vec_id", "embedding", "label"))
+
+  /** Fail-loud fixture probe, run at Verify/Bench startup: footer-only
+    * schema reads of every fixture table, diffed against
+    * [[expectedColumns]]. Round 10 lost 18% of the verified surface to a
+    * silently regenerated fixture; this turns the next drift into one
+    * prominent `FIXTURE DRIFT` stderr line BEFORE any query runs, instead
+    * of a round of opaque per-query analysis errors. Returns the drift
+    * messages (empty = clean) so tests can pin the diagnosis.
+    */
+  def probeFixtures(spark: SparkSession, dir: String): Seq[String] = {
+    val drifts = expectedColumns.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      scala.util.Try(table(spark, dir, name).schema) match {
+        case scala.util.Failure(e) =>
+          Some(s"table $name: unreadable (${e.getClass.getSimpleName}: ${e.getMessage.take(120)})")
+        case scala.util.Success(schema) =>
+          System.err.println(s"[fixture] $name: " + schema.fields
+            .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+          val got = schema.fieldNames.toSet
+          val missing = want -- got
+          val extra = got -- want
+          if (missing.nonEmpty || extra.nonEmpty)
+            Some(s"table $name: missing=${missing.toSeq.sorted.mkString("[", ",", "]")} " +
+              s"extra=${extra.toSeq.sorted.mkString("[", ",", "]")}")
+          else None
+      }
+    }
+    drifts.foreach(d => System.err.println(s"[fixture] *** FIXTURE DRIFT *** $d"))
+    if (drifts.isEmpty)
+      System.err.println(s"[fixture] all ${expectedColumns.size} tables match expected columns ($dir)")
+    drifts
+  }
 }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The raw events schema (TESTDATA.md): nano-epoch `ts` carried as long. */
+  /** The raw events schema with legacy nano-epoch `ts` carried as long
+    * (fixture generations that write parquet TIMESTAMP(NANOS), scanned
+    * via nanosAsLong).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,20 +32,37 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The raw events schema with `ts` as parquet timestamp[us] (scans as
+    * TIMESTAMP_NTZ) — the current driver-fixture encoding.
+    */
+  val eventsSchemaMicros: StructType = StructType(
+    eventsSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+      case f                   => f
+    })
+
   /** Streaming source over a directory of event parquet files — the
     * arrival-notification analogue (new-file listing ≈ S3→SQS,
     * `maxFilesPerTrigger` ≈ the reference's concurrency throttle O2).
     * Derives the same µs/ms/timestamp forms as Tables.events.
+    *
+    * A stream needs its schema up front, but the fixture's physical `ts`
+    * encoding varies across generations (long nanos vs timestamp[us]), so
+    * we peek the batch-scan schema of whatever files already exist — a
+    * driver-side footer read, no data scan — and fall back to the current
+    * µs encoding for an as-yet-empty directory. Normalization is shared
+    * with the batch loader (graft.Tables.normalizeEventTs), so stream and
+    * batch can never diverge on encoding handling.
     */
-  def fromParquetDir(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 4): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts_ns div 1000")))
+  def fromParquetDir(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 4): DataFrame = {
+    val schema = scala.util.Try(spark.read.parquet(path).schema)
+      .getOrElse(eventsSchemaMicros)
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(path))
+  }
 
   /** Tumbling daily counts per event type with a watermark — the streaming
     * twin of EventAnalytics.tumblingDaily. Map-side partial aggregation

@@ -23,14 +23,24 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("worst-case artifact line fits the driver's 2000-char tail") {
     // worst case: every wall two digits before the point ("99.99" = 5 chars),
-    // total five digits ("99999.999"), longest sf basename in testdata
+    // total five digits ("99999.999"), three-digit n_passed, empty failed
+    // list (each FAILED name would add to `failed` but remove nothing from
+    // `queries` — so budget a 2-name failed list on top), longest sf
+    // basename in testdata
     val qs = Bench.headline
       .map(n => "\"" + Bench.compactKey(n) + "\":99.99")
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","n_passed":999,"queries":$qs,"failed":["events_interval_join","text_decontaminate_bloom"],"sf":"sf0.001"}"""
     assert(line.length <= 1900,
       s"artifact line ${line.length} chars — exceeds the 1900-char safety budget " +
         "(2000-char driver tail minus sbt's [success] line); shorten keys")
+  }
+
+  test("failed queries do not count toward the headline total") {
+    val walls = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 0.05)
+    assert(Bench.passedTotal(walls, Set("c")) == 3.0)
+    assert(Bench.passedTotal(walls, Set.empty) == 3.05)
+    assert(Bench.passedTotal(Seq.empty, Set.empty) == 0.0)
   }
 }
