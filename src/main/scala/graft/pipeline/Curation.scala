@@ -34,8 +34,9 @@ object Curation {
 
   /** The map-side gate stage alone — a pure projection + filter, so it
     * runs unchanged over a STREAM of arriving documents (no watermark
-    * needed; see StreamingSpec's streaming-curation test, which lands
-    * gated docs through the bucketed upsert sink).
+    * needed; [[StreamingCuration]] composes it with the per-trigger
+    * dedup/decontamination merge, and StreamingSpec's streaming-curation
+    * test lands gated docs through the bucketed upsert sink).
     */
   def gates(
       docs: DataFrame,

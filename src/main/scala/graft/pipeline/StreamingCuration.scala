@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+import graft.sink.KeyedUpsertSink
+import graft.text.TextAnalysis
+
+/** Incremental (Structured Streaming) twin of [[Curation.curate]]: the
+  * composed curation pipeline running continuously over ARRIVING
+  * documents, maintaining a materialized curated-corpus view that is
+  * batch-equal BY CONSTRUCTION at every trigger.
+  *
+  * Stage split — who runs where:
+  *   - **gates** (quality/repetition/language): pure projection + filter,
+  *     runs INSIDE the stream, incrementally per micro-batch
+  *     ([[Curation.gates]] unchanged).
+  *   - **exact dedup + decontamination flags**: per micro-batch inside
+  *     `foreachBatch`. Each batch is deduped locally (min `doc_id` per
+  *     content fingerprint), flagged against the broadcast benchmark
+  *     n-gram index, then MERGED into a bucketed survivor state table via
+  *     the LWW upsert sink keyed on the fingerprint with `-doc_id`
+  *     ordering — so the state always holds exactly the global min-doc_id
+  *     survivor per fingerprint, regardless of arrival order or
+  *     redelivery (min is associative+commutative+idempotent; replays
+  *     merge to a no-op).
+  *   - **finalize** (mixture rebalance + packing): [[Curation.finalizeCorpus]]
+  *     over the survivor state, computed on READ ([[corpusView]]) — these
+  *     are global properties of the survivor SET (rates depend on every
+  *     language's count; pack offsets on every prior doc), so they cannot
+  *     be emitted incrementally without retraction; recomputing them over
+  *     the bounded survivor relation per consumer is the honest shape.
+  *
+  * Batch-equality argument (pinned by StreamingCurationSpec): the state
+  * converges to { min-doc_id row per fingerprint of the gated union },
+  * each row carrying a contamination flag that depends only on (its own
+  * text, the static benchmark) — the identical survivor relation
+  * [[Curation.curate]] computes; `finalizeCorpus` is a deterministic
+  * function of that relation. Arrival order, wave partitioning, and
+  * at-least-once redelivery all collapse in the min-merge.
+  *
+  * Scale shape at 100 TB: per-trigger cost is O(batch + touched state
+  * buckets), never O(state) — the sink rewrites only the `__bucket=N`
+  * hash-partitions the batch touches. State size is the survivor corpus
+  * itself (doc metadata only — text is dropped after flagging), not the
+  * stream history. The per-batch decontamination probe broadcasts the
+  * benchmark index once per trigger; at production scale it would be
+  * cached across triggers (static benchmark ⇒ static index).
+  */
+object StreamingCuration {
+
+  /** Start the incremental curation over a stream of documents.
+    *
+    * @param docs        streaming DataFrame with the `documents` schema
+    * @param benchmark   STATIC benchmark documents (`doc_id`, `text`) —
+    *                    the decontamination reference set must be known
+    *                    up front to build the broadcast n-gram index
+    * @param isBenchmark gate-side predicate marking stream rows that ARE
+    *                    benchmark members (excluded from the corpus)
+    * @param stateDir    bucketed survivor state table location
+    * @param ckptDir     streaming checkpoint location
+    */
+  def start(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      isBenchmark: Column,
+      stateDir: String,
+      ckptDir: String,
+      minTokens: Long = 10,
+      maxStopwordRatio: Double = 0.5,
+      maxTopBigramFrac: Double = 0.1,
+      minShared: Long = 3,
+      numBuckets: Int = 64): StreamingQuery = {
+    val spark = docs.sparkSession
+    val gated = Curation.gates(docs, isBenchmark, minTokens,
+      maxStopwordRatio, maxTopBigramFrac)
+    gated.writeStream
+      .foreachBatch(mergeBatch(spark, benchmark, stateDir, minShared, numBuckets) _)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One micro-batch of gated docs → survivor-state merge. Public so the
+    * spec can drive batches directly and so a foreachBatch replay is
+    * auditable: the whole body is idempotent (same rows ⇒ same merge).
+    */
+  def mergeBatch(
+      spark: SparkSession,
+      benchmark: DataFrame,
+      stateDir: String,
+      minShared: Long,
+      numBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    // batch-local dedup first: only batch survivors need the (exploding)
+    // decontamination probe, and any row it discards loses the global
+    // min-merge anyway
+    val withFp = batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val batchSurv = KeyedUpsertSink.latestByKey(
+      withFp, Seq("fp"), Seq(-col("doc_id")))
+    // pin: consumed twice (probe + merge); without pinning the gate
+    // kernels and the dedup window would run twice per trigger
+    val pinned = graft.Staging.pin(batchSurv)
+    val flagged = Dedup.decontaminateCorpus(
+      pinned.select("doc_id", "text"), benchmark, minShared).select("doc_id")
+    val candidates = pinned
+      .join(broadcast(flagged.withColumn("contaminated", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .select("fp", "doc_id", "source", "lang_pred", "n_tokens",
+        "stopword_ratio", "top_bigram_frac", "contaminated")
+    // global merge: min doc_id per fingerprint, O(touched buckets)
+    KeyedUpsertSink.upsertBucketed(
+      spark, stateDir, Seq("fp"), Seq(-col("doc_id")), numBuckets)(
+      candidates, batchId)
+  }
+
+  /** The curated-corpus materialized view as of the last completed
+    * trigger: clean survivors → [[Curation.finalizeCorpus]]. The dangling
+    * global stages run here, on the bounded survivor relation — identical
+    * output contract to [[Curation.curate]].
+    */
+  def corpusView(spark: SparkSession, stateDir: String,
+      budget: Long = 2048L): DataFrame = {
+    val clean = KeyedUpsertSink.readBucketed(spark, stateDir)
+      .filter(!col("contaminated"))
+      .drop("fp", "contaminated")
+    Curation.finalizeCorpus(clean, budget)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, StreamingCuration}
+
+/** Streamed-equals-batch for the COMPOSED curation pipeline: the
+  * incremental corpus view after any sequence of arrival waves must be
+  * row-identical to [[Curation.curate]] over the union — regardless of
+  * wave order, wave partitioning, or at-least-once redelivery.
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, Sf0001)
+  private val isBench = col("doc_id") % 37 === 0
+  private lazy val benchmark = docs.filter(isBench)
+  private val MinShared = 40L
+
+  private lazy val batchWant: Set[org.apache.spark.sql.Row] =
+    Curation.curate(docs, isBench, minShared = MinShared).collect().toSet
+
+  /** Feed the given waves (in order) through the streaming pipeline into
+    * a fresh state dir, one AvailableNow run per wave, and return the
+    * final corpus view.
+    */
+  private def runWaves(tag: String, waves: Seq[DataFrame]): DataFrame = {
+    val root = Files.createTempDirectory(s"graft-scur-$tag")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.write.parquet(s"$landing/w$i")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(landing)
+      StreamingCuration.start(stream, benchmark, isBench, state, ckpt,
+        minShared = MinShared, numBuckets = 8).awaitTermination()
+    }
+    StreamingCuration.corpusView(spark, state)
+  }
+
+  test("incremental corpus view equals the batch pipeline over the union") {
+    val got = runWaves("fwd", Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))).collect().toSet
+    assert(got == batchWant)
+    assert(got.nonEmpty)
+  }
+
+  test("arrival order does not change the view (reversed waves)") {
+    val got = runWaves("rev", Seq(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))).collect().toSet
+    assert(got == batchWant)
+  }
+
+  test("at-least-once redelivery and overlapping waves collapse in the merge") {
+    // wave 2 redelivers every even doc alongside the odd half; wave 3 is
+    // a full replay of wave 1
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val got = runWaves("redeliver", Seq(even, docs, even)).collect().toSet
+    assert(got == batchWant)
+  }
+
+  test("state stays bounded: survivor rows only, no text column") {
+    val root = Files.createTempDirectory("graft-scur-state")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    docs.write.parquet(s"$landing/w0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    StreamingCuration.start(stream, benchmark, isBench, state, ckpt,
+      minShared = MinShared, numBuckets = 8).awaitTermination()
+    val st = graft.sink.KeyedUpsertSink.readBucketed(spark, state)
+    // one row per surviving fingerprint — not per arrival
+    assert(st.count() == st.select("fp").distinct().count())
+    assert(!st.columns.contains("text"))
+    // flags present and the clean subset matches the batch survivor count
+    val batchSurvivors = batchWant.size
+    assert(st.filter(!col("contaminated")).count() == batchSurvivors)
+  }
+}
