@@ -89,6 +89,13 @@ object GraphAnalytics {
     // last snapshot the delta check compared against (the initial
     // uniform vector first — it is cheap, rebuilt from pinned deg)
     var prev = pr
+    // the previous intra-loop pin, released as soon as a newer pin
+    // materializes: each pin is an eager leaf, so nothing references the
+    // snapshot it superseded — without the release, a deep iteration
+    // accumulates one unevictable snapshot per 2 rounds and starves
+    // execution memory on small heaps (the 100×/4 GB memory-envelope
+    // probe hit UNABLE_TO_ACQUIRE_MEMORY exactly here)
+    var lastPinned: DataFrame = null
     var k = 1
     var done = 0
     while (k <= iters && done == 0) {
@@ -109,11 +116,15 @@ object GraphAnalytics {
       if (k % 2 == 0 && (k < iters || convergeEps > 0)) {
         pr = graft.Staging.pin(pr)
         if (convergeEps > 0) {
+          // delta check BEFORE releasing the superseded snapshot — prev
+          // may be (or be built on) the frame about to be unpinned
           val dRow = pr.join(prev.withColumnRenamed("pr", "pr0"), "id")
             .agg(max(abs(col("pr") - col("pr0")))).head()
           if (!dRow.isNullAt(0) && dRow.getLong(0) <= convergeEps) done = k
           prev = pr
         }
+        if (lastPinned ne null) graft.Staging.unpin(lastPinned)
+        lastPinned = pr
       }
       k += 1
     }

@@ -1,0 +1,159 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VecText
+import graft.sink.KeyedUpsertSink
+import graft.text.TextAnalysis
+
+/** Incremental MinHash-LSH near-duplicate detection over a STREAM of
+  * arriving documents — the near-dup twin of the exact streaming dedup
+  * (EventStream.dedupEvents) and the missing piece between
+  * [[Dedup.minhashNearDups]] (batch) and a continuously-ingested corpus:
+  * each arriving document is checked against everything already seen,
+  * and the maintained pair table converges to exactly the batch
+  * operator's output over the union.
+  *
+  * Mechanism per micro-batch (all inside `foreachBatch`):
+  *   1. shingle → signature → band rows for the NEW docs only (the
+  *      map-side kernels run once per document ever);
+  *   2. candidate join of the new band rows against (touched state ∪
+  *      new) on (band, bucket) — the signature state table is laid out
+  *      in `__bkt = hash(band,bucket) % N` partitions, so the state side
+  *      reads ONLY the partitions the batch's buckets land in:
+  *      per-trigger cost O(batch + touched partitions), never O(corpus);
+  *   3. exact-Jaccard verify of the deduped candidate id pairs (same
+  *      size-ratio prune + sorted-merge kernel as the batch verify);
+  *   4. verified pairs land in a bucketed LWW pair table; new band rows
+  *      merge into the state. Both merges are idempotent, so
+  *      at-least-once redelivery collapses to a no-op.
+  *
+  * Batch-equality argument (StreamingDedupSpec): a qualifying pair
+  * (a,b) shares ≥1 (band,bucket); when the LATER of the two arrives the
+  * earlier is already in state (or in the same batch — the union side
+  * covers both), the candidate surfaces, and the verify kernels are
+  * deterministic functions of the two texts. Arrival order only decides
+  * WHICH trigger emits the pair, never whether; ids are normalized
+  * a < b on emit.
+  *
+  * State size: (doc_id, hs, s) × `bands` rows per document — signature
+  * metadata (~bands × |shingle set| longs), not text; the corpus itself
+  * never enters the state or the shuffle.
+  */
+object StreamingDedup {
+
+  /** Start incremental near-dup maintenance over a stream of documents
+    * (`doc_id`, `text`). Verified pairs accumulate in `pairsDir`
+    * ([[pairs]]); band signatures in `stateDir`.
+    */
+  def start(
+      docs: DataFrame,
+      stateDir: String,
+      pairsDir: String,
+      ckptDir: String,
+      k: Int = 2,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      numBuckets: Int = 64): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.select("doc_id", "text").writeStream
+      .foreachBatch(mergeBatch(spark, stateDir, pairsDir, k, numPerm,
+        bands, threshold, numBuckets) _)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained near-dup pair table (doc_id_a < doc_id_b, exact
+    * shingle Jaccard) as of the last completed trigger.
+    */
+  def pairs(spark: SparkSession, pairsDir: String): DataFrame =
+    KeyedUpsertSink.readBucketed(spark, pairsDir)
+
+  private def bktOf(numBuckets: Int) =
+    pmod(xxhash64(col("band"), col("bucket")), lit(numBuckets.toLong))
+
+  /** One micro-batch: candidates vs state, verify, emit, merge. Public
+    * for direct spec drive; idempotent end to end.
+    */
+  def mergeBatch(
+      spark: SparkSession,
+      stateDir: String,
+      pairsDir: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int,
+      threshold: Double,
+      numBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // nothing arrived: leave state + pairs untouched
+    // 1. signatures + band rows for the new docs (kernels run once);
+    //    within-batch duplicate doc_ids (file redelivered INSIDE one
+    //    trigger) collapse here so state identity stays one row per
+    //    (band, bucket, doc_id)
+    val withSig = batch.dropDuplicates("doc_id")
+      .select(col("doc_id"), Dedup.shingles(col("text"), k).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), numPerm))
+      .withColumn("hs", VecText.hash_set64(col("sh")))
+      .withColumn("s", size(col("sh")))
+    val newRows = graft.Staging.pin(
+      Dedup.lshBuckets(withSig.select("doc_id", "sig"), bands, numPerm / bands)
+        .join(withSig.select("doc_id", "hs", "s"), "doc_id")
+        .select(col("band"), col("bucket"), col("doc_id"), col("hs"), col("s"))
+        .withColumn("__bkt", bktOf(numBuckets)))
+    // 2. touched state partitions: bounded (≤ numBuckets) driver metadata
+    val touched = newRows.select("__bkt").distinct().collect().map(_.getLong(0))
+    val stateRows =
+      if (!new java.io.File(stateDir).exists()) newRows.limit(0)
+      else spark.read.parquet(stateDir).filter(col("__bkt").isin(touched: _*))
+    val bSide = stateRows.unionByName(newRows)
+    val candidates = newRows.select(col("band"), col("bucket"),
+        col("doc_id").as("id_l"))
+      .join(bSide.select(col("band"), col("bucket"), col("doc_id").as("id_r")),
+        Seq("band", "bucket"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("doc_id_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_id_b"))
+      .distinct()
+    // 3. exact-Jaccard verify — same prune + kernel as the batch verify;
+    //    per-doc signatures come from the bounded (touched ∪ new) rows.
+    //    Broadcast is right while (touched ∪ batch) stays executor-sized;
+    //    a batch touching most of a huge state would drop the hint and
+    //    run the same plan as a shuffled hash join on doc_id (the batch
+    //    verify documents the identical fallback)
+    val docsigs = bSide.select("doc_id", "hs", "s").dropDuplicates("doc_id")
+    val verified = candidates
+      .join(broadcast(docsigs.select(col("doc_id").as("doc_id_a"),
+        col("hs").as("hs_a"), col("s").as("sa"))), "doc_id_a")
+      .join(broadcast(docsigs.select(col("doc_id").as("doc_id_b"),
+        col("hs").as("hs_b"), col("s").as("sb"))), "doc_id_b")
+      .filter(least(col("sa"), col("sb")).cast("double")
+        >= greatest(col("sa"), col("sb")).cast("double") * threshold)
+      .withColumn("jaccard",
+        VecText.jaccard_sorted64(col("hs_a"), col("hs_b")).cast("decimal(18,6)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        col("jaccard").cast("double").as("jaccard"))
+    // 4. emit pairs (bucketed LWW on the id pair — replay-idempotent) …
+    KeyedUpsertSink.upsertBucketed(spark, pairsDir,
+      Seq("doc_id_a", "doc_id_b"), Seq(col("jaccard")), numBuckets)(
+      verified, batchId)
+    // … and merge the new band rows into the touched state partitions
+    // (identity (band,bucket,doc_id); dynamic overwrite rewrites only
+    // the touched __bkt dirs — the upsertBucketed discipline with the
+    // layout key decoupled from the row identity)
+    val merged = stateRows.withColumn("__o", lit(0))
+      .unionByName(newRows.withColumn("__o", lit(1)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket", "doc_id").orderBy(col("__o").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "__o")
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bkt")
+      .parquet(stateDir)
+    graft.Staging.unpin(newRows)
+  }
+}

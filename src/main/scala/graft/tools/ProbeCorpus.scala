@@ -108,3 +108,28 @@ object ProbeCorpus {
       ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))
     }
 }
+
+/** Task-metrics accumulator for the memory-envelope probe: total
+  * spill (memory + disk) and the peak per-task execution memory across
+  * every task that ran between `reset()` calls. Spill > 0 with the job
+  * completing is the GOOD outcome under a constrained heap — it means
+  * Spark's unified memory manager degraded to disk instead of OOM.
+  */
+class SpillListener extends org.apache.spark.scheduler.SparkListener {
+  private val spillMem = new java.util.concurrent.atomic.AtomicLong
+  private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+  private val peakTask = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      peakTask.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+  def reset(): Unit = { spillMem.set(0); spillDisk.set(0); peakTask.set(0) }
+  def spillMemMb: Long = spillMem.get() >> 20
+  def spillDiskMb: Long = spillDisk.get() >> 20
+  def peakTaskMb: Long = peakTask.get() >> 20
+}

@@ -36,7 +36,9 @@ object ScaleProbe100 {
     val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
                  else Seq(1, 10, 100)
     val mode = if (args.length > 1) args(1) else "all"
-    val spark = ProbeCorpus.session()
+    // mem mode models a constrained executor: local[8] (pair with
+    // SPARK_DRIVER_MEM=4g so the forked JVM gets the small heap)
+    val spark = ProbeCorpus.session(if (mode == "mem") 8 else 32)
     val tmp = "/tmp/graft-scale100"
     val sfDir = "/root/testdata/sf0.1"
 
@@ -305,6 +307,63 @@ object ScaleProbe100 {
           EventAnalytics.sessionsDuringBursts(
             ProbeCorpus.eventCopies(ev1, c)).count())
       }
+    }
+
+    // ---- memory envelope: the five biggest-shuffle queries under a ----
+    // constrained heap. Every other scale claim is wall-time-based; this
+    // answers "does it SPILL or does it DIE" when partitions outgrow
+    // execution memory — the distinction that decides whether a 100 TB
+    // run survives an under-provisioned executor. Run as:
+    //   SPARK_DRIVER_MEM=4g sbt "runMain graft.tools.ScaleProbe100 10 mem"
+    // Completion with spill_mb > 0 = graceful degradation (the unified
+    // memory manager paging sort/agg/join state to disk); a FAIL line =
+    // an OOM cliff that needs a fix or a documented bound.
+    if (mode == "mem") {
+      val heapMb = Runtime.getRuntime.maxMemory() >> 20
+      val c = scales.headOption.getOrElse(10)
+      // optional arg 3: comma-separated op-name prefixes to run (default all)
+      val only = if (args.length > 2) args(2).split(",").toSeq else Nil
+      def wanted(label: String): Boolean =
+        only.isEmpty || only.exists(label.startsWith)
+      println(s"== mem envelope: heap ${heapMb} MB, local[${spark.sparkContext.defaultParallelism}], scale ${c}x")
+      val sl = new SpillListener
+      spark.sparkContext.addSparkListener(sl)
+      lazy val docs = docsAt(c)
+      lazy val emb = embAt(c)
+      def memRun(label: String)(f: => Long): Unit = if (wanted(label)) {
+        sl.reset(); System.gc()
+        val t0 = System.nanoTime()
+        val res = try Right(f) catch { case e: Throwable => Left(e) }
+        val wall = (System.nanoTime() - t0) / 1e9
+        res match {
+          case Right(n) => println(
+            f"MEMENV $label ok wall=$wall%.1fs rows=$n spill_mem_mb=${sl.spillMemMb} " +
+              f"spill_disk_mb=${sl.spillDiskMb} peak_task_mb=${sl.peakTaskMb} heap_mb=$heapMb")
+          case Left(e) => println(
+            f"MEMENV $label FAIL wall=$wall%.1fs ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).replace('\n', ' ').take(160))
+        }
+      }
+      memRun(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
+      memRun(s"semdedup_${c}x")(
+        Similarity.semDedup(emb, kCentroids = 8 * c).count())
+      memRun(s"curation_${c}x")(Curation.curate(
+        docs, col("doc_id") % 37 === 0, minShared = 40L).count())
+      memRun(s"editdist_${c}x")(Dedup.editDistanceNearDups(docs).count())
+      val liM = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      val ordM = graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      val e1M = liM.join(ordM, liM("l_orderkey") === ordM("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000000L)).as("dst"))
+        .distinct()
+      val edgesM = cached(s"$tmp/edges_${c}x") {
+        (0 until c).map { i =>
+          e1M.select((col("src") + lit(i * 100000000L)).as("src"),
+            (col("dst") + lit(i * 100000000L)).as("dst"))
+        }.reduce(_ unionByName _)
+      }
+      memRun(s"pagerank10_${c}x")(
+        graft.analytics.GraphAnalytics.pageRank(edgesM, iters = 10).count())
     }
 
     // ---- AQE-vs-salted skew crossover: the one decision a 100 TB ----
