@@ -41,6 +41,18 @@ import graft.text.TextAnalysis
   * State size: (doc_id, hs, s) × `bands` rows per document — signature
   * metadata (~bands × |shingle set| longs), not text; the corpus itself
   * never enters the state or the shuffle.
+  *
+  * Sizing `numBuckets` (the honest part of the touched-partition
+  * claim): a batch with k distinct (band,bucket) keys touches
+  * ≈ N·(1−e^(−k/N)) of N partitions — uniformly hashed keys SPRAY, so
+  * k ≥ N touches everything and the trigger degrades to a full-state
+  * merge pass (still O(state), a rolling compaction — never
+  * quadratic). The per-trigger read fraction is only k/N when k ≪ N:
+  * at deployment scale pick N ≫ bands × expected-batch-docs (e.g.
+  * 10⁴-doc batches × 16 bands → N ≥ ~10⁶, i.e. bucket ≈ one file of a
+  * partitioned table), which bounds each trigger to reading ~k files
+  * of state/N rows each. The local default (64) is sized for the test
+  * fixtures, not for that regime.
   */
 object StreamingDedup {
 

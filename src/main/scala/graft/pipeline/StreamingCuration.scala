@@ -42,12 +42,18 @@ import graft.text.TextAnalysis
   * at-least-once redelivery all collapse in the min-merge.
   *
   * Scale shape at 100 TB: per-trigger cost is O(batch + touched state
-  * buckets), never O(state) — the sink rewrites only the `__bucket=N`
-  * hash-partitions the batch touches. State size is the survivor corpus
-  * itself (doc metadata only — text is dropped after flagging), not the
-  * stream history. The per-batch decontamination probe broadcasts the
-  * benchmark index once per trigger; at production scale it would be
-  * cached across triggers (static benchmark ⇒ static index).
+  * buckets) — the sink rewrites only the `__bucket=N` hash-partitions
+  * the batch touches. Touched-bucket honesty: fingerprints hash
+  * uniformly, so a batch of k distinct fps touches ≈ N·(1−e^(−k/N)) of
+  * N buckets; the bound is only sub-O(state) while k ≪ numBuckets —
+  * size numBuckets ≫ expected batch size at deployment (bucket ≈ one
+  * file), else a big trigger degrades to a full-state rolling
+  * compaction (O(state) per trigger, never worse). State size is the
+  * survivor corpus itself (doc metadata only — text is dropped after
+  * flagging), not the stream history. The per-batch decontamination
+  * probe broadcasts the benchmark index once per trigger; at
+  * production scale it would be cached across triggers (static
+  * benchmark ⇒ static index).
   */
 object StreamingCuration {
 
