@@ -35,3 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // regression" was exactly this, not a plan change)
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+showSuccess := false
