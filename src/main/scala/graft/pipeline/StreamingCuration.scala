@@ -99,6 +99,9 @@ object StreamingCuration {
       stateDir: String,
       minShared: Long,
       numBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    // a fully-gated-out batch must not touch state: an empty first write
+    // would create a schema-less parquet dir that breaks later reads
+    if (batch.isEmpty) return
     // batch-local dedup first: only batch survivors need the (exploding)
     // decontamination probe, and any row it discards loses the global
     // min-merge anyway
