@@ -104,6 +104,24 @@ class EventsEncodingSpec extends SparkSpec {
     assert(a == rows.map { case (id, us, _, _, _, _) => (id, us, us / 1000L) }.toSet)
   }
 
+  test("streaming source on an empty-at-start dir falls back to the µs schema") {
+    val d = Files.createTempDirectory("graft-enc-empty").toString
+    // no files yet: the footer peek fails → eventsSchemaMicros fallback
+    val stream = EventStream.fromParquetDir(spark, d)
+    // files arrive only AFTER the stream was declared (the fixture
+    // helper writes under <dir>/events.parquet; copy the parts in)
+    val late = Files.createTempDirectory("graft-enc-late").toString
+    writeMicrosNtz(late)
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$late/events.parquet"))
+      .filter(_.toString.endsWith(".parquet"))
+      .forEach(f => java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(d).resolve(f.getFileName)))
+    EventStream.runToMemory(stream.select($"event_id", $"ts_us"),
+      "enc_empty_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("enc_empty_out").as[(Long, Long)].collect().toSet
+    assert(got == rows.map { case (id, us, _, _, _, _) => (id, us) }.toSet)
+  }
+
   private def unix_micros(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.unix_micros(c)
 }
