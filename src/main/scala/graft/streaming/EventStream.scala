@@ -192,6 +192,109 @@ object EventStream {
       }
   }
 
+  /** Streaming as-of join state: rights (anchor candidates) still
+    * reachable by a future left, and lefts awaiting watermark
+    * finalization. Tuples are (ts_us, event_id, ts_ms).
+    */
+  case class AsofState(rights: List[(Long, Long, Long)],
+      lefts: List[(Long, Long, Long)])
+
+  /** One finalized as-of match (nullable anchor — same contract as the
+    * batch twin's output row).
+    */
+  case class AsofHit(event_id: Long, user_id: Long, ts_ms: Long,
+      asof_event_id: java.lang.Long, asof_ts_ms: java.lang.Long)
+
+  /** EVENT-TIME-CORRECT streaming as-of join — the streaming twin of
+    * EventAnalytics.asofJoin (every `leftType` event matched to the
+    * user's latest `rightType` event at-or-before it; Spark has no
+    * native as-of in either mode). The hard part is out-of-order
+    * arrival: a left CANNOT be matched on sight, because a later batch
+    * may deliver an earlier right. So lefts buffer in state and
+    * finalize only once the watermark passes their event time — at
+    * that point any better-matching right would be watermark-late and
+    * inadmissible, so the match equals the batch join's by
+    * construction. Tie discipline matches the batch twin exactly:
+    * inclusive at equal ts_us, max event_id among equal-ts rights.
+    *
+    * Mechanics: flatMapGroupsWithState in Append mode with an
+    * event-time timeout — a group with pending lefts re-arms a timer
+    * just past its earliest pending left, so finalization happens on
+    * watermark advance even if the user never sends another event.
+    * State is watermark-bounded on both sides: lefts leave at
+    * finalization, rights evict down to the single floor anchor
+    * at-or-below the watermark (the one a future left may still need)
+    * plus the in-horizon tail.
+    */
+  def asofJoinStream(events: DataFrame, leftType: String, rightType: String,
+      watermark: String = "1 hour"): Dataset[AsofHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      // NOTE the watermark sits logically before the type filter, but
+      // Catalyst still PUSHES the filter into the scan — rows of other
+      // types never reach the watermark operator and do NOT advance
+      // event time. To force finalization on a quiet stream, send an
+      // admissible-type sentinel (a far-future right-side event is
+      // inert: rights emit nothing from state) rather than a
+      // foreign-type heartbeat (AsofStreamSpec shows the pattern).
+      .withWatermark("ts_utc", watermark)
+      .filter(col("event_type").isin(leftType, rightType))
+      // ts_utc rides along untouched: the event-time-timeout check
+      // requires the watermark-tagged column in the operator's input
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("ts_ms"), col("ts_utc"))
+      .as[(Long, String, Long, Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(AsofState(Nil, Nil))
+          rows.foreach { case (_, tpe, us, id, ms, _) =>
+            // watermark-late data is inadmissible (it could contradict
+            // already-finalized matches — a finalized left's redelivery
+            // is always below the watermark, so it can never re-enter);
+            // in-horizon redelivery dedups against the buffer, making
+            // replay a state-side no-op — same contract as Spark's own
+            // stateful operators
+            if (wmMs == 0L || ms >= wmMs) {
+              if (tpe == rightType) {
+                if (!s.rights.exists(_._2 == id))
+                  s = s.copy(rights = (us, id, ms) :: s.rights)
+              } else if (!s.lefts.exists(_._2 == id))
+                s = s.copy(lefts = (us, id, ms) :: s.lefts)
+            }
+          }
+          // finalize lefts strictly below the watermark: no admissible
+          // right can change their match anymore
+          val (ready, pending) = s.lefts.partition(_._3 < wmMs)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, lid, lms) =>
+            val m = s.rights.filter(_._1 <= lus)
+            val best = if (m.isEmpty) None else Some(m.maxBy(r => (r._1, r._2)))
+            AsofHit(lid, user, lms,
+              best.map(r => Long.box(r._2)).orNull,
+              best.map(r => Long.box(r._3)).orNull)
+          }
+          // evict rights: keep the floor anchor at-or-below the
+          // watermark plus everything newer
+          val (old, fresh) = s.rights.partition(_._3 < wmMs)
+          val floor = if (old.isEmpty) Nil
+            else List(old.maxBy(r => (r._1, r._2)))
+          s = AsofState(fresh ++ floor, pending)
+          if (s.rights.isEmpty && s.lefts.isEmpty) state.remove()
+          else {
+            state.update(s)
+            if (s.lefts.nonEmpty)
+              // re-arm just past the earliest pending left (must exceed
+              // the current watermark or Spark rejects the timestamp)
+              state.setTimeoutTimestamp(
+                math.max(s.lefts.map(_._3).min, wmMs) + 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already seen,
     * with watermark-bounded state — the streaming form of the
     * training-pipeline exact-dedup operator, and the general version of
