@@ -36,3 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 showSuccess := false
+// The driver machine-parses Bench's single JSON stdout line. sbt's default
+// LoggedOutput wraps the forked JVM's stdout in the "[info] " logger
+// prefix, which defeats a strict JSON parse (BENCH_r08..r11 all landed
+// parsed: null). StdoutOutput inherits the parent process's stdout
+// directly — no logger, no prefix.
+run / outputStrategy := Some(StdoutOutput)
