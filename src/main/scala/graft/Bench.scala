@@ -175,6 +175,16 @@ object Bench {
     // and zero gc reads as recompilation pressure, not a plan change
     def jitMillis(): Long = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
+    // Code-cache occupancy (sum of the segmented CodeHeap pools, or the
+    // single "Code Cache" pool pre-segmentation). Diagnostic for the
+    // round-11 finding that late-suite queries pay jit_sec ≈ wall on
+    // unchanged code: a cache pinned at its reserved ceiling means the
+    // sweeper is evicting warm methods and the JIT is re-compiling them
+    // inside timed reps — a suite-size effect, not a plan change.
+    def codeCacheUsedMb(): Double = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1e6
     // a failed query must not masquerade as a fast one in the artifact:
     // record it in a `failed` list the driver JSON carries alongside the
     // (fast-fail) wall time, so a regression can't read as a speedup
@@ -191,6 +201,10 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
         (jitMillis() - j0) / 1e3)
     }
+    val ccAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every rep's (wall, gc, jit), not just the best — the round-11
+    // JIT stall could only be adjudicated from per-rep attribution
+    val allReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double, Double)]]
     val results = names.zipWithIndex.map { case (name, _) =>
       // settle before every query: finished queries leave broadcast and
       // checkpoint blocks whose deferred cleanup otherwise lands as
@@ -204,11 +218,18 @@ object Bench {
       // timed reps (jit_sec showed 2-3 s of concurrent compilation in
       // stalled-but-gc-0 samples). Bounded wait: quiet 200 ms window or
       // 3 s cap.
+      // cap raised 3 s → 8 s after the round-11 stall post-mortem: the
+      // 2.3→5.7 s text_decontaminate_bloom wall on bit-identical code
+      // was jit_sec ≈ wall on BOTH reps with codecache at 132/240 MB —
+      // i.e. a backlogged C2 queue from the preceding queries, not
+      // cache eviction or a plan change. A longer (still untimed,
+      // early-exiting) quiescence wait is the fix that addresses that
+      // mechanism; quiet runs exit in one 200 ms probe as before.
       var lastJit = jitMillis(); var waited = 0
-      while (waited < 3000) {
+      while (waited < 8000) {
         Thread.sleep(200)
         val now = jitMillis()
-        if (now - lastJit < 20) waited = 3000
+        if (now - lastJit < 20) waited = 8000
         else { lastJit = now; waited += 200 }
       }
       val s1 = once(name)
@@ -220,6 +241,8 @@ object Bench {
       // ~7s environmental stalls that can hit both reps)
       val samples = if (math.max(s1._1, s2._1) > 2 * best || best > 2.5)
         Seq(s1, s2, once(name)) else Seq(s1, s2)
+      ccAfter(name) = codeCacheUsedMb()
+      allReps(name) = samples
       name -> samples.minBy(_._1)
     }
     // The driver records only the LAST 2000 characters of stdout, which must
@@ -246,7 +269,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => k -> fmt(v, 3) })},"gc_sec":${
         jmap(results.map { case (k, (_, g, _)) => k -> fmt(g, 3) })},"jit_sec":${
-        jmap(results.map { case (k, (_, _, j)) => k -> fmt(j, 3) })},"failed":$failedArr,"sf":"$sfDir"}"""
+        jmap(results.map { case (k, (_, _, j)) => k -> fmt(j, 3) })},"codecache_mb":${
+        jmap(results.map { case (k, _) => k -> fmt(ccAfter.getOrElse(k, 0.0), 1) })},"reps":${
+        jmap(results.map { case (k, _) =>
+          k -> allReps.getOrElse(k, Nil).map { case (w, g, j) =>
+            s"[${fmt(w, 3)},${fmt(g, 3)},${fmt(j, 3)}]"
+          }.mkString("[", ",", "]")
+        })},"failed":$failedArr,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

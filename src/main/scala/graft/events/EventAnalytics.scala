@@ -64,17 +64,83 @@ object EventAnalytics {
   /** Global burst intervals of one event type: consecutive events closer
     * than `gapMs` merge into one [lo, hi] interval (the sessionize gap
     * rule without the user key — "error bursts", "deploy windows").
+    * `burst_id` is the 1-based ordinal of the burst in time order —
+    * identical to a global lag/cumsum replay.
     *
-    * The global window is a deliberate single-partition sort: the input
-    * is the FILTERED sparse stream (one event type), which is the only
-    * regime where global bursts are a meaningful concept — a dense
-    * stream's "bursts" would be one giant interval. At 100 TB the same
-    * result comes from per-shard sessionization + a merge pass over
-    * shard boundary intervals; the operator keeps the direct form
-    * because its input is assumed orders-of-magnitude sparser than the
-    * event table.
+    * Shard-merge construction (no unpartitioned window anywhere):
+    *  1. events shard on fixed time buckets `ts_ms div shardMs`; local
+    *     bursts come from the usual lag/cumsum under a window
+    *     PARTITIONED by shard — the per-event work is fully parallel.
+    *  2. one summary row per non-empty shard (first interval's lo, last
+    *     interval's hi, local-burst count k) feeds a coordinator-scale
+    *     pass: `joins_prev(s)` = does the shard's first local burst
+    *     continue the previous non-empty shard's last one, and
+    *     `off(s)` = exclusive running sum of per-shard NEW-burst counts
+    *     `k − [joins_prev]`. This window IS single-partition by intent
+    *     (partitioned on a constant) — but over shard-count rows, i.e.
+    *     timespan/shardMs metadata, never events. Two local bursts in
+    *     the same shard are > gapMs apart by construction, and the only
+    *     cross-shard predecessor of a shard's first event is the last
+    *     event of the previous non-empty shard, so `joins_prev` is the
+    *     complete link rule (empty shards in between are fine — the lag
+    *     skips them and the lo/hi comparison is direct).
+    *  3. the global ordinal has a closed form from those two numbers —
+    *     burst_id = off(shard) + lid − [joins_prev(shard)] — so a
+    *     broadcast join of the summaries back to the local intervals
+    *     plus a hash groupBy(burst_id) (min/max/sum merges the chained
+    *     pieces) finishes distributed.
+    * A chain spanning many shards collapses correctly: off(s) equals
+    * the previous shard's tail ordinal whenever joins_prev(s), so every
+    * link in the chain lands on the same burst_id (spec'd against the
+    * direct global-window replay, including multi-shard chains).
     */
-  def globalBursts(events: DataFrame, eventType: String, gapMs: Long): DataFrame = {
+  def globalBursts(events: DataFrame, eventType: String, gapMs: Long,
+      shardMs: Long = 0L): DataFrame = {
+    require(gapMs > 0, s"gap must be positive: $gapMs")
+    // default shard ≈ 64 gaps wide: shards stay ≫ burst scale (few
+    // cross-shard links) while shard count stays metadata-scale
+    val w = if (shardMs > 0) shardMs else gapMs * 64
+    val wS = Window.partitionBy("shard").orderBy("ts_ms", "event_id")
+    val local = events.filter(col("event_type") === eventType)
+      .select(col("ts_ms"), col("event_id"), expr(s"ts_ms div ${w}L").as("shard"))
+      .withColumn("prev", lag("ts_ms", 1).over(wS))
+      .withColumn("nb",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("lid", sum("nb").over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("shard", "lid")
+      .agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"),
+        count(lit(1)).as("n"))
+    // one row per non-empty shard; constant partition = deliberate
+    // single-reducer metadata pass (see scaladoc), not an event sort.
+    // pmod(shard,1) ≡ 0 but is non-foldable: a literal key would be
+    // constant-folded out of the spec, reinstating the unpartitioned
+    // window (and its all-events WARN shape) this operator exists to kill
+    val wMeta = Window.partitionBy(pmod(col("shard"), lit(1L))).orderBy("shard")
+    val summaries = local.groupBy("shard")
+      .agg(min("lo").as("first_lo"), max("hi").as("last_hi"), max("lid").as("k"))
+      .withColumn("prev_hi", lag("last_hi", 1).over(wMeta))
+      .withColumn("joins_prev",
+        col("prev_hi").isNotNull && col("first_lo") - col("prev_hi") <= gapMs)
+      .withColumn("off", coalesce(
+        sum(col("k") - when(col("joins_prev"), 1L).otherwise(0L)).over(
+          wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "joins_prev", "off")
+    local.join(broadcast(summaries), "shard")
+      .withColumn("burst_id",
+        col("off") + col("lid") - when(col("joins_prev"), 1L).otherwise(0L))
+      .groupBy("burst_id")
+      .agg(min("lo").as("lo"), max("hi").as("hi"), sum("n").as("n_events"))
+  }
+
+  /** The direct single-window form of [[globalBursts]] — the replay
+    * oracle its spec checks the shard-merge construction against. Not
+    * wired to any query: the unpartitioned window sorts the whole
+    * filtered stream on one task.
+    */
+  private[graft] def globalBurstsDirect(events: DataFrame, eventType: String,
+      gapMs: Long): DataFrame = {
     val w = Window.orderBy(col("ts_ms"), col("event_id"))
     events.filter(col("event_type") === eventType)
       .withColumn("prev", lag("ts_ms", 1).over(w))
