@@ -590,13 +590,29 @@ object Dedup {
   def decontaminateCorpus(
       corpus: DataFrame,
       benchmark: DataFrame,
+      minShared: Long = 3): DataFrame =
+    decontaminateWithIndex(corpus, benchmarkNgramIndex(benchmark), minShared)
+
+  /** The distinct (ng, bench_doc_id) shingle index of a benchmark set —
+    * the probe side of decontamination, factored out so a STATIC
+    * benchmark's index can be built once and persisted across streaming
+    * triggers (StreamingCuration) instead of recomputed per batch.
+    */
+  def benchmarkNgramIndex(benchmark: DataFrame): DataFrame =
+    benchmark
+      .select(explode(shingles(col("text"), 2)).as("ng"),
+        col("doc_id").as("bench_doc_id")).distinct()
+
+  /** [[decontaminateCorpus]] against a prebuilt (possibly cached)
+    * [[benchmarkNgramIndex]].
+    */
+  def decontaminateWithIndex(
+      corpus: DataFrame,
+      benchIndex: DataFrame,
       minShared: Long = 3): DataFrame = {
     // spread the pre-fan-out side first (single-file corpus → one task
     // would otherwise carry the whole shingle explode + broadcast probe)
     val para = corpus.sparkSession.sparkContext.defaultParallelism
-    val benchIndex = benchmark
-      .select(explode(shingles(col("text"), 2)).as("ng"),
-        col("doc_id").as("bench_doc_id")).distinct()
     corpus.repartition(para)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("ng"))
       .join(broadcast(benchIndex), "ng")

@@ -50,10 +50,13 @@ import graft.text.TextAnalysis
   * file), else a big trigger degrades to a full-state rolling
   * compaction (O(state) per trigger, never worse). State size is the
   * survivor corpus itself (doc metadata only — text is dropped after
-  * flagging), not the stream history. The per-batch decontamination
-  * probe broadcasts the benchmark index once per trigger; at
-  * production scale it would be cached across triggers (static
-  * benchmark ⇒ static index).
+  * flagging), not the stream history. The decontamination n-gram index
+  * is built ONCE at stream start (static benchmark ⇒ static index),
+  * persisted, and reused by every trigger — per-batch work
+  * re-broadcasts from the cached blocks but never re-runs the
+  * shingle-explode + distinct over the benchmark (pinned by the
+  * StreamingCurationSpec evaluation-count probe); the cache is
+  * unpersisted when the query terminates.
   */
 object StreamingCuration {
 
@@ -82,11 +85,30 @@ object StreamingCuration {
     val spark = docs.sparkSession
     val gated = Curation.gates(docs, isBenchmark, minTokens,
       maxStopwordRatio, maxTopBigramFrac)
-    gated.writeStream
-      .foreachBatch(mergeBatch(spark, benchmark, stateDir, minShared, numBuckets) _)
+    // static benchmark ⇒ static index: materialize once, reuse every
+    // trigger (the count() is the eager build — without it the first
+    // trigger would pay it lazily and a zero-trigger run would leak a
+    // never-built cache entry)
+    val benchIndex = Dedup.benchmarkNgramIndex(benchmark).persist()
+    benchIndex.count()
+    val query = gated.writeStream
+      .foreachBatch(mergeBatch(spark, benchIndex, stateDir, minShared, numBuckets) _)
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    // tie the cache's lifetime to the query's
+    val qid = query.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          benchIndex.unpersist()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 
   /** One micro-batch of gated docs → survivor-state merge. Public so the
@@ -95,7 +117,7 @@ object StreamingCuration {
     */
   def mergeBatch(
       spark: SparkSession,
-      benchmark: DataFrame,
+      benchIndex: DataFrame,
       stateDir: String,
       minShared: Long,
       numBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
@@ -111,8 +133,8 @@ object StreamingCuration {
     // pin: consumed twice (probe + merge); without pinning the gate
     // kernels and the dedup window would run twice per trigger
     val pinned = graft.Staging.pin(batchSurv)
-    val flagged = Dedup.decontaminateCorpus(
-      pinned.select("doc_id", "text"), benchmark, minShared).select("doc_id")
+    val flagged = Dedup.decontaminateWithIndex(
+      pinned.select("doc_id", "text"), benchIndex, minShared).select("doc_id")
     val candidates = pinned
       .join(broadcast(flagged.withColumn("contaminated", lit(true))),
         Seq("doc_id"), "left")

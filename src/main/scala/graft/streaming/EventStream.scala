@@ -53,15 +53,36 @@ object EventStream {
     * µs encoding for an as-yet-empty directory. Normalization is shared
     * with the batch loader (graft.Tables.normalizeEventTs), so stream and
     * batch can never diverge on encoding handling.
+    *
+    * HARD CONTRACT for the empty-at-start fallback: files that later land
+    * in the directory must be timestamp[us]/NTZ-encoded — the schema is
+    * pinned at stream declaration and cannot re-dispatch. Legacy
+    * NANOS-as-long arrivals under the pinned µs schema either fail the
+    * parquet conversion outright or decode to absurd epochs; the fallback
+    * path adds a per-row sanity gate on the decoded µs value
+    * ([1980, 2100]) that aborts with a FIXTURE DRIFT message instead of
+    * silently corrupting downstream event-time logic.
     */
   def fromParquetDir(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 4): DataFrame = {
-    val schema = scala.util.Try(spark.read.parquet(path).schema)
-      .getOrElse(eventsSchemaMicros)
-    graft.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(path))
+    val inferred = scala.util.Try(spark.read.parquet(path).schema)
+    val raw = spark.readStream
+      .schema(inferred.getOrElse(eventsSchemaMicros))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    // guard the RAW ts in the fallback case, so every derived column
+    // (ts_us/ts_ms/ts_utc) flows through it: 1980-01-01 .. 2100-01-01 —
+    // a misdeclared encoding lands ~×1000 outside on one side
+    val guarded = if (inferred.isSuccess) raw
+      else raw.withColumn("ts",
+        when(col("ts").between(
+          lit("1980-01-01").cast(TimestampNTZType),
+          lit("2100-01-01").cast(TimestampNTZType)), col("ts"))
+          .otherwise(raise_error(concat(lit(
+            s"FIXTURE DRIFT: events stream at $path assumed timestamp[us] on an " +
+              "empty directory, but an arriving file decoded ts outside " +
+              "[1980,2100] (got "), col("ts").cast("string"),
+            lit(") — physical ts encoding drifted; re-create the stream to re-infer")))))
+    graft.Tables.normalizeEventTs(guarded)
   }
 
   /** Tumbling daily counts per event type with a watermark — the streaming

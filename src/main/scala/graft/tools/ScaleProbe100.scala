@@ -350,20 +350,25 @@ object ScaleProbe100 {
       memRun(s"curation_${c}x")(Curation.curate(
         docs, col("doc_id") % 37 === 0, minShared = 40L).count())
       memRun(s"editdist_${c}x")(Dedup.editDistanceNearDups(docs).count())
-      val liM = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
-      val ordM = graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-      val e1M = liM.join(ordM, liM("l_orderkey") === ordM("o_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + lit(1000000000000L)).as("dst"))
-        .distinct()
-      val edgesM = cached(s"$tmp/edges_${c}x") {
-        (0 until c).map { i =>
-          e1M.select((col("src") + lit(i * 100000000L)).as("src"),
-            (col("dst") + lit(i * 100000000L)).as("dst"))
-        }.reduce(_ unionByName _)
+      // edge-set build (the probe's most expensive dataset) only when the
+      // pagerank op is actually selected — a targeted run of e.g. only
+      // minhash must not pay a full lineitem⋈orders materialization
+      if (wanted(s"pagerank10_${c}x")) {
+        val liM = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+        val ordM = graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        val e1M = liM.join(ordM, liM("l_orderkey") === ordM("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000000000L)).as("dst"))
+          .distinct()
+        val edgesM = cached(s"$tmp/edges_${c}x") {
+          (0 until c).map { i =>
+            e1M.select((col("src") + lit(i * 100000000L)).as("src"),
+              (col("dst") + lit(i * 100000000L)).as("dst"))
+          }.reduce(_ unionByName _)
+        }
+        memRun(s"pagerank10_${c}x")(
+          graft.analytics.GraphAnalytics.pageRank(edgesM, iters = 10).count())
       }
-      memRun(s"pagerank10_${c}x")(
-        graft.analytics.GraphAnalytics.pageRank(edgesM, iters = 10).count())
     }
 
     // ---- AQE-vs-salted skew crossover: the one decision a 100 TB ----

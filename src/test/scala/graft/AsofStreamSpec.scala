@@ -33,8 +33,12 @@ class AsofStreamSpec extends SparkSpec {
     */
   private def heartbeat(dir: java.nio.file.Path, name: String): Unit = {
     // max real ts + 60 days: far enough that even the 720 h watermark
-    // delay (sized to the cross-wave disorder) passes every real event
-    val hiUs = 1706660000000000L + 60L * 24 * 3600 * 1000000L
+    // delay (sized to the cross-wave disorder) passes every real event.
+    // Derived from the fixture, not hardcoded: a regenerated fixture
+    // with a later time range would silently leave the watermark short
+    // of real events and shrink the emitted match set
+    val hiUs = batchEvents.agg(max(col("ts_us"))).head.getLong(0) +
+      60L * 24 * 3600 * 1000000L
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row(999999999L, hiUs * 1000L, 0L, "click", 0.0, "{}"))),

@@ -122,6 +122,32 @@ class EventsEncodingSpec extends SparkSpec {
     assert(got == rows.map { case (id, us, _, _, _, _) => (id, us) }.toSet)
   }
 
+  test("empty-at-start fallback fails LOUDLY if legacy nanos files land later") {
+    val d = Files.createTempDirectory("graft-enc-drift").toString
+    // no files yet → pinned µs fallback schema; the batch path would have
+    // dispatched on the scanned type, but a stream cannot re-dispatch
+    val stream = EventStream.fromParquetDir(spark, d)
+    val late = Files.createTempDirectory("graft-enc-drift-late").toString
+    writeLegacyNanos(late) // WRONG encoding under the pinned schema
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$late/events.parquet"))
+      .filter(_.toString.endsWith(".parquet"))
+      .forEach(f => java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(d).resolve(f.getFileName)))
+    val e = intercept[Throwable] {
+      EventStream.runToMemory(stream.select($"event_id", $"ts_us"),
+        "enc_drift_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    // either the parquet conversion refuses the physical type or the
+    // fallback's sanity gate raises FIXTURE DRIFT — silent misread rows
+    // are the one forbidden outcome
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("FIXTURE DRIFT") || chain.toLowerCase.contains("parquet")
+      || chain.toLowerCase.contains("convert"), s"unexpected failure shape: $chain")
+    assert(!spark.catalog.tableExists("enc_drift_out")
+      || spark.table("enc_drift_out").isEmpty, "corrupt rows leaked downstream")
+  }
+
   private def unix_micros(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.unix_micros(c)
 }

@@ -64,6 +64,37 @@ class StreamingCurationSpec extends SparkSpec {
     assert(got == batchWant)
   }
 
+  test("benchmark index is built once across a multi-trigger run") {
+    // count every evaluation of a benchmark text: the index build reads
+    // each benchmark row exactly once, so a run with 3 triggers over a
+    // PERSISTED index evaluates nBench texts total — a per-trigger
+    // rebuild would evaluate ~3× that
+    val acc = spark.sparkContext.longAccumulator("bench-text-evals")
+    val countedText = udf { (s: String) => acc.add(1); s }
+    val benchCounted = benchmark.withColumn("text", countedText(col("text")))
+    val root = Files.createTempDirectory("graft-scur-once")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$landing/w0")
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$landing/w1")
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$landing/w2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1") // 3 files → 3 micro-batches
+      .parquet(landing)
+    val q = StreamingCuration.start(stream, benchCounted, isBench, state,
+      ckpt, minShared = MinShared, numBuckets = 8)
+    q.awaitTermination()
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progresses.length >= 3, s"expected ≥3 triggers, saw ${progresses.length}")
+    val nBench = benchmark.count()
+    assert(acc.value == nBench,
+      s"benchmark texts evaluated ${acc.value} times for $nBench rows — index rebuilt per trigger?")
+    // and the multi-trigger run still converges to the batch view
+    assert(StreamingCuration.corpusView(spark, state).collect().toSet == batchWant)
+  }
+
   test("state stays bounded: survivor rows only, no text column") {
     val root = Files.createTempDirectory("graft-scur-state")
     val landing = Files.createDirectory(root.resolve("landing")).toString
