@@ -977,6 +977,20 @@ object SparkEntry {
        |$pqTopKSelect""".stripMargin
   }
 
+  /** Queries that are BY CONSTRUCTION rows-only checked: their result
+    * content is an engine-specific sketch internal (HLL register sums /
+    * KLL compactor choices) that no portable ANSI SQL reproduces, so
+    * `oracleSql` deliberately omits them and each has a hash-green
+    * exact twin covering the same data path (`q_distinct_agg`,
+    * `q_median`). Declared machine-readably so a correctness artifact
+    * can report them as `rows_only` instead of a failure-shaped
+    * `no_oracle` error (Verify writes them to verify_meta.json).
+    * VerifyJsonSpec pins: this set is EXACTLY queries ∖ oracleSql — a
+    * new query silently missing its oracle fails the spec instead of
+    * shipping unchecked.
+    */
+  def rowsOnly: Set[String] = Set("q_approx_distinct", "q_approx_quantiles")
+
   def oracleSql: Map[String, String] = Map(
     "etl_pipeline" ->
       s"""SELECT ID AS id, HouseNum AS house_number, Street AS street_address,

@@ -27,6 +27,13 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       VerifyJson.render(SparkEntry.oracleSql))
+    // machine-readable split of "no oracle BY CONSTRUCTION" from "no
+    // oracle by omission": a consumer tallying correctness should count
+    // these as rows_only, not as errors (they are sketch-internal
+    // results with hash-green exact twins — see SparkEntry.rowsOnly)
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      "{\"rows_only\": " + SparkEntry.rowsOnly.toSeq.sorted
+        .map(VerifyJson.quote).mkString("[", ",", "]") + "}")
     spark.stop()
   }
 }

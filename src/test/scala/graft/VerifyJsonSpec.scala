@@ -31,4 +31,16 @@ class VerifyJsonSpec extends AnyFunSuite {
     assert(parsed.keySet == SparkEntry.oracleSql.keySet)
     assert(parsed == SparkEntry.oracleSql)
   }
+
+  test("rowsOnly is exactly the set of queries without an oracle") {
+    // every declared query is either DuckDB-hash-checked or explicitly
+    // rows-only BY CONSTRUCTION — a new query with a forgotten oracle
+    // must fail here instead of shipping unchecked
+    val noOracle = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(noOracle == SparkEntry.rowsOnly,
+      s"undeclared oracle-less queries: ${noOracle.diff(SparkEntry.rowsOnly)}; " +
+        s"stale rowsOnly entries: ${SparkEntry.rowsOnly.diff(noOracle)}")
+    // and rows-only entries still are real queries
+    assert(SparkEntry.rowsOnly.subsetOf(SparkEntry.queries.keySet))
+  }
 }
