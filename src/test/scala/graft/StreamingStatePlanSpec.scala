@@ -52,7 +52,8 @@ class StreamingStatePlanSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-plan-cur")
     val state = root.resolve("state").toString
     val gated = Curation.gates(docs, col("doc_id") % 37 === 0)
-    StreamingCuration.mergeBatch(spark, docs.filter(col("doc_id") % 37 === 0),
+    StreamingCuration.mergeBatch(spark,
+      graft.dedup.Dedup.benchmarkNgramIndex(docs.filter(col("doc_id") % 37 === 0)),
       state, 40L, 8)(gated, 0L)
     val slice = spark.read.parquet(state).filter(col("__bucket").isin(0L, 1L))
     val scan = scanOf(slice)

@@ -94,7 +94,8 @@ class StreamingTornStateSpec extends SparkSpec {
     val state = root.resolve("state")
     def gated(w: org.apache.spark.sql.DataFrame) =
       Curation.gates(w, isBench)
-    val merge = StreamingCuration.mergeBatch(spark, benchmark,
+    val merge = StreamingCuration.mergeBatch(spark,
+      graft.dedup.Dedup.benchmarkNgramIndex(benchmark),
       state.toString, 40L, 8) _
     merge(gated(w0), 0L)
     val snap = root.resolve("snap"); copyDir(state, snap)
