@@ -52,6 +52,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * bounding interval, holes included) — that costs only extra touches,
   * never correctness, and a naturally-total touch set degrades to the
   * full rewrite that re-tightens every envelope.
+  *
+  * Fragmentation bound: purely-incremental maintenance would grow the
+  * file count without limit (every disjoint-z compaction adds files and
+  * never merges old ones). When the post-compaction file count would
+  * exceed `maxFiles` (default 4·numFiles), the compaction ESCALATES to
+  * a full re-cluster — all files + deltas — which re-tightens every
+  * envelope and resets the count to ≈ numFiles (target file size is
+  * table-proportional: total rows / numFiles). So steady-state file
+  * count is bounded by maxFiles regardless of ingest pattern, and the
+  * amortized rewrite cost stays incremental: escalation only fires
+  * after ≥ maxFiles − numFiles cheap delta-sized compactions
+  * (probe-checked in ZOrderedIngestSpec).
   */
 object ZOrderedIngest {
 
@@ -115,10 +127,11 @@ object ZOrderedIngest {
       dir: String,
       ckptDir: String,
       numFiles: Int = 32,
-      compactEvery: Int = 4): StreamingQuery = {
+      compactEvery: Int = 4,
+      maxFiles: Int = 0): StreamingQuery = {
     val spark = rows.sparkSession
     rows.writeStream
-      .foreachBatch(ingestBatch(spark, a, b, dir, numFiles, compactEvery) _)
+      .foreachBatch(ingestBatch(spark, a, b, dir, numFiles, compactEvery, maxFiles) _)
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -168,8 +181,10 @@ object ZOrderedIngest {
       b: String,
       dir: String,
       numFiles: Int,
-      compactEvery: Int)(batch: DataFrame, batchId: Long): Unit = {
+      compactEvery: Int,
+      maxFiles: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
+    val fileCap = if (maxFiles > 0) maxFiles else 4 * numFiles
     val (files0, _, upto0) = state(dir)
     // replayed batch already folded into the clustered files (crash
     // between compaction and checkpoint commit): appending it again
@@ -185,7 +200,7 @@ object ZOrderedIngest {
       // touched = files whose envelope contains ≥1 delta z value. The
       // probe scans only the (small) pending deltas against a broadcast
       // of file-count range rows — never the clustered data.
-      val touched: Set[String] = if (files.isEmpty) Set.empty else {
+      val touchedIncr: Set[String] = if (files.isEmpty) Set.empty else {
         import spark.implicits._
         val ranges = broadcast(
           files.map(f => (f.path, f.zmin, f.zmax)).toDF("path", "zmin", "zmax"))
@@ -193,14 +208,23 @@ object ZOrderedIngest {
           .join(ranges, col("__z").between(col("zmin"), col("zmax")))
           .select("path").distinct().as[String].collect().toSet
       }
-      val (touchedFiles, untouched) = files.partition(f => touched(f.path))
       val deltaRows = deltaDf.count()
+      val activeRows = files.map(_.rows).sum
+      // target file size tracks the TABLE (total/numFiles), not the
+      // current files' average — a fragmented table of small files must
+      // not lower the target and lock the fragmentation in
+      val targetRows = math.max(1L, (activeRows + deltaRows) / numFiles)
+      def nfFor(rows: Long) =
+        math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+      // fragmentation bound: escalate to a full re-cluster when the
+      // incremental plan would leave more than fileCap files
+      val incrCount = files.count(f => !touchedIncr(f.path)) +
+        nfFor(files.filter(f => touchedIncr(f.path)).map(_.rows).sum + deltaRows)
+      val touched: Set[String] =
+        if (incrCount > fileCap) files.map(_.path).toSet else touchedIncr
+      val (touchedFiles, untouched) = files.partition(f => touched(f.path))
       val rewriteRows = touchedFiles.map(_.rows).sum + deltaRows
-      // keep file sizes near the table's current average (first write:
-      // aim for numFiles files)
-      val targetRows = if (files.isEmpty) math.max(1L, deltaRows / numFiles)
-        else math.max(1L, files.map(_.rows).sum / files.size)
-      val nf = math.max(1L, (rewriteRows + targetRows - 1) / targetRows).toInt
+      val nf = nfFor(rewriteRows)
       val rewriteDf = (touchedFiles match {
         case Nil => deltaDf
         case ts => spark.read.parquet(ts.map(t => s"$dir/${t.path}"): _*)

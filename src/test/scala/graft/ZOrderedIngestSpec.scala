@@ -128,6 +128,32 @@ class ZOrderedIngestSpec extends SparkSpec {
       .distinct().count() == 100000, "content diverged after partial compactions")
   }
 
+  test("fragmentation stays bounded: disjoint appends escalate to a full re-cluster") {
+    val dir = Files.createTempDirectory("graft-zing-frag").toString
+    // numFiles=2, cap=6: every compaction is a fresh z quadrant (never
+    // touches old files), so the count climbs until escalation folds it
+    val ingest = ZOrderedIngest.ingestBatch(spark, "user_id", "hour",
+      dir, 2, 1, 6) _
+    val waves = 10
+    var sawEscalation = false
+    var peak = 0
+    (0 until waves).foreach { i =>
+      val before = ZOrderedIngest.state(dir)._1.map(_.path).toSet
+      ingest(quad(i * 3000L, i * 3000L + 3000L, 4096L * (i + 1), 256), i.toLong)
+      val after = ZOrderedIngest.state(dir)._1
+      peak = math.max(peak, after.size)
+      assert(after.size <= 6 + 2,
+        s"wave $i: ${after.size} files — fragmentation unbounded")
+      // escalation = a compaction that rewrote previously-untouchable
+      // (z-disjoint) files: no old path survives it
+      if (before.nonEmpty && after.map(_.path).toSet.intersect(before).isEmpty)
+        sawEscalation = true
+    }
+    assert(sawEscalation, s"cap never triggered a full re-cluster (peak $peak)")
+    assert(ZOrderedIngest.read(spark, dir).count() == waves * 3000L,
+      "content diverged across escalations")
+  }
+
   test("crash after swap, before vacuum: straggler deltas neither re-read nor re-fold") {
     val dir = Files.createTempDirectory("graft-zing-crash").toString
     val ingest = ZOrderedIngest.ingestBatch(spark, "user_id", "hour",
