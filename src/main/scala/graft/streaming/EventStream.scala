@@ -316,6 +316,95 @@ object EventStream {
       }
   }
 
+  /** One not-yet-finalized burst: its interval plus the event_ids it
+    * absorbed (the id list is the redelivery guard AND the exact
+    * n_events count; it lives only as long as the burst is open —
+    * finalized ids never need tracking because their redelivery is
+    * watermark-late and inadmissible).
+    */
+  case class BurstSpan(lo: Long, hi: Long, ids: List[Long])
+  case class BurstState(open: List[BurstSpan], nextId: Long)
+  case class BurstOut(burst_id: Long, lo: Long, hi: Long, n_events: Long)
+
+  /** EVENT-TIME-CORRECT streaming bursts — the streaming twin of
+    * EventAnalytics.globalBursts (consecutive events of one type closer
+    * than `gapMs` merge into [lo, hi] intervals; `burst_id` is the
+    * 1-based time-order ordinal). The hard part is that a burst is a
+    * RETROSPECTIVE construct: a new event can arrive that bridges two
+    * intervals believed separate, so nothing can be emitted on sight.
+    * Open intervals buffer in state and finalize only once the
+    * watermark passes `hi + gapMs` — any event that could still extend
+    * or bridge them would be watermark-late and inadmissible, so the
+    * finalized set equals the batch operator's by construction.
+    *
+    * burst_id correctness without a global pass: open spans are
+    * pairwise > gapMs apart, so lo-order == hi-order, and a span can
+    * finalize only after every earlier span has (hi_j + gap < lo_k <
+    * hi_k + gap < wm) — finalization order IS time order, and a
+    * per-state counter hands out exactly the batch ordinals.
+    *
+    * Scale shape: state is the OPEN spans only — bounded by the
+    * disorder horizon × burst density, never stream length; each span
+    * carries its ids (exact count + replay absorption), bounded by
+    * burst size. Like the batch twin, the operator targets the
+    * FILTERED sparse stream (one event type ⇒ one state group); dense
+    * multi-type tracking would key the same state machine by type.
+    * A quiet stream finalizes via the event-time timer re-armed to the
+    * earliest open `hi + gap`; to drive the watermark on a test
+    * stream, send a far-future SAME-type sentinel — it opens a span
+    * whose own finalization horizon is beyond the watermark it
+    * creates, so it never pollutes the output (BurstStreamSpec).
+    */
+  def burstStream(events: DataFrame, eventType: String, gapMs: Long,
+      watermark: String = "1 hour"): Dataset[BurstOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts_utc", watermark)
+      .filter(col("event_type") === eventType)
+      .select(col("ts_ms"), col("event_id"), col("ts_utc"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[BurstState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(BurstState(Nil, 1L))
+          rows.foreach { case (ms, id, _) =>
+            // watermark-late rows are inadmissible (they could bridge or
+            // extend already-finalized bursts); in-horizon redelivery
+            // is absorbed by the open spans' id lists
+            if ((wmMs == 0L || ms >= wmMs) &&
+                !s.open.exists(_.ids.contains(id))) {
+              // a point touches ≤2 spans (they sit > gap apart); merging
+              // everything within gap is exactly the batch gap rule
+              val (touch, rest) = s.open.partition(sp =>
+                ms >= sp.lo - gapMs && ms <= sp.hi + gapMs)
+              val merged = BurstSpan(
+                (ms :: touch.map(_.lo)).min, (ms :: touch.map(_.hi)).max,
+                id :: touch.flatMap(_.ids))
+              s = s.copy(open = merged :: rest)
+            }
+          }
+          // finalize spans no admissible event can ever reach
+          val (done, open) = s.open.partition(_.hi + gapMs < wmMs)
+          val out = done.sortBy(_.lo).zipWithIndex.map { case (sp, i) =>
+            BurstOut(s.nextId + i, sp.lo, sp.hi, sp.ids.size.toLong)
+          }
+          s = BurstState(open, s.nextId + done.size)
+          // the ordinal counter must outlive quiet periods: drop state
+          // only if no burst was ever finalized (nextId still 1)
+          if (s.open.isEmpty && s.nextId == 1L) state.remove()
+          else {
+            state.update(s)
+            if (s.open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(s.open.map(_.hi + gapMs).min, wmMs) + 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already seen,
     * with watermark-bounded state — the streaming form of the
     * training-pipeline exact-dedup operator, and the general version of
