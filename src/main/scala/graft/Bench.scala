@@ -32,8 +32,8 @@ object Bench {
     "text_retrieval_bm25",
     "sample_hash", "sample_stratified", "sample_mixture", "pack_sequences",
     "sample_epoch_shuffle", "text_quality_classifier",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_cluster", "dedup_substring",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_allpairs",
+    "dedup_simhash", "dedup_cluster", "dedup_substring",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_embed_neardup",
     "sim_embed_neardup_lsh", "sim_embed_clusters", "sim_embed_decontaminate",
     "sim_ivf_ann", "sim_ivf_ann_unlabeled", "sim_semdedup", "sim_sq8_ann",

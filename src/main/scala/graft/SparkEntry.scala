@@ -285,6 +285,11 @@ object SparkEntry {
       Dedup.exactSurvivors(Tables.documents(s, dir)).select("doc_id", "lang", "source", "n_chars")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
+    // the EXHAUSTIVE form — every pair with J >= t, no length window —
+    // via prefix-filter candidates (All-Pairs/PPJoin; oracle replays a
+    // brute-force all-pairs join, feasible at oracle scale).
+    "dedup_ngram_allpairs" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir))),
     // passage-level dedup: maximal token spans covered by window-grams
     // occurring ≥2 times corpus-wide (rolling-hash chains → islands).
     "dedup_substring" -> ((s, dir) =>
@@ -1591,6 +1596,20 @@ object SparkEntry {
       s"""WITH $bigramShingleCte,
          |$jaccardScoredCtes
          |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard FROM scored WHERE jaccard >= 0.6""".stripMargin,
+
+    // the exhaustive operator's oracle enumerates ALL pairs — no
+    // candidate rule to replay, which is exactly what makes the
+    // prefix-filter stage's completeness checkable end to end.
+    "dedup_ngram_allpairs" ->
+      s"""WITH $bigramShingleCte,
+         |scored AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS DECIMAL(18,6)) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_id_a, doc_id_b, CAST(CAST(jaccard AS VARCHAR) AS DOUBLE) AS jaccard
+         |FROM scored WHERE jaccard >= 0.6""".stripMargin,
 
     // passage dedup replayed stage by stage: per-token md5 hashes, the
     // rollingHash recurrence folded over every 8-token window (Rabin-Karp
