@@ -441,9 +441,10 @@ object Dedup {
     *    MORE hops in one round is a trap: nested self-joins make
     *    Catalyst's sizeInBytes estimate the PRODUCT of the copies, and
     *    stats estimation itself blows up in BigInteger arithmetic —
-    *    measured minutes of driver CPU at 3 hops.) At web scale the
-    *    alternating large-star/small-star formulation (Kiveris et al.)
-    *    is the equivalent-shape alternative.
+    *    measured minutes of driver CPU at 3 hops.) For web-scale or
+    *    hub-skewed pair graphs the alternating large-star/small-star
+    *    formulation is IMPLEMENTED as [[starContractionComponents]]
+    *    (spec'd label-equal to both paths here).
     *
     * The final singleton join broadcasts the endpoint labels
     * (duplicates are a small fraction of a deduped corpus); if a corpus
@@ -549,6 +550,101 @@ object Dedup {
       iter += 1
     }
     graft.Staging.unpin(p)
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * web-scale formulation [[connectedComponents]]'s scaladoc cites as
+    * the alternative to pointer-jumping min-label propagation, now
+    * implemented rather than described. Same contract as the other two
+    * paths: one row per edge ENDPOINT, `cluster_id` = min doc_id of the
+    * component (StarContractionSpec pins three-way equality).
+    *
+    * Why a third path: the pointer-jumping loop keeps the ORIGINAL edge
+    * set and a label table through every round — per-round cost never
+    * shrinks, and a high-degree hub re-joins its full edge fan every
+    * iteration. Star contraction REWRITES the edge set each round
+    * (large-star hangs every larger neighbor off its neighborhood min;
+    * small-star re-points the smaller ones), so edges collapse toward
+    * their component's star as they go: per-round cost is proportional
+    * to the CURRENT frontier, hubs shrink geometrically, and
+    * convergence is provably O(log² n) rounds (in practice a handful).
+    * The trade: each round shuffles the (shrinking) edge set twice
+    * (symmetrize → per-node window min), where pointer-jumping shuffles
+    * the fixed edge set once — so min-propagation stays the default for
+    * the sparse near-dup graphs this engine typically meets, and star
+    * contraction is the path for web-scale or hub-skewed pair graphs.
+    *
+    * Each round runs inside one job per star operation: the per-node
+    * neighborhood minimum is a WINDOW min over the symmetrized edges
+    * (no collect_list — a hub's neighborhood never materializes as one
+    * array), the emitted edges are filtered projections of the same
+    * windowed frame, and rounds are [[graft.Staging]]-pinned with eager
+    * unpin of the superseded round (the PageRank OOM lesson).
+    * Convergence = the edge set reaching a fixed point: probed cheaply
+    * by (count, xxhash64-sum) checksum, CONFIRMED by an exact
+    * `exceptAll` only when the checksum matches — the probabilistic
+    * probe never decides convergence alone.
+    */
+  def starContractionComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val uw = Window.partitionBy("u")
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      sym
+        .withColumn("m", least(col("u"), min("v").over(uw)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val rows = sym
+        .withColumn("m",
+          least(col("u"), min(when(col("v") < col("u"), col("v"))).over(uw)))
+        .filter(col("v") < col("u"))
+      rows.select(col("v").as("u"), col("m").as("v"))
+        .union(rows.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def checksum(edges: DataFrame): (Long, String) = {
+      // hash-sum through decimal: ANSI mode makes a long sum of xxhash64
+      // values an overflow error, not a wrap
+      val r = edges.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var edges = pairs
+      .select(col("doc_id_a").cast("long").as("u"), col("doc_id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .pipe(graft.Staging.pin)
+    var sig = checksum(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = graft.Staging.pin(smallStar(largeStar(edges)))
+      val nextSum = checksum(next)
+      // checksum match is only the cheap gate; equality is confirmed
+      // exactly (both directions covered: equal counts + empty except)
+      converged = sig == nextSum &&
+        next.exceptAll(edges).isEmpty
+      graft.Staging.unpin(edges)
+      edges = next
+      sig = nextSum
+      iter += 1
+    }
+    // at the fixed point every component is a star centered at its min:
+    // each node's label is the min over its neighborhood (and itself)
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val labels = graft.Staging.pin(sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("cluster_id")))
+    // labels is materialized above — only now is it safe to free the
+    // final edge set's blocks (a lazy consumer over unpinned local
+    // checkpoints would find its blocks gone)
+    graft.Staging.unpin(edges)
     labels
   }
 
