@@ -374,16 +374,30 @@ object Dedup {
     val para = sh.sparkSession.sparkContext.defaultParallelism
     val pref = hs.repartition(para).select(
       col("doc_id"), size(col("hs")).as("s"),
-      explode(VecText.jaccard_prefix(
-        col("hs"), VecText.sorted_set_lit(freqSet), threshold)).as("e"))
-    val a = pref.select(col("e"), col("doc_id").as("doc_id_a"), col("s").as("sa"))
-    val b = pref.select(col("e"), col("doc_id").as("doc_id_b"), col("s").as("sb"))
+      posexplode(VecText.jaccard_prefix(
+        col("hs"), VecText.sorted_set_lit(freqSet), threshold)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "e")
+    val a = pref.select(col("e"), col("doc_id").as("doc_id_a"),
+      col("s").as("sa"), col("p").as("pa"))
+    val b = pref.select(col("e"), col("doc_id").as("doc_id_b"),
+      col("s").as("sb"), col("p").as("pb"))
+    // PPJoin positional filter: at the FIRST canonical-order element a
+    // qualifying pair shares, every other common element lies in both
+    // suffixes, so overlap ≤ 1 + min(remaining-after-e) must still reach
+    // the required o ≥ t′/(1+t′)·(sa+sb). Applying the test at EVERY
+    // shared instance keeps that first instance (completeness) while
+    // pruning most of the duplicate emissions before the distinct.
+    val tp = if (threshold > 1e-6) threshold - 1e-6 else 0.0
+    val oReq = ceil((col("sa") + col("sb")).cast("double") * (tp / (1.0 + tp))
+      - lit(1e-9))
     a.join(b, Seq("e"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       // size-ratio bound (J ≤ min/max for distinct sets) before the
       // distinct, so impossible pairs never shuffle
       .filter(least(col("sa"), col("sb")).cast("double")
         >= greatest(col("sa"), col("sb")).cast("double") * threshold)
+      .filter(lit(1) + least(col("sa") - 1 - col("pa"), col("sb") - 1 - col("pb"))
+        >= oReq)
       .select("doc_id_a", "doc_id_b").distinct()
   }
 
