@@ -350,6 +350,7 @@ object ScaleProbe100 {
       memRun(s"curation_${c}x")(Curation.curate(
         docs, col("doc_id") % 37 === 0, minShared = 40L).count())
       memRun(s"editdist_${c}x")(Dedup.editDistanceNearDups(docs).count())
+      memRun(s"allpairs_${c}x")(Dedup.prefixJaccardPairs(docs).count())
       // edge-set build (the probe's most expensive dataset) only when the
       // pagerank op is actually selected — a targeted run of e.g. only
       // minhash must not pay a full lineitem⋈orders materialization
