@@ -85,6 +85,38 @@ object StreamingDedup {
   def pairs(spark: SparkSession, pairsDir: String): DataFrame =
     KeyedUpsertSink.readBucketed(spark, pairsDir)
 
+  /** Near-dup cluster labels over the maintained pair table, computed on
+    * READ — the [[graft.pipeline.StreamingCuration.corpusView]]
+    * finalize-on-read discipline, for the same reason: cluster
+    * membership is a GLOBAL property of the pair graph. A late-arriving
+    * pair can merge two components believed separate, which is a
+    * retraction of previously-emitted labels — so labels cannot stream
+    * incrementally without rewriting history; deriving them from the
+    * bounded pair relation per consumer is the honest shape. Cost per
+    * read is edge-linear connected components over near-dup pairs (a
+    * vanishing fraction of the corpus): driver union-find under the
+    * documented bound, the distributed loop above it. Equality with the
+    * batch pipeline (pairs == batch ⇒ labels == batch) is pinned
+    * end-to-end by StreamingDedupSpec.
+    *
+    * @param docs the full document corpus (only `doc_id` is read);
+    *             docs never seen by the stream label as singletons
+    */
+  def clustersView(spark: SparkSession, pairsDir: String, docs: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+      docs.select("doc_id"),
+      pairs(spark, pairsDir).select("doc_id_a", "doc_id_b"))
+
+  /** The deduplicated corpus under the maintained pair graph: one
+    * survivor per cluster (the min-doc_id member — `doc_id ==
+    * cluster_id`), derived from [[clustersView]] on read.
+    */
+  def survivors(spark: SparkSession, pairsDir: String, docs: DataFrame): DataFrame =
+    docs.join(
+      clustersView(spark, pairsDir, docs)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "leftsemi")
+
   private def bktOf(numBuckets: Int) =
     pmod(xxhash64(col("band"), col("bucket")), lit(numBuckets.toLong))
 
@@ -144,7 +176,8 @@ object StreamingDedup {
       .filter(least(col("sa"), col("sb")).cast("double")
         >= greatest(col("sa"), col("sb")).cast("double") * threshold)
       .withColumn("jaccard",
-        VecText.jaccard_sorted64(col("hs_a"), col("hs_b")).cast("decimal(18,6)"))
+        VecText.jaccard_threshold_sorted64(col("hs_a"), col("hs_b"), threshold)
+          .cast("decimal(18,6)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"),
         col("jaccard").cast("double").as("jaccard"))

@@ -59,6 +59,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == batchWant)
   }
 
+  test("clustersView and survivors equal the batch pipeline over cross-wave waves") {
+    val root = Files.createTempDirectory("graft-sdedup-clusters")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val pairsDir = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    // reversed waves: cross-wave pairs exist (spec above), so cluster
+    // merges span triggers — exactly what labels-on-read must absorb
+    Seq(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).zipWithIndex.foreach { case (w, i) =>
+      w.write.parquet(s"$landing/w$i")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(landing)
+      StreamingDedup.start(stream, state, pairsDir, ckpt, numBuckets = 8)
+        .awaitTermination()
+    }
+    val streamed = StreamingDedup.clustersView(spark, pairsDir, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Dedup.connectedComponents(
+      docs.select("doc_id"), Dedup.minhashNearDups(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    // survivors are exactly the min-id cluster representatives
+    val surv = StreamingDedup.survivors(spark, pairsDir, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == batch.values.toSet)
+    assert(surv.size < docs.count()) // the fixture has real near-dups
+  }
+
   test("state holds band-signature rows only, partitioned for pruning") {
     val root = Files.createTempDirectory("graft-sdedup-state")
     val landing = Files.createDirectory(root.resolve("landing")).toString
