@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** SQL registration for the engine's custom expressions, so `spark.sql`
   * users get the same kernels as the Column API:
@@ -29,6 +29,14 @@ object GraftFunctions {
       s"$fn: expected integer literal, got $other")
   }
 
+  // SQL fractional literals parse as decimal (ANSI); accept both forms
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected numeric literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_word_shingles" -> (es => VecText.WordShingles(es(0), intArg(es(1), "graft_word_shingles"))),
     "graft_minhash" -> (es => VecText.MinHashSignature(es(0), intArg(es(1), "graft_minhash"))),
@@ -40,7 +48,17 @@ object GraftFunctions {
     "graft_text_stats" -> (es => VecText.TextStats(es(0))),
     "graft_repetition_stats" -> (es => VecText.RepetitionStats(es(0))),
     "graft_rhp_signature" -> (es => VecText.RhpSignature(es(0), intArg(es(1), "graft_rhp_signature"))),
-    "graft_jaccard_exact" -> (es => VecText.JaccardDistinct(es(0), es(1))))
+    "graft_jaccard_exact" -> (es => VecText.JaccardDistinct(es(0), es(1))),
+    // threshold-gated merge-scan: exact J when it can round up to t, -1
+    // with an early exit otherwise (see VecTextKernels scaladoc)
+    "graft_jaccard_threshold" -> (es =>
+      VecText.JaccardThresholdSorted64(es(0), es(1),
+        doubleArg(es(2), "graft_jaccard_threshold"))),
+    // All-Pairs/PPJoin prefix of a sorted hash set under the
+    // (rare, heavy-hitter) canonical order
+    "graft_jaccard_prefix" -> (es =>
+      VecText.JaccardPrefix(es(0), es(1),
+        doubleArg(es(2), "graft_jaccard_prefix"))))
 
   /** Register into an existing session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -236,7 +236,21 @@ object ScaleProbe100 {
       val diff = dist.unionByName(drv).distinct().count() - dist.count()
       println(s"SCALE100 overbound_label_diff $diff (must be 0)")
       require(diff == 0L, "distributed and driver CC labelings diverged!")
-      graft.Staging.unpin(pairs); graft.Staging.unpin(dist); graft.Staging.unpin(drv)
+      // the third path: star contraction (endpoint labels only — join
+      // singletons back for the same relation shape as the others)
+      var star: DataFrame = null
+      time(s"overbound_cc_star") {
+        star = graft.Staging.pin(ids
+          .join(broadcast(Dedup.starContractionComponents(pairs)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+        star.count()
+      }
+      val sdiff = dist.unionByName(star).distinct().count() - dist.count()
+      println(s"SCALE100 overbound_star_label_diff $sdiff (must be 0)")
+      require(sdiff == 0L, "star-contraction CC labeling diverged!")
+      graft.Staging.unpin(pairs); graft.Staging.unpin(dist)
+      graft.Staging.unpin(drv); graft.Staging.unpin(star)
     }
 
     // ---- LM-curation tier at 1×/10×/100× ----

@@ -22,6 +22,28 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getInt(2) == 16)
   }
 
+  test("threshold-gated jaccard and prefix selection work from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d", "b c d e")).toDF("x", "y").createOrReplaceTempView("tg")
+    val row = spark.sql(
+      """SELECT
+        |  graft_jaccard_threshold(
+        |    graft_hash_set(graft_word_shingles(split(x, ' '), 2)),
+        |    graft_hash_set(graft_word_shingles(split(y, ' '), 2)), 0.4) AS jlo,
+        |  graft_jaccard_threshold(
+        |    graft_hash_set(graft_word_shingles(split(x, ' '), 2)),
+        |    graft_hash_set(graft_word_shingles(split(y, ' '), 2)), 0.9) AS jhi,
+        |  size(graft_jaccard_prefix(
+        |    graft_hash_set(graft_word_shingles(split(x, ' '), 2)),
+        |    array(CAST(0 AS BIGINT)), 0.6)) AS plen
+        |FROM tg""".stripMargin).head()
+    // J = 2/4: survives t=0.4 with the exact score, early-exits t=0.9
+    assert(math.abs(row.getDouble(0) - 0.5) < 1e-12)
+    assert(row.getDouble(1) == -1.0)
+    // 3 distinct bigrams, t=0.6: prefix length 3 - 2 + 1 = 2
+    assert(row.getInt(2) == 2)
+  }
+
   test("graft_top_k aggregate works from spark.sql") {
     GraftFunctions.register(spark)
     (1 to 100).map(i => (i % 5, i)).toDF("g", "v").createOrReplaceTempView("s")
