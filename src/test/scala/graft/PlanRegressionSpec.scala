@@ -51,6 +51,20 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bcasts.size >= 2, "pair verification must join against broadcast sketches")
   }
 
+  test("dedup_ngram_allpairs: prefix self-join stays shuffled-hash on skinny keys; verify broadcasts") {
+    val plan = executed(SparkEntry.queries("dedup_ngram_allpairs")(spark, Sf0001))
+    // verify stage: both hashed-sketch sides join broadcast
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 2, "pair verification must join against broadcast sketches")
+    // no cartesian product anywhere — the candidate stage must be an
+    // equi-join on prefix elements, never a blind enumeration
+    val cart = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cart.isEmpty, "exhaustive operator must not plan a cartesian/nested-loop join")
+  }
+
   test("text_decontaminate: benchmark n-gram index broadcasts; no sort-merge join") {
     val plan = executed(SparkEntry.queries("text_decontaminate")(spark, Sf0001))
     assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
