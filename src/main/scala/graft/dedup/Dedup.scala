@@ -172,26 +172,42 @@ object Dedup {
     * At cluster scale, if the doc side outgrows broadcast, drop the hint:
     * the same plan runs as a shuffled hash join on doc_id.
     */
+  /** The size-ratio prune shared by every candidate/verify stage:
+    * J ≤ min/max for distinct sets, so a pair can only reach the
+    * decimal-rounded threshold when min ≥ max·(t − 1e-6). ONE margin
+    * policy for the whole pipeline (see [[VecTextKernels
+    * .jaccardThresholdSorted64]]): the final filter rounds to 6 dp, so
+    * pairs with true J ∈ [t − 5e-7, t) survive it — any stage that can
+    * DISCARD a pair must therefore prune at the relaxed threshold, or a
+    * round-up survivor silently vanishes for mega-element sets (J's
+    * rational granularity only protects below ~10⁵ elements). Compared
+    * directly in double — a coarsened integer form over-prunes
+    * thresholds that are not multiples of 0.1.
+    */
+  private[graft] def sizeRatioKeep(sa: Column, sb: Column, threshold: Double): Column = {
+    val t = math.max(0.0, threshold - 1e-6)
+    least(sa, sb).cast("double") >= greatest(sa, sb).cast("double") * t
+  }
+
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val hashed = sh.select(col("doc_id"),
-      VecText.hash_set64(col("sh")).as("hs"), size(col("sh")).as("s"))
+    // ONE broadcast relation probed by both pair sides: the a/b joins
+    // reference the same aliased frame, so the physical plan builds a
+    // single BroadcastExchange and reuses it (plan-guarded) — the
+    // hash_set64 pass and the broadcast pay once, not twice
+    val hashed = broadcast(sh.select(col("doc_id"),
+      VecText.hash_set64(col("sh")).as("hs"), size(col("sh")).as("s")))
+    val ha = hashed.as("ha")
+    val hb = hashed.as("hb")
     candidates
-      .join(broadcast(hashed.select(col("doc_id").as("doc_id_a"),
-        col("hs").as("hs_a"), col("s").as("sa"))), "doc_id_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_id_b"),
-        col("hs").as("hs_b"), col("s").as("sb"))), "doc_id_b")
-      // size-ratio bound: J ≤ min/max for distinct sets, so a pair can only
-      // reach `threshold` when min ≥ max·threshold. Compared directly in
-      // double — a coarsened integer form (ceil(10t)/10) over-prunes for
-      // thresholds that are not multiples of 0.1.
-      .filter(least(col("sa"), col("sb")).cast("double")
-        >= greatest(col("sa"), col("sb")).cast("double") * threshold)
+      .join(ha, col("doc_id_a") === col("ha.doc_id"))
+      .join(hb, col("doc_id_b") === col("hb.doc_id"))
+      .filter(sizeRatioKeep(col("ha.s"), col("hb.s"), threshold))
       // threshold-gated merge-scan: hopeless pairs (the overwhelming
       // majority of any candidate stream) abort at ~25% of the scan via
       // the required-overlap bound and surface as -1, which the decimal
       // filter drops; survivors score bit-identically to the full scan
       .withColumn("jaccard",
-        VecText.jaccard_threshold_sorted64(col("hs_a"), col("hs_b"), threshold)
+        VecText.jaccard_threshold_sorted64(col("ha.hs"), col("hb.hs"), threshold)
           .cast("decimal(18,6)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard").cast("double").as("jaccard"))
@@ -364,6 +380,14 @@ object Dedup {
     * pairs sharing ≥1 canonical-prefix element, pre-pruned by the
     * size-ratio bound (implied by J ≥ t, so still exhaustive). Exposed
     * for the spec and PrefixProbe to measure candidate volumes.
+    *
+    * Pass accounting: the corpus sketch pipeline (tokenize → shingle →
+    * hash) runs once here, once in the verify broadcast (single
+    * exchange, reused by both pair sides), and once in the eager
+    * heavy-hitter aggregate — three linear passes. At deployment scale
+    * a Staging pin of `hs` (persist strategy) trades memory for two of
+    * them; kept unpinned here because the operator returns a lazy frame
+    * whose lifetime the caller owns.
     */
   private[graft] def prefixJaccardCandidates(sh: DataFrame, threshold: Double,
       freqCut: Long, maxFreqSet: Int): DataFrame = {
@@ -392,10 +416,10 @@ object Dedup {
       - lit(1e-9))
     a.join(b, Seq("e"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      // size-ratio bound (J ≤ min/max for distinct sets) before the
-      // distinct, so impossible pairs never shuffle
-      .filter(least(col("sa"), col("sb")).cast("double")
-        >= greatest(col("sa"), col("sb")).cast("double") * threshold)
+      // shared size-ratio bound (relaxed-threshold policy — see
+      // sizeRatioKeep) before the distinct, so impossible pairs never
+      // shuffle
+      .filter(sizeRatioKeep(col("sa"), col("sb"), threshold))
       .filter(lit(1) + least(col("sa") - 1 - col("pa"), col("sb") - 1 - col("pb"))
         >= oReq)
       .select("doc_id_a", "doc_id_b").distinct()
@@ -649,6 +673,12 @@ object Dedup {
       sig = nextSum
       iter += 1
     }
+    // the closing labeling is ONLY valid at the star fixed point — a
+    // maxIter exit would label a non-star edge set into silently split
+    // components, so fail loudly instead (convergence is O(log² n)
+    // rounds; the default budget is far from binding on any real graph)
+    require(converged,
+      s"starContractionComponents did not converge within $maxIter rounds")
     // at the fixed point every component is a star centered at its min:
     // each node's label is the min over its neighborhood (and itself)
     val sym = edges.select(col("u"), col("v"))

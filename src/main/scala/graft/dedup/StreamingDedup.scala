@@ -173,8 +173,7 @@ object StreamingDedup {
         col("hs").as("hs_a"), col("s").as("sa"))), "doc_id_a")
       .join(broadcast(docsigs.select(col("doc_id").as("doc_id_b"),
         col("hs").as("hs_b"), col("s").as("sb"))), "doc_id_b")
-      .filter(least(col("sa"), col("sb")).cast("double")
-        >= greatest(col("sa"), col("sb")).cast("double") * threshold)
+      .filter(Dedup.sizeRatioKeep(col("sa"), col("sb"), threshold))
       .withColumn("jaccard",
         VecText.jaccard_threshold_sorted64(col("hs_a"), col("hs_b"), threshold)
           .cast("decimal(18,6)"))

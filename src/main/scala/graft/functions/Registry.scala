@@ -29,10 +29,13 @@ object GraftFunctions {
       s"$fn: expected integer literal, got $other")
   }
 
-  // SQL fractional literals parse as decimal (ANSI); accept both forms
+  // SQL fractional literals parse as decimal (ANSI), whole numbers as
+  // int/long; accept every numeric-literal form
   private def doubleArg(e: Expression, fn: String): Double = e match {
     case Literal(v: Double, DoubleType) => v
     case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$fn: expected numeric literal, got $other")
   }
@@ -55,9 +58,14 @@ object GraftFunctions {
       VecText.JaccardThresholdSorted64(es(0), es(1),
         doubleArg(es(2), "graft_jaccard_threshold"))),
     // All-Pairs/PPJoin prefix of a sorted hash set under the
-    // (rare, heavy-hitter) canonical order
+    // (rare, heavy-hitter) canonical order. The kernel binary-searches
+    // the heavy-hitter set, so enforce its sorted precondition by
+    // construction: a literal array constant-folds to one sort, and an
+    // unsorted column input is corrected instead of silently misread
     "graft_jaccard_prefix" -> (es =>
-      VecText.JaccardPrefix(es(0), es(1),
+      VecText.JaccardPrefix(es(0),
+        org.apache.spark.sql.catalyst.expressions.SortArray(es(1),
+          Literal(true)),
         doubleArg(es(2), "graft_jaccard_prefix"))))
 
   /** Register into an existing session (temp functions). */

@@ -500,36 +500,48 @@ object VecTextKernels {
     * volume is bounded by freqCut × total shingle count (linear), not
     * per-block occupancy² (quadratic).
     *
-    * ⌈t·s⌉ is computed as ceil(t·s − 1e-9): a float overshoot would
-    * SHORTEN the prefix and break completeness; the epsilon only ever
-    * lengthens it (more candidates, still exact).
+    * The required overlap is computed at t′ = t − 1e-6, the SAME margin
+    * as [[jaccardThresholdSorted64]] and the downstream prunes: the
+    * verify stage's decimal(18,6) rounding admits pairs with true
+    * J ∈ [t − 5e-7, t), so every stage that can discard a pair must use
+    * the relaxed threshold or the pipeline's exhaustiveness contract
+    * breaks for mega-element sets (J granularity ~1/|union| only
+    * protects below ~10⁵ elements). ⌈t′·s⌉ additionally subtracts 1e-9
+    * against float overshoot: both epsilons only ever LENGTHEN the
+    * prefix (more candidates, still exact).
     */
   def jaccardPrefix(hs: ArrayData, freq: ArrayData, threshold: Double): ArrayData = {
     val s = hs.numElements()
-    val empty = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(Array.emptyLongArray)
-    if (s == 0) return empty
-    val o = math.ceil(threshold * s - 1e-9).toInt
+    if (s == 0) return EmptyLongArray
+    val t = if (threshold > 1e-6) threshold - 1e-6 else 0.0
+    val o = math.ceil(t * s - 1e-9).toInt
     val L0 = s - o + 1
     val L = if (L0 < 0) 0 else if (L0 > s) s else L0
-    if (L == 0) return empty
+    if (L == 0) return EmptyLongArray
     val out = new Array[Long](L)
+    // single membership pass: rares stream straight into the output,
+    // heavy hitters buffer and fill whatever tail the rares leave
+    val hot = new Array[Long](L)
     var w = 0
+    var nHot = 0
     var i = 0
-    while (i < s && w < L) { // rare elements first, in hash order
+    while (i < s && w < L) {
       val h = hs.getLong(i)
-      if (!containsSorted64(freq, h)) { out(w) = h; w += 1 }
+      if (containsSorted64(freq, h)) {
+        if (nHot < L) { hot(nHot) = h; nHot += 1 }
+      } else { out(w) = h; w += 1 }
       i += 1
     }
-    i = 0
-    while (i < s && w < L) { // heavy hitters fill the remainder
-      val h = hs.getLong(i)
-      if (containsSorted64(freq, h)) { out(w) = h; w += 1 }
-      i += 1
-    }
+    var j = 0
+    while (w < L && j < nHot) { out(w) = hot(j); w += 1; j += 1 }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
       if (w == L) out else java.util.Arrays.copyOf(out, w))
   }
+
+  /** Shared empty result for the per-row kernels (no per-row garbage). */
+  private val EmptyLongArray =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
 
   /** Threshold-gated Jaccard of two sorted distinct long arrays: returns
     * the exact Jaccard when it can reach `threshold` (after the oracle's

@@ -49,6 +49,17 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = executed(SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf0001))
     val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
     assert(bcasts.size >= 2, "pair verification must join against broadcast sketches")
+    // both pair sides probe ONE broadcast relation: the second side must
+    // reuse the first side's exchange, not rebuild the hashed sketches.
+    // Exchange reuse only materializes in the FINAL adaptive plan, so
+    // drive this query's own QueryExecution to completion (tiny result)
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan
+    val reused = collectWithSubqueries(finalPlan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, "verify must reuse a single broadcast for both pair sides")
   }
 
   test("dedup_ngram_allpairs: prefix self-join stays shuffled-hash on skinny keys; verify broadcasts") {

@@ -44,6 +44,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getInt(2) == 2)
   }
 
+  test("threshold accepts whole-number literals; unsorted heavy-hitter arrays are corrected") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_jaccard_threshold(array(1L, 2L), array(1L, 2L), 1) AS jint,
+        |  graft_jaccard_prefix(array(3L, 5L, 9L), array(9L, 3L), 0.6) AS pu,
+        |  graft_jaccard_prefix(array(3L, 5L, 9L), array(3L, 9L), 0.6) AS ps
+        |""".stripMargin).head()
+    // identical sets survive an integer threshold of 1 with J = 1.0
+    assert(row.getDouble(0) == 1.0)
+    // the unsorted heavy-hitter set classifies identically to the sorted
+    // one: rare 5 first, then the earliest heavy hitter 3 (L = 2)
+    assert(row.getSeq[Long](1) == Seq(5L, 3L))
+    assert(row.getSeq[Long](1) == row.getSeq[Long](2))
+  }
+
   test("graft_top_k aggregate works from spark.sql") {
     GraftFunctions.register(spark)
     (1 to 100).map(i => (i % 5, i)).toDF("g", "v").createOrReplaceTempView("s")
