@@ -167,15 +167,18 @@ object StreamingDedup {
     //    a batch touching most of a huge state would drop the hint and
     //    run the same plan as a shuffled hash join on doc_id (the batch
     //    verify documents the identical fallback)
-    val docsigs = bSide.select("doc_id", "hs", "s").dropDuplicates("doc_id")
+    // one broadcast relation probed by both pair sides (the batch
+    // verify's reused-exchange shape — the plan builds the hashed sets
+    // and the broadcast once)
+    val docsigs = broadcast(bSide.select("doc_id", "hs", "s").dropDuplicates("doc_id"))
+    val da = docsigs.as("da")
+    val db = docsigs.as("db")
     val verified = candidates
-      .join(broadcast(docsigs.select(col("doc_id").as("doc_id_a"),
-        col("hs").as("hs_a"), col("s").as("sa"))), "doc_id_a")
-      .join(broadcast(docsigs.select(col("doc_id").as("doc_id_b"),
-        col("hs").as("hs_b"), col("s").as("sb"))), "doc_id_b")
-      .filter(Dedup.sizeRatioKeep(col("sa"), col("sb"), threshold))
+      .join(da, col("doc_id_a") === col("da.doc_id"))
+      .join(db, col("doc_id_b") === col("db.doc_id"))
+      .filter(Dedup.sizeRatioKeep(col("da.s"), col("db.s"), threshold))
       .withColumn("jaccard",
-        VecText.jaccard_threshold_sorted64(col("hs_a"), col("hs_b"), threshold)
+        VecText.jaccard_threshold_sorted64(col("da.hs"), col("db.hs"), threshold)
           .cast("decimal(18,6)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"),
