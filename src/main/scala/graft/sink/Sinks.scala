@@ -34,6 +34,24 @@ object KeyedUpsertSink {
       .drop("__graft_rn")
   }
 
+  /** New batch outranks existing rows on equal order values: tag a
+    * generation column so replays/redeliveries resolve deterministically.
+    * THE LWW merge shared by every upsert variant — one place for the
+    * tie-break semantics.
+    */
+  private def mergeLww(existing: Option[DataFrame], batch: DataFrame,
+      keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val tagged = batch.withColumn("__gen", lit(1L))
+    val merged = existing match {
+      case Some(old) =>
+        latestByKey(
+          old.withColumn("__gen", lit(0L)).unionByName(tagged),
+          keys, order :+ col("__gen"))
+      case None => latestByKey(tagged, keys, order)
+    }
+    merged.drop("__gen")
+  }
+
   /** Streaming upsert via foreachBatch: read-merge-overwrite a parquet
     * table (build environment has no transactional table format on the
     * classpath — SURVEY.md §7.4.4; on a real deployment this body swaps for
@@ -41,7 +59,13 @@ object KeyedUpsertSink {
     *
     * Idempotent per batch replay: merging the same batch twice is a no-op
     * because the merge itself is last-write-wins on `keys` — this upgrades
-    * the reference's at-least-once to effectively-once.
+    * the reference's at-least-once to effectively-once. Crash windows:
+    * the replace is a rename-aside + rename-in swap (microseconds, never
+    * an O(files) delete with the table absent), and a crash between the
+    * two renames self-heals on the next batch ([[recoverReplace]] moves
+    * the set-aside table back). For multi-writer / reader-concurrent
+    * crash-consistency use [[upsertBucketedAtomic]] — manifest readers
+    * never observe a partial swap there.
     */
   def upsertBatch(
       spark: SparkSession,
@@ -49,40 +73,88 @@ object KeyedUpsertSink {
       keys: Seq[String],
       order: Seq[Column])(batch: DataFrame, batchId: Long): Unit = {
     val target = Paths.get(tablePath)
+    recoverReplace(target)
+    reclaimReplaceLeftovers(target)
+    // empty batch: merging is the identity — and writing would create a
+    // _SUCCESS-only directory that poisons the next batch's schema read
+    if (batch.isEmpty) return
     val existing =
       if (nonEmptyDir(target)) Some(spark.read.parquet(tablePath))
       else None
-
-    // New batch outranks existing rows on equal order values: tag a
-    // generation column so replays/redeliveries resolve deterministically.
-    val tagged   = batch.withColumn("__gen", lit(1L))
-    val merged = existing match {
-      case Some(old) =>
-        latestByKey(
-          old.withColumn("__gen", lit(0L)).unionByName(tagged),
-          keys,
-          order :+ col("__gen"))
-      case None => latestByKey(tagged, keys, order)
-    }
-
     val staging = tablePath + s".staging-$batchId"
-    merged.drop("__gen").write.mode(SaveMode.Overwrite).parquet(staging)
+    mergeLww(existing, batch, keys, order)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
     replaceDir(Paths.get(staging), target)
   }
 
   /** Existence probe that closes its directory stream — a bare
     * `Files.list(...).findAny()` leaks one descriptor per micro-batch on
-    * a long-running stream.
+    * a long-running stream. A directory holding only the `_SUCCESS`
+    * marker or hidden staging entries counts as EMPTY — reading one as a
+    * table fails schema inference. `__bucket=N` partition directories DO
+    * count (they start with `_` but are the data itself).
     */
   private def nonEmptyDir(target: Path): Boolean =
     Files.exists(target) && {
+      import scala.jdk.CollectionConverters._
       val s = Files.list(target)
-      try s.findAny().isPresent finally s.close()
+      try s.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n != "_SUCCESS" && !n.startsWith(".")
+      } finally s.close()
     }
 
+  /** Swap `staging` into place with two renames: the old table moves
+    * aside (one rename — never a recursive delete while the table is
+    * absent), staging moves in, and only then is the set-aside copy
+    * reclaimed. The crash window is two metadata operations; a crash
+    * inside it leaves the old table intact under `.old-*`, which
+    * [[recoverReplace]] restores on the next batch instead of silently
+    * rebuilding the table from one batch.
+    */
   private def replaceDir(staging: Path, target: Path): Unit = {
-    if (Files.exists(target)) deleteRecursively(target)
-    Files.move(staging, target)
+    if (Files.exists(target)) {
+      val old = Paths.get(s"$target.old-${System.nanoTime()}")
+      Files.move(target, old)
+      Files.move(staging, target)
+      deleteRecursively(old)
+    } else Files.move(staging, target)
+  }
+
+  /** Crash recovery for [[replaceDir]]: if the table is missing but a
+    * set-aside `.old-*` sibling exists (crash between the two renames),
+    * restore the newest one — the previously committed table — before
+    * merging anything.
+    */
+  private def recoverReplace(target: Path): Unit = {
+    if (Files.exists(target)) return
+    siblings(target, ".old-").sortBy(_.getFileName.toString).lastOption
+      .foreach(old => Files.move(old, target))
+  }
+
+  /** Best-effort reclamation of crash leftovers around a replaced table:
+    * with the table present, any `.old-*` / `.staging-*` sibling older
+    * than a one-minute grace is an abandoned attempt (the same dwell
+    * rule as the atomic variant's `_manifest.tmp-*` sweep).
+    */
+  private def reclaimReplaceLeftovers(target: Path): Unit = {
+    if (!Files.exists(target)) return
+    val now = System.currentTimeMillis()
+    (siblings(target, ".old-") ++ siblings(target, ".staging-"))
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis > 60000L)
+      .foreach(deleteRecursively)
+  }
+
+  /** Siblings of `target` named `<table><suffixPrefix>*`. */
+  private def siblings(target: Path, suffixPrefix: String): Seq[Path] = {
+    val parent = target.getParent
+    if (parent == null || !Files.exists(parent)) return Seq.empty
+    val prefix = target.getFileName.toString + suffixPrefix
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(parent)
+    try s.iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith(prefix))
+    finally s.close()
   }
 
   /** Recursive delete that closes its walk stream — same descriptor-leak
@@ -122,28 +194,33 @@ object KeyedUpsertSink {
       keys: Seq[String],
       order: Seq[Column],
       numBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
+    // pin the batch before deriving `touched`: the write re-executes the
+    // plan, and a non-deterministic upstream could otherwise emit a row
+    // into a bucket absent from `touched` — dynamic overwrite would then
+    // replace that bucket WITHOUT its merged old rows (silent deletion;
+    // the same hazard writeGeneration closes with persist + disk listing)
     val bucketed = batch
-      .withColumn("__gen", lit(1L))
       .withColumn("__bucket", bucketOf(keys, numBuckets))
-    val target = Paths.get(tablePath)
-    val tableExists = nonEmptyDir(target)
-    val merged =
-      if (!tableExists) latestByKey(bucketed, keys, order)
-      else {
-        // distinct buckets of a micro-batch: a bounded-size (≤ numBuckets)
-        // driver list — partition-pruning metadata, not data
-        val touched = bucketed.select("__bucket").distinct()
-          .collect().map(_.getLong(0))
-        val existing = spark.read.parquet(tablePath)
-          .filter(col("__bucket").isin(touched: _*)) // prunes to touched dirs
-          .withColumn("__gen", lit(0L))
-        latestByKey(existing.unionByName(bucketed), keys, order :+ col("__gen"))
-      }
-    merged.drop("__gen")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic") // replace touched buckets only
-      .partitionBy("__bucket")
-      .parquet(tablePath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distinct buckets of a micro-batch: a bounded-size (≤ numBuckets)
+      // driver list — partition-pruning metadata, not data
+      val touched = bucketed.select("__bucket").distinct()
+        .collect().map(_.getLong(0))
+      // empty batch: nothing to merge, and writing would leave a
+      // marker-only directory behind
+      if (touched.isEmpty) return
+      val target = Paths.get(tablePath)
+      val existing =
+        if (!nonEmptyDir(target)) None
+        else Some(spark.read.parquet(tablePath)
+          .filter(col("__bucket").isin(touched: _*))) // prunes to touched dirs
+      mergeLww(existing, bucketed, keys, order)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic") // replace touched buckets only
+        .partitionBy("__bucket")
+        .parquet(tablePath)
+    } finally bucketed.unpersist()
   }
 
   /** Read the bucketed table without its layout column. */
@@ -213,7 +290,6 @@ object KeyedUpsertSink {
       batch: DataFrame,
       batchId: Long): Option[(String, Seq[Long])] = {
     val bucketed = batch
-      .withColumn("__gen", lit(1L))
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -224,15 +300,8 @@ object KeyedUpsertSink {
       val manifest = readManifest(tablePath)
       val existing = readManifestBuckets(spark, tablePath,
         manifest.filter { case (b, _) => touched.contains(b) })
-      val merged = existing match {
-        case Some(old) =>
-          latestByKey(
-            old.withColumn("__gen", lit(0L)).unionByName(bucketed),
-            keys, order :+ col("__gen"))
-        case None => latestByKey(bucketed, keys, order)
-      }
       val gen = nextGenName(tablePath, batchId)
-      merged.drop("__gen")
+      mergeLww(existing, bucketed, keys, order)
         .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
         .partitionBy("__bucket")
         .parquet(s"$tablePath/$gen")
@@ -286,7 +355,14 @@ object KeyedUpsertSink {
     fsyncDir(Paths.get(tablePath)) // make the rename itself durable
     val hist = Paths.get(tablePath, "_hist")
     Files.createDirectories(hist)
-    writeFsynced(hist.resolve(gen), bytes)
+    // same tmp + atomic-rename discipline as _manifest: an in-place
+    // write crashed (or read) halfway leaves a truncated snapshot that
+    // poisons every later vacuumGenerations(grace>0) parse
+    val histTmp = hist.resolve(s".$gen.tmp")
+    writeFsynced(histTmp, bytes)
+    Files.move(histTmp, hist.resolve(gen),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Write + force to stable storage, so the atomic rename promotes a
@@ -338,7 +414,11 @@ object KeyedUpsertSink {
     }.reduce(_ unionByName _))
 
   /** Read the atomic table at its current manifest, without the layout
-    * column.
+    * column. Before the first commit there is no schema to offer, so the
+    * zero-column `emptyDataFrame` comes back — callers that must project
+    * specific columns before data exists should gate on
+    * `readManifest(path).nonEmpty` (schema lives in the data files; this
+    * sink stores none of its own).
     */
   def readBucketedAtomic(spark: SparkSession, tablePath: String): DataFrame = {
     val manifest = readManifest(tablePath)
@@ -359,8 +439,16 @@ object KeyedUpsertSink {
     * (`_hist/`, ordered by batchId then attempt) is retained in addition
     * to the current one — the reader's whole resolved view survives.
     * Grace 0 reclaims everything unreferenced (the round-5 behavior).
+    *
+    * `quiesceMs` guards CONCURRENT WRITERS: an unreferenced `gen-*`
+    * directory (or `_manifest.tmp-*` file) may belong to a commit in
+    * flight right now — staged but not yet manifest-swapped — so only
+    * entries quiescent longer than the dwell are reclaimed. The default
+    * minute dwarfs any stage-commit window; pass 0 only when no writer
+    * can be active (tests, offline maintenance).
     */
-  def vacuumGenerations(tablePath: String, graceManifests: Int = 0): Seq[String] = {
+  def vacuumGenerations(tablePath: String, graceManifests: Int = 0,
+      quiesceMs: Long = 60000L): Seq[String] = {
     val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) return Seq.empty
     import scala.jdk.CollectionConverters._
@@ -377,7 +465,7 @@ object KeyedUpsertSink {
     // may be between writeFsynced(tmp) and the atomic rename right now,
     // and deleting its tmp would fail that commit. One minute dwarfs any
     // write-fsync-rename window while still reclaiming crash leftovers.
-    val tmpGraceMs = 60000L
+    val tmpGraceMs = quiesceMs
     val now = System.currentTimeMillis()
     staleTmp
       .filter(p => now - Files.getLastModifiedTime(p).toMillis > tmpGraceMs)
@@ -388,6 +476,13 @@ object KeyedUpsertSink {
     // widened retroactively)
     pruneHistory(dir, keep = math.max(graceManifests + 1, 16) * 4)
     gens.filterNot(p => live.contains(p.getFileName.toString))
+      // same dwell rule as the tmp sweep, for generation DIRECTORIES: a
+      // concurrent writer may be between staging gen-N and its manifest
+      // commit right now — the dir exists, no manifest references it yet,
+      // and deleting it would tear the commit. A directory's mtime
+      // advances as the write lands files, so only demonstrably
+      // abandoned (quiescent > grace) unreferenced gens are reclaimed.
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis > tmpGraceMs)
       .sortBy(_.getFileName.toString)
       .map { p => deleteRecursively(p); p.getFileName.toString }
   }
@@ -397,27 +492,34 @@ object KeyedUpsertSink {
     * sinks.
     */
   private def pruneHistory(dir: Path, keep: Int): Unit = {
+    histSnapshots(dir).sortBy(p => genOrder(p.getFileName.toString))
+      .reverse.drop(keep)
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  /** Committed `_hist/` snapshots — hidden entries (in-flight `.tmp`
+    * writes) are excluded, both to skip unparseable names and to leave a
+    * concurrent commit's staging file alone.
+    */
+  private def histSnapshots(dir: Path): List[Path] = {
     val hist = dir.resolve("_hist")
-    if (!Files.exists(hist)) return
+    if (!Files.exists(hist)) return Nil
     import scala.jdk.CollectionConverters._
     val s = Files.list(hist)
-    val snaps = try s.iterator().asScala.toList finally s.close()
-    snaps.sortBy(p => genOrder(p.getFileName.toString)).reverse.drop(keep)
-      .foreach(Files.deleteIfExists(_))
+    try s.iterator().asScala.toList
+      .filterNot(_.getFileName.toString.startsWith("."))
+    finally s.close()
   }
 
   /** The `n` most recent `_hist/` manifest snapshots, newest first,
     * ordered by the (batchId, attempt) encoded in the generation name.
     */
   private def recentHistory(dir: Path, n: Int): Seq[Path] = {
-    val hist = dir.resolve("_hist")
-    if (n <= 0 || !Files.exists(hist)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(hist)
-    val snaps = try s.iterator().asScala.toList finally s.close()
+    if (n <= 0) return Seq.empty
     // the newest snapshot duplicates the current manifest, so reaching n
     // PRIOR committed manifests means taking n+1 snapshots
-    snaps.sortBy(p => genOrder(p.getFileName.toString)).reverse.take(n + 1)
+    histSnapshots(dir).sortBy(p => genOrder(p.getFileName.toString))
+      .reverse.take(n + 1)
   }
 
   /** Sort key for generation names: `gen-<batchId>` < `gen-<batchId>-r<k>`. */
@@ -428,7 +530,10 @@ object KeyedUpsertSink {
 
   private def manifestValues(p: Path): Set[String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.filter(_.nonEmpty)
+    // tolerate a malformed line (e.g. a pre-tmp-discipline truncated
+    // snapshot): skipping it only RETAINS extra generations, never
+    // deletes live ones
+    Files.readAllLines(p).asScala.filter(_.contains(","))
       .map(_.split(",", 2)(1)).toSet
   }
 }
@@ -442,7 +547,15 @@ object PartitionedSink {
 
   def writeDatePartitioned(events: DataFrame, path: String): Unit =
     events
-      .withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+      // UTC day from epoch-microsecond arithmetic — date_format renders
+      // in spark.sql.session.timeZone, so the partition label would
+      // depend on session config (two differently-configured writers
+      // would split the same UTC day across partitions); this form is
+      // config-independent and identical to the old one under the
+      // repo's pinned-UTC sessions
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+        floor(unix_micros(col("ts_utc")) / lit(86400000000L)).cast("int"))
+        .cast("string"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("day")
       .parquet(path)
@@ -458,7 +571,9 @@ object AuditSink {
     * bus event to the observe Lambda (stack.ts:276-283). Union is the
     * Spark-native multicast-listener: no shuffle, partitions concatenate.
     */
-  def tap(stages: Map[String, DataFrame]): DataFrame =
+  def tap(stages: Map[String, DataFrame]): DataFrame = {
+    require(stages.nonEmpty,
+      "AuditSink.tap needs at least one stage (an empty reduce would throw opaquely)")
     stages
       .map { case (stage, df) =>
         df.select(
@@ -466,6 +581,7 @@ object AuditSink {
           col("source"), col("detailType"), col("time"))
       }
       .reduce(_ unionByName _)
+  }
 
   /** The README.md:27 "tally" the reference suggests but never built:
     * reconcile extracted-vs-loaded counts per stage.

@@ -20,9 +20,13 @@ object Telemetry {
       durationMs: Long)
 
   /** Collects per-batch progress for all streaming queries. Thread-safe
-    * snapshot via `progress`.
+    * snapshot via `progress`. Retention is BOUNDED (`maxEntries`, newest
+    * kept): a listener attached to a long-running session otherwise
+    * accumulates one entry per micro-batch per query for its lifetime —
+    * an unbounded driver-memory leak on exactly the deployments the
+    * listener exists for.
     */
-  class ProgressListener extends StreamingQueryListener {
+  class ProgressListener(maxEntries: Int = 100000) extends StreamingQueryListener {
     private val buf = ArrayBuffer.empty[BatchProgress]
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -34,6 +38,8 @@ object Telemetry {
           e.progress.batchId,
           e.progress.numInputRows,
           e.progress.batchDuration)
+        // amortized trim: drop the oldest half when the cap is exceeded
+        if (buf.length > maxEntries) buf.remove(0, buf.length - maxEntries / 2)
       }
 
     def progress: Seq[BatchProgress] = buf.synchronized(buf.toSeq)

@@ -50,7 +50,7 @@ class AtomicSinkSpec extends SparkSpec {
     assert(after == Set(("a", 2L, 20L), ("b", 1L, 10L), ("c", 1L, 10L), ("d", 1L, 20L)))
 
     // vacuum reclaims nothing that the manifest still references
-    val removed = KeyedUpsertSink.vacuumGenerations(path)
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
     assert(table(path) == after)
     // gen-0 still holds b and c's current buckets, so it must survive
     assert(!removed.contains("gen-0"))
@@ -64,7 +64,7 @@ class AtomicSinkSpec extends SparkSpec {
     // second batch touches the same keys → same buckets → gen-0 dies
     sink(batchDf(("a", 2L, 20L), ("b", 2L, 20L)), 1L)
     assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
-    val removed = KeyedUpsertSink.vacuumGenerations(path)
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
     assert(removed == Seq("gen-0"))
     assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
   }
@@ -93,9 +93,36 @@ class AtomicSinkSpec extends SparkSpec {
     // and a second replay on top of the replay is equally harmless
     sink(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L)
     assert(table(path) == committed)
-    val removed = KeyedUpsertSink.vacuumGenerations(path)
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
     assert(table(path) == committed)
     assert(removed.nonEmpty) // superseded attempt dirs are garbage, reclaimed
+  }
+
+  test("vacuum never reclaims a freshly-staged (possibly in-flight) generation by default") {
+    val path = Files.createTempDirectory("graft-atomic6").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 4) _
+    sink(batchDf(("a", 1L, 10L)), 0L)
+    // a concurrent writer is mid-commit: staged, manifest not yet swapped
+    KeyedUpsertSink.writeGeneration(
+      spark, path, Seq("k"), Seq(col("ts")), 4, batchDf(("a", 2L, 20L)), 1L)
+    // default quiesce dwell: the unreferenced-but-fresh gen-1 SURVIVES —
+    // deleting it would tear the in-flight commit
+    assert(!KeyedUpsertSink.vacuumGenerations(path).contains("gen-1"))
+    assert(Files.exists(java.nio.file.Paths.get(path, "gen-1")))
+    // offline maintenance (no writer can be active) reclaims it
+    assert(KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L).contains("gen-1"))
+  }
+
+  test("empty batches stage nothing and break nothing") {
+    val path = Files.createTempDirectory("graft-atomic7").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 4) _
+    sink(batchDf(), 0L) // empty FIRST batch: no table dir, no manifest
+    assert(KeyedUpsertSink.readManifest(path).isEmpty)
+    sink(batchDf(("a", 1L, 10L)), 1L)
+    sink(batchDf(), 2L) // empty later batch: a no-op
+    assert(table(path) == Set(("a", 1L, 10L)))
   }
 
   test("vacuum grace window keeps the generations of a stalled reader's manifest") {
@@ -112,7 +139,7 @@ class AtomicSinkSpec extends SparkSpec {
     sink(batchDf(("a", 2L, 20L), ("b", 2L, 20L)), 1L)
 
     // grace=1 retains everything the previous committed manifest referenced
-    val removed = KeyedUpsertSink.vacuumGenerations(path, graceManifests = 1)
+    val removed = KeyedUpsertSink.vacuumGenerations(path, graceManifests = 1, quiesceMs = 0L)
     assert(!removed.contains("gen-0"))
     // the stalled reader completes against its resolved (old) generation
     val stale = stalledReader.select("k", "v", "ts")
@@ -120,7 +147,7 @@ class AtomicSinkSpec extends SparkSpec {
     assert(stale == Set(("a", 1L, 10L), ("b", 1L, 10L)))
 
     // without grace, the superseded generation is reclaimed
-    val removed0 = KeyedUpsertSink.vacuumGenerations(path)
+    val removed0 = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
     assert(removed0.contains("gen-0"))
     assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
   }

@@ -120,6 +120,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("upsertBatch self-heals a crash between the replace renames; empty batches are no-ops") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-crash").resolve("t").toString
+    val sink = graft.sink.KeyedUpsertSink
+      .upsertBatch(spark, dir, Seq("id"), Seq(col("seq"))) _
+    sink(Seq.empty[(String, String, Long)].toDF("id", "v", "seq"), 0L)
+    // empty FIRST batch: no marker-only table dir is left behind
+    assert(!Files.exists(java.nio.file.Paths.get(dir)))
+    sink(Seq(("1", "a", 1L), ("2", "b", 1L)).toDF("id", "v", "seq"), 1L)
+    // simulate a writer killed between rename-aside and rename-in: the
+    // table vanishes, the set-aside copy remains
+    Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".old-simulated"))
+    // the next batch restores the set-aside table BEFORE merging, so the
+    // previously committed keys survive instead of silently vanishing
+    sink(Seq(("3", "c", 1L)).toDF("id", "v", "seq"), 2L)
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 3)
+    assert(t.select("id").as[String].collect().toSet == Set("1", "2", "3"))
+  }
+
   test("streaming curation: gates run unchanged on a document stream into the bucketed sink") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
