@@ -128,8 +128,13 @@ object KeyedUpsertSink {
     */
   private def recoverReplace(target: Path): Unit = {
     if (Files.exists(target)) return
-    siblings(target, ".old-").sortBy(_.getFileName.toString).lastOption
-      .foreach(old => Files.move(old, target))
+    val stamp = target.getFileName.toString + ".old-"
+    // numeric sort on the nanoTime suffix — a lexicographic sort
+    // mis-orders across digit-count boundaries
+    siblings(target, ".old-")
+      .sortBy(p => p.getFileName.toString.stripPrefix(stamp).toLongOption
+        .getOrElse(Long.MinValue))
+      .lastOption.foreach(old => Files.move(old, target))
   }
 
   /** Best-effort reclamation of crash leftovers around a replaced table:
