@@ -85,7 +85,14 @@ object ZOrderedIngest {
       if (!Files.exists(manifestPath(dir))) (Nil, -1L)
       else {
         val lines = Files.readString(manifestPath(dir)).linesIterator.toSeq
-        val u = lines.head.stripPrefix("upto=").toLong
+        // the manifest write is tmp+fsync+atomic-rename, so a parse miss
+        // is format drift (or hand editing), never a torn write — fail
+        // loudly with context instead of a bare NumberFormatException
+        val u = lines.headOption.map(_.stripPrefix("upto="))
+          .flatMap(_.toLongOption)
+          .getOrElse(throw new IllegalStateException(
+            s"unrecognized _MANIFEST at $dir: expected first line " +
+            s"'upto=<batchId>', got '${lines.headOption.getOrElse("<empty>")}'"))
         val fs = lines.tail.filter(_.nonEmpty).map { l =>
           val Array(p, lo, hi, n) = l.split("\t")
           ZFile(p, lo.toLong, hi.toLong, n.toLong)

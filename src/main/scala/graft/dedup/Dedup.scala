@@ -189,13 +189,25 @@ object Dedup {
     least(sa, sb).cast("double") >= greatest(sa, sb).cast("double") * t
   }
 
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, sorted hash set, shingle count) — the relation every
+    * Jaccard verify/candidate stage reads. Factored out so callers that
+    * need it MORE THAN ONCE ([[prefixJaccardPairs]]) can pin one copy
+    * instead of re-running the tokenize→shingle→hash kernel per consumer.
+    */
+  private[graft] def hashedSets(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      VecText.hash_set64(col("sh")).as("hs"), size(col("sh")).as("s"))
+
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardHashed(candidates, hashedSets(sh), threshold)
+
+  private def verifyJaccardHashed(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     // ONE broadcast relation probed by both pair sides: the a/b joins
     // reference the same aliased frame, so the physical plan builds a
     // single BroadcastExchange and reuses it (plan-guarded) — the
     // hash_set64 pass and the broadcast pay once, not twice
-    val hashed = broadcast(sh.select(col("doc_id"),
-      VecText.hash_set64(col("sh")).as("hs"), size(col("sh")).as("s")))
+    val hashed = broadcast(sets.select(col("doc_id"), col("hs"), col("s")))
     val ha = hashed.as("ha")
     val hb = hashed.as("hb")
     candidates
@@ -371,9 +383,18 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
       freqCut: Long = 32, maxFreqSet: Int = 1 << 17): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-    verifyJaccard(
-      prefixJaccardCandidates(sh, threshold, freqCut, maxFreqSet),
-      sh, threshold)
+    // ONE corpus kernel pass: pin the hashed sets, and let the
+    // heavy-hitter aggregate, both prefix-explode join sides, and the
+    // verify broadcast all read the pinned relation — previously each
+    // re-ran tokenize→shingle→hash (four linear passes). The pin's
+    // lifetime follows the returned frame: the lazy result references
+    // the pinned leaf, so its blocks are reclaimed by the ContextCleaner
+    // once the caller drops the frame (an explicit unpin here would
+    // free blocks the un-materialized result still needs).
+    val sets = graft.Staging.pin(hashedSets(sh))
+    verifyJaccardHashed(
+      prefixJaccardCandidates(sets, threshold, freqCut, maxFreqSet),
+      sets, threshold)
   }
 
   /** The prefix-filter candidate stage of [[prefixJaccardPairs]]: id
@@ -381,21 +402,20 @@ object Dedup {
     * size-ratio bound (implied by J ≥ t, so still exhaustive). Exposed
     * for the spec and PrefixProbe to measure candidate volumes.
     *
-    * Pass accounting: the corpus sketch pipeline (tokenize → shingle →
-    * hash) runs once here, once in the verify broadcast (single
-    * exchange, reused by both pair sides), and once in the eager
-    * heavy-hitter aggregate — three linear passes. At deployment scale
-    * a Staging pin of `hs` (persist strategy) trades memory for two of
-    * them; kept unpinned here because the operator returns a lazy frame
-    * whose lifetime the caller owns.
+    * Takes the [[hashedSets]] relation, NOT raw shingles: the candidate
+    * stage reads it three times (heavy-hitter aggregate + both
+    * prefix-explode join sides), so the caller decides whether it is a
+    * pinned one-pass materialization ([[prefixJaccardPairs]] pins) or a
+    * recompute-per-consumer lazy frame (the probes, where candidate
+    * counting is the whole job).
     */
-  private[graft] def prefixJaccardCandidates(sh: DataFrame, threshold: Double,
+  private[graft] def prefixJaccardCandidates(sets: DataFrame, threshold: Double,
       freqCut: Long, maxFreqSet: Int): DataFrame = {
-    val hs = sh.select(col("doc_id"), VecText.hash_set64(col("sh")).as("hs"))
+    val hs = sets.select(col("doc_id"), col("hs"))
     val freqSet = frequentShingleHashes(hs, freqCut, maxFreqSet)
     // spread the pre-fan-out side: a small corpus can arrive as ONE file
     // split, which would put the whole prefix explode on one task
-    val para = sh.sparkSession.sparkContext.defaultParallelism
+    val para = sets.sparkSession.sparkContext.defaultParallelism
     val pref = hs.repartition(para).select(
       col("doc_id"), size(col("hs")).as("s"),
       posexplode(VecText.jaccard_prefix(

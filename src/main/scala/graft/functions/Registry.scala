@@ -40,13 +40,25 @@ object GraftFunctions {
       s"$fn: expected numeric literal, got $other")
   }
 
+  // The merge-scan Jaccard kernels require SORTED DISTINCT arrays (the
+  // graft_hash_set image). At the SQL surface enforce the precondition by
+  // construction: a conforming input (the normal path) re-sorts a sorted
+  // array — cheap — while an ad-hoc unsorted/duplicated array is
+  // corrected instead of silently misread. Literal arrays constant-fold
+  // to one normalization. Scala callers on the Column API keep the raw
+  // expressions (they pass hash_set64 images by construction).
+  private def sortedSet(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, SortArray}
+    SortArray(ArrayDistinct(e), Literal(true))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_word_shingles" -> (es => VecText.WordShingles(es(0), intArg(es(1), "graft_word_shingles"))),
     "graft_minhash" -> (es => VecText.MinHashSignature(es(0), intArg(es(1), "graft_minhash"))),
     "graft_simhash" -> (es => VecText.SimHash64(es(0))),
     "graft_fvec_dot" -> (es => VecText.FloatVecDot(es(0), es(1))),
     "graft_hash_set" -> (es => VecText.HashSet64(es(0))),
-    "graft_jaccard" -> (es => VecText.JaccardSorted64(es(0), es(1))),
+    "graft_jaccard" -> (es => VecText.JaccardSorted64(sortedSet(es(0)), sortedSet(es(1)))),
     "graft_top_k" -> (es => TopKDesc(es(0), intArg(es(1), "graft_top_k"))),
     "graft_text_stats" -> (es => VecText.TextStats(es(0))),
     "graft_repetition_stats" -> (es => VecText.RepetitionStats(es(0))),
@@ -55,17 +67,13 @@ object GraftFunctions {
     // threshold-gated merge-scan: exact J when it can round up to t, -1
     // with an early exit otherwise (see VecTextKernels scaladoc)
     "graft_jaccard_threshold" -> (es =>
-      VecText.JaccardThresholdSorted64(es(0), es(1),
+      VecText.JaccardThresholdSorted64(sortedSet(es(0)), sortedSet(es(1)),
         doubleArg(es(2), "graft_jaccard_threshold"))),
     // All-Pairs/PPJoin prefix of a sorted hash set under the
-    // (rare, heavy-hitter) canonical order. The kernel binary-searches
-    // the heavy-hitter set, so enforce its sorted precondition by
-    // construction: a literal array constant-folds to one sort, and an
-    // unsorted column input is corrected instead of silently misread
+    // (rare, heavy-hitter) canonical order; the kernel binary-searches
+    // the heavy-hitter set, so both arguments get the same normalization
     "graft_jaccard_prefix" -> (es =>
-      VecText.JaccardPrefix(es(0),
-        org.apache.spark.sql.catalyst.expressions.SortArray(es(1),
-          Literal(true)),
+      VecText.JaccardPrefix(sortedSet(es(0)), sortedSet(es(1)),
         doubleArg(es(2), "graft_jaccard_prefix"))))
 
   /** Register into an existing session (temp functions). */

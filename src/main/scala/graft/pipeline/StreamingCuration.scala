@@ -96,18 +96,29 @@ object StreamingCuration {
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // tie the cache's lifetime to the query's
+    // tie the cache's lifetime to the query's; the unpersist is guarded
+    // so the termination event and the post-registration isActive probe
+    // below can race without double-release
     val qid = query.id
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          benchIndex.unpersist()
+          if (released.compareAndSet(false, true)) benchIndex.unpersist()
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // an AvailableNow query over little/no data can terminate BEFORE the
+    // listener registers — its terminated event then never reaches the
+    // listener and the cache (plus the listener itself) would leak
+    if (!query.isActive) {
+      if (released.compareAndSet(false, true)) benchIndex.unpersist()
+      spark.streams.removeListener(listener) // no-op if already removed
+    }
     query
   }
 

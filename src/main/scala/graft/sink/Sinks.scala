@@ -114,7 +114,11 @@ object KeyedUpsertSink {
     */
   private def replaceDir(staging: Path, target: Path): Unit = {
     if (Files.exists(target)) {
-      val old = Paths.get(s"$target.old-${System.nanoTime()}")
+      // wall-clock stamp, NOT nanoTime: recoverReplace picks the newest
+      // set-aside numerically, and nanoTime origins are arbitrary per JVM
+      // — across a restart it could rank a stale crash leftover above the
+      // genuinely newest table
+      val old = Paths.get(s"$target.old-${System.currentTimeMillis()}")
       Files.move(target, old)
       Files.move(staging, target)
       deleteRecursively(old)
@@ -129,7 +133,7 @@ object KeyedUpsertSink {
   private def recoverReplace(target: Path): Unit = {
     if (Files.exists(target)) return
     val stamp = target.getFileName.toString + ".old-"
-    // numeric sort on the nanoTime suffix — a lexicographic sort
+    // numeric sort on the wall-clock suffix — a lexicographic sort
     // mis-orders across digit-count boundaries
     siblings(target, ".old-")
       .sortBy(p => p.getFileName.toString.stripPrefix(stamp).toLongOption

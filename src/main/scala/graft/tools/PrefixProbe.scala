@@ -31,7 +31,8 @@ object PrefixProbe {
       println(s"PREFIX length_join_volume_${c}x $lengthJoinVolume")
       val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
       println(s"PREFIX prefix_candidates_${c}x " +
-        Dedup.prefixJaccardCandidates(sh, 0.6, 32L, 1 << 17).count())
+        Dedup.prefixJaccardCandidates(Dedup.hashedSets(sh), 0.6, 32L, 1 << 17)
+          .count())
       time(s"ngram_jaccard_${c}x")(Dedup.blockedJaccardPairs(docs).count())
       time(s"ngram_jaccard_allpairs_${c}x")(Dedup.prefixJaccardPairs(docs).count())
       time(s"cluster_${c}x")(Dedup.jaccardClusters(docs).count())

@@ -140,7 +140,8 @@ class PrefixJaccardSpec extends SparkSpec {
   test("prefix filtering never enumerates blindly: candidates stay below the full cross product") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
     val n = docs.count()
-    val prefixCand = Dedup.prefixJaccardCandidates(sh, 0.6, 32L, 1 << 17).count()
+    val prefixCand = Dedup.prefixJaccardCandidates(
+      Dedup.hashedSets(sh), 0.6, 32L, 1 << 17).count()
     val verified = Dedup.prefixJaccardPairs(docs, 0.6).count()
     assert(prefixCand >= verified) // candidates are a superset of results
     assert(prefixCand < n * (n - 1) / 2)

@@ -104,4 +104,22 @@ class SqlFunctionsSpec extends SparkSpec {
       .createOrReplaceTempView("v")
     assert(spark.sql("SELECT graft_fvec_dot(a, b) FROM v").head().getDouble(0) == 32.0)
   }
+
+  test("SQL surface corrects unsorted/duplicated merge-scan inputs instead of misreading") {
+    GraftFunctions.register(spark)
+    // identical sets in different arrival orders: a raw merge-scan would
+    // return 1/3; the registered form normalizes to sorted-distinct first
+    assert(spark.sql(
+      "SELECT graft_jaccard(array(2L, 1L), array(1L, 2L))")
+      .head().getDouble(0) == 1.0)
+    assert(spark.sql(
+      "SELECT graft_jaccard_threshold(array(2L, 1L, 2L), array(1L, 2L), 0.5)")
+      .head().getDouble(0) == 1.0)
+    // unsorted doc set: the prefix must come from the canonical
+    // (sorted-distinct) image, same as the Column-API pipeline computes
+    val p = spark.sql(
+      "SELECT graft_jaccard_prefix(array(9L, 3L, 5L, 3L), array(100L), 0.99)")
+      .head().getSeq[Long](0)
+    assert(p == Seq(3L))
+  }
 }

@@ -95,6 +95,28 @@ class StreamingCurationSpec extends SparkSpec {
     assert(StreamingCuration.corpusView(spark, state).collect().toSet == batchWant)
   }
 
+  test("index cache is released after termination even with no data to trigger on") {
+    // an AvailableNow query over an empty landing dir can terminate
+    // before the cleanup listener registers; the post-registration
+    // isActive probe must release the persisted index anyway
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val root = Files.createTempDirectory("graft-scur-empty")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    StreamingCuration.start(stream, benchmark, isBench, state, ckpt,
+      minShared = MinShared, numBuckets = 8).awaitTermination()
+    // the terminated-event path is async (listener bus): poll briefly
+    val deadline = System.currentTimeMillis() + 15000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"benchmark index cache leaked after query termination: rdd ids $leaked")
+  }
+
   test("state stays bounded: survivor rows only, no text column") {
     val root = Files.createTempDirectory("graft-scur-state")
     val landing = Files.createDirectory(root.resolve("landing")).toString
