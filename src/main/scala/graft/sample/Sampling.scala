@@ -90,7 +90,10 @@ object Sampling {
       .crossJoin(broadcast(counts.agg(min("n_g").as("n_min"))))
       .select(col("mix_g"),
         sqrt(col("n_min").cast("double") / col("n_g").cast("double")).as("rate"))
-    df.join(broadcast(rates), group === col("mix_g"))
+    // null-safe join key: groupBy counts a NULL group as its own group,
+    // so the rate row exists — but `===` would silently DROP every
+    // null-group row instead of downsampling it
+    df.join(broadcast(rates), group <=> col("mix_g"))
       .filter(hashFraction(key) < col("rate"))
       .drop("mix_g")
       .withColumn("sample_rate",

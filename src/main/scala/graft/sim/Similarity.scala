@@ -133,20 +133,39 @@ object Similarity {
   def rhpSignature(emb: Column, bits: Int = 16): Column =
     VecText.rhp_signature(emb, bits)
 
+  /** Band i of a banded signature: bits [i·bandBits, (i+1)·bandBits). */
+  private def bandSlice(sig: Column, i: Int, bandBits: Int): Column = {
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    shiftrightunsigned(sig, i * bandBits).bitwiseAND(mask)
+  }
+
+  /** Smallest band index where two signatures collide — the emit-once
+    * key of every banded candidate join (a pair sharing several bands is
+    * kept only where `band === minSharedBand`, both signatures being in
+    * the joined row, so no DISTINCT shuffle is ever needed).
+    */
+  private def minSharedBand(sigA: Column, sigB: Column, nBands: Int,
+      bandBits: Int): Column =
+    array_min(array((0 until nBands).map(i =>
+      when(bandSlice(sigA, i, bandBits) === bandSlice(sigB, i, bandBits),
+        lit(i))): _*))
+
   /** LSH-bucketed ANN: queries and corpus are bucketed by multi-probe
     * banded signatures (4 bands of bits/4 each); candidates share any
     * band bucket; exact cosine re-ranks within candidates.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, bits: Int = 16): DataFrame = {
+    // 4 bands must tile the signature exactly — a non-multiple would
+    // silently leave the high bits computed but never bucketed
+    require(bits <= 64 && bits % 4 == 0, "bits must be ≤64 and a multiple of 4")
     val bandBits = bits / 4
-    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, idName: String, embName: String, normName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(embName),
           fnorm(col("embedding")).as(normName),
           rhpSignature(col("embedding"), bits).as("sig"))
         .select(col(idName), col(embName), col(normName),
           posexplode(array((0 until 4).map(b =>
-            shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+            bandSlice(col("sig"), b, bandBits)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val qb = banded(queries, "query_id", "q_emb", "q_norm")
     val cb = banded(corpus, "neighbor_id", "c_emb", "c_norm")
@@ -389,9 +408,6 @@ object Similarity {
       bandBits: Int = 8): DataFrame = {
     require(bits <= 64 && bits % bandBits == 0, "bits must be ≤64, a multiple of bandBits")
     val nBands = bits / bandBits
-    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
-    def bslice(sig: Column, i: Int): Column =
-      shiftrightunsigned(sig, i * bandBits).bitwiseAND(mask)
     // spread the pre-fan-out side: a single-file corpus would otherwise
     // put the whole band explode + candidate join on one task
     val para = embeddings.sparkSession.sparkContext.defaultParallelism
@@ -399,18 +415,15 @@ object Similarity {
       .select(col("vec_id"), rhpSignature(col("embedding"), bits).as("sig"))
       .repartition(para)
     val banded = sigs.select(col("vec_id"), col("sig"),
-      posexplode(array((0 until nBands).map(bslice(col("sig"), _)): _*)))
+      posexplode(array((0 until nBands).map(bandSlice(col("sig"), _, bandBits)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"),
       col("vec_id").as("vec_id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("vec_id").as("vec_id_b"), col("sig").as("sig_b"))
-    // emit each colliding pair once: only at the smallest shared band
-    // (both signatures are in the joined row — no DISTINCT shuffle)
-    val minShared = array_min(array((0 until nBands).map(i =>
-      when(bslice(col("sig_a"), i) === bslice(col("sig_b"), i), lit(i))): _*))
     val cands = a.join(b, Seq("band", "bucket"))
-      .filter(col("vec_id_a") < col("vec_id_b") && col("band") === minShared)
+      .filter(col("vec_id_a") < col("vec_id_b")
+        && col("band") === minSharedBand(col("sig_a"), col("sig_b"), nBands, bandBits))
       .select("vec_id_a", "vec_id_b")
     verifyNearDupCandidates(cands, embeddings, threshold)
   }
@@ -492,22 +505,17 @@ object Similarity {
       bandBits: Int = 8): DataFrame = {
     require(bits <= 64 && bits % bandBits == 0, "bits must be ≤64, a multiple of bandBits")
     val nBands = bits / bandBits
-    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
-    def bslice(sig: Column, i: Int): Column =
-      shiftrightunsigned(sig, i * bandBits).bitwiseAND(mask)
     def banded(df: DataFrame, idName: String, sigName: String): DataFrame =
       df.select(col("vec_id").as(idName),
           rhpSignature(col("embedding"), bits).as(sigName))
         .select(col(idName), col(sigName),
-          posexplode(array((0 until nBands).map(bslice(col(sigName), _)): _*)))
+          posexplode(array((0 until nBands).map(bandSlice(col(sigName), _, bandBits)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val para = corpus.sparkSession.sparkContext.defaultParallelism
     val benchBanded = banded(benchmark, "bench_id", "sig_b")
     val corpusBanded = banded(corpus.repartition(para), "vec_id", "sig_a")
-    val minShared = array_min(array((0 until nBands).map(i =>
-      when(bslice(col("sig_a"), i) === bslice(col("sig_b"), i), lit(i))): _*))
     val cands = corpusBanded.join(broadcast(benchBanded), Seq("band", "bucket"))
-      .filter(col("band") === minShared)
+      .filter(col("band") === minSharedBand(col("sig_a"), col("sig_b"), nBands, bandBits))
       .select("vec_id", "bench_id")
     val embN = (df: DataFrame, id: String, e: String, n: String) =>
       df.select(col("vec_id").as(id), col("embedding").as(e),
@@ -594,6 +602,11 @@ object Similarity {
     // now). Staged via the Staging seam: localCheckpoint single-JVM,
     // -Dgraft.staging=persist|reliable where executor loss must be
     // recoverable — output is strategy-independent (StagingStrategySpec).
+    // Pin lifetime follows the returned LAZY frame (the survivors
+    // anti-join reads it), so the blocks are ContextCleaner-reclaimed
+    // when the caller drops the result — an eager unpin here would free
+    // what the un-materialized result still needs, and an eager result
+    // pin would collapse the plan the plan guards assert on.
     val assigned = assignToCentroids(embeddings.select("vec_id", "embedding"), trained)
       .withColumn("nrm", fnorm(col("embedding")))
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("centroid_id"))
@@ -879,7 +892,11 @@ object Similarity {
         require(!mRow.isNullAt(0),
           "PQ auto-rerank: empty corpus — no code groups to size the refine window against")
         val mhat = mRow.getLong(0)
-        (codedP, math.min(math.max(k * mhat, k.toLong), 1024L).toInt)
+        // the 1024 cap keeps queries×R broadcast-sized, but can never
+        // undercut k itself — the refine window must cover the answer
+        // (k > 1024 inherently broadcasts queries×k either way)
+        (codedP, math.min(math.max(k * mhat, k.toLong),
+          math.max(1024L, k.toLong)).toInt)
       }
     val joined = coarse match {
       case Some(_) => codedEff.join(broadcast(qSide), Seq("list_id"))
@@ -926,12 +943,17 @@ object Similarity {
     }
     // auto mode pinned the corpus-sized coded table; the final ranking is
     // queries×k rows, so pin THAT (tiny, GC-reclaimed) and release the
-    // coded blocks before returning — repeated AutoRerank calls must not
-    // accumulate corpus-sized checkpoint blocks until GC
+    // coded blocks AND the codebook pin before returning — repeated
+    // AutoRerank calls must not accumulate checkpoint blocks until GC.
+    // In the explicit-rerank path the result is LAZY and still references
+    // the pinned bookArrs, so its lifetime follows the returned frame
+    // (ContextCleaner reclaims on drop) — an unpin here would free blocks
+    // the un-materialized result needs.
     if (rerank >= 0) result
     else {
       val out = graft.Staging.pin(result)
       graft.Staging.unpin(codedEff)
+      graft.Staging.unpin(bookArrs) // == pqArrs when there is no coarse stage
       out
     }
   }

@@ -136,6 +136,13 @@ object EventStream {
 
   /** Session windows per user (gap-based) — the streaming twin of
     * EventAnalytics.sessionize, via the native session_window operator.
+    *
+    * Boundary parity: the batch rule starts a new session only when
+    * `ts - prev > gap` (STRICT — two events exactly gap apart share a
+    * session). `session_window` matches it exactly: Spark merges
+    * sessions whose ranges TOUCH (next.start ≤ current.end of the
+    * [ts, ts+gap) range), i.e. merge ⟺ diff ≤ gap — pinned by the
+    * exact-gap/gap+1µs boundary case in EventStreamSpec.
     */
   def sessions(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
@@ -179,12 +186,19 @@ object EventStream {
   }
 
   /** Streaming funnel detection via flatMapGroupsWithState (Append mode:
-    * zero-or-one emission per batch per user) — emits a user exactly once,
-    * at the first `to`-event that follows a `from`-event. State per user:
-    * (earliest from-ts seen, already-emitted flag). The streaming twin of
-    * EventAnalytics.funnel's membership semantics.
+    * zero-or-one emission per user, in the first batch where membership
+    * holds) — the streaming twin of EventAnalytics.funnel's membership
+    * semantics (`max(to-ts) > min(from-ts)`, strict).
+    *
+    * That predicate is MONOTONE in the event set — later arrivals can
+    * only turn it on, never off — so the state is two watermark-free
+    * longs per user and NO arrival order can drop a hit: a to-event
+    * delivered in an earlier micro-batch than its event-time-earlier
+    * from-event qualifies the user the moment the from lands (a
+    * consume-on-sight formulation would lose exactly that case).
     */
-  case class FunnelState(firstFromUs: Option[Long], emitted: Boolean)
+  case class FunnelState(minFromUs: Option[Long], maxToUs: Option[Long],
+      emitted: Boolean)
   case class FunnelHit(user_id: Long)
 
   def funnelDetect(events: DataFrame, from: String, to: String): Dataset[FunnelHit] = {
@@ -198,18 +212,20 @@ object EventStream {
       .flatMapGroupsWithState[FunnelState, FunnelHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(None, emitted = false))
-          var hit = false
-          // fold this batch's rows in event-time order
-          rows.toSeq.sortBy(r => r._3).foreach { case (_, tpe, us) =>
-            if (tpe == from && s.firstFromUs.forall(_ > us))
-              s = s.copy(firstFromUs = Some(us))
-            else if (tpe == to && !s.emitted && s.firstFromUs.exists(_ < us)) {
-              s = s.copy(emitted = true); hit = true
-            }
+          var s = state.getOption.getOrElse(
+            FunnelState(None, None, emitted = false))
+          rows.foreach { case (_, tpe, us) =>
+            if (tpe == from && s.minFromUs.forall(_ > us))
+              s = s.copy(minFromUs = Some(us))
+            else if (tpe == to && s.maxToUs.forall(_ < us))
+              s = s.copy(maxToUs = Some(us))
           }
+          val qualifies =
+            s.minFromUs.exists(f => s.maxToUs.exists(_ > f))
+          val emitNow = qualifies && !s.emitted
+          if (emitNow) s = s.copy(emitted = true)
           state.update(s)
-          if (hit) Iterator(FunnelHit(user)) else Iterator.empty
+          if (emitNow) Iterator(FunnelHit(user)) else Iterator.empty
       }
   }
 
@@ -405,12 +421,19 @@ object EventStream {
       }
   }
 
-  /** Streaming exact dedup: drop events whose event_id was already seen,
-    * with watermark-bounded state — the streaming form of the
-    * training-pipeline exact-dedup operator, and the general version of
-    * the at-least-once absorption the reference gets from idempotent
-    * PutItem (SURVEY.md §1.4). State holds one entry per event_id inside
-    * the watermark horizon; late duplicates beyond it age out.
+  /** Streaming exact dedup: drop events whose event_id was already seen —
+    * the streaming form of the training-pipeline exact-dedup operator,
+    * and the general version of the at-least-once absorption the
+    * reference gets from idempotent PutItem (SURVEY.md §1.4).
+    *
+    * STATE IS UNBOUNDED here by design: `dropDuplicates` on a key subset
+    * that excludes the event-time column never evicts (the watermark
+    * only bounds state when the event-time column is part of the dedup
+    * key), so this variant holds one entry per DISTINCT event_id ever
+    * seen — the configuration when a duplicate may arrive arbitrarily
+    * late and must still drop. For unbounded keyspaces on long-running
+    * streams use [[dedupEventsBounded]], which holds only the
+    * redelivery horizon.
     */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts_utc", watermark).dropDuplicates("event_id")
@@ -469,7 +492,10 @@ object EventStream {
       .queryName(queryName)
       .outputMode(mode)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop even when a micro-batch fails (e.g. a fixture-drift
+    // raise_error) — a failed-but-unstopped query would keep its state
+    // store and listener registrations alive for the session
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

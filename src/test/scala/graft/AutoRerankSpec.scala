@@ -52,6 +52,18 @@ class AutoRerankSpec extends SparkSpec {
       "the planted multiplicity no longer exceeds the window")
   }
 
+  test("auto-R accepts k above the broadcast cap: window covers k, never throws") {
+    // k > 1024: the cap keeps queries×R broadcast-bounded but must never
+    // undercut k itself — the old min(..., 1024) made the refine branch's
+    // `rerank window must cover k` require() throw for any k > 1024
+    val got = Similarity.pqTopK(corpus, queries, k = 1500,
+      rerank = Similarity.AutoRerank)
+    val perQuery = got.groupBy("query_id").count()
+      .agg(min("count"), max("count")).head()
+    // 3000 corpus vectors minus self → every query ranks up to k of them
+    assert(perQuery.getLong(0) == 1500L && perQuery.getLong(1) == 1500L)
+  }
+
   test("auto-R reaches brute-force recall on the same corpus (PQ and IVF-PQ)") {
     val rPq = recall(Similarity.pqTopK(corpus, queries, k = 5,
       rerank = Similarity.AutoRerank))

@@ -122,6 +122,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept(rarest) == counts(rarest))
   }
 
+  test("mixtureSqrt downsamples a NULL group at its rate instead of dropping it") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+    val nNull = docs.filter(col("lang").isNull).count()
+    assert(nNull > 0)
+    val kept = Sampling.mixtureSqrt(docs, col("lang"), col("doc_id"))
+      .filter(col("lang").isNull).count()
+    // null is a group like any other: present, downsampled, not removed
+    assert(kept > 0 && kept <= nNull, s"null group: kept $kept of $nNull")
+  }
+
   test("packSequences: offsets stay under budget and sequences chain within a shard") {
     val docs = Seq(
       (1L, "s1", 1000L), (2L, "s1", 1500L), (3L, "s1", 100L), (4L, "s1", 3000L),

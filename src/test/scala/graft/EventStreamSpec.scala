@@ -143,6 +143,73 @@ class EventStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("funnel membership survives cross-batch event-time disorder (to lands before from)") {
+    // membership is max(to) > min(from) — monotone — so a purchase
+    // delivered one micro-batch BEFORE its event-time-earlier signup
+    // must still qualify the user once the signup lands
+    val root = Files.createTempDirectory("graft-funnel-disorder")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val ckpt = root.resolve("ckpt").toString
+    val hits = scala.collection.mutable.Set[Long]()
+    def runWave(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts_us LONG")
+        .option("recursiveFileLookup", "true").parquet(landing)
+      val q = EventStream.funnelDetect(src, "signup", "purchase").toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          hits ++= b.as[Long].collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 1: the to-event only — no emission possible yet
+    Seq((7L, "purchase", 20L)).toDF("user_id", "event_type", "ts_us")
+      .write.parquet(s"$landing/w0")
+    runWave()
+    assert(hits.isEmpty, "to-event alone must not qualify")
+    // wave 2: the out-of-order from-event (earlier ts) arrives late
+    Seq((7L, "signup", 10L), (8L, "signup", 30L))
+      .toDF("user_id", "event_type", "ts_us")
+      .write.parquet(s"$landing/w1")
+    runWave()
+    assert(hits.toSet == Set(7L),
+      s"expected user 7 (from=10 < to=20) and not user 8 (no to), got $hits")
+  }
+
+  test("streaming sessions merge events exactly gap apart, like the batch rule") {
+    // batch starts a new session only when diff > gap (STRICT): two
+    // events exactly 30 min apart share a session, 30 min + 1 µs apart
+    // split. session_window merges TOUCHING ranges (merge ⟺ diff ≤ gap),
+    // so the two rules coincide at both boundary sides — pinned here
+    val t0 = 1700000000000000L // µs
+    val gapUs = 30L * 60 * 1000 * 1000
+    val rows = Seq(
+      (1L, 100L, "click", t0), (1L, 101L, "click", t0 + gapUs), // exact gap: merge
+      (2L, 200L, "click", t0), (2L, 201L, "click", t0 + gapUs + 1)) // gap+1µs: split
+    val ev = rows.toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts_ms", (col("ts_us") / 1000).cast("long"))
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val want = EventAnalytics.sessionize(ev)
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.count(_._1 == 1L) == 1 && want.count(_._2 == 2L) == 1,
+      s"batch premise: user 1 one 2-event session, got $want")
+    val dir = Files.createTempDirectory("graft-gap-edge").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    EventStream.runToMemory(
+      EventStream.sessions(stream), "sessions_gap_edge", OutputMode.Complete())
+    val got = spark.table("sessions_gap_edge")
+      .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("stateful query runs on the RocksDB state store (production config)") {
     // HDFS-backed state keeps every key on-heap; RocksDB is the provider
     // that survives 100TB-scale key cardinalities. Same query, same
