@@ -55,18 +55,43 @@ object Queries {
     * Output doubles are value-identical to the decimal formulation:
     * both correctly round the same exact rationals.
     */
+  /** The shared ×100 LONG fixed-point machinery of the exact revenue /
+    * moment sums (error analysis in [[q1PricingSummary]]'s scaladoc):
+    * ONE home for the split constant, the hi/lo word decomposition, the
+    * exact decimal(38,0) rejoin, and the cents×(100−disc%) revenue
+    * product — five queries share the arithmetic, so an envelope change
+    * cannot silently diverge one of them.
+    */
+  private object Fx {
+    val split = 100000000L
+    /** cents×(100−disc%) of the current lineitem row — scale 1e4. */
+    def revenueProduct: Column = {
+      val yf = round(col("l_extendedprice") * 100).cast("long")
+      val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
+      yf * dfac
+    }
+    // `/` on longs promotes to double in Spark; the quotient is still
+    // exact-to-truncation here (p < 2^53, so the division error ~1e-10
+    // never crosses a 1e-8-spaced truncation boundary) and the cast
+    // back to long restores the integral hi word
+    def hi(p: Column): Column = (p / split).cast("long")
+    def lo(p: Column): Column = p % split
+    /** Reconstruct the exact integer from summed hi/lo words. */
+    def rejoin(hi: Column, lo: Column): Column =
+      hi.cast("decimal(38,0)") * lit(split) + lo
+    /** Exact rejoin → ONE double cast → back to currency scale. */
+    def revenue(hiSum: Column, loSum: Column): Column =
+      rejoin(hiSum, loSum).cast("double") / 10000.0
+  }
+
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val qf = round(col("l_quantity") * 100).cast("long")
     val yf = round(col("l_extendedprice") * 100).cast("long")
-    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
-    val split = 100000000L
-    val p = yf * dfac
+    val p = Fx.revenueProduct
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
       .select(col("l_returnflag"), col("l_linestatus"), qf.as("qf"), yf.as("yf"),
-        // `/` promotes to double; exact-to-truncation (p < 2^53, error
-        // ~1e-15 never crosses a 1e-8-spaced boundary) — see q_stats
-        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
+        Fx.hi(p).as("p_hi"), Fx.lo(p).as("p_lo"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum(col("qf")).as("sq"), sum(col("yf")).as("sy"),
         sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"),
@@ -74,8 +99,7 @@ object Queries {
       .select(col("l_returnflag"), col("l_linestatus"),
         (col("sq").cast("double") / 100.0).as("sum_qty"),
         (col("sy").cast("double") / 100.0).as("sum_base_price"),
-        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
-          .cast("double") / 10000.0).as("sum_disc_price"),
+        Fx.revenue(col("sp_hi"), col("sp_lo")).as("sum_disc_price"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -95,19 +119,15 @@ object Queries {
     // exact ×100 fixed-point revenue (see q1PricingSummary): the per-order
     // sums ride the join as two LONG words; the top-k sort compares the
     // exact integer, so ties and near-ties rank engine-independently
-    val yf = round(col("l_extendedprice") * 100).cast("long")
-    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
-    val split = 100000000L
-    val p = yf * dfac
+    val p = Fx.revenueProduct
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
-      .select(col("l_orderkey"), (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
+      .select(col("l_orderkey"), Fx.hi(p).as("p_hi"), Fx.lo(p).as("p_lo"))
     li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
-      .withColumn("rev_fp",
-        col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
+      .withColumn("rev_fp", Fx.rejoin(col("sp_hi"), col("sp_lo")))
       .orderBy(col("rev_fp").desc, col("l_orderkey"))
       .limit(10)
       .select(col("l_orderkey"), col("orderdate"),
@@ -126,13 +146,10 @@ object Queries {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     // exact ×100 fixed-point revenue rows (see q1PricingSummary): the
     // cents×(100−disc%) product rides the joins as two LONG words
-    val yf = round(col("l_extendedprice") * 100).cast("long")
-    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
-    val split = 100000000L
-    val p = yf * dfac
+    val p = Fx.revenueProduct
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
-        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
+        Fx.hi(p).as("p_hi"), Fx.lo(p).as("p_lo"))
     li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey")
@@ -142,8 +159,7 @@ object Queries {
       .groupBy(col("n_name"), col("r_name"))
       .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
       .select(col("n_name"), col("r_name"),
-        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
-          .cast("double") / 10000.0).as("revenue"))
+        Fx.revenue(col("sp_hi"), col("sp_lo")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -157,21 +173,16 @@ object Queries {
     * invisible to results, not just to a spec's toy frame.
     */
   def skewJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val yf = round(col("l_extendedprice") * 100).cast("long")
-    val dfac = lit(100L) - round(col("l_discount") * 100).cast("long")
-    val split = 100000000L
-    val p = yf * dfac
+    val p = Fx.revenueProduct
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"),
-        (p / split).cast("long").as("p_hi"), (p % split).as("p_lo"))
+      .select(col("l_partkey"), Fx.hi(p).as("p_hi"), Fx.lo(p).as("p_lo"))
     val part = Tables.part(spark, dir)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
     Layout.saltedJoin(li, part, "l_partkey", 8)
       .groupBy("p_brand")
       .agg(sum(col("p_hi")).as("sp_hi"), sum(col("p_lo")).as("sp_lo"))
       .select(col("p_brand"),
-        ((col("sp_hi").cast("decimal(38,0)") * lit(split) + col("sp_lo"))
-          .cast("double") / 10000.0).as("revenue"))
+        Fx.revenue(col("sp_hi"), col("sp_lo")).as("revenue"))
       .orderBy("p_brand")
   }
 
@@ -375,18 +386,13 @@ object Queries {
     // scale beyond the documented envelope fails, never returns garbage.
     val qf = round(col("l_quantity") * 100).cast("long")
     val yf = round(col("l_extendedprice") * 100).cast("long")
-    val split = 100000000L
     val pYY = yf * yf
     val pXY = qf * yf
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), qf.as("qf"), yf.as("yf"),
         (qf * qf).as("p_xx"),
-        // `/` on longs promotes to double in Spark; the quotient is still
-        // exact-to-truncation here (p < 2^53, so the division error
-        // ~1e-10 never crosses a 1e-8-spaced truncation boundary) and the
-        // cast back to long restores the integral hi word
-        (pYY / split).cast("long").as("yy_hi"), (pYY % split).as("yy_lo"),
-        (pXY / split).cast("long").as("xy_hi"), (pXY % split).as("xy_lo"))
+        Fx.hi(pYY).as("yy_hi"), Fx.lo(pYY).as("yy_lo"),
+        Fx.hi(pXY).as("xy_hi"), Fx.lo(pXY).as("xy_lo"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("qf")).as("sxf"), sum(col("p_xx")).as("sxxf"),
@@ -397,18 +403,21 @@ object Queries {
         // reconstruct the exact integer moments, then ONE double cast
         // each — identical exact value on both engines → identical IEEE
         // arithmetic downstream
-        def rejoin(hi: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column) =
-          (hi.cast("decimal(38,0)") * lit(split) + lo).cast("double")
         val dx  = col("sxf").cast("double") / 100.0
         val dxx = col("sxxf").cast("double") / 10000.0
         val dy  = col("syf").cast("double") / 100.0
-        val dyy = rejoin(col("syy_hi"), col("syy_lo")) / 10000.0
-        val dxy = rejoin(col("sxy_hi"), col("sxy_lo")) / 10000.0
+        val dyy = Fx.rejoin(col("syy_hi"), col("syy_lo")).cast("double") / 10000.0
+        val dxy = Fx.rejoin(col("sxy_hi"), col("sxy_lo")).cast("double") / 10000.0
         // ANSI /0 guards: a single-row group breaks stddev's n-1, a
         // constant-valued group zeroes corr's variance product — NULL in
         // both cases (what DuckDB's /0 yields), never a thrown job
-        val varX = dxx - pow(dx, 2) / col("n")
-        val varY = dyy - pow(dy, 2) / col("n")
+        // clamp at 0: a constant-valued group's exact variance is 0, but
+        // the two independent roundings in dxx - dx²/n can land ~-1e-10 —
+        // sqrt would then yield NaN and the ANSI decimal cast would THROW
+        // (DuckDB's stddev_samp of a constant group is exactly 0, so the
+        // clamp is also the parity-correct value)
+        val varX = greatest(dxx - pow(dx, 2) / col("n"), lit(0.0))
+        val varY = greatest(dyy - pow(dy, 2) / col("n"), lit(0.0))
         val cov = dxy - dx * dy / col("n")
         Seq(col("l_returnflag"), col("n"),
           outDouble(when(col("n") > 1, sqrt(varX / (col("n") - 1)))

@@ -186,6 +186,12 @@ object Multimodal {
     */
   def perceptualNearDups(assets: DataFrame, maxHamming: Int = 3,
       minBytes: Int = 64): DataFrame = {
+    // the 4×16-bit banding is exhaustive only up to Hamming 3
+    // (pigeonhole: ≤3 differing bits cannot touch all 4 bands); a larger
+    // bound would silently MISS qualifying pairs, so reject it loudly
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for the 4-band pigeonhole to be " +
+        s"exhaustive, got $maxHamming")
     // the round-robin exchange of the computed 16-byte signatures is
     // load-bearing: both sides of the self-join below read it, and
     // ReuseExchange makes them SHARE one execution of the phash kernel —

@@ -158,6 +158,11 @@ object StreamingSimilarity {
       minMeanCos: Double = -1.0): Dataset[IvfListUpdate] = {
     val spark = vecStream.sparkSession
     import spark.implicits._
+    // fail loudly up front: with an empty quantizer the argmax returns
+    // -1 and the drift lookup would die mid-stream with an opaque ANSI
+    // MAP_KEY_DOES_NOT_EXIST on the first micro-batch
+    require(trainedCentroids.limit(1).count() == 1L,
+      "maintainIvfLists needs a non-empty trained quantizer")
     // one broadcast row: the sorted centroid table, as both the argmax
     // array and an id→vector map for the drift cosine
     val centArr = trainedCentroids
@@ -208,10 +213,12 @@ object StreamingSimilarity {
     *     quantizer (map-side broadcast argmax, one scan, zero shuffle);
     *     if any list's mass reaches `massLimit`, retrain fires;
     *  3. retrain + swap: [[Similarity.trainQuantizer]] re-runs on the
-    *     full store with K grown to `max(currentK, ceil(2n/massLimit))`
-    *     — aiming mean list size at massLimit/2, the nlist-growth rule
-    *     that actually relieves a mass bound (re-centering with the same
-    *     K cannot; total mass is conserved). The swap is atomic from the
+    *     full store with K grown to `max(currentK + 1,
+    *     ceil(2n/massLimit))` — aiming mean list size at massLimit/2,
+    *     and growing by at least one per trip so a skew-tripped bound
+    *     (hot list while n is modest) never retrains at an unchanged K,
+    *     which re-centers without relieving the bound (total mass is
+    *     conserved) and would re-trip every batch. The swap is atomic from the
     *     reader's view: [[IvfIndexMaintainer.lists]] always serves the
     *     full store under exactly one quantizer generation.
     *
@@ -259,8 +266,16 @@ object StreamingSimilarity {
       * pays only the probe + within-list scoring per query, not
       * training.
       */
-    def topK(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame =
-      Similarity.ivfServe(lists, cents, queries, k, nprobe)
+    def topK(queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+      // snapshot the volatile ONCE: reading it separately via `lists`
+      // and as the serve argument lets a concurrent retrain swap between
+      // the reads — serving gen-N assignments probed with gen-N+1
+      // centroids, the stale mix the contract rules out
+      val c = cents
+      Similarity.ivfServe(
+        Similarity.assignToCentroids(store.select("vec_id", "embedding"), c),
+        c, queries, k, nprobe)
+    }
 
     /** Ingest one micro-batch; retrain + swap if the mass bound trips. */
     def ingest(batch: DataFrame): Unit = synchronized {
@@ -276,7 +291,14 @@ object StreamingSimilarity {
       val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       if (maxN >= massLimit) {
         val n = store.count()
-        k = math.max(k, math.ceil(2.0 * n / massLimit).toInt)
+        // grow K by at least one per trip: the size-based rule
+        // ceil(2n/massLimit) can lag the CURRENT k under skew (mass
+        // concentrated in one list while n is modest), and retraining
+        // with the same K re-centers without relieving the bound —
+        // re-tripping on every subsequent batch. Monotone growth makes
+        // each retrain split-capable; a list of byte-identical vectors
+        // is unsplittable at ANY k (dedup upstream is the remedy there).
+        k = math.max(k + 1, math.ceil(2.0 * n / massLimit).toInt)
         cents = Similarity.trainQuantizer(store, k, lloydIters)
         gen += 1
       }
@@ -300,8 +322,12 @@ object StreamingSimilarity {
         Similarity.fnorm(col("embedding")).as("c_norm"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosineWithNorms(col("q_emb"), col("c_emb"),
-          col("q_norm"), col("c_norm")).as("cos"))
+        // zero-norm vectors score NULL out of the guarded `when`; an
+        // unguarded NULL would kill the query at tuple deserialization
+        // (non-nullable Double), so pin 0.0 — same rule as
+        // maintainIvfLists' drift cosine
+        coalesce(Similarity.cosineWithNorms(col("q_emb"), col("c_emb"),
+          col("q_norm"), col("c_norm")), lit(0.0)).as("cos"))
       .as[(Long, Long, Double)]
     scored.groupByKey(_._1)
       .flatMapGroupsWithState[TopKState, TopKSnapshot](
@@ -310,13 +336,20 @@ object StreamingSimilarity {
         case (query, rows, state: GroupState[TopKState]) =>
           val prev = state.getOption.getOrElse(TopKState(Seq.empty, 0L))
           var n = prev.seen
-          val merged = scala.collection.mutable.ArrayBuffer(prev.entries: _*)
+          // at-least-once replay: a redelivered neighbor still inside the
+          // retained window must not occupy two ranks or inflate `seen`
+          // (corpus ids are append-only, so an id's score never changes);
+          // a replay that fell OUTSIDE the window is indistinguishable
+          // from a fresh arrival under bounded state — `seen` counts
+          // scored arrivals beyond that horizon
+          val byId = scala.collection.mutable.LinkedHashMap(
+            prev.entries.map(e => e._1 -> e._2): _*)
           rows.foreach { case (_, neighbor, cos) =>
-            merged += ((neighbor, cos)); n += 1
+            if (!byId.contains(neighbor)) { byId.update(neighbor, cos); n += 1 }
           }
-          val top = merged
+          val top = byId.toSeq
             .sortBy { case (id, cos) => (-cos, id) }
-            .take(k).toSeq
+            .take(k)
           state.update(TopKState(top, n))
           top.zipWithIndex.iterator.map { case ((id, cos), i) =>
             TopKSnapshot(query, (i + 1).toLong, id, cos, n)

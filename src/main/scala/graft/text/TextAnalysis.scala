@@ -199,8 +199,16 @@ object TextAnalysis {
     * value-identical to langId (parity-tested) and to the DuckDB oracle's
     * CASE chain.
     */
-  def langIdFast(text: Column): Column = {
-    val stats = graft.functions.VecText.text_stats(tokens(text))
+  def langIdFast(text: Column): Column =
+    langIdFromStats(graft.functions.VecText.text_stats(tokens(text)))
+
+  /** The argmax/tie-break chain over a text_stats array's 5 marker
+    * scores (elements 4..8; de>en>es>fr>zh priority, "und" on zero) —
+    * ONE copy shared by [[langIdFast]] and [[cleanCorpus]]'s gate so the
+    * tie-break order cannot drift between the reported operator and the
+    * gate that filters on it.
+    */
+  private def langIdFromStats(stats: Column): Column = {
     val s = (0 until 5).map(i => element_at(stats, lit(i + 4)))
     val g = greatest(s: _*)
     when(g === 0, lit("und"))
@@ -248,14 +256,7 @@ object TextAnalysis {
         when(element_at(col("st"), 1) > 0,
           element_at(col("st"), 2).cast("double") / element_at(col("st"), 1).cast("double"))
           .cast("decimal(18,6)"))
-      .withColumn("lang_pred", {
-        val s = (0 until 5).map(i => element_at(col("st"), lit(i + 4)))
-        val g = greatest(s: _*)
-        when(g === 0, lit("und"))
-          .when(s(0) === g, lit("de")).when(s(1) === g, lit("en"))
-          .when(s(2) === g, lit("es")).when(s(3) === g, lit("fr"))
-          .otherwise(lit("zh"))
-      })
+      .withColumn("lang_pred", langIdFromStats(col("st")))
       .filter(col("n_tokens") >= minTokens
         && col("stopword_ratio") <= maxStopwordRatio
         && col("lang_pred") =!= "und")
