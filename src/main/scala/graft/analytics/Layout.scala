@@ -20,6 +20,14 @@ object Layout {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    // unqualified names only: the stale-location cleanup below computes
+    // <warehouse>/<table>, which is the managed location ONLY for a
+    // default-database name — a db-qualified table lives at
+    // <warehouse>/<db>.db/<tbl>, and the backtick-quoted DROP would
+    // treat `db.tbl` as one identifier, so the cleanup would miss the
+    // real leftover and the write would still fail
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified (default-database) table name, got '$table'")
     // a previous JVM may have left the managed location without the (in-
     // memory) catalog entry; clear both or saveAsTable refuses
     spark.sql(s"DROP TABLE IF EXISTS `$table`")

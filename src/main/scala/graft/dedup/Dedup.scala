@@ -107,9 +107,22 @@ object Dedup {
     */
   private def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int,
       bands: Int): (DataFrame, DataFrame) = {
+    // bands must tile the signature: bands > numPerm gives rowsPerBand=0,
+    // whose empty band slices put EVERY doc in one bucket per band — a
+    // silent O(n²) candidate cross-product (results stay correct through
+    // verify, but the job goes quadratic)
+    require(bands >= 1 && bands <= numPerm && numPerm % bands == 0,
+      s"bands must divide numPerm with bands <= numPerm, got bands=$bands numPerm=$numPerm")
+    // ONE tokenize→shingle→minhash pass: both sides of the bucket
+    // self-join and the caller's verify stage read the pinned relation
+    // (the a-side repartition defeats ReusedExchange, so unpinned this
+    // kernel ran once per consumer — the prefixJaccardPairs finding,
+    // here on the flagship 100 TB near-dup path). Pin lifetime follows
+    // the returned frames; ContextCleaner reclaims on drop.
     val withSig = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .pipe(graft.Staging.pin)
     val rowsPerBand = numPerm / bands
     val buckets = lshBuckets(withSig.select("doc_id", "sig"), bands, rowsPerBand)
     // spread the fan-out join across the cluster (see blockedJaccardPairs)
@@ -608,6 +621,13 @@ object Dedup {
       iter += 1
     }
     graft.Staging.unpin(p)
+    // fail-loud on a maxIter exit, like starContractionComponents: a
+    // non-converged labeling splits components SILENTLY, and a
+    // keep-one-per-cluster consumer would then keep several docs from
+    // one duplicate cluster with no error anywhere
+    require(converged,
+      s"min-label propagation did not converge in $maxIter rounds — " +
+        "raise maxIter or use starContractionComponents for this graph")
     labels
   }
 
@@ -952,9 +972,7 @@ object Dedup {
       s"mBits must be a power of two in [64, 2^20], got $mBits")
     // k*5 hex chars must fit one 32-char digest (bloomPositions slices)
     require(k >= 1 && k <= 6, s"k must be in [1, 6], got $k")
-    val benchIndex = benchmark
-      .select(explode(shingles(col("text"), 2)).as("ng"),
-        col("doc_id").as("bench_doc_id")).distinct()
+    val benchIndex = benchmarkNgramIndex(benchmark)
     bloomCandidates(corpus, benchIndex, mBits, k)
       .join(benchIndex, "ng")
       .groupBy("doc_id")

@@ -148,10 +148,22 @@ object CsvExtract {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (files: DataFrame, batchId: Long) =>
         val paths = files.collect().map(_.getString(0))
-        if (paths.nonEmpty) {
-          val events = paths.map(p => toEvents(scan(spark, p))).reduce(_.unionByName(_))
-          process(events, batchId)
+        // per-file parse guard: a 0-byte / headerless upload (the normal
+        // partial-upload failure of the S3-arrival pattern) throws at
+        // header read, and the checkpointed retry would replay the SAME
+        // batch forever — a permanent wedge. Quarantine the file loudly
+        // and keep the stream moving (scanWithQuarantine's rule, applied
+        // at file granularity).
+        val events = paths.flatMap { p =>
+          try Some(toEvents(scan(spark, p)))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              System.err.println(
+                s"[csv-stream] quarantined unparseable $p: ${e.getMessage}")
+              None
+          }
         }
+        events.reduceOption(_.unionByName(_)).foreach(process(_, batchId))
       }
       .start()
 

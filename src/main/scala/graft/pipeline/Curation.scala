@@ -37,6 +37,14 @@ object Curation {
     * needed; [[StreamingCuration]] composes it with the per-trigger
     * dedup/decontamination merge, and StreamingSpec's streaming-curation
     * test lands gated docs through the bucketed upsert sink).
+    *
+    * Threshold interaction to know when tuning: `top_bigram_frac` of an
+    * n-token doc is at least 1/(n−1) (some bigram occurs once among
+    * n−1), so at the default `maxTopBigramFrac = 0.1` every doc of
+    * ≤ 11 tokens is rejected by the BIGRAM gate regardless of
+    * `minTokens` — the effective token floor is
+    * max(minTokens, ⌈1/maxTopBigramFrac⌉ + 1). Both knobs are corpus
+    * policy; the floors compose rather than override each other.
     */
   def gates(
       docs: DataFrame,
@@ -47,8 +55,6 @@ object Curation {
     val toks = TextAnalysis.tokens(col("text"))
     val st = element_at(col("st"), _: Int)
     val rp = element_at(col("rp"), _: Int)
-    val langScores = (0 until 5).map(i => st(i + 4))
-    val gMax = greatest(langScores: _*)
     docs
       .withColumn("st", graft.functions.VecText.text_stats(toks))
       .withColumn("rp", graft.functions.VecText.repetition_stats(toks))
@@ -61,13 +67,7 @@ object Curation {
       .withColumn("top_bigram_frac",
         when(rp(3) > 0, (rp(4).cast("double") / rp(3).cast("double"))
           .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
-      .withColumn("lang_pred",
-        when(gMax === 0, lit("und"))
-          .when(langScores(0) === gMax, lit("de"))
-          .when(langScores(1) === gMax, lit("en"))
-          .when(langScores(2) === gMax, lit("es"))
-          .when(langScores(3) === gMax, lit("fr"))
-          .otherwise(lit("zh")))
+      .withColumn("lang_pred", TextAnalysis.langIdFromStats(col("st")))
       .filter(col("n_tokens") >= minTokens
         && col("stopword_ratio") <= maxStopwordRatio
         && col("top_bigram_frac") <= maxTopBigramFrac
@@ -85,8 +85,6 @@ object Curation {
       minShared: Long = 3,
       budget: Long = 2048L): DataFrame = {
     val gated = gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac)
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
-      .orderBy(col("doc_id"))
     // Materialize the dedup survivors ONCE: three branches consume them
     // (decontamination probe, mixture counts, the final anti-join side),
     // and because each branch prunes different columns their exchange
@@ -100,8 +98,9 @@ object Curation {
     // unchanged under every strategy (the pipeline is deterministic end
     // to end; StagingStrategySpec), so the DuckDB oracle hash is
     // unaffected.
-    val survivorsAll = gated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // the survivor rule IS the exact-dedup operator — one owner for the
+    // fingerprint + tie-break policy, not a drifting inline copy
+    val survivorsAll = graft.dedup.Dedup.exactSurvivors(gated)
       .pipe(graft.Staging.pin)
     val survivorsWithText = survivorsAll.select("doc_id", "text")
     val survivors = survivorsAll.select("doc_id", "source", "lang_pred",

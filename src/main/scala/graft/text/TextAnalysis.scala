@@ -204,11 +204,11 @@ object TextAnalysis {
 
   /** The argmax/tie-break chain over a text_stats array's 5 marker
     * scores (elements 4..8; de>en>es>fr>zh priority, "und" on zero) —
-    * ONE copy shared by [[langIdFast]] and [[cleanCorpus]]'s gate so the
-    * tie-break order cannot drift between the reported operator and the
-    * gate that filters on it.
+    * ONE copy shared by [[langIdFast]], [[cleanCorpus]]'s gate, and
+    * Curation.gates so the tie-break order cannot drift between the
+    * reported operator and the gates that filter on it.
     */
-  private def langIdFromStats(stats: Column): Column = {
+  private[graft] def langIdFromStats(stats: Column): Column = {
     val s = (0 until 5).map(i => element_at(stats, lit(i + 4)))
     val g = greatest(s: _*)
     when(g === 0, lit("und"))

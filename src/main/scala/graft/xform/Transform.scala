@@ -75,7 +75,11 @@ object Transform {
   def toRecord(transformedEvents: DataFrame, renames: Seq[(String, String)]): DataFrame =
     transformedEvents.select(
       renames.map { case (from, to) =>
-        element_at(col("detail.data"), from).as(to)
+        // try_element_at, not element_at: ANSI mode THROWS on a missing
+        // map key, so one file with a missing/renamed header would kill
+        // the load stage — shape drift yields NULL instead (the same
+        // fewer-fields→null contract zipNaive implements)
+        try_element_at(col("detail.data"), lit(from)).as(to)
       } :+ col("time"): _*)
 
   /** P7: JSON-serialize the envelope for an external sink (the only place

@@ -106,6 +106,21 @@ class StreamingSpec extends SparkSpec {
     assert(after.count() == 5)
     assert(after.filter(try_element_at(col("detail.data"), lit("K")).isNotNull)
       .count() == 2)
+
+    // a 0-byte upload (the partial-upload failure mode) must not wedge
+    // the stream: unparseable files quarantine, siblings in the SAME
+    // batch still land, and the next run stays healthy
+    Files.writeString(landing.resolve("empty.csv"), "")
+    Files.writeString(landing.resolve("good.csv"), "G\ng1\n")
+    run()
+    val healed = spark.read.parquet(out)
+    assert(healed.count() == 6)
+    assert(healed.filter(try_element_at(col("detail.data"), lit("G")) === "g1")
+      .count() == 1)
+    // and the stream keeps moving afterwards (checkpoint not poisoned)
+    Files.writeString(landing.resolve("later.csv"), "L\nl1\n")
+    run()
+    assert(spark.read.parquet(out).count() == 7)
   }
 
   test("upsertBatch is idempotent under duplicate replay") {
