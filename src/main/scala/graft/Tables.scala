@@ -132,7 +132,10 @@ object Tables {
     val drifts = expectedColumns.toSeq.sortBy(_._1).flatMap { case (name, want) =>
       scala.util.Try(table(spark, dir, name).schema) match {
         case scala.util.Failure(e) =>
-          Some(s"table $name: unreadable (${e.getClass.getSimpleName}: ${e.getMessage.take(120)})")
+          // String.valueOf: getMessage is null for NPEs and several
+          // wrapped IO errors — the drift reporter must not itself throw
+          Some(s"table $name: unreadable (${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)})")
         case scala.util.Success(schema) =>
           System.err.println(s"[fixture] $name: " + schema.fields
             .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))

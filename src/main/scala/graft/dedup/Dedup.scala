@@ -214,7 +214,7 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     verifyJaccardHashed(candidates, hashedSets(sh), threshold)
 
-  private def verifyJaccardHashed(candidates: DataFrame, sets: DataFrame,
+  private[graft] def verifyJaccardHashed(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     // ONE broadcast relation probed by both pair sides: the a/b joins
     // reference the same aliased frame, so the physical plan builds a

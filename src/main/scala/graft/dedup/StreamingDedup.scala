@@ -147,60 +147,55 @@ object StreamingDedup {
         .join(withSig.select("doc_id", "hs", "s"), "doc_id")
         .select(col("band"), col("bucket"), col("doc_id"), col("hs"), col("s"))
         .withColumn("__bkt", bktOf(numBuckets)))
-    // 2. touched state partitions: bounded (≤ numBuckets) driver metadata
-    val touched = newRows.select("__bkt").distinct().collect().map(_.getLong(0))
-    val stateRows =
-      if (!new java.io.File(stateDir).exists()) newRows.limit(0)
-      else spark.read.parquet(stateDir).filter(col("__bkt").isin(touched: _*))
-    val bSide = stateRows.unionByName(newRows)
-    val candidates = newRows.select(col("band"), col("bucket"),
-        col("doc_id").as("id_l"))
-      .join(bSide.select(col("band"), col("bucket"), col("doc_id").as("id_r")),
-        Seq("band", "bucket"))
-      .filter(col("id_l") =!= col("id_r"))
-      .select(least(col("id_l"), col("id_r")).as("doc_id_a"),
-        greatest(col("id_l"), col("id_r")).as("doc_id_b"))
-      .distinct()
-    // 3. exact-Jaccard verify — same prune + kernel as the batch verify;
-    //    per-doc signatures come from the bounded (touched ∪ new) rows.
-    //    Broadcast is right while (touched ∪ batch) stays executor-sized;
-    //    a batch touching most of a huge state would drop the hint and
-    //    run the same plan as a shuffled hash join on doc_id (the batch
-    //    verify documents the identical fallback)
-    // one broadcast relation probed by both pair sides (the batch
-    // verify's reused-exchange shape — the plan builds the hashed sets
-    // and the broadcast once)
-    val docsigs = broadcast(bSide.select("doc_id", "hs", "s").dropDuplicates("doc_id"))
-    val da = docsigs.as("da")
-    val db = docsigs.as("db")
-    val verified = candidates
-      .join(da, col("doc_id_a") === col("da.doc_id"))
-      .join(db, col("doc_id_b") === col("db.doc_id"))
-      .filter(Dedup.sizeRatioKeep(col("da.s"), col("db.s"), threshold))
-      .withColumn("jaccard",
-        VecText.jaccard_threshold_sorted64(col("da.hs"), col("db.hs"), threshold)
-          .cast("decimal(18,6)"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_a"), col("doc_id_b"),
-        col("jaccard").cast("double").as("jaccard"))
-    // 4. emit pairs (bucketed LWW on the id pair — replay-idempotent) …
-    KeyedUpsertSink.upsertBucketed(spark, pairsDir,
-      Seq("doc_id_a", "doc_id_b"), Seq(col("jaccard")), numBuckets)(
-      verified, batchId)
-    // … and merge the new band rows into the touched state partitions
-    // (identity (band,bucket,doc_id); dynamic overwrite rewrites only
-    // the touched __bkt dirs — the upsertBucketed discipline with the
-    // layout key decoupled from the row identity)
-    val merged = stateRows.withColumn("__o", lit(0))
-      .unionByName(newRows.withColumn("__o", lit(1)))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket", "doc_id").orderBy(col("__o").desc)))
-      .filter(col("__rn") === 1).drop("__rn", "__o")
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bkt")
-      .parquet(stateDir)
-    graft.Staging.unpin(newRows)
+    // unpin in finally: a checkpointed stream RETRIES a failed batch, and
+    // an unreleased pin per attempt accumulates eagerly-materialized
+    // blocks (the upsertBucketed discipline)
+    try {
+      // 2. touched state partitions: bounded (≤ numBuckets) driver metadata
+      val touched = newRows.select("__bkt").distinct().collect().map(_.getLong(0))
+      // marker-aware probe, NOT File.exists(): a crash during the first
+      // state write can leave a marker-only directory, which exists() calls
+      // a table — the schema read would then fail on every replay forever
+      val stateRows =
+        if (!KeyedUpsertSink.nonEmptyDir(java.nio.file.Paths.get(stateDir)))
+          newRows.limit(0)
+        else spark.read.parquet(stateDir).filter(col("__bkt").isin(touched: _*))
+      val bSide = stateRows.unionByName(newRows)
+      val candidates = newRows.select(col("band"), col("bucket"),
+          col("doc_id").as("id_l"))
+        .join(bSide.select(col("band"), col("bucket"), col("doc_id").as("id_r")),
+          Seq("band", "bucket"))
+        .filter(col("id_l") =!= col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("doc_id_a"),
+          greatest(col("id_l"), col("id_r")).as("doc_id_b"))
+        .distinct()
+      // 3. exact-Jaccard verify — THE batch verify stage (one broadcast
+      //    relation probed by both pair sides, threshold-gated kernel,
+      //    one epsilon policy), reused rather than re-implemented so the
+      //    streamed == batch contract cannot drift. Per-doc signatures
+      //    come from the bounded (touched ∪ new) rows; broadcast is right
+      //    while that stays executor-sized, with the same shuffled-hash
+      //    fallback the batch verify documents.
+      val verified = Dedup.verifyJaccardHashed(candidates,
+        bSide.select("doc_id", "hs", "s").dropDuplicates("doc_id"), threshold)
+      // 4. emit pairs (bucketed LWW on the id pair — replay-idempotent) …
+      KeyedUpsertSink.upsertBucketed(spark, pairsDir,
+        Seq("doc_id_a", "doc_id_b"), Seq(col("jaccard")), numBuckets)(
+        verified, batchId)
+      // … and merge the new band rows into the touched state partitions
+      // (identity (band,bucket,doc_id); dynamic overwrite rewrites only
+      // the touched __bkt dirs — the upsertBucketed discipline with the
+      // layout key decoupled from the row identity)
+      val merged = stateRows.withColumn("__o", lit(0))
+        .unionByName(newRows.withColumn("__o", lit(1)))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket", "doc_id").orderBy(col("__o").desc)))
+        .filter(col("__rn") === 1).drop("__rn", "__o")
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bkt")
+        .parquet(stateDir)
+    } finally graft.Staging.unpin(newRows)
   }
 }

@@ -318,7 +318,10 @@ object EventAnalytics {
     */
   def jsonKSum(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: props is free-form JSON, and under ANSI one
+      // event with a non-numeric $.k would kill the whole aggregate —
+      // unparseable values become NULL and drop out of the sum
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
 
@@ -375,7 +378,12 @@ object EventAnalytics {
       .withColumn("d", col("day") - col("cohort_day"))
       .filter(col("d") <= maxDays)
       .groupBy("cohort_day", "d")
-      .agg(countDistinct("user_id").cast("long").as("n_users"))
+      // plain count, provably equal to countDistinct here: (user_id, day)
+      // is distinct and each user has ONE cohort_day, so within a
+      // (cohort_day, d) group day is fixed and a user contributes at most
+      // one row — and count gets map-side partial aggregation where
+      // countDistinct plans a two-phase expand
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Fixed-width value histogram per event type — distribution profiling

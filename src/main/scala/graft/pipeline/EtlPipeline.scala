@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -35,11 +35,26 @@ object EtlPipeline {
   def addressRows(transformed: DataFrame): DataFrame =
     Transform.toAddress(transformed.filter(Rules.loadRule))
 
+  /** LWW ordering for the keyed table: event time first, then a content
+    * hash as a DETERMINISTIC intra-batch tie-break. `CsvExtract.toEvents`
+    * stamps every row of one run with the same `current_timestamp()`
+    * (query-constant in Spark), so duplicate ids inside a batch always
+    * TIE on time — an un-tied row_number would then pick a survivor by
+    * post-shuffle partition order, varying across runs. The reference
+    * resolves such ties by file order (last PutItem wins); a distributed
+    * scan has no stable file-order surrogate (FilePartition packing
+    * reorders splits), so the engine promises determinism instead: the
+    * same input rows pick the same survivor on any cluster, every run.
+    */
+  private def lwwOrder(valueCols: Seq[String]): Seq[Column] =
+    Seq(col("time"),
+      xxhash64(struct(valueCols.filterNot(_ == "time").map(col): _*)))
+
   /** Full batch replay: CSV file(s) → final keyed table (LWW by id). */
   def runBatch(spark: SparkSession, csvPath: String): DataFrame = {
     val loaded = addressRows(transformedEvents(extractionEvents(spark, csvPath)))
     KeyedUpsertSink
-      .latestByKey(loaded, Seq("id"), Seq(col("time")))
+      .latestByKey(loaded, Seq("id"), lwwOrder(loaded.columns.toSeq))
       .drop("time")
   }
 
@@ -99,7 +114,11 @@ object EtlPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(
-        KeyedUpsertSink.upsertBatch(spark, tablePath, Seq("id"), Seq(col("time"))) _)
+        // same deterministic tie-break as runBatch: within one
+        // micro-batch all rows share the current_timestamp() stamp
+        // (mergeLww's __gen only disambiguates ACROSS batches)
+        KeyedUpsertSink.upsertBatch(spark, tablePath, Seq("id"),
+          lwwOrder(loaded.columns.toSeq)) _)
       .start()
   }
 }

@@ -122,7 +122,10 @@ object Rules {
     * 189-191): null-safe presence check on required nested fields.
     */
   def presenceGuard(requiredPaths: Seq[String]): Column =
-    requiredPaths.map(col(_).isNotNull).reduce(_ && _)
+    // no required paths = nothing to guard (the pattern/matches
+    // combinators above use the same reduceOption + neutral default,
+    // instead of reduce's opaque empty-collection throw)
+    requiredPaths.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Multicast routing (SURVEY.md §2.2): one bus, many rules; an event may
     * match several rules (every stage event also matches the observe rule).

@@ -94,7 +94,7 @@ object KeyedUpsertSink {
     * table fails schema inference. `__bucket=N` partition directories DO
     * count (they start with `_` but are the data itself).
     */
-  private def nonEmptyDir(target: Path): Boolean =
+  private[graft] def nonEmptyDir(target: Path): Boolean =
     Files.exists(target) && {
       import scala.jdk.CollectionConverters._
       val s = Files.list(target)
