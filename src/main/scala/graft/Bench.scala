@@ -189,17 +189,22 @@ object Bench {
     // record it in a `failed` list the driver JSON carries alongside the
     // (fast-fail) wall time, so a regression can't read as a speedup
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def once(name: String): (Double, Double, Double) = {
+    // (wall, gc, jit, succeeded) — success is tracked PER REP, and a
+    // query is failed only when NO rep passes: a transient single-rep
+    // failure (FS hiccup inside the noisy-sample third rep, say) must
+    // not drop a genuinely passing query's wall from the headline total
+    def once(name: String): (Double, Double, Double, Boolean) = {
       val fn = SparkEntry.queries(name)
       val g0 = gcMillis(); val j0 = jitMillis()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
-        (jitMillis() - j0) / 1e3)
+        (jitMillis() - j0) / 1e3, ok)
     }
     val ccAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // every rep's (wall, gc, jit), not just the best — the round-11
@@ -238,12 +243,17 @@ object Bench {
       // samples disagreeing by >2x means one absorbed async cleanup/GC —
       // a third rep resolves which was real; likewise when even the best
       // sample is slow in absolute terms (heavy compositions show rare
-      // ~7s environmental stalls that can hit both reps)
+      // ~7s environmental stalls that can hit both reps). A failed rep's
+      // fast-fail wall also triggers the disagreement rule, so a
+      // one-transient-failure query gets its resolving third rep.
       val samples = if (math.max(s1._1, s2._1) > 2 * best || best > 2.5)
         Seq(s1, s2, once(name)) else Seq(s1, s2)
       ccAfter(name) = codeCacheUsedMb()
-      allReps(name) = samples
-      name -> samples.minBy(_._1)
+      allReps(name) = samples.map(s => (s._1, s._2, s._3))
+      val passing = samples.filter(_._4)
+      if (passing.isEmpty) failed += name
+      val pick = (if (passing.nonEmpty) passing else samples).minBy(_._1)
+      name -> ((pick._1, pick._2, pick._3))
     }
     // The driver records only the LAST 2000 characters of stdout, which must
     // hold the whole artifact line plus sbt's trailing [success] line

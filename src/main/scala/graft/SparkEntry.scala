@@ -59,7 +59,28 @@ object SparkEntry {
     "c_custkey" -> "id", "c_name" -> "name",
     "c_nationkey" -> "nation", "c_mktsegment" -> "mktsegment")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** A per-(tag, sf) scratch table path, CLEARED on each call. Sink
+    * queries rebuild their table from scratch per invocation; a fresh
+    * createTempDirectory per call leaked one full parquet table into
+    * /tmp per bench rep, forever.
+    */
+  private def scratchTable(tag: String, sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"$tag-${java.nio.file.Paths.get(sfDir).getFileName}")
+    if (java.nio.file.Files.exists(base)) {
+      val s = java.nio.file.Files.walk(base)
+      try s.sorted(java.util.Comparator.reverseOrder()).iterator()
+        .forEachRemaining(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+    java.nio.file.Files.createDirectories(base)
+    base.resolve("t").toString
+  }
+
+  // lazy val, not def: Bench/Verify access these maps hundreds of times
+  // (per headline name, per rep) and a def rebuilt all ~108 entries each
+  // time
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────────── ETL parity (SURVEY.md §2.1-2.4) ──
     // Full pipeline replay of the reference's own 5-row fixture:
     // scan → envelope → route F1 → transform → route F2 → reshape → LWW.
@@ -118,8 +139,7 @@ object SparkEntry {
         col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"),
         col("ts_ms").as("last_ts_ms"), col("ts_us"))
-      val path = java.nio.file.Files.createTempDirectory("graft-upsert-q")
-        .resolve("t").toString
+      val path = scratchTable("graft-upsert-q", dir)
       val sink = graft.sink.KeyedUpsertSink.upsertBucketed(
         s, path, Seq("user_id"), Seq(col("ts_us"), col("last_event_id")), 16) _
       sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
@@ -136,8 +156,7 @@ object SparkEntry {
         col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"),
         col("ts_ms").as("last_ts_ms"), col("ts_us"))
-      val path = java.nio.file.Files.createTempDirectory("graft-upsert-atomic-q")
-        .resolve("t").toString
+      val path = scratchTable("graft-upsert-atomic-q", dir)
       val sink = graft.sink.KeyedUpsertSink.upsertBucketedAtomic(
         s, path, Seq("user_id"), Seq(col("ts_us"), col("last_event_id")), 16) _
       sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
@@ -994,9 +1013,9 @@ object SparkEntry {
     * new query silently missing its oracle fails the spec instead of
     * shipping unchecked.
     */
-  def rowsOnly: Set[String] = Set("q_approx_distinct", "q_approx_quantiles")
+  val rowsOnly: Set[String] = Set("q_approx_distinct", "q_approx_quantiles")
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "etl_pipeline" ->
       s"""SELECT ID AS id, HouseNum AS house_number, Street AS street_address,
          | Town AS town, Zip AS zip

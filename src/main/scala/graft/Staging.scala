@@ -98,9 +98,17 @@ object Staging {
       df.checkpoint(true)
   }
 
-  /** Release a pinned frame's storage (no-op under `reliable`). */
+  /** Release a pinned frame's storage (no-op under `reliable`). Under
+    * `local`, `Dataset.unpersist` alone would be a SILENT no-op — a
+    * local checkpoint's blocks belong to the checkpointed RDD, not a
+    * CacheManager entry — so the leaf RDD itself is unpersisted, making
+    * the iterative operators' eager round-release actually prompt. The
+    * contract stands: unpin only after the frame's LAST use (a released
+    * local checkpoint cannot recompute).
+    */
   def unpin(df: DataFrame): Unit = {
     Option(pinnedRdds.remove(df)).foreach(_.unpersist(false))
+    org.apache.spark.sql.graft.Bridge.leafRdd(df).foreach(_.unpersist(false))
     df.unpersist(false)
     ()
   }

@@ -23,6 +23,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure before the overwrite executes leaves a PREVIOUS
+        // run's parquet behind in a reused outDir — the compare would
+        // then grade stale output green; a broken query must be absent,
+        // not stale
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          val s = Files.walk(dir)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          finally s.close()
+        }
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),

@@ -206,8 +206,12 @@ object KeyedUpsertSink {
     // pin the batch before deriving `touched`: the write re-executes the
     // plan, and a non-deterministic upstream could otherwise emit a row
     // into a bucket absent from `touched` — dynamic overwrite would then
-    // replace that bucket WITHOUT its merged old rows (silent deletion;
-    // the same hazard writeGeneration closes with persist + disk listing)
+    // replace that bucket WITHOUT its merged old rows (silent deletion).
+    // The persist closes this in single-JVM mode (blocks cannot be lost);
+    // on a cluster an executor loss can still force a recompute, which is
+    // why [[upsertBucketedAtomic]] — whose post-write disk listing
+    // fail-louds on any unmerged bucket — is the multi-executor
+    // deployment path.
     val bucketed = batch
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -314,7 +318,20 @@ object KeyedUpsertSink {
         .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
         .partitionBy("__bucket")
         .parquet(s"$tablePath/$gen")
-      Some((gen, listBucketIds(Paths.get(tablePath, gen))))
+      val written = listBucketIds(Paths.get(tablePath, gen))
+      // the write RE-EXECUTES the batch plan; if the persist's blocks
+      // were lost (executor failure) a non-deterministic batch can
+      // recompute rows into a bucket absent from `touched` — whose old
+      // rows were then never merged. Committing that generation would
+      // silently drop them, so fail the attempt loudly instead: attempt
+      // dirs are write-once and vacuum-reclaimed, and the replay
+      // re-merges from scratch.
+      require(written.forall(touched.contains),
+        s"batch recompute emitted unmerged buckets " +
+          s"${written.filterNot(touched.contains).mkString(",")} " +
+          s"(non-deterministic batch after lost persist blocks); " +
+          s"attempt $gen abandoned, replay will re-merge")
+      Some((gen, written))
     } finally bucketed.unpersist()
   }
 
@@ -351,7 +368,35 @@ object KeyedUpsertSink {
     * under `_hist/<gen>` so [[vacuumGenerations]] can grant stalled
     * readers a grace window of prior manifests.
     */
-  def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit = {
+  /** Per-table JVM monitors backing [[commitManifest]]'s lock (the OS
+    * file lock below throws OverlappingFileLockException for two threads
+    * of ONE process, so in-process callers serialize here first).
+    */
+  private val manifestMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit =
+    manifestMonitors.computeIfAbsent(tablePath, _ => new Object).synchronized {
+      // cross-process mutual exclusion for the read-modify-rename: two
+      // concurrent writers would otherwise interleave — both read M0,
+      // the second atomic rename CLOBBERS the first's bucket entries,
+      // quietly unreferencing a committed generation that the next
+      // vacuum then deletes. An OS file lock on a dedicated lock file
+      // serializes writers on local/NFS filesystems; on object stores
+      // the deployment swaps this sink for a transactional catalog.
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(tablePath, "_manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try commitManifestLocked(tablePath, touched, gen)
+        finally lock.release()
+      } finally ch.close()
+    }
+
+  private def commitManifestLocked(tablePath: String, touched: Seq[Long],
+      gen: String): Unit = {
     val next = readManifest(tablePath) ++ touched.map(_ -> gen)
     val body = next.toSeq.sortBy(_._1)
       .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
@@ -488,12 +533,29 @@ object KeyedUpsertSink {
       // same dwell rule as the tmp sweep, for generation DIRECTORIES: a
       // concurrent writer may be between staging gen-N and its manifest
       // commit right now — the dir exists, no manifest references it yet,
-      // and deleting it would tear the commit. A directory's mtime
-      // advances as the write lands files, so only demonstrably
-      // abandoned (quiescent > grace) unreferenced gens are reclaimed.
-      .filter(p => now - Files.getLastModifiedTime(p).toMillis > tmpGraceMs)
+      // and deleting it would tear the commit. Quiescence is judged on
+      // the NEWEST mtime in the tree, not the dir's own: an in-flight
+      // job writes only under nested `_temporary` paths (the dir mtime
+      // advances at job start and commit but not in between), so an
+      // active long write keeps its deep mtime fresh while a crashed
+      // job's leftovers go stale and reclaim after the same dwell. The
+      // walk touches only UNREFERENCED gen dirs — bounded.
+      .filter(p => now - newestMtimeMs(p) > tmpGraceMs)
       .sortBy(_.getFileName.toString)
       .map { p => deleteRecursively(p); p.getFileName.toString }
+  }
+
+  /** Newest modification time anywhere under `p` — the in-flight-write-
+    * aware quiescence clock of [[vacuumGenerations]]'s generation sweep.
+    */
+  private def newestMtimeMs(p: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.iterator().asScala
+      .map(q => scala.util.Try(Files.getLastModifiedTime(q).toMillis)
+        .getOrElse(Long.MaxValue)) // vanished mid-walk: treat as active
+      .foldLeft(0L)(math.max)
+    finally s.close()
   }
 
   /** Delete `_hist/` snapshots beyond the newest `keep` (by commit

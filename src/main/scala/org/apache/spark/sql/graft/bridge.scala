@@ -26,4 +26,16 @@ object Bridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema)
+
+  /** The checkpointed RDD behind a `localCheckpoint(true)` frame, if its
+    * optimized plan is the expected LogicalRDD leaf — lets graft.Staging
+    * release the checkpoint blocks PROMPTLY on unpin (Dataset.unpersist
+    * only touches CacheManager entries, which a local checkpoint never
+    * creates).
+    */
+  def leafRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
