@@ -265,12 +265,15 @@ object KeyedUpsertSink {
       tablePath: String,
       keys: Seq[String],
       order: Seq[Column],
-      numBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
-    writeGeneration(spark, tablePath, keys, order, numBuckets, batch, batchId) match {
-      case Some((gen, touched)) => commitManifest(tablePath, touched, gen)
-      case None => () // empty batch: nothing staged, nothing to commit
+      numBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit =
+    // the lock spans merge AND commit — see withTableLock for why a
+    // commit-only lock still loses rows under concurrent writers
+    withTableLock(tablePath) {
+      writeGeneration(spark, tablePath, keys, order, numBuckets, batch, batchId) match {
+        case Some((gen, touched)) => commitManifestLocked(tablePath, touched, gen)
+        case None => () // empty batch: nothing staged, nothing to commit
+      }
     }
-  }
 
   /** Stage step: merge the batch against the touched buckets' current
     * versions and write the result under a FRESH per-attempt generation
@@ -368,32 +371,37 @@ object KeyedUpsertSink {
     * under `_hist/<gen>` so [[vacuumGenerations]] can grant stalled
     * readers a grace window of prior manifests.
     */
-  /** Per-table JVM monitors backing [[commitManifest]]'s lock (the OS
-    * file lock below throws OverlappingFileLockException for two threads
-    * of ONE process, so in-process callers serialize here first).
+  /** Per-table JVM monitors backing [[withTableLock]] (the OS file lock
+    * below throws OverlappingFileLockException for two threads of ONE
+    * process, so in-process callers serialize here first).
     */
   private val manifestMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit =
+  /** Per-table writer serialization: JVM monitor + OS file lock
+    * (local/NFS cross-process). [[upsertBucketedAtomic]] holds it across
+    * the WHOLE read-merge-stage-commit: locking only the manifest update
+    * would still let a concurrent writer MERGE against a manifest
+    * snapshot that misses the other's commit to a shared bucket — lost
+    * rows with a perfectly consistent-looking manifest. Writers to
+    * DIFFERENT tables stay fully parallel; on object stores the
+    * deployment swaps this sink for a transactional catalog.
+    */
+  private def withTableLock[A](tablePath: String)(body: => A): A =
     manifestMonitors.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      // cross-process mutual exclusion for the read-modify-rename: two
-      // concurrent writers would otherwise interleave — both read M0,
-      // the second atomic rename CLOBBERS the first's bucket entries,
-      // quietly unreferencing a committed generation that the next
-      // vacuum then deletes. An OS file lock on a dedicated lock file
-      // serializes writers on local/NFS filesystems; on object stores
-      // the deployment swaps this sink for a transactional catalog.
+      Files.createDirectories(Paths.get(tablePath))
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(tablePath, "_manifest.lock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try commitManifestLocked(tablePath, touched, gen)
-        finally lock.release()
+        try body finally lock.release()
       } finally ch.close()
     }
+
+  def commitManifest(tablePath: String, touched: Seq[Long], gen: String): Unit =
+    withTableLock(tablePath)(commitManifestLocked(tablePath, touched, gen))
 
   private def commitManifestLocked(tablePath: String, touched: Seq[Long],
       gen: String): Unit = {

@@ -152,6 +152,59 @@ class AtomicSinkSpec extends SparkSpec {
     assert(table(path) == Set(("a", 2L, 20L), ("b", 2L, 20L)))
   }
 
+  test("concurrent manifest commits never lose each other's bucket entries") {
+    // the read-modify-rename race: without the per-table lock, two
+    // writers both read M0 and the second rename clobbers the first's
+    // entries — quietly unreferencing a committed generation
+    val path = Files.createTempDirectory("graft-atomic-race").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 16) _
+    sink(batchDf(("seed", 1L, 1L)), 0L)
+    // disjoint key sets → disjoint touched buckets per writer
+    val rowsA = (1 to 40).map(i => (s"a$i", 1L, 10L))
+    val rowsB = (1 to 40).map(i => (s"b$i", 1L, 10L))
+    val tA = new Thread(() => sink(batchDf(rowsA: _*), 1L))
+    val tB = new Thread(() => sink(batchDf(rowsB: _*), 2L))
+    tA.start(); tB.start(); tA.join(); tB.join()
+    val got = table(path).map(_._1)
+    val want = Set("seed") ++ rowsA.map(_._1) ++ rowsB.map(_._1)
+    assert(got == want,
+      s"lost updates: missing ${want -- got}")
+    // and nothing a vacuum would now delete is still referenced
+    KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
+    assert(table(path).map(_._1) == want)
+  }
+
+  test("vacuum quiescence reads the DEEP mtime: active nested writes are protected") {
+    // an in-flight Spark job writes only under nested _temporary paths,
+    // so the gen dir's own mtime goes stale mid-write; the quiescence
+    // clock must see the newest mtime in the tree
+    val path = Files.createTempDirectory("graft-atomic-mtime").resolve("t").toString
+    val sink = KeyedUpsertSink.upsertBucketedAtomic(
+      spark, path, Seq("k"), Seq(col("ts")), numBuckets = 4) _
+    sink(batchDf(("a", 1L, 10L)), 0L)
+    // fake an unreferenced in-flight generation: old dir mtime, fresh
+    // nested task file
+    val gen = java.nio.file.Paths.get(path, "gen-99")
+    val nested = gen.resolve("_temporary").resolve("0")
+    Files.createDirectories(nested)
+    Files.writeString(nested.resolve("part-000"), "in-flight")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    Files.setLastModifiedTime(gen, old)
+    Files.setLastModifiedTime(gen.resolve("_temporary"), old)
+    // nested part file keeps NOW as its mtime → deep-quiescence says active
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 60000L)
+    assert(!removed.contains("gen-99"),
+      "vacuum reclaimed an actively-written generation (stale dir mtime)")
+    // once the whole tree is stale, the crash leftover reclaims
+    val s = Files.walk(gen)
+    try s.forEach(p => Files.setLastModifiedTime(p, old))
+    finally s.close()
+    val removed2 = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 60000L)
+    assert(removed2.contains("gen-99"))
+  }
+
   test("atomic read-back equals the declarative LWW of all batches") {
     val path = Files.createTempDirectory("graft-atomic3").resolve("t").toString
     val ev = Tables.events(spark, Sf0001).select(col("user_id"),

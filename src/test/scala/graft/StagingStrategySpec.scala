@@ -50,6 +50,24 @@ class StagingStrategySpec extends SparkSpec {
     }
   }
 
+  test("unpin releases local-checkpoint blocks promptly (not GC-deferred)") {
+    // Dataset.unpersist alone is a silent no-op for a local checkpoint
+    // (its blocks belong to the RDD, not a CacheManager entry) — the
+    // iterative operators' eager round-release depends on unpin reaching
+    // the leaf RDD itself
+    import org.apache.spark.sql.functions.col
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pinned = graft.Staging.pin(
+      spark.range(1000).toDF("id").withColumn("v", col("id") * 2))
+    assert(pinned.count() == 1000)
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(added.nonEmpty, "pin must register persisted checkpoint blocks")
+    graft.Staging.unpin(pinned)
+    val after = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(after.isEmpty,
+      s"unpin left checkpoint RDDs ${after} registered — release is GC-deferred")
+  }
+
   test("unknown strategy fails fast") {
     val emb = Tables.embeddings(spark, Sf0001).drop("label").limit(4)
     withStrategy("replicate") {
