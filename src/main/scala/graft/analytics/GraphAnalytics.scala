@@ -99,10 +99,20 @@ object GraphAnalytics {
     var k = 1
     var done = 0
     while (k <= iters && done == 0) {
+      // pre-join pr ⋈ deg at NODE scale, then ONE edge-scale join: the
+      // per-node out-share `pr div deg` is the same integer for every
+      // out-edge of a node, so hoisting it out of the edge join is
+      // bit-identical while halving the per-iteration edge-scale join
+      // work (the old shape joined the full edge table twice on src).
+      // Both inputs of the node-scale join are already hash-partitioned
+      // on the node id (pr by the previous round's groupBy("dst"), deg
+      // by its own groupBy) — Catalyst plans it without a fresh
+      // edge-sized shuffle.
+      val outShare = pr.join(deg, "id")
+        .select(col("id"), expr("pr div deg").as("c"))
       val contrib = edges
-        .join(pr, edges("src") === pr("id"))
-        .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
-        .select(col("dst"), expr("pr div deg").as("c"))
+        .join(outShare, edges("src") === outShare("id"))
+        .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("m"))
       pr = contrib.crossJoin(broadcast(nRow))
         .select(col("dst").as("id"),

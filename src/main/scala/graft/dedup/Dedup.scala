@@ -587,6 +587,12 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .pipe(graft.Staging.pin)
+    // the frame Staging.pin returned for the current round — unpin must
+    // target THIS frame, not a projection derived from it: Bridge.leafRdd
+    // resolves the checkpoint RDD from the pinned leaf, and unpinning
+    // `next.drop("changed")` (a Project over the leaf) would silently
+    // release nothing, piling up one checkpoint set per round until GC
+    var pinned = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -616,7 +622,8 @@ object Dedup {
       // drop the superseded round's blocks NOW — leaving them to the async
       // ContextCleaner lets O(rounds) checkpoint sets pile up in the block
       // manager (and, under repeated invocation, into later queries' heap)
-      graft.Staging.unpin(labels)
+      graft.Staging.unpin(pinned)
+      pinned = next
       labels = next.drop("changed")
       iter += 1
     }

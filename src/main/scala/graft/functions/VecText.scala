@@ -558,6 +558,12 @@ object VecTextKernels {
   def jaccardThresholdSorted64(a: ArrayData, b: ArrayData, threshold: Double): Double = {
     val na = a.numElements()
     val nb = b.numElements()
+    // two empty sets would otherwise fall through to 0/0 = NaN, and the
+    // verify stage's decimal cast under ANSI mode throws on NaN — for any
+    // threshold > 0 an empty pair can never qualify, so report
+    // below-threshold (empty docs DO meet in every band bucket, making
+    // this pair reachable from the candidate stream)
+    if (na == 0 && nb == 0) return -1.0
     val t = if (threshold > 1e-6) threshold - 1e-6 else 0.0
     val o = math.ceil(t / (1.0 + t) * (na + nb) - 1e-9)
     var i = 0

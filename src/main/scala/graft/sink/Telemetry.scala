@@ -20,11 +20,14 @@ object Telemetry {
       durationMs: Long)
 
   /** Collects per-batch progress for all streaming queries. Thread-safe
-    * snapshot via `progress`. Retention is BOUNDED (`maxEntries`, newest
-    * kept): a listener attached to a long-running session otherwise
-    * accumulates one entry per micro-batch per query for its lifetime —
-    * an unbounded driver-memory leak on exactly the deployments the
-    * listener exists for.
+    * snapshot via `progress`. Retention is BOUNDED: a listener attached
+    * to a long-running session otherwise accumulates one entry per
+    * micro-batch per query for its lifetime — an unbounded driver-memory
+    * leak on exactly the deployments the listener exists for. The newest
+    * `maxEntries` entries are ALWAYS retained (a reader sizing
+    * `maxEntries` to a required window gets the whole window); the
+    * buffer may transiently hold up to 2×`maxEntries` between the
+    * amortized trims.
     */
   class ProgressListener(maxEntries: Int = 100000) extends StreamingQueryListener {
     private val buf = ArrayBuffer.empty[BatchProgress]
@@ -32,14 +35,23 @@ object Telemetry {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      record(BatchProgress(
+        Option(e.progress.name).getOrElse(e.progress.id.toString),
+        e.progress.batchId,
+        e.progress.numInputRows,
+        e.progress.batchDuration))
+
+    /** Appends one entry under the retention rule (the listener callback
+      * delegates here; package-private so the retention spec can drive it
+      * without fabricating Spark progress events).
+      */
+    private[graft] def record(bp: BatchProgress): Unit =
       buf.synchronized {
-        buf += BatchProgress(
-          Option(e.progress.name).getOrElse(e.progress.id.toString),
-          e.progress.batchId,
-          e.progress.numInputRows,
-          e.progress.batchDuration)
-        // amortized trim: drop the oldest half when the cap is exceeded
-        if (buf.length > maxEntries) buf.remove(0, buf.length - maxEntries / 2)
+        buf += bp
+        // amortized trim: let the buffer grow to 2× before cutting back
+        // to exactly maxEntries, so retention never dips below the
+        // documented window while each entry still pays O(1) amortized
+        if (buf.length >= 2 * maxEntries) buf.remove(0, buf.length - maxEntries)
       }
 
     def progress: Seq[BatchProgress] = buf.synchronized(buf.toSeq)

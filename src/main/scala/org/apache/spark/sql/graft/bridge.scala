@@ -36,6 +36,11 @@ object Bridge {
   def leafRdd(df: DataFrame): Option[RDD[_]] =
     df.queryExecution.optimizedPlan match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      // a column-only projection over the leaf (e.g. `pinned.drop(c)`)
+      // still releases the leaf's blocks — without this, an unpin on the
+      // derived frame is a silent no-op and the checkpoint set lives on
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_,
+          l: org.apache.spark.sql.execution.LogicalRDD) => Some(l.rdd)
       case _ => None
     }
 }

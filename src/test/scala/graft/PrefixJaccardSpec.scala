@@ -106,6 +106,31 @@ class PrefixJaccardSpec extends SparkSpec {
     }
   }
 
+  test("jaccard_threshold_sorted64: two empty sets report below-threshold, never NaN") {
+    // empty shingle sets share EVERY band bucket, so an empty pair is
+    // reachable from any candidate stream; 0/0 = NaN would then blow up
+    // the verify stage's ANSI decimal cast
+    val df = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 2L), Array.empty[Long])).toDF("a", "b")
+    // codegen path, through the same decimal cast the verify stage uses
+    val got = df.select(
+      VecText.jaccard_threshold_sorted64(col("a"), col("b"), 0.6).as("j"),
+      VecText.jaccard_threshold_sorted64(col("a"), col("b"), 0.6)
+        .cast("decimal(18,6)").as("d"))
+      .as[(Double, java.math.BigDecimal)].collect()
+    got.foreach { case (j, d) =>
+      assert(j == -1.0, s"empty-side pair must be pruned, got $j")
+      assert(d.doubleValue() == -1.0)
+    }
+    // interpreted path: the static kernel directly
+    val empty = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
+    assert(graft.functions.VecTextKernels
+      .jaccardThresholdSorted64(empty, empty, 0.6) == -1.0)
+  }
+
   test("prefixJaccardPairs equals brute-force all-pairs at three thresholds") {
     for (t <- Seq(0.4, 0.6, 0.8)) {
       assert(pairSet(Dedup.prefixJaccardPairs(docs, t)) == bruteForcePairs(t),

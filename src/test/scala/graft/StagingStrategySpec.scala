@@ -68,6 +68,28 @@ class StagingStrategySpec extends SparkSpec {
       s"unpin left checkpoint RDDs ${after} registered — release is GC-deferred")
   }
 
+  test("distributed CC loop releases each superseded round promptly") {
+    // the loop unpins via the PINNED frame, not a projection of it — an
+    // unpin on `next.drop("changed")` was a silent no-op (Bridge.leafRdd
+    // saw a Project, not the LogicalRDD leaf), so every round's
+    // checkpoint set survived until GC
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val n = 12L
+    val docs = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.connectedComponents(docs, chain, driverEdgeLimit = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(got(_) == 1L), "chain must collapse to one component")
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // only the FINAL round's pin (backing the returned labels) may remain;
+    // a leak shows up as one surviving checkpoint set per round (≥ 3 for
+    // a 12-node chain)
+    assert(added.size <= 1,
+      s"CC loop left ${added.size} checkpoint sets registered — round release is GC-deferred")
+  }
+
   test("unknown strategy fails fast") {
     val emb = Tables.embeddings(spark, Sf0001).drop("label").limit(4)
     withStrategy("replicate") {
