@@ -17,6 +17,7 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "etl_pipeline_scale", "etl_upsert_lww", "etl_upsert_bucketed",
+    "etl_upsert_optimistic",
     "etl_audit_tally", "etl_route_transform",
     "q1_agg", "q3_topk", "q5_join", "q_window_rank", "q_topk_agg", "q_window_running",
     "q_rollup", "q_cube", "q_semi_join", "q_anti_join", "q_distinct_agg",
@@ -85,7 +86,8 @@ object Bench {
     *   _retention→_ret  pack_sequences→packseq  _upsert_→_up_
     *   approx_→apx_  _quantiles→_qnt  _transform→_xfm  _matchers→_mch
     *   _jaccard→_jac  _length_filter→_lenf  _clean_corpus→_clean
-    *   json_extract→jsonx
+    *   json_extract→jsonx  _optimistic→_opt  _allpairs→_ap
+    *   boilerplate→bplate  _audit_tally→_tally  _tumbling→_tumb
     */
   private val keyPrefixes = Seq(
     "events_" -> "ev", "text_" -> "tx", "sample_" -> "sa",
@@ -105,7 +107,9 @@ object Bench {
     "_histogram" -> "_hist", "_retention" -> "_ret", "_upsert_" -> "_up_",
     "approx_" -> "apx_", "_quantiles" -> "_qnt", "_transform" -> "_xfm",
     "_matchers" -> "_mch", "_jaccard" -> "_jac", "_length_filter" -> "_lenf",
-    "_clean_corpus" -> "_clean", "json_extract" -> "jsonx")
+    "_clean_corpus" -> "_clean", "json_extract" -> "jsonx",
+    "_optimistic" -> "_opt", "_allpairs" -> "_ap", "boilerplate" -> "bplate",
+    "_audit_tally" -> "_tally", "_tumbling" -> "_tumb")
   def compactKey(name: String): String = {
     // infixes first (they anchor on underscores the prefix step removes)
     val infixed = keyInfixes.foldLeft(name) {

@@ -147,6 +147,24 @@ object SparkEntry {
       graft.sink.KeyedUpsertSink.readBucketed(s, path).drop("ts_us")
     }),
 
+    // K1 through the OPTIMISTIC versioned-manifest sink: same two-batch
+    // split, but each batch commits by put-if-absent of the next
+    // manifest version — the object-store protocol (no JVM monitor, no
+    // file lock; racing drivers detect conflicts on touched-bucket
+    // overlap). Read-back must equal the declarative LWW.
+    "etl_upsert_optimistic" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-opt-q", dir)
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedOptimistic(
+        s, path, Seq("user_id"), Seq(col("ts_us"), col("last_event_id")), 16) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.readBucketedAtomic(s, path).drop("ts_us")
+    }),
+
     // K1 through the ATOMIC generation-manifest sink: same two-batch
     // split, but each batch stages under gen-<id>/ and commits by one
     // manifest rename — a crash mid-write can't tear the table. Read-back
@@ -1051,6 +1069,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_atomic" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "etl_upsert_optimistic" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events

@@ -38,6 +38,13 @@ object KeyedUpsertSink {
     * generation column so replays/redeliveries resolve deterministically.
     * THE LWW merge shared by every upsert variant — one place for the
     * tie-break semantics.
+    *
+    * Schemas align BY NAME with null back-fill in both directions, so a
+    * batch that ADDS a column merges against older rows (which get null
+    * there), and older columns a projected batch lacks survive as null
+    * on the new rows — the schema-evolution contract of the
+    * atomic/optimistic variants. Key and order columns must exist in
+    * every batch (the window below fails loudly otherwise).
     */
   private def mergeLww(existing: Option[DataFrame], batch: DataFrame,
       keys: Seq[String], order: Seq[Column]): DataFrame = {
@@ -45,7 +52,8 @@ object KeyedUpsertSink {
     val merged = existing match {
       case Some(old) =>
         latestByKey(
-          old.withColumn("__gen", lit(0L)).unionByName(tagged),
+          old.withColumn("__gen", lit(0L))
+            .unionByName(tagged, allowMissingColumns = true),
           keys, order :+ col("__gen"))
       case None => latestByKey(tagged, keys, order)
     }
@@ -224,9 +232,14 @@ object KeyedUpsertSink {
       // marker-only directory behind
       if (touched.isEmpty) return
       val target = Paths.get(tablePath)
+      // mergeSchema: a widened batch leaves touched buckets on the new
+      // schema while untouched buckets keep the old one — without the
+      // union the read would pin whichever file's schema it sampled.
+      // (The atomic/optimistic variants get evolution from per-generation
+      // scans instead, without the per-file footer cost at scale.)
       val existing =
         if (!nonEmptyDir(target)) None
-        else Some(spark.read.parquet(tablePath)
+        else Some(spark.read.option("mergeSchema", "true").parquet(tablePath)
           .filter(col("__bucket").isin(touched: _*))) // prunes to touched dirs
       mergeLww(existing, bucketed, keys, order)
         .write.mode(SaveMode.Overwrite)
@@ -236,9 +249,11 @@ object KeyedUpsertSink {
     } finally bucketed.unpersist()
   }
 
-  /** Read the bucketed table without its layout column. */
+  /** Read the bucketed table without its layout column (mergeSchema so
+    * partially-evolved bucket directories read as the by-name union).
+    */
   def readBucketed(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).drop("__bucket")
+    spark.read.option("mergeSchema", "true").parquet(tablePath).drop("__bucket")
 
   // ─────────────────────────── atomic generation-manifest variant ──
 
@@ -314,28 +329,48 @@ object KeyedUpsertSink {
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
       val manifest = readManifest(tablePath)
-      val existing = readManifestBuckets(spark, tablePath,
-        manifest.filter { case (b, _) => touched.contains(b) })
-      val gen = nextGenName(tablePath, batchId)
-      mergeLww(existing, bucketed, keys, order)
-        .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
-        .partitionBy("__bucket")
-        .parquet(s"$tablePath/$gen")
-      val written = listBucketIds(Paths.get(tablePath, gen))
-      // the write RE-EXECUTES the batch plan; if the persist's blocks
-      // were lost (executor failure) a non-deterministic batch can
-      // recompute rows into a bucket absent from `touched` — whose old
-      // rows were then never merged. Committing that generation would
-      // silently drop them, so fail the attempt loudly instead: attempt
-      // dirs are write-once and vacuum-reclaimed, and the replay
-      // re-merges from scratch.
-      require(written.forall(touched.contains),
-        s"batch recompute emitted unmerged buckets " +
-          s"${written.filterNot(touched.contains).mkString(",")} " +
-          s"(non-deterministic batch after lost persist blocks); " +
-          s"attempt $gen abandoned, replay will re-merge")
-      Some((gen, written))
+      Some(stageAgainst(spark, tablePath, keys, order, bucketed, touched,
+        nextGenName(tablePath, batchId),
+        manifest.filter { case (b, _) => touched.contains(b) }))
     } finally bucketed.unpersist()
+  }
+
+  /** Merge the (already bucketed + pinned) batch against an EXPLICIT
+    * bucket→generation base and write the result under the given fresh
+    * attempt directory. The shared staging core of the lock path
+    * ([[writeGeneration]] passes the current manifest) and the
+    * optimistic path ([[upsertBucketedOptimistic]] passes the version
+    * it will later validate at commit time). Returns (gen, bucket ids
+    * actually written).
+    */
+  private def stageAgainst(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      bucketed: DataFrame,
+      touched: Seq[Long],
+      gen: String,
+      base: Map[Long, String]): (String, Seq[Long]) = {
+    val existing = readManifestBuckets(spark, tablePath, base)
+    mergeLww(existing, bucketed, keys, order)
+      .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
+      .partitionBy("__bucket")
+      .parquet(s"$tablePath/$gen")
+    val written = listBucketIds(Paths.get(tablePath, gen))
+    // the write RE-EXECUTES the batch plan; if the persist's blocks
+    // were lost (executor failure) a non-deterministic batch can
+    // recompute rows into a bucket absent from `touched` — whose old
+    // rows were then never merged. Committing that generation would
+    // silently drop them, so fail the attempt loudly instead: attempt
+    // dirs are write-once and vacuum-reclaimed, and the replay
+    // re-merges from scratch.
+    require(written.forall(touched.contains),
+      s"batch recompute emitted unmerged buckets " +
+        s"${written.filterNot(touched.contains).mkString(",")} " +
+        s"(non-deterministic batch after lost persist blocks); " +
+        s"attempt $gen abandoned, replay will re-merge")
+    (gen, written)
   }
 
   /** First attempt of a batch stages under `gen-<batchId>`; each replay
@@ -384,8 +419,10 @@ object KeyedUpsertSink {
     * would still let a concurrent writer MERGE against a manifest
     * snapshot that misses the other's commit to a shared bucket — lost
     * rows with a perfectly consistent-looking manifest. Writers to
-    * DIFFERENT tables stay fully parallel; on object stores the
-    * deployment swaps this sink for a transactional catalog.
+    * DIFFERENT tables stay fully parallel. This lock is the
+    * single-host/local-FS fast path: on object stores (no file locks,
+    * racing DRIVERS) use [[upsertBucketedOptimistic]], whose versioned
+    * put-if-absent commit needs no lock at all.
     */
   private def withTableLock[A](tablePath: String)(body: => A): A =
     manifestMonitors.computeIfAbsent(tablePath, _ => new Object).synchronized {
@@ -405,10 +442,15 @@ object KeyedUpsertSink {
 
   private def commitManifestLocked(tablePath: String, touched: Seq[Long],
       gen: String): Unit = {
+    // protocol one-way valve: once a versioned chain exists the table
+    // belongs to the optimistic sink — a lock-path commit would write the
+    // legacy `_manifest`, which every reader now ignores in favor of the
+    // chain head, silently unpublishing this commit
+    require(versionFiles(Paths.get(tablePath)).isEmpty,
+      s"$tablePath has a versioned manifest chain (optimistic protocol); " +
+        "use upsertBucketedOptimistic — the lock-path commit would be invisible")
     val next = readManifest(tablePath) ++ touched.map(_ -> gen)
-    val body = next.toSeq.sortBy(_._1)
-      .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
-    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = renderManifest(next)
     val tmp = Paths.get(tablePath, s"_manifest.tmp-$gen")
     writeFsynced(tmp, bytes)
     Files.move(tmp, Paths.get(tablePath, "_manifest"),
@@ -425,6 +467,187 @@ object KeyedUpsertSink {
     Files.move(histTmp, hist.resolve(gen),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ─────────────────── optimistic (object-store-safe) commit variant ──
+
+  /** Result of one [[upsertBucketedOptimistic]] batch: the committed
+    * manifest version, the generation holding the batch's buckets, how
+    * many commit attempts lost the put-if-absent race to a DISJOINT
+    * writer (retried with no re-merge), and how many times an
+    * OVERLAPPING writer forced a full re-merge.
+    */
+  case class OptimisticCommit(version: Long, gen: String,
+      commitRetries: Int, restages: Int)
+
+  /** Manifest chain head: (version, bucket→gen map). Version 0 = no
+    * versioned commit yet; its map is the legacy `_manifest` when one
+    * exists (so a lock-path table upgrades in place: the first
+    * optimistic commit writes `_manifest.v1` carrying the legacy
+    * entries forward) and empty otherwise.
+    */
+  private[graft] def versionedHead(tablePath: String): (Long, Map[Long, String]) =
+    versionFiles(Paths.get(tablePath)).maxByOption(_._1) match {
+      case Some((v, p)) => (v, parseManifest(p))
+      case None => (0L, legacyManifest(tablePath))
+    }
+
+  /** All committed `_manifest.v*` files as (version, path). Published
+    * atomically ([[putIfAbsent]]), so every listed file is complete.
+    */
+  private def versionFiles(dir: Path): Seq[(Long, Path)] = {
+    if (!Files.exists(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_manifest.v")) None
+      else n.stripPrefix("_manifest.v").toLongOption.map(_ -> p)
+    } finally s.close()
+  }
+
+  /** Zero-padded so a plain lexicographic object-store listing orders
+    * versions numerically.
+    */
+  private def versionPath(tablePath: String, version: Long): Path =
+    Paths.get(tablePath, f"_manifest.v$version%020d")
+
+  private def renderManifest(entries: Map[Long, String]): Array[Byte] =
+    entries.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Atomic create-if-absent publish of a complete file — the ONE
+    * primitive object stores give a multi-driver committer (S3
+    * conditional PUT `If-None-Match: *`, GCS `ifGenerationMatch: 0`;
+    * a real deployment swaps this body for that call). The local-FS
+    * model is `link(2)`: write + fsync a hidden sibling, then hard-link
+    * it to the target name — the link syscall atomically fails if the
+    * name exists, with no TOCTOU window (unlike exists-then-move), and
+    * the published name can never be observed part-written.
+    */
+  private[graft] def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.put-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeFsynced(tmp, bytes)
+    try {
+      Files.createLink(target, tmp)
+      fsyncDir(target.getParent)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** One commit attempt: publish `entries` as version `version`. False
+    * = another writer took that version first (nothing was published).
+    */
+  private[graft] def tryCommitVersion(tablePath: String, version: Long,
+      entries: Map[Long, String]): Boolean =
+    putIfAbsent(versionPath(tablePath, version), renderManifest(entries))
+
+  /** Object-store-safe bucketed upsert: same LWW merge, bucket layout,
+    * generation staging, and O(touched buckets)/trigger cost as
+    * [[upsertBucketedAtomic]], but the commit is OPTIMISTIC CONCURRENCY
+    * over a versioned manifest chain instead of a per-table lock —
+    * `FileChannel.lock()` does not exist on S3/GCS, and at 100 TB two
+    * DRIVERS (not threads) can race one table. Protocol:
+    *
+    *  1. read the chain head `vN` and stage the merge against the
+    *     CURRENT versions of the touched buckets (fresh write-once
+    *     attempt dir — invisible to readers);
+    *  2. attempt to publish `_manifest.v(N+1)` with create-if-absent
+    *     ([[putIfAbsent]] — the primitive object stores do give you);
+    *  3. lost the race → re-read the head and detect conflict on
+    *     TOUCHED-BUCKET OVERLAP: if none of this batch's buckets moved,
+    *     the staged merge is still exact — re-attempt the commit on top
+    *     of the new head with NO re-merge (disjoint writers of one
+    *     table proceed in parallel, serialized only at the final
+    *     put-if-absent); if a bucket moved, the staged merge is stale —
+    *     re-merge against the new head and try again. Abandoned
+    *     attempt dirs are garbage for [[vacuumGenerations]], never
+    *     corruption.
+    *
+    * Liveness: some writer commits at every version number, so a batch
+    * retries at most once per competing commit; `maxAttempts` bounds a
+    * pathological hot-bucket storm (the caller sees the exception and
+    * replays the batch — at-least-once delivery already demands that).
+    *
+    * Writers serialize on NOTHING in-process: no JVM monitor, no file
+    * lock (the racing-writers spec runs two threads through this very
+    * path). The lock-path [[upsertBucketedAtomic]] remains the
+    * single-writer local-FS fast path; a table it wrote upgrades to
+    * this protocol in place (legacy `_manifest` reads as version 0),
+    * after which lock-path commits are refused.
+    *
+    * Schema evolution: a batch may ADD columns relative to earlier
+    * generations (and earlier generations' columns it lacks are
+    * null-filled) — the merge and [[readBucketedAtomic]] align by name
+    * across generations. Key and order columns must exist in every
+    * batch.
+    *
+    * `onBeforeFirstCommit` is a deterministic-interleaving seam for the
+    * conflict specs (runs once, between the first stage and the first
+    * commit attempt); production callers leave the default no-op.
+    *
+    * Returns None for an empty batch, else the commit stats.
+    */
+  def upsertBucketedOptimistic(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      numBuckets: Int = 64,
+      maxAttempts: Int = 20,
+      onBeforeFirstCommit: () => Unit = () => ())(
+      batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
+    Files.createDirectories(Paths.get(tablePath))
+    val bucketed = batch
+      .withColumn("__bucket", bucketOf(keys, numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = bucketed.select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (touched.isEmpty) return None
+      var (ver, man) = versionedHead(tablePath)
+      var retries = 0
+      var restages = 0
+      var hookPending = true
+      var committed: Option[OptimisticCommit] = None
+      var attempt = 0
+      while (committed.isEmpty && attempt < maxAttempts) {
+        attempt += 1
+        val base = man.filter { case (b, _) => touched.contains(b) }
+        // attempt names carry a random suffix: two DRIVERS replaying the
+        // same batchId must never race into one staging dir (the lock
+        // path's exists-then-pick nextGenName assumes a single writer)
+        val gen = s"gen-$batchId-u${java.util.UUID.randomUUID().toString.take(8)}"
+        val (_, written) =
+          stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, base)
+        var stale = false
+        while (committed.isEmpty && !stale) {
+          if (hookPending) { hookPending = false; onBeforeFirstCommit() }
+          if (tryCommitVersion(tablePath, ver + 1, man ++ written.map(_ -> gen)))
+            committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
+          else {
+            retries += 1
+            val (v2, m2) = versionedHead(tablePath)
+            require(v2 > ver,
+              s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
+                "the version chain was pruned past an in-flight writer " +
+                "(vacuum keep-window shorter than a stage-commit window)")
+            ver = v2
+            man = m2
+            // conflict = any bucket WE touched moved since we staged
+            stale = touched.exists(b => m2.get(b) != base.get(b))
+            if (stale) restages += 1
+          }
+        }
+      }
+      Some(committed.getOrElse(throw new IllegalStateException(
+        s"$tablePath: optimistic commit lost $maxAttempts consecutive races " +
+          s"on batch $batchId — hot-bucket storm; replay the batch")))
+    } finally bucketed.unpersist()
   }
 
   /** Write + force to stable storage, so the atomic rename promotes a
@@ -447,33 +670,52 @@ object KeyedUpsertSink {
       try ch.force(true) finally ch.close()
     } catch { case _: java.io.IOException => () }
 
-  /** Current bucket → generation mapping; empty before the first commit. */
-  def readManifest(tablePath: String): Map[Long, String] = {
-    val p = Paths.get(tablePath, "_manifest")
-    if (!Files.exists(p)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.split(",", 2)
-        b.toLong -> g
-      }.toMap
+  /** Current bucket → generation mapping; empty before the first commit.
+    * When a VERSIONED manifest chain exists ([[upsertBucketedOptimistic]]),
+    * its head is authoritative; otherwise the lock-path `_manifest` file.
+    * A table upgraded to the optimistic protocol therefore keeps reading
+    * correctly through the same entry point.
+    */
+  def readManifest(tablePath: String): Map[Long, String] =
+    versionFiles(Paths.get(tablePath)).maxByOption(_._1) match {
+      case Some((_, p)) => parseManifest(p)
+      case None => legacyManifest(tablePath)
     }
+
+  /** The lock-path `_manifest` file (pre-versioned format). */
+  private def legacyManifest(tablePath: String): Map[Long, String] = {
+    val p = Paths.get(tablePath, "_manifest")
+    if (!Files.exists(p)) Map.empty else parseManifest(p)
+  }
+
+  private def parseManifest(p: Path): Map[Long, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.split(",", 2)
+      b.toLong -> g
+    }.toMap
   }
 
   /** Read the given bucket→gen entries, one scan per distinct generation
     * (basePath keeps the `__bucket=N` partition column), cast back to the
     * writer's long type. None when no entry exists yet.
+    *
+    * Generations union BY NAME with null back-fill (each generation was
+    * written in one shot, so its own schema is uniform — per-generation
+    * scans are what makes schema evolution O(1) footer reads instead of
+    * a whole-table mergeSchema pass); the deterministic generation order
+    * fixes where appended columns land in the output schema.
     */
   private def readManifestBuckets(
       spark: SparkSession,
       tablePath: String,
       entries: Map[Long, String]): Option[DataFrame] =
     if (entries.isEmpty) None
-    else Some(entries.groupBy(_._2).map { case (gen, buckets) =>
+    else Some(entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, buckets) =>
       spark.read.option("basePath", s"$tablePath/$gen")
         .parquet(buckets.keys.toSeq.sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
         .withColumn("__bucket", col("__bucket").cast("long"))
-    }.reduce(_ unionByName _))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
 
   /** Read the atomic table at its current manifest, without the layout
     * column. Before the first commit there is no schema to offer, so the
@@ -508,21 +750,43 @@ object KeyedUpsertSink {
     * entries quiescent longer than the dwell are reclaimed. The default
     * minute dwarfs any stage-commit window; pass 0 only when no writer
     * can be active (tests, offline maintenance).
+    *
+    * On an optimistic-protocol table the versioned chain doubles as the
+    * history: the `graceManifests` most recent `_manifest.v*` snapshots
+    * (plus the head) contribute to the live set, the chain is pruned to
+    * a bounded keep window, and abandoned hidden put-staging files are
+    * swept under the same dwell. The keep window is deliberately wide
+    * (≥ 64 versions): a writer stalled between reading head vN and
+    * attempting v(N+1) for longer than the window could otherwise
+    * publish a version number below an already-pruned one — the same
+    * retention-must-exceed-transaction-duration contract every
+    * versioned-log table format documents.
     */
   def vacuumGenerations(tablePath: String, graceManifests: Int = 0,
       quiesceMs: Long = 60000L): Seq[String] = {
     val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) return Seq.empty
     import scala.jdk.CollectionConverters._
+    val vfiles = versionFiles(dir).sortBy(_._1)
     val live = readManifest(tablePath).values.toSet ++
-      recentHistory(dir, graceManifests).flatMap(h => manifestValues(h))
+      recentHistory(dir, graceManifests).flatMap(h => manifestValues(h)) ++
+      vfiles.takeRight(graceManifests + 1).flatMap { case (_, p) => manifestValues(p) }
     val s = Files.list(dir)
     val (gens, staleTmp) =
       try {
         val entries = s.iterator().asScala.toList
         (entries.filter(_.getFileName.toString.startsWith("gen-")),
-         entries.filter(_.getFileName.toString.startsWith("_manifest.tmp-")))
+         entries.filter { p =>
+           val n = p.getFileName.toString
+           n.startsWith("_manifest.tmp-") ||
+             // a crashed putIfAbsent's hidden staging file
+             (n.startsWith("._manifest.") && n.contains(".put-"))
+         })
       } finally s.close()
+    // prune the version chain beyond the keep window (see scaladoc for
+    // why the window must dwarf any writer's stage-commit span)
+    vfiles.dropRight(math.max(graceManifests + 1, 16) * 4)
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
     // only reclaim tmp files demonstrably ABANDONED: a concurrent writer
     // may be between writeFsynced(tmp) and the atomic rename right now,
     // and deleting its tmp would fail that commit. One minute dwarfs any
