@@ -680,16 +680,32 @@ object TextAnalysis {
   def removeBoilerplateParagraphs(docs: DataFrame, maxFreq: Long = 20,
       sep: String = "\n\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    def normHash(p: Column): Column =
-      md5(lower(regexp_replace(trim(p), "\\s+", " ")))
-    val paras = split(col("text"), sepRe)
     val freqSet = docs
-      .select(explode(paras).as("para"))
-      .select(normHash(col("para")).as("ph"))
+      .select(explode(split(col("text"), sepRe)).as("para"))
+      .select(paraNormHash(col("para")).as("ph"))
       .groupBy("ph").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxFreq)
       .agg(array_sort(collect_list(col("ph"))).as("bp"))
-    val kept = filter(paras, p => !array_contains(col("bp"), normHash(p)))
+    stripParagraphs(docs, freqSet, sep)
+  }
+
+  /** The canonical paragraph normal form + hash shared by the batch
+    * operator and [[StreamingBoilerplate]]'s maintained counts — ONE
+    * definition, so streamed and batch frequent sets are definitionally
+    * the same function of the corpus.
+    */
+  private[graft] def paraNormHash(p: Column): Column =
+    md5(lower(regexp_replace(trim(p), "\\s+", " ")))
+
+  /** Rebuild every document with the paragraphs whose normal-form hash
+    * is in `freqSet`'s one-row `bp` array removed (order preserved) —
+    * the shared map-side tail of batch and streaming boilerplate
+    * removal. `freqSet` rides as a broadcast one-row param frame.
+    */
+  private[graft] def stripParagraphs(docs: DataFrame, freqSet: DataFrame,
+      sep: String): DataFrame = {
+    val paras = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val kept = filter(paras, p => !array_contains(col("bp"), paraNormHash(p)))
     docs.crossJoin(broadcast(freqSet))
       .select(col("doc_id"),
         array_join(kept, sep).as("clean_text"),
