@@ -885,6 +885,17 @@ object Dedup {
 
   /** [[decontaminateCorpus]] against a prebuilt (possibly cached)
     * [[benchmarkNgramIndex]].
+    *
+    * The join and distinct-count key is the 64-bit xxhash of the
+    * shingle, not the shingle STRING: the matched corpus-shingle ×
+    * benchmark-doc stream is the pipeline's dominant shuffle/aggregate
+    * working set (the 100×/4 GB memory-envelope probe attributed its
+    * ENTIRE ~3 GB spill to this stage), and an 8-byte key cuts those
+    * bytes ~3× against ~20-byte bigram strings. countDistinct over the
+    * hash equals countDistinct over the strings unless two of a doc's
+    * shared shingles collide in 64 bits (≈ 2⁻⁶⁴ per pair — orders below
+    * the fixture's verified-by-hash envelope); the n-gram text itself
+    * never shuffles.
     */
   def decontaminateWithIndex(
       corpus: DataFrame,
@@ -893,11 +904,14 @@ object Dedup {
     // spread the pre-fan-out side first (single-file corpus → one task
     // would otherwise carry the whole shingle explode + broadcast probe)
     val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val hashedIndex = benchIndex
+      .select(xxhash64(col("ng")).as("ngh"), col("bench_doc_id")).distinct()
     corpus.repartition(para)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("ng"))
-      .join(broadcast(benchIndex), "ng")
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+      .join(broadcast(hashedIndex), "ngh")
       .groupBy("doc_id")
-      .agg(countDistinct("ng").cast("long").as("n_shared_ngrams"),
+      .agg(countDistinct("ngh").cast("long").as("n_shared_ngrams"),
         countDistinct("bench_doc_id").cast("long").as("n_benchmark_docs"))
       .filter(col("n_shared_ngrams") >= minShared)
   }
@@ -980,10 +994,15 @@ object Dedup {
     // k*5 hex chars must fit one 32-char digest (bloomPositions slices)
     require(k >= 1 && k <= 6, s"k must be in [1, 6], got $k")
     val benchIndex = benchmarkNgramIndex(benchmark)
+    // same hashed-key verify as decontaminateWithIndex (see its scaladoc
+    // for the byte-cut rationale and the 2⁻⁶⁴ collision envelope)
+    val hashedIndex = benchIndex
+      .select(xxhash64(col("ng")).as("ngh"), col("bench_doc_id")).distinct()
     bloomCandidates(corpus, benchIndex, mBits, k)
-      .join(benchIndex, "ng")
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+      .join(hashedIndex, "ngh")
       .groupBy("doc_id")
-      .agg(countDistinct("ng").cast("long").as("n_shared_ngrams"),
+      .agg(countDistinct("ngh").cast("long").as("n_shared_ngrams"),
         countDistinct("bench_doc_id").cast("long").as("n_benchmark_docs"))
       .filter(col("n_shared_ngrams") >= minShared)
   }

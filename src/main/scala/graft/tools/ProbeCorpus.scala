@@ -119,6 +119,13 @@ class SpillListener extends org.apache.spark.scheduler.SparkListener {
   private val spillMem = new java.util.concurrent.atomic.AtomicLong
   private val spillDisk = new java.util.concurrent.atomic.AtomicLong
   private val peakTask = new java.util.concurrent.atomic.AtomicLong
+  // per-stage spill, keyed by the stage's callsite name — the
+  // attribution that answers WHICH operator stage of a composed
+  // pipeline pays the constrained-heap cost (stage names carry the
+  // file:line of the action/exchange, e.g. "exactSurvivors at
+  // Dedup.scala:44")
+  private val stageSpill =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -128,8 +135,26 @@ class SpillListener extends org.apache.spark.scheduler.SparkListener {
       peakTask.updateAndGet(p => math.max(p, m.peakExecutionMemory))
     }
   }
-  def reset(): Unit = { spillMem.set(0); spillDisk.set(0); peakTask.set(0) }
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val si = sc.stageInfo
+    val m = si.taskMetrics
+    if (m != null && (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0))
+      stageSpill.add((s"s${si.stageId} ${si.name.takeWhile(_ != '\n')}",
+        m.memoryBytesSpilled >> 20, m.diskBytesSpilled >> 20))
+  }
+  def reset(): Unit = {
+    spillMem.set(0); spillDisk.set(0); peakTask.set(0); stageSpill.clear()
+  }
   def spillMemMb: Long = spillMem.get() >> 20
   def spillDiskMb: Long = spillDisk.get() >> 20
   def peakTaskMb: Long = peakTask.get() >> 20
+
+  /** Spilling stages since reset, (name, spill_mem_mb, spill_disk_mb),
+    * heaviest memory-spill first.
+    */
+  def spillStages: Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    stageSpill.iterator().asScala.toSeq.sortBy(-_._2)
+  }
 }

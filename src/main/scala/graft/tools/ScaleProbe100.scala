@@ -357,6 +357,34 @@ object ScaleProbe100 {
             f"MEMENV $label FAIL wall=$wall%.1fs ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).replace('\n', ' ').take(160))
         }
+        // per-stage attribution: WHICH stage of the composed op spilled
+        // (stage names carry the operator callsite)
+        sl.spillStages.take(8).foreach { case (name, mem, disk) =>
+          println(f"MEMSTAGE $label $name spill_mem_mb=$mem spill_disk_mb=$disk")
+        }
+      }
+      // decomposed curation pipeline: the composed `curation` op's spill
+      // cannot be attributed from Spark stage names (AQE materializes
+      // query stages on its thread pool, so every stage's callsite is
+      // CompletableFuture.java) — run the pipeline's three phases as
+      // separate actions instead. Phase 1 pays scan+gates+dedup-window,
+      // phases 2/3 run against the PINNED survivor set, so their spill
+      // is cleanly their own.
+      if (wanted(s"curstage_${c}x")) {
+        val isB = col("doc_id") % 37 === 0
+        var surv: DataFrame = null
+        memRun(s"curstage_gates_dedup_${c}x") {
+          surv = graft.Staging.pin(
+            Dedup.exactSurvivors(Curation.gates(docs, isB)))
+          surv.count()
+        }
+        memRun(s"curstage_decontaminate_${c}x")(
+          Dedup.decontaminateCorpus(surv.select("doc_id", "text"),
+            docs.filter(isB), minShared = 40L).count())
+        memRun(s"curstage_finalize_${c}x")(
+          Curation.finalizeCorpus(surv.select("doc_id", "source", "lang_pred",
+            "n_tokens", "stopword_ratio", "top_bigram_frac")).count())
+        graft.Staging.unpin(surv)
       }
       memRun(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
       memRun(s"semdedup_${c}x")(
