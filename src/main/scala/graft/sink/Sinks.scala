@@ -445,7 +445,10 @@ object KeyedUpsertSink {
     // protocol one-way valve: once a versioned chain exists the table
     // belongs to the optimistic sink — a lock-path commit would write the
     // legacy `_manifest`, which every reader now ignores in favor of the
-    // chain head, silently unpublishing this commit
+    // chain head, silently unpublishing this commit. This check is
+    // race-free, not check-then-act: it runs under withTableLock, and the
+    // only commit that can CREATE the chain concurrently (the optimistic
+    // v0→v1 migration publish) takes the same lock
     require(versionFiles(Paths.get(tablePath)).isEmpty,
       s"$tablePath has a versioned manifest chain (optimistic protocol); " +
         "use upsertBucketedOptimistic — the lock-path commit would be invisible")
@@ -569,14 +572,23 @@ object KeyedUpsertSink {
     *     corruption.
     *
     * Liveness: some writer commits at every version number, so a batch
-    * retries at most once per competing commit; `maxAttempts` bounds a
-    * pathological hot-bucket storm (the caller sees the exception and
-    * replays the batch — at-least-once delivery already demands that).
+    * retries at most once per competing commit; `maxAttempts` bounds
+    * TOTAL commit attempts — re-stages and disjoint-race retries alike —
+    * so a writer starved by a hot-table storm surfaces as the exception
+    * (the caller replays the batch — at-least-once delivery already
+    * demands that) instead of spinning unboundedly.
     *
-    * Writers serialize on NOTHING in-process: no JVM monitor, no file
-    * lock (the racing-writers spec runs two threads through this very
-    * path). The lock-path [[upsertBucketedAtomic]] remains the
-    * single-writer local-FS fast path; a table it wrote upgrades to
+    * Steady-state writers (ver >= 1) serialize on NOTHING in-process: no
+    * JVM monitor, no file lock (the racing-writers spec runs two threads
+    * through this very path). The ONE exception is the v0→v1 migration
+    * commit, which briefly takes the legacy table lock: it must carry
+    * the legacy `_manifest` forward in full, and a lock-path writer can
+    * update that file concurrently — publishing v1 under the same lock
+    * those writers hold is what makes the upgrade valve race-free
+    * rather than check-then-act (on a real object store there are no
+    * legacy lock-path writers at all, so the lock is a local-FS-only
+    * migration artifact). The lock-path [[upsertBucketedAtomic]] remains
+    * the single-writer local-FS fast path; a table it wrote upgrades to
     * this protocol in place (legacy `_manifest` reads as version 0),
     * after which lock-path commits are refused.
     *
@@ -614,9 +626,12 @@ object KeyedUpsertSink {
       var restages = 0
       var hookPending = true
       var committed: Option[OptimisticCommit] = None
+      // bounds TOTAL commit attempts — disjoint-race retries of the inner
+      // loop included, not just outer re-stages — so a starved writer on
+      // a hot table always surfaces as the exception below instead of
+      // spinning unboundedly on put-if-absent losses
       var attempt = 0
       while (committed.isEmpty && attempt < maxAttempts) {
-        attempt += 1
         val base = man.filter { case (b, _) => touched.contains(b) }
         // attempt names carry a random suffix: two DRIVERS replaying the
         // same batchId must never race into one staging dir (the lock
@@ -625,14 +640,34 @@ object KeyedUpsertSink {
         val (_, written) =
           stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, base)
         var stale = false
-        while (committed.isEmpty && !stale) {
+        while (committed.isEmpty && !stale && attempt < maxAttempts) {
+          attempt += 1
           if (hookPending) { hookPending = false; onBeforeFirstCommit() }
-          if (tryCommitVersion(tablePath, ver + 1, man ++ written.map(_ -> gen)))
+          val published =
+            if (ver == 0L) withTableLock(tablePath) {
+              // migration handshake: the v0→v1 transition is the ONE
+              // commit that can race a legacy lock-path writer (its
+              // commit updates `_manifest`, which v1 must carry forward
+              // in full). Check-then-publish without the lock has a
+              // silent-unpublish window — legacy commits between our
+              // head read and the v1 publish would vanish behind the
+              // chain head. Lock-path writers hold this same lock for
+              // their whole commit, so under it the legacy manifest is
+              // frozen: re-read it, bail as a lost race on any drift.
+              // Steady state (ver >= 1) never comes here: legacy writers
+              // are refused once a chain exists, so v2+ is lock-free.
+              legacyManifest(tablePath) == man &&
+                tryCommitVersion(tablePath, 1L, man ++ written.map(_ -> gen))
+            } else tryCommitVersion(tablePath, ver + 1, man ++ written.map(_ -> gen))
+          if (published)
             committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
           else {
             retries += 1
             val (v2, m2) = versionedHead(tablePath)
-            require(v2 > ver,
+            // v2 == ver is legal only at ver 0: legacy-manifest drift
+            // (the handshake above bailed), where m2 is the fresh legacy
+            // map to carry forward on the next attempt
+            require(v2 > ver || ver == 0L,
               s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
                 "the version chain was pruned past an in-flight writer " +
                 "(vacuum keep-window shorter than a stage-commit window)")
@@ -645,8 +680,8 @@ object KeyedUpsertSink {
         }
       }
       Some(committed.getOrElse(throw new IllegalStateException(
-        s"$tablePath: optimistic commit lost $maxAttempts consecutive races " +
-          s"on batch $batchId — hot-bucket storm; replay the batch")))
+        s"$tablePath: optimistic commit lost $maxAttempts commit attempts " +
+          s"on batch $batchId — hot-table storm; replay the batch")))
     } finally bucketed.unpersist()
   }
 
@@ -677,10 +712,7 @@ object KeyedUpsertSink {
     * correctly through the same entry point.
     */
   def readManifest(tablePath: String): Map[Long, String] =
-    versionFiles(Paths.get(tablePath)).maxByOption(_._1) match {
-      case Some((_, p)) => parseManifest(p)
-      case None => legacyManifest(tablePath)
-    }
+    versionedHead(tablePath)._2
 
   /** The lock-path `_manifest` file (pre-versioned format). */
   private def legacyManifest(tablePath: String): Map[Long, String] = {

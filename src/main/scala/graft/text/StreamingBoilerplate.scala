@@ -60,7 +60,12 @@ object StreamingBoilerplate {
 
   private[graft] def mergeBatch(spark: SparkSession, stateDir: String,
       sep: String, numBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
-    val counts = batch
+    // a doc redelivered WITHIN one micro-batch must count once: the
+    // groupBy below would double its paragraph counts, and the LWW
+    // order Seq(n) keeps the inflated row forever (same guard as
+    // StreamingDedup.mergeBatch; cross-batch redelivery is already a
+    // no-op via the (doc_id, ph) keying)
+    val counts = batch.dropDuplicates("doc_id")
       .select(col("doc_id"),
         explode(split(col("text"), java.util.regex.Pattern.quote(sep))).as("para"))
       .select(col("doc_id"), TextAnalysis.paraNormHash(col("para")).as("ph"))

@@ -35,7 +35,10 @@ object PrShapeAb {
       (System.nanoTime() - t0) / 1e9
     }
     val walls = scala.collection.mutable.Map.empty[String, List[Double]]
-    run("pre") // warm both? one warm rep on the new shape covers shared kernels
+    // warm BOTH arms: each join shape compiles its own codegen kernels,
+    // so a single-arm warm-up would bill the other arm's JIT cost to
+    // its first measured rep
+    run("pre"); run("double")
     (1 to reps).foreach { _ =>
       Seq("pre", "double").foreach { s =>
         val w = run(s)

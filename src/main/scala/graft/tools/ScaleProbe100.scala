@@ -378,13 +378,18 @@ object ScaleProbe100 {
             Dedup.exactSurvivors(Curation.gates(docs, isB)))
           surv.count()
         }
-        memRun(s"curstage_decontaminate_${c}x")(
-          Dedup.decontaminateCorpus(surv.select("doc_id", "text"),
-            docs.filter(isB), minShared = 40L).count())
-        memRun(s"curstage_finalize_${c}x")(
-          Curation.finalizeCorpus(surv.select("doc_id", "source", "lang_pred",
-            "n_tokens", "stopword_ratio", "top_bigram_frac")).count())
-        graft.Staging.unpin(surv)
+        // surv stays null when phase 1 hit the cliff it probes for —
+        // phases 2/3 and the unpin must not turn that reported FAIL
+        // into an uncaught NPE that kills the rest of the envelope run
+        if (surv != null) {
+          memRun(s"curstage_decontaminate_${c}x")(
+            Dedup.decontaminateCorpus(surv.select("doc_id", "text"),
+              docs.filter(isB), minShared = 40L).count())
+          memRun(s"curstage_finalize_${c}x")(
+            Curation.finalizeCorpus(surv.select("doc_id", "source", "lang_pred",
+              "n_tokens", "stopword_ratio", "top_bigram_frac")).count())
+          graft.Staging.unpin(surv)
+        }
       }
       memRun(s"minhash_${c}x")(Dedup.minhashNearDups(docs).count())
       memRun(s"semdedup_${c}x")(

@@ -43,11 +43,16 @@ class OptimisticSinkSpec extends SparkSpec {
     val path = newTable("graft-opt-race")
     val rowsA = (1 to 30).map(i => (s"a$i", 1L, 10L)) :+ ("shared", 1L, 5L)
     val rowsB = (1 to 30).map(i => (s"b$i", 2L, 10L)) :+ ("shared", 2L, 9L)
-    // 2 buckets for 62 keys: the writers' touched sets MUST overlap
+    // 2 buckets for 62 keys: the writers' touched sets MUST overlap.
+    // The barrier forces BOTH writers to finish staging before either
+    // commits — without it a skewed schedule can serialize the writers
+    // entirely and the re-merge assertion below would be flaky.
+    val staged = new java.util.concurrent.CyclicBarrier(2)
+    val await = () => { staged.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
     var stA: OptimisticCommit = null
     var stB: OptimisticCommit = null
-    val tA = new Thread(() => stA = opt(path, 2)(batchDf(rowsA: _*), 1L))
-    val tB = new Thread(() => stB = opt(path, 2)(batchDf(rowsB: _*), 2L))
+    val tA = new Thread(() => stA = opt(path, 2, hook = await)(batchDf(rowsA: _*), 1L))
+    val tB = new Thread(() => stB = opt(path, 2, hook = await)(batchDf(rowsB: _*), 2L))
     tA.start(); tB.start(); tA.join(); tB.join()
     val want = rowsA.dropRight(1).toSet ++ rowsB.toSet // shared: ts 9 beats 5
     assert(table(path) == want, "a racing writer's rows were lost")

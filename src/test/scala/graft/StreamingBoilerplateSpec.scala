@@ -90,4 +90,24 @@ class StreamingBoilerplateSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(streamedFreq == batchFreq)
   }
+
+  test("a doc redelivered WITHIN one micro-batch counts once") {
+    // cross-batch replays are absorbed by the (doc_id, ph) LWW keying,
+    // but a duplicate INSIDE one trigger reaches the same groupBy and
+    // would double that doc's counts — and order=Seq(n) then keeps the
+    // inflated row forever, over-stripping near-threshold paragraphs
+    val dupWave = wire.unionAll(wire.filter(col("doc_id") % 3 === 0))
+    val state = runWaves("intradup", Seq(dupWave))
+    assert(rows(StreamingBoilerplate.strippedView(spark, state, wire)) == batchWant)
+    // the maintained per-doc counts equal the single-copy batch counts
+    val st = StreamingBoilerplate.counts(spark, state)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = wire
+      .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("para"))
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(trim(col("para")), "\\s+", " "))).as("ph"))
+      .groupBy("doc_id", "ph").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(st == want)
+  }
 }
