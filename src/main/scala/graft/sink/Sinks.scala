@@ -352,7 +352,11 @@ object KeyedUpsertSink {
       touched: Seq[Long],
       gen: String,
       base: Map[Long, String]): (String, Seq[Long]) = {
+    // a base bucket may carry a delta CHAIN (mixed-mode table: delta
+    // commits landed since the last merge-on-write) — resolve it first,
+    // so this merge doubles as that bucket's compaction
     val existing = readManifestBuckets(spark, tablePath, base)
+      .map(resolveChainRead(_, base, keys, order))
     mergeLww(existing, bucketed, keys, order)
       .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
       .partitionBy("__bucket")
@@ -549,6 +553,30 @@ object KeyedUpsertSink {
       entries: Map[Long, String]): Boolean =
     putIfAbsent(versionPath(tablePath, version), renderManifest(entries))
 
+  /** One optimistic attempt to publish `entries` as the successor of
+    * head `ver` (whose map at stage time was `manAtStage`). Shared by
+    * every versioned committer (merge-on-write, delta append,
+    * compaction).
+    *
+    * The v0→v1 transition is the ONE commit that can race a legacy
+    * lock-path writer (its commit updates `_manifest`, which v1 must
+    * carry forward in full). Check-then-publish without the lock has a
+    * silent-unpublish window — legacy commits between the head read and
+    * the v1 publish would vanish behind the chain head. Lock-path
+    * writers hold this same lock for their whole commit, so under it
+    * the legacy manifest is frozen: re-read it, bail as a lost race on
+    * any drift. Steady state (ver >= 1) never comes here: legacy
+    * writers are refused once a chain exists, so v2+ is lock-free (on a
+    * real object store there are no legacy lock-path writers at all, so
+    * the lock is a local-FS-only migration artifact).
+    */
+  private def publishNext(tablePath: String, ver: Long,
+      manAtStage: Map[Long, String], entries: Map[Long, String]): Boolean =
+    if (ver == 0L) withTableLock(tablePath) {
+      legacyManifest(tablePath) == manAtStage &&
+        tryCommitVersion(tablePath, 1L, entries)
+    } else tryCommitVersion(tablePath, ver + 1, entries)
+
   /** Object-store-safe bucketed upsert: same LWW merge, bucket layout,
     * generation staging, and O(touched buckets)/trigger cost as
     * [[upsertBucketedAtomic]], but the commit is OPTIMISTIC CONCURRENCY
@@ -643,23 +671,7 @@ object KeyedUpsertSink {
         while (committed.isEmpty && !stale && attempt < maxAttempts) {
           attempt += 1
           if (hookPending) { hookPending = false; onBeforeFirstCommit() }
-          val published =
-            if (ver == 0L) withTableLock(tablePath) {
-              // migration handshake: the v0→v1 transition is the ONE
-              // commit that can race a legacy lock-path writer (its
-              // commit updates `_manifest`, which v1 must carry forward
-              // in full). Check-then-publish without the lock has a
-              // silent-unpublish window — legacy commits between our
-              // head read and the v1 publish would vanish behind the
-              // chain head. Lock-path writers hold this same lock for
-              // their whole commit, so under it the legacy manifest is
-              // frozen: re-read it, bail as a lost race on any drift.
-              // Steady state (ver >= 1) never comes here: legacy writers
-              // are refused once a chain exists, so v2+ is lock-free.
-              legacyManifest(tablePath) == man &&
-                tryCommitVersion(tablePath, 1L, man ++ written.map(_ -> gen))
-            } else tryCommitVersion(tablePath, ver + 1, man ++ written.map(_ -> gen))
-          if (published)
+          if (publishNext(tablePath, ver, man, man ++ written.map(_ -> gen)))
             committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
           else {
             retries += 1
@@ -683,6 +695,184 @@ object KeyedUpsertSink {
         s"$tablePath: optimistic commit lost $maxAttempts commit attempts " +
           s"on batch $batchId — hot-table storm; replay the batch")))
     } finally bucketed.unpersist()
+  }
+
+  // ───────────────────────── merge-on-read delta (small-batch) variant ──
+
+  /** Merge-on-READ upsert: stage ONLY the batch's own rows (compacted to
+    * one row per key) and APPEND the generation to each touched bucket's
+    * manifest chain; the LWW merge against older rows is deferred to
+    * [[readBucketedDelta]] (order, then chain recency). The write-
+    * amplification complement of [[upsertBucketedOptimistic]]: that path
+    * rewrites every touched bucket in full per commit — correct, but at
+    * 100 TB a trickle of small batches pays the whole bucket over and
+    * over — while this path writes O(batch) bytes per commit and lets
+    * [[compactBucketChains]] (auto-triggered past `compactAfter`) fold
+    * chains back to one generation, bounding read amplification. The
+    * classic copy-on-write vs merge-on-read trade every lakehouse format
+    * documents: pick this sink for frequent small batches, the
+    * merge-on-write one for rare bulk loads.
+    *
+    * Concurrency is strictly better than merge-on-write: a staged delta
+    * depends on NO base state, so a lost commit race — even on
+    * OVERLAPPING buckets — just re-appends to the fresh head's chains
+    * and retries. No re-merge, no re-stage, ever (`restages` is 0 by
+    * construction). Chain order = commit order, so order-ties resolve
+    * to the later COMMIT, exactly [[mergeLww]]'s batch-beats-existing
+    * rule replayed at read time; at-least-once redelivery appends a
+    * duplicate delta whose rows tie and resolve identically — the
+    * replay is a read-level no-op.
+    *
+    * Interop: chains ride the same versioned-manifest protocol
+    * (conflict detection compares chain STRINGS, so appends are visible
+    * to merge-on-write racers), and a merge-on-write commit on a
+    * chained bucket resolves the chain first — doubling as that
+    * bucket's compaction. Same v0→v1 legacy-table migration handshake.
+    *
+    * Returns None for an empty batch, else the commit stats.
+    */
+  def upsertBucketedDelta(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      numBuckets: Int = 64,
+      maxAttempts: Int = 20,
+      compactAfter: Int = 8,
+      onBeforeFirstCommit: () => Unit = () => ())(
+      batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
+    Files.createDirectories(Paths.get(tablePath))
+    val bucketed = batch
+      .withColumn("__bucket", bucketOf(keys, numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = bucketed.select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (touched.isEmpty) return None
+      // stage against an EMPTY base: mergeLww degrades to the intra-batch
+      // latestByKey compaction (one row per key per delta — two in-batch
+      // duplicates must not reach read time, where they'd tie on __seq),
+      // plus the shared nondeterministic-recompute guard
+      val gen = s"gen-$batchId-u${java.util.UUID.randomUUID().toString.take(8)}"
+      val (_, written) =
+        stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, Map.empty)
+      var (ver, man) = versionedHead(tablePath)
+      var retries = 0
+      var hookPending = true
+      var attempt = 0
+      var committed: Option[OptimisticCommit] = None
+      while (committed.isEmpty && attempt < maxAttempts) {
+        attempt += 1
+        if (hookPending) { hookPending = false; onBeforeFirstCommit() }
+        val entries = man ++ written.map { b =>
+          b -> renderChain(man.get(b).map(chainOf).getOrElse(Seq.empty) :+ gen)
+        }
+        if (publishNext(tablePath, ver, man, entries))
+          committed = Some(OptimisticCommit(ver + 1, gen, retries, 0))
+        else {
+          retries += 1
+          val (v2, m2) = versionedHead(tablePath)
+          require(v2 > ver || ver == 0L,
+            s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
+              "the version chain was pruned past an in-flight writer " +
+              "(vacuum keep-window shorter than a stage-commit window)")
+          ver = v2
+          man = m2
+        }
+      }
+      val c = committed.getOrElse(throw new IllegalStateException(
+        s"$tablePath: delta commit lost $maxAttempts commit attempts " +
+          s"on batch $batchId — hot-table storm; replay the batch"))
+      // read-amplification bound: fold any touched chain that crossed the
+      // threshold. Best-effort — the batch is already durably committed,
+      // so a compaction starved out by racing writers just leaves the
+      // chain long for the next trigger to retry
+      if (compactAfter > 0 &&
+          readManifest(tablePath).exists { case (b, v) =>
+            touched.contains(b) && chainOf(v).length > compactAfter })
+        try compactBucketChains(spark, tablePath, keys, order,
+          minChain = compactAfter + 1, buckets = Some(touched.toSet))
+        catch { case _: IllegalStateException => () }
+      Some(c)
+    } finally bucketed.unpersist()
+  }
+
+  /** Fold every bucket whose chain has ≥ `minChain` generations (within
+    * `buckets`, when given) down to ONE resolved generation, committed
+    * through the same optimistic protocol. Correctness under races:
+    * a compaction REPLACES exactly the chain prefix it read, so a delta
+    * appended while it staged is carried forward behind the compacted
+    * generation (rewrite and append commute — the Delta/Iceberg
+    * rewrite-vs-append rule); if a bucket's prefix itself changed
+    * (another compactor, or a merge-on-write commit), the staged fold is
+    * stale for that bucket and the whole pass re-stages against the new
+    * head. Old delta generations become unreferenced and are reclaimed
+    * by [[vacuumGenerations]] under its usual reader-grace window.
+    *
+    * Returns the bucket ids compacted (empty when no chain qualifies).
+    */
+  def compactBucketChains(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      minChain: Int = 2,
+      buckets: Option[Set[Long]] = None,
+      maxAttempts: Int = 20,
+      onBeforeFirstCommit: () => Unit = () => ()): Seq[Long] = {
+    var attempt = 0
+    var hookPending = true
+    while (attempt < maxAttempts) {
+      val (ver, man) = versionedHead(tablePath)
+      val targets = man.filter { case (b, v) =>
+        chainOf(v).length >= math.max(minChain, 2) && buckets.forall(_.contains(b))
+      }
+      if (targets.isEmpty) return Seq.empty
+      // chains only exist on versioned tables (the delta writer always
+      // commits through the chain protocol), so the v0 handshake can't
+      // be needed here
+      require(ver >= 1L, s"$tablePath: chains on an unversioned table")
+      val gen = s"gen-compact-u${java.util.UUID.randomUUID().toString.take(8)}"
+      val folded = resolveChainRead(
+        readManifestBuckets(spark, tablePath, targets).get, targets, keys, order)
+      folded.write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
+        .partitionBy("__bucket")
+        .parquet(s"$tablePath/$gen")
+      // LWW keeps ≥1 row per key, so every target bucket survives the fold
+      val written = listBucketIds(Paths.get(tablePath, gen))
+      var head = (ver, man)
+      var stale = false
+      while (!stale && attempt < maxAttempts) {
+        attempt += 1
+        if (hookPending) { hookPending = false; onBeforeFirstCommit() }
+        val (v, m) = head
+        // replace each compacted PREFIX, carrying forward any deltas
+        // appended since the stage; a changed prefix = stale fold
+        val next = written.foldLeft(Option(m)) {
+          case (None, _) => None
+          case (Some(acc), b) =>
+            val before = chainOf(targets(b))
+            val now = chainOf(m(b))
+            if (now.startsWith(before))
+              Some(acc + (b -> renderChain(gen +: now.drop(before.length))))
+            else None
+        }
+        next match {
+          case None => stale = true
+          case Some(entries) =>
+            if (tryCommitVersion(tablePath, v + 1, entries)) return written
+            val (v2, m2) = versionedHead(tablePath)
+            require(v2 > v,
+              s"$tablePath: v${v + 1} exists but the listed head is v$v2 — " +
+                "the version chain was pruned past an in-flight compaction")
+            head = (v2, m2)
+        }
+      }
+      // stale → loop back: re-pick targets and re-stage against the head
+    }
+    throw new IllegalStateException(
+      s"$tablePath: compaction lost $maxAttempts commit attempts — " +
+        "hot-table storm; retry when the write rate drops")
   }
 
   /** Write + force to stable storage, so the atomic rename promotes a
@@ -728,9 +918,33 @@ object KeyedUpsertSink {
     }.toMap
   }
 
-  /** Read the given bucket→gen entries, one scan per distinct generation
-    * (basePath keeps the `__bucket=N` partition column), cast back to the
-    * writer's long type. None when no entry exists yet.
+  /** A manifest VALUE is a `;`-joined generation chain, oldest first:
+    * merge-on-write commits ([[upsertBucketedAtomic]] /
+    * [[upsertBucketedOptimistic]]) always write single-element chains
+    * (the plain `gen` string — the pre-chain format reads back
+    * unchanged), while [[upsertBucketedDelta]] APPENDS one generation
+    * per commit and defers the LWW merge to read time. Generation names
+    * never contain `,` or `;`.
+    */
+  private[graft] def chainOf(value: String): Seq[String] =
+    value.split(";").toSeq.filter(_.nonEmpty)
+
+  private def renderChain(gens: Seq[String]): String = gens.mkString(";")
+
+  /** Does any bucket of `entries` carry a multi-generation chain (i.e.
+    * rows that still need a read-time LWW resolve)?
+    */
+  private def hasChains(entries: Map[Long, String]): Boolean =
+    entries.valuesIterator.exists(_.contains(';'))
+
+  /** Read the given bucket→chain entries, one scan per distinct
+    * (generation, chain position) pair (basePath keeps the `__bucket=N`
+    * partition column), cast back to the writer's long type. None when
+    * no entry exists yet. The returned frame carries `__seq` = the
+    * generation's position in ITS bucket's chain: keys never compete
+    * across buckets, so per-bucket positions are a sound LWW recency
+    * axis even though one generation may sit at different depths in
+    * different buckets' chains.
     *
     * Generations union BY NAME with null back-fill (each generation was
     * written in one shot, so its own schema is uniform — per-generation
@@ -741,13 +955,31 @@ object KeyedUpsertSink {
   private def readManifestBuckets(
       spark: SparkSession,
       tablePath: String,
-      entries: Map[Long, String]): Option[DataFrame] =
-    if (entries.isEmpty) None
-    else Some(entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, buckets) =>
-      spark.read.option("basePath", s"$tablePath/$gen")
-        .parquet(buckets.keys.toSeq.sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
-        .withColumn("__bucket", col("__bucket").cast("long"))
+      entries: Map[Long, String]): Option[DataFrame] = {
+    val triples = for {
+      (b, v) <- entries.toSeq
+      (gen, pos) <- chainOf(v).zipWithIndex
+    } yield (gen, pos, b)
+    if (triples.isEmpty) None
+    else Some(triples.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
+      case ((gen, pos), grp) =>
+        spark.read.option("basePath", s"$tablePath/$gen")
+          .parquet(grp.map(_._3).sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
+          .withColumn("__bucket", col("__bucket").cast("long"))
+          .withColumn("__seq", lit(pos.toLong))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** LWW-resolve a chain read: one row per key, ranked by `order` then
+    * chain recency (`__seq` — a later delta beats an earlier one on
+    * order-ties, the read-time equivalent of [[mergeLww]]'s batch-beats-
+    * existing tag). Single-chain tables skip the window entirely — a
+    * fully-compacted or merge-on-write table resolves for free.
+    */
+  private def resolveChainRead(df: DataFrame, entries: Map[Long, String],
+      keys: Seq[String], order: Seq[Column]): DataFrame =
+    if (hasChains(entries)) latestByKey(df, keys, order :+ col("__seq")).drop("__seq")
+    else df.drop("__seq")
 
   /** Read the atomic table at its current manifest, without the layout
     * column. Before the first commit there is no schema to offer, so the
@@ -755,14 +987,67 @@ object KeyedUpsertSink {
     * specific columns before data exists should gate on
     * `readManifest(path).nonEmpty` (schema lives in the data files; this
     * sink stores none of its own).
+    *
+    * Refuses a table with unresolved delta chains: this reader has no
+    * key/order spec, so it would return every superseded row version —
+    * a silently-wrong table. Use [[readBucketedDelta]] (or compact
+    * first) there.
     */
   def readBucketedAtomic(spark: SparkSession, tablePath: String): DataFrame = {
     val manifest = readManifest(tablePath)
+    require(!hasChains(manifest),
+      s"$tablePath has merge-on-read delta chains; " +
+        "use readBucketedDelta(keys, order) or compactBucketChains first")
     readManifestBuckets(spark, tablePath, manifest) match {
-      case Some(df) => df.drop("__bucket")
+      case Some(df) => df.drop("__seq").drop("__bucket")
       case None => spark.emptyDataFrame
     }
   }
+
+  /** Merge-on-read resolving reader: the table at `atVersion` (default:
+    * the chain head), LWW-resolved per key by `order` then delta
+    * recency. Works on any table of this family — on a merge-on-write
+    * table (no chains) it degrades to a plain scan with NO window
+    * shuffle, so it is always safe to read through this entry point.
+    *
+    * `atVersion` is the time-travel handle: any version still inside
+    * the vacuum keep window is readable ([[tableVersions]] lists them).
+    * The version pins the MANIFEST; [[vacuumGenerations]]'s grace set
+    * keeps the generations those retained manifests reference.
+    */
+  def readBucketedDelta(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column],
+      atVersion: Option[Long] = None): DataFrame = {
+    val manifest = atVersion match {
+      case Some(v) => manifestAt(tablePath, v)
+      case None => readManifest(tablePath)
+    }
+    readManifestBuckets(spark, tablePath, manifest) match {
+      case Some(df) => resolveChainRead(df, manifest, keys, order).drop("__bucket")
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** Committed manifest versions still readable (oldest first). Version
+    * numbers below the head are pruned by [[vacuumGenerations]]'s keep
+    * window, so this is a sliding history, not the full log.
+    */
+  def tableVersions(tablePath: String): Seq[Long] =
+    versionFiles(Paths.get(tablePath)).map(_._1).sorted
+
+  /** The bucket→chain manifest as of commit `version`. Fails loudly on
+    * a version the vacuum keep window has pruned (or that never
+    * committed) — returning the nearest survivor would silently answer
+    * a different question.
+    */
+  private def manifestAt(tablePath: String, version: Long): Map[Long, String] =
+    versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
+      case Some((_, p)) => parseManifest(p)
+      case None => throw new NoSuchElementException(
+        s"$tablePath: no readable manifest v$version — pruned past the " +
+          s"vacuum keep window or never committed (have: " +
+          s"${tableVersions(tablePath).mkString(",")})")
+    }
 
   /** Best-effort reclamation of generation directories no manifest entry
     * references (superseded or orphaned by a crash), plus stale
@@ -800,7 +1085,8 @@ object KeyedUpsertSink {
     if (!Files.exists(dir)) return Seq.empty
     import scala.jdk.CollectionConverters._
     val vfiles = versionFiles(dir).sortBy(_._1)
-    val live = readManifest(tablePath).values.toSet ++
+    // manifest values are generation CHAINS — every chain member is live
+    val live = readManifest(tablePath).values.flatMap(chainOf).toSet ++
       recentHistory(dir, graceManifests).flatMap(h => manifestValues(h)) ++
       vfiles.takeRight(graceManifests + 1).flatMap { case (_, p) => manifestValues(p) }
     val s = Files.list(dir)
@@ -907,9 +1193,9 @@ object KeyedUpsertSink {
     import scala.jdk.CollectionConverters._
     // tolerate a malformed line (e.g. a pre-tmp-discipline truncated
     // snapshot): skipping it only RETAINS extra generations, never
-    // deletes live ones
+    // deletes live ones. Values are `;`-chains — every member is live.
     Files.readAllLines(p).asScala.filter(_.contains(","))
-      .map(_.split(",", 2)(1)).toSet
+      .flatMap(l => chainOf(l.split(",", 2)(1))).toSet
   }
 }
 
