@@ -34,6 +34,37 @@ object KeyedUpsertSink {
       .drop("__graft_rn")
   }
 
+  /** Attribute names an order spec references — the columns every batch
+    * must carry for the LWW rank to be meaningful. Collected from the
+    * unresolved expression tree, so composite orders (`col("a") + col("b")`)
+    * contribute every referenced attribute.
+    */
+  private def orderColNames(order: Seq[Column]): Seq[String] =
+    order.flatMap(_.expr.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }).distinct
+
+  /** Schema-evolution is for VALUE columns only: a batch missing a KEY
+    * column would null-fill it and collapse every batch row into one
+    * null-key group (silent data loss), and a batch missing an ORDER
+    * column would null-fill it and — under desc, nulls-last — silently
+    * lose every LWW comparison (a stale no-op upsert). Fail loudly
+    * instead, before `unionByName(allowMissingColumns = true)` can paper
+    * over it.
+    */
+  private def requireKeyOrderCols(batch: DataFrame, keys: Seq[String],
+      order: Seq[Column]): Unit = {
+    val have = batch.columns.map(_.toLowerCase).toSet
+    val missing = (keys ++ orderColNames(order))
+      .filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"batch is missing key/order column(s) ${missing.mkString(", ")} " +
+        s"(batch columns: ${batch.columns.mkString(", ")}) — schema " +
+        "evolution null-fills VALUE columns only; a null-filled key or " +
+        "order column silently corrupts the LWW merge")
+  }
+
   /** New batch outranks existing rows on equal order values: tag a
     * generation column so replays/redeliveries resolve deterministically.
     * THE LWW merge shared by every upsert variant — one place for the
@@ -44,10 +75,11 @@ object KeyedUpsertSink {
     * there), and older columns a projected batch lacks survive as null
     * on the new rows — the schema-evolution contract of the
     * atomic/optimistic variants. Key and order columns must exist in
-    * every batch (the window below fails loudly otherwise).
+    * every batch ([[requireKeyOrderCols]] fails loudly otherwise).
     */
   private def mergeLww(existing: Option[DataFrame], batch: DataFrame,
       keys: Seq[String], order: Seq[Column]): DataFrame = {
+    requireKeyOrderCols(batch, keys, order)
     val tagged = batch.withColumn("__gen", lit(1L))
     val merged = existing match {
       case Some(old) =>
@@ -575,7 +607,36 @@ object KeyedUpsertSink {
     if (ver == 0L) withTableLock(tablePath) {
       legacyManifest(tablePath) == manAtStage &&
         tryCommitVersion(tablePath, 1L, entries)
-    } else tryCommitVersion(tablePath, ver + 1, entries)
+    } else tryCommitSuccessor(tablePath, ver, entries)
+
+  /** Guarded successor publish for a versioned head (ver >= 1): refuses
+    * to publish v(ver+1) when the base version file has been vacuum-
+    * pruned. Without the guard, a writer stalled between reading head
+    * vN and publishing v(N+1) for longer than the vacuum keep window
+    * would putIfAbsent a PRUNED version number successfully — a commit
+    * it reports as success but that readers (who resolve the max
+    * version) never see: silent data loss. The pre-check converts that
+    * stall into an ordinary lost race — the caller re-reads the
+    * (necessarily newer) head and re-validates/re-stages. The
+    * post-publish re-check closes the residual window (a vacuum pruning
+    * the base BETWEEN the pre-check and the publish): visibility of the
+    * just-published version can no longer be guaranteed, so fail the
+    * batch loudly — the caller replays it, which at-least-once delivery
+    * already demands — rather than report a success readers may never
+    * observe.
+    */
+  private def tryCommitSuccessor(tablePath: String, ver: Long,
+      entries: Map[Long, String]): Boolean = {
+    if (!Files.exists(versionPath(tablePath, ver))) return false
+    val ok = tryCommitVersion(tablePath, ver + 1, entries)
+    if (ok && !Files.exists(versionPath(tablePath, ver)))
+      throw new IllegalStateException(
+        s"$tablePath: base _manifest.v$ver was vacuum-pruned inside the " +
+          s"v${ver + 1} publish window — commit visibility cannot be " +
+          "guaranteed; replay the batch (vacuum retention must exceed " +
+          "the writer's stage-commit span)")
+    ok
+  }
 
   /** Object-store-safe bucketed upsert: same LWW merge, bucket layout,
     * generation staging, and O(touched buckets)/trigger cost as
@@ -860,7 +921,7 @@ object KeyedUpsertSink {
         next match {
           case None => stale = true
           case Some(entries) =>
-            if (tryCommitVersion(tablePath, v + 1, entries)) return written
+            if (tryCommitSuccessor(tablePath, v, entries)) return written
             val (v2, m2) = versionedHead(tablePath)
             require(v2 > v,
               s"$tablePath: v${v + 1} exists but the listed head is v$v2 — " +
