@@ -17,7 +17,7 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "etl_pipeline_scale", "etl_upsert_lww", "etl_upsert_bucketed",
-    "etl_upsert_optimistic",
+    "etl_upsert_optimistic", "etl_upsert_delta",
     "etl_audit_tally", "etl_route_transform",
     "q1_agg", "q3_topk", "q5_join", "q_window_rank", "q_topk_agg", "q_window_running",
     "q_rollup", "q_cube", "q_semi_join", "q_anti_join", "q_distinct_agg",

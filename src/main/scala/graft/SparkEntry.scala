@@ -165,6 +165,32 @@ object SparkEntry {
       graft.sink.KeyedUpsertSink.readBucketedAtomic(s, path).drop("ts_us")
     }),
 
+    // K1 through the MERGE-ON-READ delta sink: four small batches, each
+    // appending O(batch) bytes to its buckets' generation chains (no
+    // bucket rewrite), with the LWW resolve deferred to readBucketedDelta
+    // (order, then chain recency). Batch 3 redelivers batch 1 — the
+    // at-least-once replay must be a read-level no-op. compactAfter=3
+    // forces a chain fold inside the run, so the query exercises append,
+    // redelivery, compaction and resolved read in one pass. Read-back
+    // must equal the declarative LWW — same oracle as etl_upsert_lww.
+    "etl_upsert_delta" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-delta-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 3) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 3L) // redelivery
+      graft.sink.KeyedUpsertSink.readBucketedDelta(s, path, keys, order)
+        .drop("ts_us")
+    }),
+
     // K1 through the ATOMIC generation-manifest sink: same two-batch
     // split, but each batch stages under gen-<id>/ and commits by one
     // manifest rename — a crash mid-write can't tear the table. Read-back
@@ -1069,6 +1095,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_atomic" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "etl_upsert_delta" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events

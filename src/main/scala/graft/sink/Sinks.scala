@@ -36,14 +36,22 @@ object KeyedUpsertSink {
 
   /** Attribute names an order spec references — the columns every batch
     * must carry for the LWW rank to be meaningful. Collected from the
-    * unresolved expression tree, so composite orders (`col("a") + col("b")`)
-    * contribute every referenced attribute.
+    * FULLY-CONVERTED catalyst tree (Spark 4 Columns are ColumnNode-based;
+    * the lazy `ExpressionUtils.expression` wrapper hides children from
+    * `collect`, so go through the session converter —
+    * [[org.apache.spark.sql.graft.Bridge.convertedExpression]]), so
+    * composite orders (`col("a") + col("b")`) contribute every referenced
+    * attribute. Covers both unresolved references (`col("ts")`) and
+    * already-resolved ones (`df("ts")` yields an AttributeReference).
     */
-  private def orderColNames(order: Seq[Column]): Seq[String] =
-    order.flatMap(_.expr.collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.nameParts.last
-    }).distinct
+  private def orderColNames(spark: SparkSession, order: Seq[Column]): Seq[String] =
+    order.flatMap(c =>
+      org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }).distinct
 
   /** Schema-evolution is for VALUE columns only: a batch missing a KEY
     * column would null-fill it and collapse every batch row into one
@@ -55,9 +63,13 @@ object KeyedUpsertSink {
     */
   private def requireKeyOrderCols(batch: DataFrame, keys: Seq[String],
       order: Seq[Column]): Unit = {
-    val have = batch.columns.map(_.toLowerCase).toSet
-    val missing = (keys ++ orderColNames(order))
-      .filterNot(c => have.contains(c.toLowerCase))
+    // match names the way unionByName will: with the session's resolver,
+    // so under spark.sql.caseSensitive=true a batch carrying `TS` does
+    // NOT satisfy a guard for `ts` (unionByName would null-fill `ts`)
+    val resolver = batch.sparkSession.sessionState.conf.resolver
+    val have = batch.columns.toSeq
+    val missing = (keys ++ orderColNames(batch.sparkSession, order))
+      .filterNot(c => have.exists(resolver(_, c)))
     require(missing.isEmpty,
       s"batch is missing key/order column(s) ${missing.mkString(", ")} " +
         s"(batch columns: ${batch.columns.mkString(", ")}) — schema " +
@@ -252,6 +264,9 @@ object KeyedUpsertSink {
     // why [[upsertBucketedAtomic]] — whose post-write disk listing
     // fail-louds on any unmerged bucket — is the multi-executor
     // deployment path.
+    // guard BEFORE bucketing: a batch missing a KEY column must surface
+    // as the contract message, not as bucketOf's unresolved-column error
+    requireKeyOrderCols(batch, keys, order)
     val bucketed = batch
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -352,6 +367,9 @@ object KeyedUpsertSink {
       numBuckets: Int,
       batch: DataFrame,
       batchId: Long): Option[(String, Seq[Long])] = {
+    // guard BEFORE bucketing: a batch missing a KEY column must surface
+    // as the contract message, not as bucketOf's unresolved-column error
+    requireKeyOrderCols(batch, keys, order)
     val bucketed = batch
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -585,6 +603,18 @@ object KeyedUpsertSink {
       entries: Map[Long, String]): Boolean =
     putIfAbsent(versionPath(tablePath, version), renderManifest(entries))
 
+  /** Outcome of one successor-publish attempt. Distinguishing the two
+    * failure modes keeps caller diagnostics accurate: [[LostRace]] means
+    * v(N+1) already exists (an ordinary optimistic loss — re-read the
+    * head and retry), while [[BasePruned]] means base vN itself is gone
+    * (vacuum pruned past this writer) and NOTHING was attempted — the
+    * caller's stale-head `require` must not claim "v(N+1) exists" there.
+    */
+  private[graft] sealed trait Publish
+  private[graft] case object Published extends Publish
+  private[graft] case object LostRace extends Publish
+  private[graft] case object BasePruned extends Publish
+
   /** One optimistic attempt to publish `entries` as the successor of
     * head `ver` (whose map at stage time was `manAtStage`). Shared by
     * every versioned committer (merge-on-write, delta append,
@@ -603,10 +633,10 @@ object KeyedUpsertSink {
     * the lock is a local-FS-only migration artifact).
     */
   private def publishNext(tablePath: String, ver: Long,
-      manAtStage: Map[Long, String], entries: Map[Long, String]): Boolean =
+      manAtStage: Map[Long, String], entries: Map[Long, String]): Publish =
     if (ver == 0L) withTableLock(tablePath) {
-      legacyManifest(tablePath) == manAtStage &&
-        tryCommitVersion(tablePath, 1L, entries)
+      if (legacyManifest(tablePath) == manAtStage &&
+        tryCommitVersion(tablePath, 1L, entries)) Published else LostRace
     } else tryCommitSuccessor(tablePath, ver, entries)
 
   /** Guarded successor publish for a versioned head (ver >= 1): refuses
@@ -623,19 +653,42 @@ object KeyedUpsertSink {
     * just-published version can no longer be guaranteed, so fail the
     * batch loudly — the caller replays it, which at-least-once delivery
     * already demands — rather than report a success readers may never
-    * observe.
+    * observe. NOTE the throw fires AFTER v(ver+1) was durably published:
+    * the message says so, and the replay is safe only because the LWW
+    * merge is idempotent (replaying an already-visible batch is a no-op).
+    *
+    * `afterPrecheck` is a deterministic-interleaving seam for the spec
+    * that pins the residual window (prod callers leave the no-op).
     */
-  private def tryCommitSuccessor(tablePath: String, ver: Long,
-      entries: Map[Long, String]): Boolean = {
-    if (!Files.exists(versionPath(tablePath, ver))) return false
+  private[graft] def tryCommitSuccessor(tablePath: String, ver: Long,
+      entries: Map[Long, String],
+      afterPrecheck: () => Unit = () => ()): Publish = {
+    if (!Files.exists(versionPath(tablePath, ver))) return BasePruned
+    afterPrecheck()
     val ok = tryCommitVersion(tablePath, ver + 1, entries)
     if (ok && !Files.exists(versionPath(tablePath, ver)))
       throw new IllegalStateException(
         s"$tablePath: base _manifest.v$ver was vacuum-pruned inside the " +
-          s"v${ver + 1} publish window — commit visibility cannot be " +
-          "guaranteed; replay the batch (vacuum retention must exceed " +
-          "the writer's stage-commit span)")
-    ok
+          s"v${ver + 1} publish window — v${ver + 1} IS durably published " +
+          "but its visibility to readers cannot be guaranteed; replay the " +
+          "batch (idempotent under the LWW merge; vacuum retention must " +
+          "exceed the writer's stage-commit span)")
+    if (ok) Published else LostRace
+  }
+
+  /** Accurate stale-head diagnostic for a failed successor publish:
+    * a [[BasePruned]] loss must not be described as "v(N+1) exists".
+    */
+  private def staleHeadMsg(tablePath: String, ver: Long, v2: Long,
+      res: Publish): String = res match {
+    case BasePruned =>
+      s"$tablePath: base _manifest.v$ver was pruned beneath an in-flight " +
+        s"writer (listed head: v$v2) — the version chain was vacuumed past " +
+        "this writer (vacuum keep-window shorter than a stage-commit window)"
+    case _ =>
+      s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
+        "the version chain was pruned past an in-flight writer " +
+        "(vacuum keep-window shorter than a stage-commit window)"
   }
 
   /** Object-store-safe bucketed upsert: same LWW merge, bucket layout,
@@ -703,6 +756,9 @@ object KeyedUpsertSink {
       onBeforeFirstCommit: () => Unit = () => ())(
       batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
     Files.createDirectories(Paths.get(tablePath))
+    // guard BEFORE bucketing: a batch missing a KEY column must surface
+    // as the contract message, not as bucketOf's unresolved-column error
+    requireKeyOrderCols(batch, keys, order)
     val bucketed = batch
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -732,18 +788,16 @@ object KeyedUpsertSink {
         while (committed.isEmpty && !stale && attempt < maxAttempts) {
           attempt += 1
           if (hookPending) { hookPending = false; onBeforeFirstCommit() }
-          if (publishNext(tablePath, ver, man, man ++ written.map(_ -> gen)))
-            committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
-          else {
+          publishNext(tablePath, ver, man, man ++ written.map(_ -> gen)) match {
+            case Published =>
+              committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
+            case res =>
             retries += 1
             val (v2, m2) = versionedHead(tablePath)
             // v2 == ver is legal only at ver 0: legacy-manifest drift
             // (the handshake above bailed), where m2 is the fresh legacy
             // map to carry forward on the next attempt
-            require(v2 > ver || ver == 0L,
-              s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
-                "the version chain was pruned past an in-flight writer " +
-                "(vacuum keep-window shorter than a stage-commit window)")
+            require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
             ver = v2
             man = m2
             // conflict = any bucket WE touched moved since we staged
@@ -803,6 +857,9 @@ object KeyedUpsertSink {
       onBeforeFirstCommit: () => Unit = () => ())(
       batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
     Files.createDirectories(Paths.get(tablePath))
+    // guard BEFORE bucketing: a batch missing a KEY column must surface
+    // as the contract message, not as bucketOf's unresolved-column error
+    requireKeyOrderCols(batch, keys, order)
     val bucketed = batch
       .withColumn("__bucket", bucketOf(keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -828,17 +885,15 @@ object KeyedUpsertSink {
         val entries = man ++ written.map { b =>
           b -> renderChain(man.get(b).map(chainOf).getOrElse(Seq.empty) :+ gen)
         }
-        if (publishNext(tablePath, ver, man, entries))
-          committed = Some(OptimisticCommit(ver + 1, gen, retries, 0))
-        else {
-          retries += 1
-          val (v2, m2) = versionedHead(tablePath)
-          require(v2 > ver || ver == 0L,
-            s"$tablePath: v${ver + 1} exists but the listed head is v$v2 — " +
-              "the version chain was pruned past an in-flight writer " +
-              "(vacuum keep-window shorter than a stage-commit window)")
-          ver = v2
-          man = m2
+        publishNext(tablePath, ver, man, entries) match {
+          case Published =>
+            committed = Some(OptimisticCommit(ver + 1, gen, retries, 0))
+          case res =>
+            retries += 1
+            val (v2, m2) = versionedHead(tablePath)
+            require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
+            ver = v2
+            man = m2
         }
       }
       val c = committed.getOrElse(throw new IllegalStateException(
@@ -921,11 +976,10 @@ object KeyedUpsertSink {
         next match {
           case None => stale = true
           case Some(entries) =>
-            if (tryCommitSuccessor(tablePath, v, entries)) return written
+            val res = tryCommitSuccessor(tablePath, v, entries)
+            if (res == Published) return written
             val (v2, m2) = versionedHead(tablePath)
-            require(v2 > v,
-              s"$tablePath: v${v + 1} exists but the listed head is v$v2 — " +
-                "the version chain was pruned past an in-flight compaction")
+            require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
             head = (v2, m2)
         }
       }

@@ -16,6 +16,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The FULLY-CONVERTED catalyst tree of a Column. [[expression]] wraps
+    * an unresolved Column in a lazy `ColumnNodeExpression` whose children
+    * are invisible to `collect` — this goes through the session's
+    * ColumnNode converter, so `col("a") + col("b")` really yields an
+    * UnresolvedFunction over two UnresolvedAttributes.
+    */
+  def convertedExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   /** A DataFrame whose logical plan is a LEAF over `rows` (no upstream
     * lineage in Catalyst; the RDD keeps its own lineage for recovery).
     * `internalCreateDataFrame` is `private[sql]` — this is the

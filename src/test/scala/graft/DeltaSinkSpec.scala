@@ -1,0 +1,266 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.KeyedUpsertSink
+import graft.sink.KeyedUpsertSink.OptimisticCommit
+
+/** The merge-on-read delta sink tier: O(batch) appends to per-bucket
+  * generation chains with the LWW merge deferred to read time. The
+  * contract under test: chain-resolve == merge-on-write over the same
+  * batches, racing appends are carried forward through compaction,
+  * redelivery is a read-level no-op, time travel reproduces history,
+  * and the vacuum keep-window boundary fails LOUDLY rather than
+  * committing behind the head.
+  */
+class DeltaSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "ts")
+
+  private def newTable(tag: String): String =
+    Files.createTempDirectory(tag).resolve("t").toString
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+
+  private def delta(path: String, numBuckets: Int = 4, compactAfter: Int = 0,
+      hook: () => Unit = () => ())(batch: DataFrame, batchId: Long): OptimisticCommit =
+    KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets, compactAfter = compactAfter,
+      onBeforeFirstCommit = hook)(batch, batchId)
+      .getOrElse(fail("non-empty batch must commit"))
+
+  private def table(path: String): Set[(String, Long, Long)] =
+    KeyedUpsertSink.readBucketedDelta(spark, path, keys, order)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+
+  private def chainLens(path: String): Map[Long, Int] =
+    KeyedUpsertSink.readManifest(path)
+      .map { case (b, v) => b -> KeyedUpsertSink.chainOf(v).length }
+
+  test("chain-resolved read equals the merge-on-write table over the same batches") {
+    val ev = Tables.events(spark, Sf0001).select(col("user_id"),
+      col("event_id"), col("ts_us"))
+    val k = Seq("user_id")
+    val o = Seq(col("ts_us"), col("event_id"))
+    val dPath = newTable("graft-delta-parity")
+    val wPath = newTable("graft-mow-parity")
+    val dSink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, dPath, k, o, numBuckets = 8, compactAfter = 0) _
+    val wSink = KeyedUpsertSink.upsertBucketedOptimistic(
+      spark, wPath, k, o, numBuckets = 8) _
+    (0L to 2L).foreach { i =>
+      dSink(ev.filter(col("event_id") % 3 === i), i)
+      wSink(ev.filter(col("event_id") % 3 === i), i)
+    }
+    assert(chainLens(dPath).valuesIterator.exists(_ > 1),
+      "fixture built no multi-generation chain — parity test is vacuous")
+    val got = KeyedUpsertSink.readBucketedDelta(spark, dPath, k, o)
+      .select("user_id", "event_id", "ts_us").as[(Long, Long, Long)].collect().toSet
+    val want = KeyedUpsertSink.readBucketedAtomic(spark, wPath)
+      .select("user_id", "event_id", "ts_us").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "merge-on-read resolve diverged from merge-on-write")
+  }
+
+  test("order ties resolve to the later commit; redelivery is a read-level no-op") {
+    val path = newTable("graft-delta-redeliver")
+    delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+    // same ts — the later COMMIT must win, mergeLww's batch-beats-existing
+    // rule replayed at read time
+    delta(path)(batchDf(("a", 2L, 10L)), 1L)
+    assert(table(path) == Set(("a", 2L, 10L), ("b", 1L, 10L)))
+    // at-least-once redelivery of the SAME batch: rows tie and resolve
+    // identically — the replay must not change the table
+    delta(path)(batchDf(("a", 2L, 10L)), 1L)
+    assert(table(path) == Set(("a", 2L, 10L), ("b", 1L, 10L)))
+    // in-batch duplicates compact to one row per key BEFORE the append
+    // (two rows reaching read time would tie on __seq)
+    delta(path)(batchDf(("c", 1L, 5L), ("c", 2L, 7L)), 2L)
+    assert(table(path) == Set(("a", 2L, 10L), ("b", 1L, 10L), ("c", 2L, 7L)))
+  }
+
+  test("a delta appended during compaction staging is carried forward") {
+    val path = newTable("graft-delta-carry")
+    val sink = delta(path, numBuckets = 1) _ // one bucket: the append must hit it
+    sink(batchDf(("a", 1L, 10L)), 0L)
+    sink(batchDf(("b", 1L, 10L)), 1L)
+    sink(batchDf(("a", 2L, 20L)), 2L)
+    assert(chainLens(path) == Map(0L -> 3))
+    // the racing append lands AFTER the fold staged but BEFORE its first
+    // commit attempt — the rewrite-vs-append commute rule must carry it
+    // forward behind the compacted generation, not lose it
+    var raced = false
+    val compacted = KeyedUpsertSink.compactBucketChains(
+      spark, path, keys, order, minChain = 2,
+      onBeforeFirstCommit = () => {
+        raced = true
+        sink(batchDf(("c", 1L, 30L), ("a", 9L, 40L)), 3L); ()
+      })
+    assert(raced && compacted == Seq(0L))
+    // chain = [compact-gen, racing-gen]: folded prefix + carried delta
+    assert(chainLens(path) == Map(0L -> 2))
+    assert(table(path) == Set(("a", 9L, 40L), ("b", 1L, 10L), ("c", 1L, 30L)),
+      "the delta appended during compaction was lost")
+    // a second compaction folds the carried delta in; the table is stable
+    assert(KeyedUpsertSink.compactBucketChains(
+      spark, path, keys, order, minChain = 2) == Seq(0L))
+    assert(chainLens(path) == Map(0L -> 1))
+    assert(table(path) == Set(("a", 9L, 40L), ("b", 1L, 10L), ("c", 1L, 30L)))
+  }
+
+  test("auto-compaction past compactAfter folds the chain; vacuum reclaims the deltas") {
+    val path = newTable("graft-delta-autocompact")
+    val sink = delta(path, numBuckets = 1, compactAfter = 3) _
+    val commits = (0L to 3L).map(i => sink(batchDf((s"k$i", i, 10L + i)), i))
+    // batch 3 pushed the chain to 4 > compactAfter=3 → auto-fold to 1
+    assert(chainLens(path) == Map(0L -> 1))
+    val want = (0L to 3L).map(i => (s"k$i", i, 10L + i)).toSet
+    assert(table(path) == want)
+    // the folded-away delta generations are unreferenced → vacuumable
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
+    assert(commits.map(_.gen).toSet.subsetOf(removed.toSet),
+      "superseded delta generations must reclaim")
+    assert(table(path) == want, "vacuum changed the resolved table")
+  }
+
+  test("mixed-mode: a merge-on-write commit resolves the chains it touches") {
+    val path = newTable("graft-delta-mixed")
+    val sink = delta(path, numBuckets = 1) _
+    sink(batchDf(("a", 1L, 10L)), 0L)
+    sink(batchDf(("a", 2L, 20L), ("b", 1L, 20L)), 1L)
+    assert(chainLens(path) == Map(0L -> 2))
+    // the resolving reader refuses nothing; the schema-blind one refuses
+    // LOUDLY (it would return superseded row versions)
+    val err = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.readBucketedAtomic(spark, path)
+    }
+    assert(err.getMessage.contains("merge-on-read delta chains"))
+    // a merge-on-write commit on the chained bucket resolves the chain
+    // first — doubling as that bucket's compaction
+    KeyedUpsertSink.upsertBucketedOptimistic(
+      spark, path, keys, order, numBuckets = 1)(batchDf(("c", 1L, 30L)), 2L)
+    assert(chainLens(path) == Map(0L -> 1))
+    assert(KeyedUpsertSink.readBucketedAtomic(spark, path)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 20L), ("b", 1L, 20L), ("c", 1L, 30L)))
+  }
+
+  test("schema evolution across deltas: chains union by name with null back-fill") {
+    val path = newTable("graft-delta-schema")
+    val sink = delta(path) _
+    sink(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+    sink(Seq(("a", 2L, 20L, "x"), ("c", 1L, 20L, "y"))
+      .toDF("k", "v", "ts", "extra"), 1L)
+    val got = KeyedUpsertSink.readBucketedDelta(spark, path, keys, order)
+      .select("k", "v", "ts", "extra")
+      .as[(String, Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      ("a", 2L, 20L, Some("x")),
+      ("b", 1L, 10L, None),
+      ("c", 1L, 20L, Some("y"))))
+  }
+
+  test("time travel: every retained version reproduces its historical table") {
+    val path = newTable("graft-delta-history")
+    val sink = delta(path) _
+    sink(batchDf(("a", 1L, 10L)), 0L)
+    sink(batchDf(("a", 2L, 20L), ("b", 1L, 20L)), 1L)
+    sink(batchDf(("b", 9L, 30L)), 2L)
+    assert(KeyedUpsertSink.tableVersions(path) == Seq(1L, 2L, 3L))
+    def at(v: Long): Set[(String, Long, Long)] =
+      KeyedUpsertSink.readBucketedDelta(spark, path, keys, order, atVersion = Some(v))
+        .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(at(1L) == Set(("a", 1L, 10L)))
+    assert(at(2L) == Set(("a", 2L, 20L), ("b", 1L, 20L)))
+    assert(at(3L) == Set(("a", 2L, 20L), ("b", 9L, 30L)))
+    assert(at(3L) == table(path), "head time-travel must equal the live read")
+    // a pruned (or never-committed) version fails loudly, never answers
+    // a nearby question. v1's file stands in for a vacuum prune — the
+    // keep window is deliberately ≥64 versions, far past a spec's reach
+    Files.delete(Paths.get(path).resolve(f"_manifest.v${1L}%020d"))
+    val err = intercept[NoSuchElementException] { at(1L) }
+    assert(err.getMessage.contains("no readable manifest v1"))
+    assert(err.getMessage.contains("pruned past the vacuum keep window"))
+    val err2 = intercept[NoSuchElementException] { at(99L) }
+    assert(err2.getMessage.contains("no readable manifest v99"))
+  }
+
+  test("vacuum keep-window boundary: a pruned-base writer fails loudly, never commits behind the head") {
+    val path = newTable("graft-delta-pruned")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L) // head: v1
+    // the writer stages against head v1; "vacuum" prunes v1 before its
+    // first commit attempt (the stall the keep window must dwarf). The
+    // commit must surface as the documented loud failure — silently
+    // publishing v2 behind a re-listed lower head loses the batch
+    val err = intercept[IllegalArgumentException] {
+      delta(path, hook = () => {
+        Files.delete(Paths.get(path).resolve(f"_manifest.v${1L}%020d")); ()
+      })(batchDf(("b", 1L, 20L)), 1L)
+    }
+    assert(err.getMessage.contains("pruned beneath an in-flight writer"))
+    // the ADT keeps the diagnosis accurate: nothing was attempted, so the
+    // message must NOT claim "v2 exists"
+    assert(!err.getMessage.contains("v2 exists"))
+  }
+
+  test("tryCommitSuccessor: pruned base returns BasePruned; the residual window throws AFTER publish") {
+    val path = newTable("graft-delta-successor")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L) // head: v1
+    val man = KeyedUpsertSink.readManifest(path)
+    // base v5 never existed → BasePruned, nothing attempted
+    assert(KeyedUpsertSink.tryCommitSuccessor(path, 5L, man) ==
+      KeyedUpsertSink.BasePruned)
+    assert(KeyedUpsertSink.tableVersions(path) == Seq(1L))
+    // v2 taken by a racer → LostRace
+    delta(path)(batchDf(("b", 1L, 20L)), 1L) // head: v2
+    assert(KeyedUpsertSink.tryCommitSuccessor(path, 1L,
+      man) == KeyedUpsertSink.LostRace)
+    // the residual window: base pruned BETWEEN the pre-check and the
+    // publish. v3 IS durably published (the message says so) but its
+    // visibility can't be guaranteed → loud failure, caller replays
+    val err = intercept[IllegalStateException] {
+      KeyedUpsertSink.tryCommitSuccessor(path, 2L, man, afterPrecheck = () => {
+        Files.delete(Paths.get(path).resolve(f"_manifest.v${2L}%020d")); ()
+      })
+    }
+    assert(err.getMessage.contains("vacuum-pruned inside the v3 publish window"))
+    assert(err.getMessage.contains("v3 IS durably published"))
+  }
+
+  test("a batch missing a key or order column is refused before the merge can null-fill it") {
+    val path = newTable("graft-delta-guard")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L)
+    // missing ORDER column ts: null-filled it would lose every LWW
+    // comparison — a silent stale no-op upsert
+    val err = intercept[IllegalArgumentException] {
+      delta(path)(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    }
+    assert(err.getMessage.contains("missing key/order column(s) ts"))
+    // missing KEY column: every batch row would collapse into one
+    // null-key group
+    val err2 = intercept[IllegalArgumentException] {
+      delta(path)(Seq((2L, 20L)).toDF("v", "ts"), 2L)
+    }
+    assert(err2.getMessage.contains("missing key/order column(s) k"))
+    // composite order expressions contribute EVERY referenced attribute
+    val err3 = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsertBucketedDelta(spark, path, Seq("k"),
+        Seq(col("ts") + col("seq")))(Seq(("a", 30L)).toDF("k", "ts"), 3L)
+    }
+    assert(err3.getMessage.contains("missing key/order column(s) seq"))
+    // an order Column built from a RESOLVED attribute (df("ts")) is
+    // guarded too, not just unresolved col("ts") references
+    val src = batchDf(("a", 3L, 30L))
+    val err4 = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsertBucketedDelta(spark, path, Seq("k"),
+        Seq(src("ts")))(Seq(("a", 4L)).toDF("k", "v"), 4L)
+    }
+    assert(err4.getMessage.contains("missing key/order column(s) ts"))
+    assert(table(path) == Set(("a", 1L, 10L)), "a refused batch must change nothing")
+  }
+}
