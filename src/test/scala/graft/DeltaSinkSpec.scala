@@ -232,6 +232,62 @@ class DeltaSinkSpec extends SparkSpec {
     assert(err.getMessage.contains("v3 IS durably published"))
   }
 
+  test("streaming wiring: foreachBatch delta appends across restarts equal the batch LWW") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, Sf0001).select(col("user_id"),
+      col("event_id"), col("ts_us"))
+    val k = Seq("user_id")
+    val o = Seq(col("ts_us"), col("event_id"))
+    val root = Files.createTempDirectory("graft-delta-stream")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val tbl = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").parquet(landing)
+      val q = stream.writeStream
+        .foreachBatch((df: DataFrame, id: Long) => {
+          KeyedUpsertSink.upsertBucketedDelta(
+            spark, tbl, k, o, numBuckets = 8, compactAfter = 4)(df, id); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 0 → stop (restart boundary) → wave 1 under the SAME checkpoint
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$landing/w0")
+    runOnce()
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$landing/w1")
+    runOnce()
+    def got: Set[(Long, Long, Long)] =
+      KeyedUpsertSink.readBucketedDelta(spark, tbl, k, o)
+        .select("user_id", "event_id", "ts_us")
+        .as[(Long, Long, Long)].collect().toSet
+    val want = KeyedUpsertSink.latestByKey(ev, k, o)
+      .select("user_id", "event_id", "ts_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // at-least-once redelivery: a FRESH checkpoint replays the entire
+    // landing dir into the same table — the read must not change
+    val versionsBefore = KeyedUpsertSink.tableVersions(tbl).max
+    val root2 = Files.createTempDirectory("graft-delta-stream-ckpt2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => {
+        KeyedUpsertSink.upsertBucketedDelta(
+          spark, tbl, k, o, numBuckets = 8, compactAfter = 4)(df, id); ()
+      })
+      .option("checkpointLocation", root2.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(KeyedUpsertSink.tableVersions(tbl).max > versionsBefore,
+      "the replay must really have committed new deltas")
+    assert(got == want, "full-stream redelivery must be a read-level no-op")
+  }
+
   test("a batch missing a key or order column is refused before the merge can null-fill it") {
     val path = newTable("graft-delta-guard")
     delta(path)(batchDf(("a", 1L, 10L)), 0L)
