@@ -48,7 +48,11 @@ object KeyedUpsertSink {
     order.flatMap(c =>
       org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.last
+          // HEAD, not last: `col("payload.ts")` demands the TOP-LEVEL
+          // column `payload` of the batch — demanding `ts` would both
+          // reject valid batches and readmit the silent null-filled-
+          // struct loss on batches that carry a stray top-level `ts`
+          a.nameParts.head
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           a.name
       }).distinct
@@ -91,7 +95,10 @@ object KeyedUpsertSink {
     */
   private def mergeLww(existing: Option[DataFrame], batch: DataFrame,
       keys: Seq[String], order: Seq[Column]): DataFrame = {
-    requireKeyOrderCols(batch, keys, order)
+    // single source of truth for the guard: EVERY public entry point
+    // ([[upsertBatch]] and the four bucketed sinks) runs
+    // [[requireKeyOrderCols]] before reaching here — re-validating per
+    // merge would re-run on every optimistic restage for nothing
     val tagged = batch.withColumn("__gen", lit(1L))
     val merged = existing match {
       case Some(old) =>
@@ -124,6 +131,7 @@ object KeyedUpsertSink {
       tablePath: String,
       keys: Seq[String],
       order: Seq[Column])(batch: DataFrame, batchId: Long): Unit = {
+    requireKeyOrderCols(batch, keys, order)
     val target = Paths.get(tablePath)
     recoverReplace(target)
     reclaimReplaceLeftovers(target)
@@ -908,7 +916,15 @@ object KeyedUpsertSink {
             touched.contains(b) && chainOf(v).length > compactAfter })
         try compactBucketChains(spark, tablePath, keys, order,
           minChain = compactAfter + 1, buckets = Some(touched.toSet))
-        catch { case _: IllegalStateException => () }
+        catch {
+          // best-effort means BEST-EFFORT: the batch's commit is already
+          // durably published, so NO compaction failure may fail the
+          // batch — not the starved-out IllegalStateException, not the
+          // vacuum-boundary IllegalArgumentException, not a Spark read
+          // of a generation a concurrent vacuum just reclaimed. The
+          // chain stays long; the next trigger retries the fold.
+          case scala.util.control.NonFatal(_) => ()
+        }
       Some(c)
     } finally bucketed.unpersist()
   }

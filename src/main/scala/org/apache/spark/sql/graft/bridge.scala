@@ -20,7 +20,11 @@ object Bridge {
     * an unresolved Column in a lazy `ColumnNodeExpression` whose children
     * are invisible to `collect` — this goes through the session's
     * ColumnNode converter, so `col("a") + col("b")` really yields an
-    * UnresolvedFunction over two UnresolvedAttributes.
+    * UnresolvedFunction over two UnresolvedAttributes. Classic sessions
+    * only (like everything in this shim — [[leafDataFrame]] makes the
+    * same cast): a Spark Connect session would ClassCastException here,
+    * which is acceptable for a library that is classic-embedded by
+    * construction.
     */
   def convertedExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)

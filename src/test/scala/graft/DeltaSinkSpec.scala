@@ -319,4 +319,51 @@ class DeltaSinkSpec extends SparkSpec {
     assert(err4.getMessage.contains("missing key/order column(s) ts"))
     assert(table(path) == Set(("a", 1L, 10L)), "a refused batch must change nothing")
   }
+
+  test("a nested-struct order spec demands the TOP-LEVEL column, not the leaf field") {
+    val path = newTable("graft-delta-nested")
+    val nested = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L))
+      .toDF("k", "v", "ts0")
+      .select(col("k"), col("v"), struct(col("ts0").as("ts")).as("payload"))
+    val sink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, Seq("k"), Seq(col("payload.ts")), 4) _
+    sink(nested, 0L)
+    val got = KeyedUpsertSink.readBucketedDelta(
+      spark, path, Seq("k"), Seq(col("payload.ts")))
+      .select(col("k"), col("v"), col("payload.ts").as("ts"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 20L), ("b", 1L, 5L)))
+    // a batch with a stray TOP-LEVEL ts but no payload struct must be
+    // refused for the missing `payload` — naming the leaf field would
+    // pass this batch, null-fill payload, and silently lose every LWW
+    // comparison (the corruption the guard exists to prevent)
+    val err = intercept[IllegalArgumentException] {
+      sink(Seq(("a", 9L, 99L)).toDF("k", "v", "ts"), 1L)
+    }
+    assert(err.getMessage.contains("missing key/order column(s) payload"))
+  }
+
+  test("a failed best-effort auto-compaction never fails a durably-committed batch") {
+    val path = newTable("graft-delta-bestderr")
+    val sink = delta(path, numBuckets = 1) _
+    val gens = (0L to 2L).map(i => sink(batchDf((s"k$i", i, 10L + i)), i).gen)
+    assert(chainLens(path) == Map(0L -> 3))
+    // sabotage the fold: reclaim a REFERENCED generation dir (the shape a
+    // concurrent vacuum race produces) so compaction's read blows up
+    val victim = Paths.get(path, gens.head)
+    val walk = Files.walk(victim)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walk.close()
+    // the next delta batch crosses compactAfter → auto-compaction fires
+    // and FAILS — but the batch's own commit is already durable, so the
+    // sink must return its stats, not throw
+    val st = KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets = 1, compactAfter = 3)(
+      batchDf(("k3", 3L, 13L)), 3L)
+      .getOrElse(fail("batch must commit despite the failed compaction"))
+    assert(st.version == 4L)
+    // chain left long for a later (healed) trigger — not folded, not torn
+    assert(chainLens(path) == Map(0L -> 4))
+  }
 }
