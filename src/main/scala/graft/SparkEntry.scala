@@ -173,6 +173,50 @@ object SparkEntry {
     // forces a chain fold inside the run, so the query exercises append,
     // redelivery, compaction and resolved read in one pass. Read-back
     // must equal the declarative LWW — same oracle as etl_upsert_lww.
+    // Change feed over the versioned sink: batch 0 (even event ids)
+    // commits v1, batch 1 (odd) commits v2; the feed from v1 is every
+    // row the second batch inserted or updated, AT its resolved value —
+    // the incremental-consumption path ("process only what changed since
+    // the last run") that replaces diffing the whole table. Oracle: the
+    // full LWW minus the even-only LWW.
+    "etl_upsert_changes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-chg-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.readChangesBetween(
+        s, path, keys, order, fromVersion = 1L).drop("ts_us")
+    }),
+
+    // Bucket-pruned point lookup: resolve ONLY the buckets the requested
+    // keys hash to (the _layout sidecar supplies the writer's bucket
+    // count) — the O(requested keys) read path a 100 TB keyed table
+    // must have. Request set: every 17th user. Oracle: the LWW
+    // restricted to those users.
+    "etl_upsert_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-lkp-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      val wanted = ev.select("user_id").where(col("user_id") % 17 === 0).distinct()
+      graft.sink.KeyedUpsertSink.lookupBucketed(
+        s, path, keys, order, wanted).drop("ts_us")
+    }),
+
     "etl_upsert_delta" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_id").as("last_event_id"),
@@ -1104,6 +1148,29 @@ object SparkEntry {
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // rows of the full LWW that are NOT identical in the even-batch-only
+    // LWW — exactly what committing the odd batch changed
+    "etl_upsert_changes" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |   epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |), lww_even AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |   epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events WHERE event_id % 2 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)
+        |SELECT * FROM lww EXCEPT SELECT * FROM lww_even""".stripMargin,
+
+    "etl_upsert_lookup" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |WHERE user_id % 17 = 0
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_optimistic" ->

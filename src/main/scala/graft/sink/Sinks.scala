@@ -160,7 +160,10 @@ object KeyedUpsertSink {
       val s = Files.list(target)
       try s.iterator().asScala.exists { p =>
         val n = p.getFileName.toString
-        n != "_SUCCESS" && !n.startsWith(".")
+        // metadata sidecars are not data: a table holding only _SUCCESS
+        // or _layout (written by ensureLayout BEFORE the first data
+        // lands) must still read as empty
+        n != "_SUCCESS" && n != "_layout" && !n.startsWith(".")
       } finally s.close()
     }
 
@@ -243,6 +246,44 @@ object KeyedUpsertSink {
   def bucketOf(keys: Seq[String], numBuckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong))
 
+  /** The `_layout` sidecar: the bucket count is part of the TABLE's
+    * identity, not the writer's configuration — a writer hashing into 8
+    * buckets against a table laid out in 16 scatters each key across
+    * two bucket functions, and the LWW merge (which reads only the
+    * buckets ITS hash says the keys live in) silently resurrects stale
+    * rows. Recorded once at first commit via [[putIfAbsent]] (two
+    * first-committers race safely: the loser validates against the
+    * winner's value) and validated by every subsequent writer and by
+    * [[lookupBucketed]]. Underscore prefix keeps it invisible to
+    * parquet directory scans.
+    */
+  private def layoutPath(tablePath: String): Path =
+    Paths.get(tablePath, "_layout")
+
+  private[graft] def readLayout(tablePath: String): Option[Int] = {
+    val p = layoutPath(tablePath)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("numBuckets=").toInt)
+  }
+
+  private def ensureLayout(tablePath: String, numBuckets: Int): Unit = {
+    def check(recorded: Int): Unit = require(recorded == numBuckets,
+      s"$tablePath is laid out with numBuckets=$recorded but this writer " +
+        s"was configured with numBuckets=$numBuckets — a mixed bucket " +
+        "function scatters keys across two layouts and silently breaks " +
+        s"the LWW merge; use $recorded (re-bucketing needs a full rewrite)")
+    readLayout(tablePath) match {
+      case Some(nb) => check(nb)
+      case None =>
+        Files.createDirectories(Paths.get(tablePath))
+        putIfAbsent(layoutPath(tablePath),
+          s"numBuckets=$numBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // lost race → another first-committer published; validate theirs
+        check(readLayout(tablePath).get)
+    }
+  }
+
   /** Bucketed streaming upsert: the table lives as `__bucket=N/` hash
     * partitions of the key, and each micro-batch rewrites ONLY the
     * buckets it touches (dynamic partition overwrite) — per-trigger cost
@@ -286,6 +327,7 @@ object KeyedUpsertSink {
       // empty batch: nothing to merge, and writing would leave a
       // marker-only directory behind
       if (touched.isEmpty) return
+      ensureLayout(tablePath, numBuckets)
       val target = Paths.get(tablePath)
       // mergeSchema: a widened batch leaves touched buckets on the new
       // schema while untouched buckets keep the old one — without the
@@ -386,6 +428,7 @@ object KeyedUpsertSink {
       val touched = bucketed.select("__bucket").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
+      ensureLayout(tablePath, numBuckets)
       val manifest = readManifest(tablePath)
       Some(stageAgainst(spark, tablePath, keys, order, bucketed, touched,
         nextGenName(tablePath, batchId),
@@ -774,6 +817,7 @@ object KeyedUpsertSink {
       val touched = bucketed.select("__bucket").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
+      ensureLayout(tablePath, numBuckets)
       var (ver, man) = versionedHead(tablePath)
       var retries = 0
       var restages = 0
@@ -875,6 +919,7 @@ object KeyedUpsertSink {
       val touched = bucketed.select("__bucket").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
+      ensureLayout(tablePath, numBuckets)
       // stage against an EMPTY base: mergeLww degrades to the intra-batch
       // latestByKey compaction (one row per key per delta — two in-batch
       // duplicates must not reach read time, where they'd tie on __seq),
@@ -1159,6 +1204,92 @@ object KeyedUpsertSink {
     }
   }
 
+  /** Bucket-pruned point lookup: resolve ONLY the buckets the requested
+    * keys hash to — at 100 TB a point read must touch O(requested keys)
+    * bucket directories, never scan the table. `keyDf` carries exactly
+    * the key columns (one row per requested key tuple); the bucket count
+    * comes from the `_layout` sidecar, so the reader cannot hash with a
+    * different function than the writer did. Works on chained
+    * (merge-on-read) and plain manifest tables alike; `atVersion` makes
+    * it a historical point read.
+    *
+    * Driver-side metadata: one collect of the requested keys' distinct
+    * buckets — bounded by the lookup set the caller already holds.
+    */
+  def lookupBucketed(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], keyDf: DataFrame,
+      atVersion: Option[Long] = None): DataFrame = {
+    val nb = readLayout(tablePath).getOrElse(throw new IllegalStateException(
+      s"$tablePath has no _layout sidecar (recorded at the first commit " +
+        "since round 15) — a point lookup must hash with the writer's " +
+        "bucket count; run one commit to adopt the sidecar, or read via " +
+        "readBucketedDelta"))
+    val resolver = keyDf.sparkSession.sessionState.conf.resolver
+    require(keys.forall(k => keyDf.columns.exists(resolver(_, k))),
+      s"keyDf must carry the key column(s) ${keys.mkString(", ")} " +
+        s"(has: ${keyDf.columns.mkString(", ")})")
+    val keyed = keyDf.select(keys.map(col): _*).distinct()
+      .withColumn("__bucket", bucketOf(keys, nb))
+    val buckets = keyed.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val manifest = (atVersion match {
+      case Some(v) => manifestAt(tablePath, v)
+      case None => readManifest(tablePath)
+    }).filter { case (b, _) => buckets.contains(b) }
+    readManifestBuckets(spark, tablePath, manifest) match {
+      case None => spark.emptyDataFrame
+      case Some(df) =>
+        resolveChainRead(df, manifest, keys, order)
+          .join(broadcast(keyed.drop("__bucket")), keys, "left_semi")
+          .drop("__bucket")
+    }
+  }
+
+  /** Upsert change feed between two committed versions: every row of the
+    * resolved table at `toVersion` (default: head) that is not present
+    * identically in the resolved table at `fromVersion` — i.e. the keys
+    * inserted or updated in between, at their `toVersion` values. An LWW
+    * table has no deletes, so an upsert-only feed is the complete
+    * change-data capture; downstream incremental consumers (the
+    * "process only documents ingested since the last training run"
+    * pattern) read the feed instead of diffing 100 TB.
+    *
+    * Cost shape: only buckets whose manifest CHAIN ENTRY differs between
+    * the two versions are read (both sides), never the whole table — an
+    * untouched bucket contributes nothing and is provably never scanned.
+    * A compaction between the versions changes a chain entry without
+    * changing data; the row-level diff then correctly reports nothing
+    * for it. Both versions must still be inside the vacuum keep window,
+    * and `fromVersion`'s generations inside the reader grace set — the
+    * same retention contract as time travel.
+    */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val manFrom = manifestAt(tablePath, fromVersion)
+    val manTo = toVersion match {
+      case Some(v) => manifestAt(tablePath, v)
+      case None => readManifest(tablePath)
+    }
+    val touched = manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
+    val before = manFrom.filter { case (b, _) => touched.contains(b) }
+    def resolve(man: Map[Long, String]): Option[DataFrame] =
+      readManifestBuckets(spark, tablePath, man)
+        .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
+    (resolve(touched), resolve(before)) match {
+      case (None, _) => spark.emptyDataFrame
+      case (Some(to), None) => to
+      case (Some(to), Some(from)) =>
+        // align to the UNION of columns before the set difference:
+        // schema evolution can leave the two versions on different
+        // column sets, and `except` demands aligned schemas
+        val toU = to.unionByName(from.limit(0), allowMissingColumns = true)
+        val fromU = from.unionByName(to.limit(0), allowMissingColumns = true)
+          .select(toU.columns.map(col).toIndexedSeq: _*)
+        toU.except(fromU)
+    }
+  }
+
   /** Committed manifest versions still readable (oldest first). Version
     * numbers below the head are pruned by [[vacuumGenerations]]'s keep
     * window, so this is a sliding history, not the full log.
@@ -1229,7 +1360,8 @@ object KeyedUpsertSink {
            val n = p.getFileName.toString
            n.startsWith("_manifest.tmp-") ||
              // a crashed putIfAbsent's hidden staging file
-             (n.startsWith("._manifest.") && n.contains(".put-"))
+             (n.startsWith("._manifest.") && n.contains(".put-")) ||
+             (n.startsWith("._layout") && n.contains(".put-"))
          })
       } finally s.close()
     // prune the version chain beyond the keep window (see scaladoc for

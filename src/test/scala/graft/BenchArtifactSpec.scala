@@ -23,15 +23,16 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("worst-case artifact line fits the driver's 2000-char tail") {
     // worst case: every wall two digits before the point ("99.99" = 5 chars),
-    // total five digits ("99999.999"), three-digit n_passed, empty failed
-    // list (each FAILED name would add to `failed` but remove nothing from
-    // `queries` — so budget a 2-name failed list on top), longest sf
-    // basename in testdata
+    // total five digits ("99999.999"), three-digit n_passed, a 2-name
+    // failed list (compact keys since round 15 — budget the two LONGEST
+    // compact keys in the headline set), longest sf basename in testdata
     val qs = Bench.headline
       .map(n => "\"" + Bench.compactKey(n) + "\":99.99")
       .mkString("{", ",", "}")
+    val worstFailed = Bench.headline.map(Bench.compactKey)
+      .sortBy(-_.length).take(2).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","n_passed":999,"queries":$qs,"failed":["events_interval_join","text_decontaminate_bloom"],"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","n_passed":999,"queries":$qs,"failed":$worstFailed,"sf":"sf0.001"}"""
     assert(line.length <= 1900,
       s"artifact line ${line.length} chars — exceeds the 1900-char safety budget " +
         "(2000-char driver tail minus sbt's [success] line); shorten keys")

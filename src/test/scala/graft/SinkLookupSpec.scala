@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.KeyedUpsertSink
+
+/** The O(requested)/O(changed) read paths of the bucketed sink family:
+  * bucket-pruned point lookup, the version-range change feed, and the
+  * `_layout` sidecar that stops mixed-bucket-count writers from
+  * silently corrupting the LWW merge. The pruning claims are proved
+  * structurally: the spec DELETES the buckets a lookup/feed must not
+  * touch — a read that scans them fails loudly, so passing is proof.
+  */
+class SinkLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+
+  private def batchDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "ts")
+
+  private def newTable(tag: String): String =
+    Files.createTempDirectory(tag).resolve("t").toString
+
+  private def delta(path: String, numBuckets: Int = 8)(
+      batch: DataFrame, batchId: Long) =
+    KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets, compactAfter = 0)(batch, batchId)
+      .getOrElse(fail("non-empty batch must commit"))
+
+  private def keyDf(ks: String*): DataFrame = ks.toDF("k")
+
+  private def nuke(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => { Files.deleteIfExists(q); () })
+    finally s.close()
+  }
+
+  test("a writer with a different bucket count is refused before it can corrupt the table") {
+    val path = newTable("graft-layout-guard")
+    delta(path, numBuckets = 8)(batchDf(("a", 1L, 10L)), 0L)
+    assert(KeyedUpsertSink.readLayout(path).contains(8))
+    val err = intercept[IllegalArgumentException] {
+      delta(path, numBuckets = 16)(batchDf(("b", 1L, 20L)), 1L)
+    }
+    assert(err.getMessage.contains("laid out with numBuckets=8"))
+    assert(err.getMessage.contains("configured with numBuckets=16"))
+    // every variant validates — the plain bucketed writer too
+    val err2 = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsertBucketed(
+        spark, path, keys, order, numBuckets = 4)(batchDf(("c", 1L, 30L)), 2L)
+    }
+    assert(err2.getMessage.contains("laid out with numBuckets=8"))
+  }
+
+  test("point lookup reads ONLY the requested keys' buckets (deleted others prove it)") {
+    val path = newTable("graft-lookup")
+    val rows = (1 to 64).map(i => (s"k$i", i.toLong, 10L))
+    delta(path)(batchDf(rows: _*), 0L)
+    delta(path)(batchDf(("k1", 100L, 20L)), 1L) // a chain on k1's bucket
+    val wantKeys = Seq("k1", "k17")
+    // destroy every bucket the lookup must not touch: if the lookup
+    // scanned them, the parquet read would fail loudly
+    val nb = KeyedUpsertSink.readLayout(path).get
+    val keep = keyDf(wantKeys: _*)
+      .withColumn("__b", KeyedUpsertSink.bucketOf(keys, nb))
+      .select("__b").as[Long].collect().toSet
+    val s = Files.list(Paths.get(path))
+    val genDirs =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("gen-"))
+      } finally s.close()
+    genDirs.foreach { gen =>
+      val b = Files.list(gen)
+      try {
+        import scala.jdk.CollectionConverters._
+        b.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("__bucket="))
+          .filterNot(p => keep.contains(
+            p.getFileName.toString.stripPrefix("__bucket=").toLong))
+          .foreach(nuke)
+      } finally b.close()
+    }
+    val got = KeyedUpsertSink.lookupBucketed(spark, path, keys, order,
+      keyDf(wantKeys: _*))
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("k1", 100L, 20L), ("k17", 17L, 10L)),
+      "lookup must resolve the chain LWW for exactly the requested keys")
+  }
+
+  test("point lookup time-travels with atVersion") {
+    val path = newTable("graft-lookup-tt")
+    delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    delta(path)(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    def at(v: Long): Set[(String, Long, Long)] =
+      KeyedUpsertSink.lookupBucketed(spark, path, keys, order, keyDf("a"),
+        atVersion = Some(v))
+        .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(at(1L) == Set(("a", 1L, 10L)))
+    assert(at(2L) == Set(("a", 2L, 20L)))
+    // a key that does not exist resolves to nothing, not an error
+    assert(KeyedUpsertSink.lookupBucketed(spark, path, keys, order,
+      keyDf("a", "nope")).count() == 1L)
+  }
+
+  test("a table without the layout sidecar refuses point lookups loudly") {
+    val path = newTable("graft-lookup-nolayout")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L)
+    Files.delete(Paths.get(path, "_layout")) // a pre-round-15 table
+    val err = intercept[IllegalStateException] {
+      KeyedUpsertSink.lookupBucketed(spark, path, keys, order, keyDf("a"))
+    }
+    assert(err.getMessage.contains("no _layout sidecar"))
+    // the next commit adopts the sidecar and lookups work again
+    delta(path)(batchDf(("b", 1L, 20L)), 1L)
+    assert(KeyedUpsertSink.lookupBucketed(spark, path, keys, order, keyDf("a"))
+      .count() == 1L)
+  }
+
+  test("change feed between versions reads ONLY changed buckets and reports exact upserts") {
+    val path = newTable("graft-feed")
+    // spread keys so batch 1 touches a strict subset of buckets
+    val base = (1 to 64).map(i => (s"k$i", i.toLong, 10L))
+    delta(path)(batchDf(base: _*), 0L)                            // v1
+    delta(path)(batchDf(("k1", 100L, 20L), ("new1", 1L, 20L)), 1L) // v2
+    val nb = KeyedUpsertSink.readLayout(path).get
+    val changedBuckets = keyDf("k1", "new1")
+      .withColumn("__b", KeyedUpsertSink.bucketOf(keys, nb))
+      .select("__b").as[Long].collect().toSet
+    // destroy every UNchanged bucket: the feed must never read them
+    val s = Files.list(Paths.get(path))
+    val genDirs =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("gen-"))
+      } finally s.close()
+    genDirs.foreach { gen =>
+      val b = Files.list(gen)
+      try {
+        import scala.jdk.CollectionConverters._
+        b.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("__bucket="))
+          .filterNot(p => changedBuckets.contains(
+            p.getFileName.toString.stripPrefix("__bucket=").toLong))
+          .foreach(nuke)
+      } finally b.close()
+    }
+    val feed = KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = 1L)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    // exact upserts at their to-version values: the updated key and the
+    // new key — NOT the unchanged keys sharing their buckets
+    assert(feed == Set(("k1", 100L, 20L), ("new1", 1L, 20L)))
+  }
+
+  test("a compaction between versions produces no phantom changes") {
+    val path = newTable("graft-feed-compact")
+    delta(path, numBuckets = 2)(batchDf(("a", 1L, 10L)), 0L) // v1
+    delta(path, numBuckets = 2)(batchDf(("b", 1L, 20L)), 1L) // v2
+    // fold the chains — data identical, every chain entry rewritten
+    KeyedUpsertSink.compactBucketChains(spark, path, keys, order, minChain = 2)
+    assert(KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = 2L).isEmpty,
+      "a pure compaction must not appear in the change feed")
+    // ...but a real upsert after the fold does
+    delta(path, numBuckets = 2)(batchDf(("a", 9L, 30L)), 2L)
+    val feed = KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = 2L)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(("a", 9L, 30L)))
+  }
+
+  test("change feed aligns evolved schemas and from==to is empty") {
+    val path = newTable("graft-feed-schema")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L) // v1
+    delta(path)(Seq(("b", 2L, 20L, "x")).toDF("k", "v", "ts", "extra"), 1L) // v2
+    val head = KeyedUpsertSink.tableVersions(path).max
+    assert(KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = head).isEmpty)
+    val feed = KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = 1L)
+      .select("k", "v", "ts", "extra")
+      .as[(String, Long, Long, Option[String])].collect().toSet
+    assert(feed == Set(("b", 2L, 20L, Some("x"))))
+  }
+}
