@@ -109,6 +109,7 @@ object Bench {
     "_matchers" -> "_mch", "_jaccard" -> "_jac", "_length_filter" -> "_lenf",
     "_clean_corpus" -> "_clean", "json_extract" -> "jsonx",
     "_optimistic" -> "_opt", "_allpairs" -> "_ap", "boilerplate" -> "bplate",
+    "_changes" -> "_chg", "_lookup" -> "_lkp", "_delta" -> "_dlt",
     "_audit_tally" -> "_tally", "_tumbling" -> "_tumb")
   def compactKey(name: String): String = {
     // infixes first (they anchor on underscores the prefix step removes)
@@ -286,10 +287,18 @@ object Bench {
     // same compactKey scheme for `failed` as for `queries` (the 101-query
     // line no longer fits the driver's 2000-char tail with full-name
     // failure entries — and a mixed scheme in one line was asking for a
-    // mis-keyed cross-check anyway)
+    // mis-keyed cross-check anyway), and BOUNDS the list: a mass
+    // regression (round 10: 16 queries down at once) must not push the
+    // line past the tail and clip the artifact exactly when it matters —
+    // the full artifact carries the complete list
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedArrCompact =
-      failed.map("\"" + compactKey(_) + "\"").mkString("[", ",", "]")
+    val maxFailedNames = 2
+    val failedArrCompact = (
+      failed.take(maxFailedNames).map("\"" + compactKey(_) + "\"").toSeq ++
+        (if (failed.size > maxFailedNames)
+          Seq("\"+" + (failed.size - maxFailedNames) + "\"")
+        else Seq.empty)
+      ).mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => k -> fmt(v, 3) })},"gc_sec":${

@@ -165,14 +165,6 @@ object SparkEntry {
       graft.sink.KeyedUpsertSink.readBucketedAtomic(s, path).drop("ts_us")
     }),
 
-    // K1 through the MERGE-ON-READ delta sink: four small batches, each
-    // appending O(batch) bytes to its buckets' generation chains (no
-    // bucket rewrite), with the LWW resolve deferred to readBucketedDelta
-    // (order, then chain recency). Batch 3 redelivers batch 1 — the
-    // at-least-once replay must be a read-level no-op. compactAfter=3
-    // forces a chain fold inside the run, so the query exercises append,
-    // redelivery, compaction and resolved read in one pass. Read-back
-    // must equal the declarative LWW — same oracle as etl_upsert_lww.
     // Change feed over the versioned sink: batch 0 (even event ids)
     // commits v1, batch 1 (odd) commits v2; the feed from v1 is every
     // row the second batch inserted or updated, AT its resolved value —
@@ -217,6 +209,14 @@ object SparkEntry {
         s, path, keys, order, wanted).drop("ts_us")
     }),
 
+    // K1 through the MERGE-ON-READ delta sink: four small batches, each
+    // appending O(batch) bytes to its buckets' generation chains (no
+    // bucket rewrite), with the LWW resolve deferred to readBucketedDelta
+    // (order, then chain recency). Batch 3 redelivers batch 1 — the
+    // at-least-once replay must be a read-level no-op. compactAfter=3
+    // forces a chain fold inside the run, so the query exercises append,
+    // redelivery, compaction and resolved read in one pass. Read-back
+    // must equal the declarative LWW — same oracle as etl_upsert_lww.
     "etl_upsert_delta" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_id").as("last_event_id"),

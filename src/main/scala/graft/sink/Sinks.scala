@@ -276,12 +276,43 @@ object KeyedUpsertSink {
     readLayout(tablePath) match {
       case Some(nb) => check(nb)
       case None =>
+        // adopting on a PRE-EXISTING (pre-sidecar) table: the adopted
+        // count can only be validated against on-disk evidence — any
+        // bucket id >= numBuckets proves this writer's layout wrong
+        // before it corrupts anything. (The residual risk — a legacy
+        // table whose populated ids happen to all fall below a too-small
+        // numBuckets — would need a data re-hash to catch; tables
+        // created after the sidecar existed never face it.)
+        val existing = readManifest(tablePath).keySet ++
+          diskBucketIds(Paths.get(tablePath))
+        existing.find(_ >= numBuckets).foreach { b =>
+          throw new IllegalArgumentException(
+            s"$tablePath holds bucket id $b but this writer is configured " +
+              s"with numBuckets=$numBuckets — the table predates the " +
+              "_layout sidecar and was laid out with a larger bucket " +
+              "count; configure the original numBuckets to adopt it")
+        }
         Files.createDirectories(Paths.get(tablePath))
         putIfAbsent(layoutPath(tablePath),
           s"numBuckets=$numBuckets\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // lost race → another first-committer published; validate theirs
         check(readLayout(tablePath).get)
     }
+  }
+
+  /** Top-level `__bucket=N` partition ids of the PLAIN bucketed layout
+    * (the manifest variants nest them under `gen-*`; those ids come from
+    * [[readManifest]] instead). Adoption-time evidence only.
+    */
+  private def diskBucketIds(dir: Path): Set[Long] = {
+    if (!Files.exists(dir)) return Set.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("__bucket=")) n.stripPrefix("__bucket=").toLongOption
+      else None
+    }.toSet finally s.close()
   }
 
   /** Bucketed streaming upsert: the table lives as `__bucket=N/` hash
@@ -1228,21 +1259,35 @@ object KeyedUpsertSink {
     require(keys.forall(k => keyDf.columns.exists(resolver(_, k))),
       s"keyDf must carry the key column(s) ${keys.mkString(", ")} " +
         s"(has: ${keyDf.columns.mkString(", ")})")
+    // materialize the request set ONCE (bounded: it is the caller's
+    // lookup set) — deriving `buckets` from one execution and the
+    // semi-join from a re-execution would let a non-deterministic keyDf
+    // (sample, unordered limit) hash a key into a bucket the pruning
+    // already dropped: a silently incomplete result
     val keyed = keyDf.select(keys.map(col): _*).distinct()
       .withColumn("__bucket", bucketOf(keys, nb))
-    val buckets = keyed.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val manifest = (atVersion match {
+    val keyRows = keyed.collect().toIndexedSeq
+    val buckets = keyRows.map(r => r.getLong(r.length - 1)).toSet // last field = __bucket
+    val requestDf = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(keyRows).asJava), keyed.schema)
+      .drop("__bucket")
+    val fullManifest = atVersion match {
       case Some(v) => manifestAt(tablePath, v)
       case None => readManifest(tablePath)
-    }).filter { case (b, _) => buckets.contains(b) }
-    readManifestBuckets(spark, tablePath, manifest) match {
-      case None => spark.emptyDataFrame
-      case Some(df) =>
-        resolveChainRead(df, manifest, keys, order)
-          .join(broadcast(keyed.drop("__bucket")), keys, "left_semi")
-          .drop("__bucket")
     }
+    val manifest = fullManifest.filter { case (b, _) => buckets.contains(b) }
+    def resolved(man: Map[Long, String]): Option[DataFrame] =
+      readManifestBuckets(spark, tablePath, man)
+        .map(df => resolveChainRead(df, man, keys, order)
+          .join(broadcast(requestDf), keys, "left_semi").drop("__bucket"))
+    resolved(manifest).orElse {
+      // every requested key hashed to an unpopulated bucket: still
+      // return the TABLE's schema (footer-only read of the full
+      // manifest, limit 0 — no data scanned), so a caller's
+      // select/write behaves the same whatever the keys hash to
+      resolved(fullManifest).map(_.limit(0))
+    }.getOrElse(spark.emptyDataFrame) // table has no data at all
   }
 
   /** Upsert change feed between two committed versions: every row of the
@@ -1267,17 +1312,25 @@ object KeyedUpsertSink {
       keys: Seq[String], order: Seq[Column], fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     val manFrom = manifestAt(tablePath, fromVersion)
-    val manTo = toVersion match {
-      case Some(v) => manifestAt(tablePath, v)
-      case None => readManifest(tablePath)
-    }
+    val toV = toVersion.getOrElse(versionedHead(tablePath)._1)
+    // a reversed range would present REVERTED old values as "inserts or
+    // updates at their to-version values" — a silently different
+    // question; fail it loudly (same standard as manifestAt)
+    require(toV >= fromVersion,
+      s"$tablePath: readChangesBetween range is reversed — " +
+        s"fromVersion=$fromVersion > toVersion=$toV")
+    val manTo = manifestAt(tablePath, toV)
     val touched = manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
     val before = manFrom.filter { case (b, _) => touched.contains(b) }
     def resolve(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
         .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
     (resolve(touched), resolve(before)) match {
-      case (None, _) => spark.emptyDataFrame
+      case (None, _) =>
+        // nothing changed — the steady state a CDC poller hits on every
+        // idle tick: still carry the table's schema (footer-only, limit
+        // 0) so downstream select/write is version-independent
+        resolve(manTo).map(_.limit(0)).getOrElse(spark.emptyDataFrame)
       case (Some(to), None) => to
       case (Some(to), Some(from)) =>
         // align to the UNION of columns before the set difference:

@@ -23,14 +23,17 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("worst-case artifact line fits the driver's 2000-char tail") {
     // worst case: every wall two digits before the point ("99.99" = 5 chars),
-    // total five digits ("99999.999"), three-digit n_passed, a 2-name
-    // failed list (compact keys since round 15 — budget the two LONGEST
-    // compact keys in the headline set), longest sf basename in testdata
+    // total five digits ("99999.999"), three-digit n_passed, the WORST
+    // bounded failed list (compact keys since round 15, capped at 2 names
+    // + a "+K" overflow marker — budget the 2 LONGEST compact keys in the
+    // headline set; the full artifact carries the complete list), longest
+    // sf basename in testdata
     val qs = Bench.headline
       .map(n => "\"" + Bench.compactKey(n) + "\":99.99")
       .mkString("{", ",", "}")
-    val worstFailed = Bench.headline.map(Bench.compactKey)
-      .sortBy(-_.length).take(2).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val worstFailed = (Bench.headline.map(Bench.compactKey)
+      .sortBy(-_.length).take(2).map("\"" + _ + "\"") :+ "\"+99\"")
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":99999.999,"unit":"sec","n_passed":999,"queries":$qs,"failed":$worstFailed,"sf":"sf0.001"}"""
     assert(line.length <= 1900,

@@ -41,6 +41,33 @@ class SinkLookupSpec extends SparkSpec {
     finally s.close()
   }
 
+  /** Destroy every `__bucket=N` directory under every generation EXCEPT
+    * the buckets `keepKeys` hash to — the structural pruning proof: a
+    * read that scans a destroyed bucket fails loudly, so a passing read
+    * provably never touched it.
+    */
+  private def nukeOtherBuckets(path: String, keepKeys: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val nb = KeyedUpsertSink.readLayout(path).get
+    val keep = keyDf(keepKeys: _*)
+      .withColumn("__b", KeyedUpsertSink.bucketOf(keys, nb))
+      .select("__b").as[Long].collect().toSet
+    val s = Files.list(Paths.get(path))
+    val genDirs =
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("gen-"))
+      finally s.close()
+    genDirs.foreach { gen =>
+      val b = Files.list(gen)
+      try b.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+        .filterNot(p => keep.contains(
+          p.getFileName.toString.stripPrefix("__bucket=").toLong))
+        .foreach(nuke)
+      finally b.close()
+    }
+  }
+
   test("a writer with a different bucket count is refused before it can corrupt the table") {
     val path = newTable("graft-layout-guard")
     delta(path, numBuckets = 8)(batchDf(("a", 1L, 10L)), 0L)
@@ -64,29 +91,7 @@ class SinkLookupSpec extends SparkSpec {
     delta(path)(batchDf(rows: _*), 0L)
     delta(path)(batchDf(("k1", 100L, 20L)), 1L) // a chain on k1's bucket
     val wantKeys = Seq("k1", "k17")
-    // destroy every bucket the lookup must not touch: if the lookup
-    // scanned them, the parquet read would fail loudly
-    val nb = KeyedUpsertSink.readLayout(path).get
-    val keep = keyDf(wantKeys: _*)
-      .withColumn("__b", KeyedUpsertSink.bucketOf(keys, nb))
-      .select("__b").as[Long].collect().toSet
-    val s = Files.list(Paths.get(path))
-    val genDirs =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("gen-"))
-      } finally s.close()
-    genDirs.foreach { gen =>
-      val b = Files.list(gen)
-      try {
-        import scala.jdk.CollectionConverters._
-        b.iterator().asScala.toList
-          .filter(_.getFileName.toString.startsWith("__bucket="))
-          .filterNot(p => keep.contains(
-            p.getFileName.toString.stripPrefix("__bucket=").toLong))
-          .foreach(nuke)
-      } finally b.close()
-    }
+    nukeOtherBuckets(path, wantKeys)
     val got = KeyedUpsertSink.lookupBucketed(spark, path, keys, order,
       keyDf(wantKeys: _*))
       .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
@@ -129,28 +134,8 @@ class SinkLookupSpec extends SparkSpec {
     val base = (1 to 64).map(i => (s"k$i", i.toLong, 10L))
     delta(path)(batchDf(base: _*), 0L)                            // v1
     delta(path)(batchDf(("k1", 100L, 20L), ("new1", 1L, 20L)), 1L) // v2
-    val nb = KeyedUpsertSink.readLayout(path).get
-    val changedBuckets = keyDf("k1", "new1")
-      .withColumn("__b", KeyedUpsertSink.bucketOf(keys, nb))
-      .select("__b").as[Long].collect().toSet
     // destroy every UNchanged bucket: the feed must never read them
-    val s = Files.list(Paths.get(path))
-    val genDirs =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("gen-"))
-      } finally s.close()
-    genDirs.foreach { gen =>
-      val b = Files.list(gen)
-      try {
-        import scala.jdk.CollectionConverters._
-        b.iterator().asScala.toList
-          .filter(_.getFileName.toString.startsWith("__bucket="))
-          .filterNot(p => changedBuckets.contains(
-            p.getFileName.toString.stripPrefix("__bucket=").toLong))
-          .foreach(nuke)
-      } finally b.close()
-    }
+    nukeOtherBuckets(path, Seq("k1", "new1"))
     val feed = KeyedUpsertSink.readChangesBetween(
       spark, path, keys, order, fromVersion = 1L)
       .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
@@ -174,6 +159,56 @@ class SinkLookupSpec extends SparkSpec {
       spark, path, keys, order, fromVersion = 2L)
       .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
     assert(feed == Set(("a", 9L, 30L)))
+  }
+
+  test("adopting a sidecar on a legacy table refuses a bucket count the disk disproves") {
+    val path = newTable("graft-layout-adopt")
+    delta(path, numBuckets = 8)(batchDf((1 to 32).map(i => (s"k$i", i.toLong, 10L)): _*), 0L)
+    assert(KeyedUpsertSink.readManifest(path).keySet.exists(_ >= 4),
+      "fixture must populate a bucket id >= 4 or the adoption test is vacuous")
+    Files.delete(Paths.get(path, "_layout")) // pre-round-15 table
+    // a writer misconfigured with a SMALLER bucket count cannot adopt:
+    // the on-disk bucket ids prove its layout wrong
+    val err = intercept[IllegalArgumentException] {
+      delta(path, numBuckets = 4)(batchDf(("x", 1L, 20L)), 1L)
+    }
+    assert(err.getMessage.contains("holds bucket id"))
+    assert(err.getMessage.contains("predates the _layout sidecar"))
+    // the ORIGINAL count adopts cleanly
+    delta(path, numBuckets = 8)(batchDf(("x", 1L, 20L)), 2L)
+    assert(KeyedUpsertSink.readLayout(path).contains(8))
+  }
+
+  test("an idle change feed and an unpopulated-bucket lookup still carry the table schema") {
+    val path = newTable("graft-empty-reads")
+    delta(path, numBuckets = 64)(batchDf(("a", 1L, 10L)), 0L)
+    val head = KeyedUpsertSink.tableVersions(path).max
+    // CDC poller's steady state: no changes — select/write must still
+    // resolve columns instead of blowing up on a zero-column frame
+    val idle = KeyedUpsertSink.readChangesBetween(
+      spark, path, keys, order, fromVersion = head)
+    assert(idle.select("k", "v", "ts").count() == 0L)
+    // a key hashing to an unpopulated bucket (64 buckets, 1 populated):
+    // same schema guarantee, not a hash-dependent AnalysisException
+    val miss = (1 to 200).map(i => s"absent$i")
+      .find { k =>
+        val b = keyDf(k).withColumn("__b",
+          KeyedUpsertSink.bucketOf(keys, 64)).select("__b").as[Long].head()
+        !KeyedUpsertSink.readManifest(path).contains(b)
+      }.getOrElse(fail("no key hashed to an unpopulated bucket"))
+    val lkp = KeyedUpsertSink.lookupBucketed(spark, path, keys, order, keyDf(miss))
+    assert(lkp.select("k", "v", "ts").count() == 0L)
+  }
+
+  test("a reversed change-feed range fails loudly instead of reporting reverted rows") {
+    val path = newTable("graft-feed-reversed")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L)
+    delta(path)(batchDf(("a", 2L, 20L)), 1L)
+    val err = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.readChangesBetween(spark, path, keys, order,
+        fromVersion = 2L, toVersion = Some(1L))
+    }
+    assert(err.getMessage.contains("range is reversed"))
   }
 
   test("change feed aligns evolved schemas and from==to is empty") {
