@@ -1086,7 +1086,7 @@ object KeyedUpsertSink {
     * fully-persisted file (rename-over-unsynced-data can survive a crash
     * as an empty manifest on some filesystems).
     */
-  private def writeFsynced(p: Path, bytes: Array[Byte]): Unit = {
+  private[sink] def writeFsynced(p: Path, bytes: Array[Byte]): Unit = {
     import java.nio.file.StandardOpenOption._
     val ch = java.nio.channels.FileChannel.open(p, CREATE, WRITE, TRUNCATE_EXISTING)
     try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
@@ -1096,7 +1096,7 @@ object KeyedUpsertSink {
   /** Best-effort directory fsync (some filesystems refuse opening a
     * directory for read — durability then falls back to the file fsync).
     */
-  private def fsyncDir(dir: Path): Unit =
+  private[sink] def fsyncDir(dir: Path): Unit =
     try {
       val ch = java.nio.channels.FileChannel.open(dir, java.nio.file.StandardOpenOption.READ)
       try ch.force(true) finally ch.close()

@@ -98,6 +98,45 @@ class ChangeFeedConsumerSpec extends SparkSpec {
       spark, up, keys, order, ckpt)(apply).isEmpty)
   }
 
+  test("corrupt checkpoints, double bootstraps, and recreated tables all fail loudly") {
+    val root = Files.createTempDirectory("graft-cfc-guards")
+    val up = root.resolve("up").toString
+    val ckpt = root.resolve("ckpt").toString
+    val upSink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, up, keys, order, numBuckets = 4, compactAfter = 0) _
+    upSink(batchDf(("a", 1L, 10L)), 0L)
+    ChangeFeedConsumer.bootstrap(spark, up, keys, order, ckpt)(_ => ())
+    // a second bootstrap would silently reprocess the whole table
+    val err = intercept[IllegalArgumentException] {
+      ChangeFeedConsumer.bootstrap(spark, up, keys, order, ckpt)(_ => ())
+    }
+    assert(err.getMessage.contains("already holds checkpoint v1"))
+    // ...unless forced, which is the documented deliberate path
+    assert(ChangeFeedConsumer.bootstrap(
+      spark, up, keys, order, ckpt, force = true)(_ => ()).contains(1L))
+    // a checkpoint that exists but does not parse is corruption, NOT a
+    // fresh consumer — conflating them steers into a full reprocess
+    Files.writeString(java.nio.file.Paths.get(ckpt), "not-a-version")
+    val err2 = intercept[IllegalStateException] {
+      ChangeFeedConsumer.processNew(spark, up, keys, order, ckpt)(_ => ())
+    }
+    assert(err2.getMessage.contains("does not parse as a version"))
+    // a recreated table (head below the checkpoint) is named as such,
+    // not misreported as a reversed range
+    Files.writeString(java.nio.file.Paths.get(ckpt), "9")
+    val err3 = intercept[IllegalStateException] {
+      ChangeFeedConsumer.processNew(spark, up, keys, order, ckpt)(_ => ())
+    }
+    assert(err3.getMessage.contains("the table was recreated"))
+    // an empty/mistyped table path fails with context, not 'empty.max'
+    Files.writeString(java.nio.file.Paths.get(ckpt), "1")
+    val err4 = intercept[IllegalStateException] {
+      ChangeFeedConsumer.processNew(spark, root.resolve("nope").toString,
+        keys, order, ckpt)(_ => ())
+    }
+    assert(err4.getMessage.contains("no committed versions"))
+  }
+
   test("an unbootstrapped consumer and a vacuum-stalled consumer fail loudly") {
     val root = Files.createTempDirectory("graft-cfc-stall")
     val up = root.resolve("up").toString
