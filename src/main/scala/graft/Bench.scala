@@ -57,7 +57,10 @@ object Bench {
     "text_ppl", "text_dsir", "dedup_editdist", "q_window_range",
     "events_interval_join",
     // round 9: paragraph boilerplate removal, per-domain cap, z-order scan
-    "text_boilerplate", "sample_domain_cap", "layout_zorder_scan")
+    "text_boilerplate", "sample_domain_cap", "layout_zorder_scan",
+    // round 15: incrementally-maintained materialized aggregate view
+    // (bootstrap + two weighted-change-feed refreshes over the delta sink)
+    "etl_view_incremental")
 
   /** Compact-key scheme for the driver artifact line.
     *
@@ -87,6 +90,8 @@ object Bench {
     *   approx_→apx_  _quantiles→_qnt  _transform→_xfm  _matchers→_mch
     *   _jaccard→_jac  _length_filter→_lenf  _clean_corpus→_clean
     *   json_extract→jsonx  _optimistic→_opt  _allpairs→_ap
+    *   _view_incremental→_mview  _ann→(dropped — "silsh" means
+    *   "sim_lsh_ann")  _bucketed→_bkt  _clusters→_cls  _strip→_st
     *   boilerplate→bplate  _audit_tally→_tally  _tumbling→_tumb
     */
   private val keyPrefixes = Seq(
@@ -110,7 +115,14 @@ object Bench {
     "_clean_corpus" -> "_clean", "json_extract" -> "jsonx",
     "_optimistic" -> "_opt", "_allpairs" -> "_ap", "boilerplate" -> "bplate",
     "_changes" -> "_chg", "_lookup" -> "_lkp", "_delta" -> "_dlt",
-    "_audit_tally" -> "_tally", "_tumbling" -> "_tumb")
+    "_audit_tally" -> "_tally", "_tumbling" -> "_tumb",
+    "_view_incremental" -> "_mview",
+    // round 15: one consolidated shortening batch (the 102nd query pushed
+    // the worst-case artifact line past the 1900-char budget): the _ann
+    // suffix is redundant inside the si* family, and three singleton
+    // long-tails get stock abbreviations
+    "_ann" -> "", "_bucketed" -> "_bkt", "_clusters" -> "_cls",
+    "_strip" -> "_st")
   def compactKey(name: String): String = {
     // infixes first (they anchor on underscores the prefix step removes)
     val infixed = keyInfixes.foldLeft(name) {

@@ -187,6 +187,44 @@ object SparkEntry {
         s, path, keys, order, fromVersion = 1L).drop("ts_us")
     }),
 
+    // Incrementally-maintained materialized aggregate view over the
+    // versioned sink: bootstrap a per-event-type (n_users, sum of the
+    // last event's time-of-day ms) view after batch 0, then fold the
+    // WEIGHTED change feed (+new image / -superseded image, touched
+    // buckets only) of batches 1 and 2 into the stored view — the base
+    // table is never re-read after bootstrap. The final view must equal
+    // a group-by over the final LWW table, which is exactly what the
+    // oracle recomputes: the hash check proves retraction correctness
+    // (a user whose latest event_type changes between batches must MOVE
+    // between groups, not double-count).
+    "etl_view_incremental" -> ((s, dir) => {
+      import graft.sink.MaterializedAggView
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-view-base-q", dir)
+      val viewPath = scratchTable("graft-view-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val dims = Seq("last_event_type")
+      // exact long sums: count via sum(1), and a bounded time-of-day
+      // expression (raw epoch-ms sums overflow long under ANSI at scale)
+      val aggs = Seq(
+        MaterializedAggView.AggCol("n_users", lit(1L)),
+        MaterializedAggView.AggCol("sum_ts_day",
+          col("last_ts_ms") % 86400000L))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims, aggs)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      MaterializedAggView.read(s, viewPath)
+    }),
+
     // Bucket-pruned point lookup: resolve ONLY the buckets the requested
     // keys hash to (the _layout sidecar supplies the writer's bucket
     // count) — the O(requested keys) read path a 100 TB keyed table
@@ -1165,6 +1203,19 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         |)
         |SELECT * FROM lww EXCEPT SELECT * FROM lww_even""".stripMargin,
+
+    // the maintained view must equal the group-by over the FINAL LWW
+    // state (HUGEINT sums cast back to the engine's exact long type)
+    "etl_view_incremental" ->
+      """WITH resolved AS (
+        |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type AS last_event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day
+        |FROM resolved GROUP BY 1""".stripMargin,
 
     "etl_upsert_lookup" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,

@@ -37,7 +37,7 @@ object ChangeFeedConsumer {
     * would steer the operator into a silent whole-table re-bootstrap —
     * the exact hazard the bootstrap guard exists to prevent.
     */
-  private def readCheckpoint(p: Path): Option[Long] = {
+  private[sink] def readCheckpoint(p: Path): Option[Long] = {
     if (!Files.exists(p)) return None
     val raw = new String(Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8).trim
@@ -47,7 +47,7 @@ object ChangeFeedConsumer {
         "as a fresh consumer; repair or delete the file deliberately")))
   }
 
-  private def writeCheckpoint(p: Path, v: Long): Unit = {
+  private[sink] def writeCheckpoint(p: Path, v: Long): Unit = {
     // unique tmp per attempt: a constant name lets two misconfigured
     // writers interleave truncate/write/rename into an empty publish
     val tmp = p.resolveSibling(

@@ -233,7 +233,7 @@ object KeyedUpsertSink {
     * class as the `Files.list` fixed in [[nonEmptyDir]]; invoked per
     * micro-batch on replace/vacuum paths.
     */
-  private def deleteRecursively(root: Path): Unit = {
+  private[sink] def deleteRecursively(root: Path): Unit = {
     val s = Files.walk(root)
     try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
     finally s.close()
@@ -1310,7 +1310,35 @@ object KeyedUpsertSink {
     */
   def readChangesBetween(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], fromVersion: Long,
-      toVersion: Option[Long] = None): DataFrame = {
+      toVersion: Option[Long] = None): DataFrame =
+    changesBetweenImpl(spark, tablePath, keys, order, fromVersion,
+      toVersion, weighted = false)
+
+  /** Weighted change feed between two committed versions: every row of
+    * the [[readChangesBetween]] upsert feed carries `__weight` = +1, and
+    * the superseded `fromVersion` image of each UPDATED key carries
+    * `__weight` = -1 — the retraction stream. A consumer maintaining a
+    * distributive aggregate (SUM / COUNT — anything where a row's
+    * contribution adds) applies one delta pass,
+    * `agg(expr * __weight)`, and never touches the base table: the -1
+    * rows subtract exactly what the key's old image contributed, the
+    * +1 rows add the new image ([[MaterializedAggView]] is the built-in
+    * consumer). Freshly inserted keys have no -1 row; an LWW table has
+    * no deletes, so no key produces a -1 without a matching +1.
+    *
+    * Same touched-bucket cost shape and vacuum/retention contract as
+    * [[readChangesBetween]]; the symmetric difference is computed only
+    * over buckets whose manifest chain entry changed.
+    */
+  def readChangesWeighted(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame =
+    changesBetweenImpl(spark, tablePath, keys, order, fromVersion,
+      toVersion, weighted = true)
+
+  private def changesBetweenImpl(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], fromVersion: Long,
+      toVersion: Option[Long], weighted: Boolean): DataFrame = {
     val manFrom = manifestAt(tablePath, fromVersion)
     val toV = toVersion.getOrElse(versionedHead(tablePath)._1)
     // a reversed range would present REVERTED old values as "inserts or
@@ -1325,21 +1353,28 @@ object KeyedUpsertSink {
     def resolve(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
         .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
+    def weigh(df: DataFrame, w: Long): DataFrame =
+      if (weighted) df.withColumn("__weight", lit(w)) else df
     (resolve(touched), resolve(before)) match {
       case (None, _) =>
         // nothing changed — the steady state a CDC poller hits on every
         // idle tick: still carry the table's schema (footer-only, limit
         // 0) so downstream select/write is version-independent
-        resolve(manTo).map(_.limit(0)).getOrElse(spark.emptyDataFrame)
-      case (Some(to), None) => to
+        resolve(manTo).map(df => weigh(df, 1L).limit(0))
+          .getOrElse(spark.emptyDataFrame)
+      case (Some(to), None) => weigh(to, 1L)
       case (Some(to), Some(from)) =>
         // align to the UNION of columns before the set difference:
         // schema evolution can leave the two versions on different
-        // column sets, and `except` demands aligned schemas
+        // column sets, and `except` demands aligned schemas. Each image
+        // has one row per key (post-resolve), so `except`'s set
+        // semantics can't collapse distinct keys.
         val toU = to.unionByName(from.limit(0), allowMissingColumns = true)
         val fromU = from.unionByName(to.limit(0), allowMissingColumns = true)
           .select(toU.columns.map(col).toIndexedSeq: _*)
-        toU.except(fromU)
+        if (!weighted) toU.except(fromU)
+        else weigh(toU.except(fromU), 1L)
+          .unionByName(weigh(fromU.except(toU), -1L))
     }
   }
 

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.{KeyedUpsertSink, MaterializedAggView}
+import graft.sink.MaterializedAggView.AggCol
+
+/** Incrementally-maintained materialized aggregate view: the contract
+  * under test is maintained == recomputed-from-scratch after every
+  * refresh (exact long arithmetic), retraction moving keys BETWEEN
+  * groups and dropping emptied groups, effectively-once across the
+  * publish/watermark crash window, and loud failure on every
+  * ambiguous state (double bootstrap, missing watermark, recreated
+  * base). Plus the weighted change feed the view consumes: +1 new
+  * image / -1 superseded image, nothing for untouched keys.
+  */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+  private val dims = Seq("g")
+  private def aggs = Seq(AggCol("n", lit(1L)), AggCol("sum_v", col("v")))
+
+  private def batchDf(rows: (String, String, Long, Long)*): DataFrame =
+    rows.toDF("k", "g", "v", "ts")
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(tag).resolve("t").toString
+
+  private def rmTree(path: String): Unit = {
+    val s = Files.walk(Paths.get(path))
+    try s.sorted(java.util.Comparator.reverseOrder()).iterator()
+      .forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+  }
+
+  private def sinkTo(path: String)(batch: DataFrame, id: Long): Unit =
+    KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets = 4, compactAfter = 0)(batch, id)
+
+  private def viewRows(viewPath: String): Set[(String, Long, Long)] =
+    MaterializedAggView.read(spark, viewPath)
+      .select("g", "n", "sum_v").as[(String, Long, Long)].collect().toSet
+
+  private def recomputed(basePath: String): Set[(String, Long, Long)] =
+    KeyedUpsertSink.readBucketedDelta(spark, basePath, keys, order)
+      .groupBy("g").agg(sum(lit(1L) * lit(1L)).as("n"),
+        sum(col("v") * lit(1L)).as("sum_v"))
+      .select("g", "n", "sum_v").as[(String, Long, Long)].collect().toSet
+
+  test("weighted feed: +1 new image, -1 superseded image, silence for untouched keys") {
+    val base = newDir("graft-mv-feed")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L), ("b", "x", 2L, 10L),
+      ("c", "y", 3L, 10L)), 0L) // v1
+    // update a (same bucket-set semantics regardless), insert d; b and c untouched rows —
+    // but b may share a's bucket: the feed diffs ROWS, so identical rows vanish either way
+    sinkTo(base)(batchDf(("a", "y", 5L, 20L), ("d", "y", 7L, 20L)), 1L) // v2
+    val feed = KeyedUpsertSink.readChangesWeighted(
+      spark, base, keys, order, fromVersion = 1L)
+      .select("k", "g", "v", "ts", "__weight")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(feed == Set(
+      ("a", "y", 5L, 20L, 1L), ("d", "y", 7L, 20L, 1L),
+      ("a", "x", 1L, 10L, -1L)))
+    // the unweighted feed is exactly the +1 half
+    val upserts = KeyedUpsertSink.readChangesBetween(
+      spark, base, keys, order, fromVersion = 1L)
+      .select("k", "g", "v", "ts").as[(String, String, Long, Long)]
+      .collect().toSet
+    assert(upserts == Set(("a", "y", 5L, 20L), ("d", "y", 7L, 20L)))
+  }
+
+  test("maintained view equals from-scratch recompute across waves (events fixture)") {
+    val ev = Tables.events(spark, Sf0001).select(
+      col("user_id").as("k"), col("event_type").as("g"),
+      (col("ts_ms") % 86400000L).as("v"), col("ts_us").as("ts"))
+    val base = newDir("graft-mv-base")
+    val view = newDir("graft-mv-view")
+    sinkTo(base)(ev.filter(col("ts") % 3 === 0), 0L)
+    assert(MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs).nonEmpty)
+    assert(viewRows(view) == recomputed(base))
+    (1L to 2L).foreach { i =>
+      sinkTo(base)(ev.filter(col("ts") % 3 === i), i)
+      assert(MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs).nonEmpty)
+      assert(viewRows(view) == recomputed(base))
+    }
+  }
+
+  test("retraction moves a key between groups and drops an emptied group") {
+    val base = newDir("graft-mv-move")
+    val view = newDir("graft-mv-move-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L), ("b", "y", 2L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    assert(viewRows(view) == Set(("x", 1L, 1L), ("y", 1L, 2L)))
+    // b's latest image moves to group x: y must DISAPPEAR (its only key
+    // left), x must count both keys — a double-count would show n=1/n=3
+    sinkTo(base)(batchDf(("b", "x", 9L, 20L)), 1L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    assert(viewRows(view) == Set(("x", 2L, 10L)))
+  }
+
+  test("idle refresh is a no-op; a row-identical redelivery commit advances the watermark") {
+    val base = newDir("graft-mv-idle")
+    val view = newDir("graft-mv-idle-view")
+    val wave = batchDf(("a", "x", 1L, 10L), ("b", "y", 2L, 10L))
+    sinkTo(base)(wave, 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    val w0 = MaterializedAggView.watermark(view).get
+    assert(MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs).isEmpty)
+    assert(MaterializedAggView.watermark(view).contains(w0))
+    // at-least-once redelivery: a new commit whose rows are identical —
+    // the feed is empty, the view unchanged, but the watermark advances
+    // (otherwise every poll re-reads the redelivered buckets forever)
+    sinkTo(base)(wave, 1L)
+    val r = MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    assert(r.contains((w0, w0 + 1)))
+    assert(MaterializedAggView.watermark(view).contains(w0 + 1))
+    assert(viewRows(view) == Set(("x", 1L, 1L), ("y", 1L, 2L)))
+  }
+
+  test("crash between data publish and watermark advance replays to the same view") {
+    val base = newDir("graft-mv-crash")
+    val view = newDir("graft-mv-crash-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L), ("b", "y", 2L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    val w0 = MaterializedAggView.watermark(view).get
+    sinkTo(base)(batchDf(("a", "y", 5L, 20L)), 1L)
+    MaterializedAggView.onBeforeHeadPublish =
+      () => throw new RuntimeException("crash before watermark")
+    try intercept[RuntimeException] {
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    } finally MaterializedAggView.onBeforeHeadPublish = () => ()
+    // the data dir published but the watermark did not move — the view
+    // still reads its OLD state, and the replayed refresh must land on
+    // the same final answer (deterministic delta range)
+    assert(MaterializedAggView.watermark(view).contains(w0))
+    assert(MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs).contains((w0, w0 + 1)))
+    assert(viewRows(view) == recomputed(base))
+    // retention: head + one prior version, no stage leftovers
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(Paths.get(view)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names == Set("_head", s"v$w0", s"v${w0 + 1}"))
+  }
+
+  test("double bootstrap refuses without force; force rebuilds") {
+    val base = newDir("graft-mv-boot")
+    val view = newDir("graft-mv-boot-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    }
+    assert(e.getMessage.contains("force"))
+    assert(MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, force = true).nonEmpty)
+    assert(viewRows(view) == Set(("x", 1L, 1L)))
+  }
+
+  test("refresh without bootstrap and a recreated base fail loudly") {
+    val base = newDir("graft-mv-loud")
+    val view = newDir("graft-mv-loud-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    val e1 = intercept[IllegalStateException] {
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    }
+    assert(e1.getMessage.contains("bootstrap"))
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    // recreate the base: head falls below the view's watermark
+    rmTree(base)
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    // watermark v1 == recreated head v1 → indistinguishable idle; force
+    // a second commit on the OLD view's watermark axis to expose it
+    val view2 = newDir("graft-mv-loud-view2")
+    sinkTo(base)(batchDf(("b", "x", 2L, 10L)), 1L)
+    MaterializedAggView.bootstrap(spark, base, view2, keys, order, dims, aggs)
+    rmTree(base)
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    val e2 = intercept[IllegalStateException] {
+      MaterializedAggView.refresh(spark, base, view2, keys, order, dims, aggs)
+    }
+    assert(e2.getMessage.contains("recreated"))
+  }
+
+  test("reserved/colliding column names and empty dims are rejected") {
+    val base = newDir("graft-mv-val")
+    val view = newDir("graft-mv-val-view")
+    intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order,
+        Seq.empty, aggs)
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order,
+        dims, Seq(AggCol("g", lit(1L))))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order,
+        dims, Seq(AggCol("__n", lit(1L))))
+    }
+  }
+}
