@@ -209,19 +209,29 @@ object SparkEntry {
       val order = Seq(col("ts_us"), col("last_event_id"))
       val dims = Seq("last_event_type")
       // exact long sums: count via sum(1), and a bounded time-of-day
-      // expression (raw epoch-ms sums overflow long under ANSI at scale)
+      // expression (raw epoch-ms sums overflow long under ANSI at scale);
+      // min/max of the same expression exercise the two-path extremum
+      // maintenance (retracted extrema re-derive from dirty groups only)
       val aggs = Seq(
         MaterializedAggView.AggCol("n_users", lit(1L)),
         MaterializedAggView.AggCol("sum_ts_day",
           col("last_ts_ms") % 86400000L))
+      val ext = Seq(
+        MaterializedAggView.ExtremumCol("min_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = true),
+        MaterializedAggView.ExtremumCol("max_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = false))
       val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
         s, path, keys, order, numBuckets = 16, compactAfter = 0) _
       sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
-      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims, aggs)
+      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims,
+        aggs, ext)
       sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
-      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
+        aggs, ext)
       sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
-      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
+        aggs, ext)
       MaterializedAggView.read(s, viewPath)
     }),
 
@@ -1214,7 +1224,9 @@ object SparkEntry {
         |)
         |SELECT event_type AS last_event_type,
         |  CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day
+        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day,
+        |  CAST(min(last_ts_ms % 86400000) AS BIGINT) AS min_ts_day,
+        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day
         |FROM resolved GROUP BY 1""".stripMargin,
 
     "etl_upsert_lookup" ->

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Supported aggregates are the distributive sums ([[AggCol]]): SUM of
   * any deterministic row-level expression, COUNT as `sum(1)`. AVG
-  * derives on read (`sum/n`). MIN/MAX are deliberately absent — a
-  * retracted current-minimum needs the base rows to re-derive, which is
-  * exactly the recompute this view exists to avoid.
+  * derives on read (`sum/n`). MIN/MAX ([[ExtremumCol]]) are maintained
+  * with the classic two-path scheme — cheap insert folding, bounded
+  * dirty-group recompute on a retracted extremum (see [[ExtremumCol]]).
   *
   * Exactness contract: with exact-typed expressions (integral /
   * decimal) the maintained view equals the from-scratch recompute
@@ -56,6 +56,34 @@ object MaterializedAggView {
     */
   final case class AggCol(name: String, expr: Column)
 
+  /** One maintained MIN/MAX: non-distributive under retraction, so it is
+    * maintained with the classic two-path scheme. Inserts are cheap —
+    * the new extremum is `least/greatest(stored, delta)`. A retraction
+    * can only invalidate the stored extremum when the retracted value
+    * TIES it (a superseded image's value is never strictly beyond the
+    * stored extremum of its own version); those groups — and only those
+    * — are recomputed from the base at head, filtered to the dirty dim
+    * values. Multiplicity makes the tie test conservative: two keys
+    * sharing the minimum and one retracting triggers a recompute that
+    * lands on the unchanged answer — correct, just not free. The dirty
+    * path is the bounded fallback; refreshes whose retractions never
+    * touch an extremum (the common case) skip the base read entirely,
+    * and [[onExtremaRecompute]] makes that observable.
+    */
+  final case class ExtremumCol(name: String, expr: Column, isMin: Boolean) {
+    private[MaterializedAggView] def fold(c: Column): Column =
+      if (isMin) min(c) else max(c)
+    private[MaterializedAggView] def agg(as: String): Column =
+      fold(expr).as(as)
+  }
+
+  /** Test/telemetry seam: invoked with the dirty-group count just before
+    * a refresh reads the base table to re-derive retracted extrema. NOT
+    * invoked on refreshes whose retractions leave every stored extremum
+    * standing — those never touch the base (the view's whole point).
+    */
+  private[graft] var onExtremaRecompute: Long => Unit = _ => ()
+
   private val WeightCol = "__weight"
 
   /** Hidden per-group live-row count; a group leaves the view when its
@@ -81,15 +109,18 @@ object MaterializedAggView {
   def watermark(viewPath: String): Option[Long] =
     ChangeFeedConsumer.readCheckpoint(headFile(viewPath))
 
-  private def validate(dims: Seq[String], aggs: Seq[AggCol]): Unit = {
+  private def validate(dims: Seq[String], aggs: Seq[AggCol],
+      extrema: Seq[ExtremumCol]): Unit = {
     require(dims.nonEmpty, "dims must be non-empty — a global (no-group) " +
       "aggregate has no group rows to retract; wrap it in a constant dim")
     require(aggs.nonEmpty, "aggs must be non-empty")
-    val names = dims ++ aggs.map(_.name)
+    val names = dims ++ aggs.map(_.name) ++ extrema.map(_.name)
     require(names.distinct == names,
       s"dim/agg names collide: ${names.mkString(", ")}")
-    require(!names.exists(Set(WeightCol, CountCol)),
-      s"$WeightCol/$CountCol are reserved view columns")
+    require(!names.exists(_.startsWith("__")),
+      "the __ prefix is reserved for the view's internal columns " +
+        s"($WeightCol, $CountCol, refresh scratch); rename: " +
+        names.filter(_.startsWith("__")).mkString(", "))
   }
 
   /** One delta (or bootstrap) pass: per-group weighted sums. `weight`
@@ -97,9 +128,10 @@ object MaterializedAggView {
     * both paths produce identical column types.
     */
   private def aggregate(df: DataFrame, dims: Seq[String],
-      aggs: Seq[AggCol], weight: Column): DataFrame = {
-    val cols = aggs.map(a => sum(a.expr * weight).as(a.name)) :+
-      sum(weight).as(CountCol)
+      aggs: Seq[AggCol], extrema: Seq[ExtremumCol],
+      weight: Column): DataFrame = {
+    val cols = aggs.map(a => sum(a.expr * weight).as(a.name)) ++
+      extrema.map(e => e.agg(e.name)) :+ sum(weight).as(CountCol)
     df.groupBy(dims.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
@@ -167,8 +199,9 @@ object MaterializedAggView {
     */
   def bootstrap(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      aggs: Seq[AggCol], force: Boolean = false): Option[Long] = {
-    validate(dims, aggs)
+      aggs: Seq[AggCol], extrema: Seq[ExtremumCol] = Seq.empty,
+      force: Boolean = false): Option[Long] = {
+    validate(dims, aggs, extrema)
     watermark(viewPath).foreach { v =>
       require(force,
         s"$viewPath already holds a view at watermark v$v — " +
@@ -183,7 +216,7 @@ object MaterializedAggView {
     require(!base.isEmpty,
       s"$basePath resolves to zero rows at v$head — an empty view has " +
         "no schema to store; bootstrap after the first data commit")
-    publish(viewPath, head, aggregate(base, dims, aggs, lit(1L)))
+    publish(viewPath, head, aggregate(base, dims, aggs, extrema, lit(1L)))
     Some(head)
   }
 
@@ -196,8 +229,9 @@ object MaterializedAggView {
     */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      aggs: Seq[AggCol]): Option[(Long, Long)] = {
-    validate(dims, aggs)
+      aggs: Seq[AggCol],
+      extrema: Seq[ExtremumCol] = Seq.empty): Option[(Long, Long)] = {
+    validate(dims, aggs, extrema)
     val from = watermark(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — bootstrap the view first (a fresh " +
         "view must not silently treat the whole history as one delta)"))
@@ -214,10 +248,101 @@ object MaterializedAggView {
     val deltas = KeyedUpsertSink.readChangesWeighted(
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
-    val deltaAgg = aggregate(deltas, dims, aggs, col(WeightCol))
+    // sums fold over BOTH signs; extrema are sign-split below (a -1
+    // row's value must not feed a min/max candidate)
+    val deltaAgg = aggregate(deltas, dims, aggs, Seq.empty, col(WeightCol))
     val old = spark.read.parquet(versionDir(viewPath, from).toString)
-    publish(viewPath, head, merge(old, deltaAgg, dims, aggs))
+    val sumView = merge(
+      old.select((dims ++ aggs.map(_.name) :+ CountCol).map(col): _*),
+      deltaAgg, dims, aggs)
+    val (view, cleanup) =
+      if (extrema.isEmpty) (sumView, () => ())
+      else refreshExtrema(spark, basePath, keys, order, dims, extrema,
+        head, deltas, old, sumView)
+    val ordered = (dims ++ aggs.map(_.name) ++ extrema.map(_.name) :+
+      CountCol).map(col)
+    try publish(viewPath, head, view.select(ordered: _*))
+    finally cleanup()
     Some((from, head))
+  }
+
+  /** The MIN/MAX half of a refresh ([[ExtremumCol]]'s two-path scheme).
+    *
+    * Insert path: per-group extrema of the feed's +1 rows fold into the
+    * stored values min-of-mins / max-of-maxes (union + re-aggregate — a
+    * null-skipping `least`/`greatest` without the join).
+    *
+    * Retraction path: a group is DIRTY when some retracted (-1) value
+    * ties its stored extremum — the only way a retraction can move a
+    * min up or a max down (a superseded image's value is never strictly
+    * beyond the extremum of the version it was live in, so `<=`/`>=`
+    * against the stored value detects exactly the ties, conservatively
+    * under multiplicity). Dirty groups — and only those — re-derive
+    * from the base resolved at `head` (which already includes this
+    * delta's inserts), semi-joined down to the dirty dim values so the
+    * aggregate is bounded by the dirty groups. A refresh with no dirty
+    * group never touches the base; [[onExtremaRecompute]] observes the
+    * fallback firing.
+    *
+    * Null semantics inherit from min/max: an all-null group stores a
+    * null extremum; a retracted null value never dirties (null
+    * comparisons filter as false — correct, a null never WAS the
+    * extremum of a group whose stored value is non-null, and in an
+    * all-null group the extremum stays null until the group empties).
+    */
+  private def refreshExtrema(spark: SparkSession, basePath: String,
+      keys: Seq[String], order: Seq[Column], dims: Seq[String],
+      extrema: Seq[ExtremumCol], head: Long, deltas: DataFrame,
+      old: DataFrame, sumView: DataFrame): (DataFrame, () => Unit) = {
+    val dimCols = dims.map(col)
+    val oldExt = old.select((dims ++ extrema.map(_.name)).map(col): _*)
+    val insAgg = deltas.filter(col(WeightCol) === 1L)
+      .groupBy(dimCols: _*)
+      .agg(extrema.head.agg(extrema.head.name),
+        extrema.tail.map(e => e.agg(e.name)): _*)
+    val candidate = oldExt.unionByName(insAgg)
+      .groupBy(dimCols: _*)
+      .agg(extrema.head.fold(col(extrema.head.name)).as(extrema.head.name),
+        extrema.tail.map(e => e.fold(col(e.name)).as(e.name)): _*)
+    // ties against the STORED (pre-refresh) extremum: min of the
+    // retracted values per group vs the stored min (any tie ⇔ the
+    // groupwise retracted-min ties), symmetrically for max
+    val retrAgg = deltas.filter(col(WeightCol) === -1L)
+      .groupBy(dimCols: _*)
+      .agg(extrema.head.agg("__r_" + extrema.head.name),
+        extrema.tail.map(e => e.agg("__r_" + e.name)): _*)
+    val dirtyPred = extrema.map { e =>
+      if (e.isMin) col("__r_" + e.name) <= col(e.name)
+      else col("__r_" + e.name) >= col(e.name)
+    }.reduce(_ || _)
+    // pinned: read once for the count here, reused by the publish-time
+    // semi-join (the caller unpersists after publish)
+    val dirtyDims = retrAgg.join(oldExt, dims).filter(dirtyPred)
+      .select(dimCols: _*).persist()
+    val nDirty = dirtyDims.count()
+    val resolved =
+      if (nDirty == 0) candidate
+      else {
+        onExtremaRecompute(nDirty)
+        val rec = KeyedUpsertSink.readBucketedDelta(
+          spark, basePath, keys, order, atVersion = Some(head))
+          .join(broadcast(dirtyDims), dims, "left_semi")
+          .groupBy(dimCols: _*)
+          .agg(extrema.head.agg("__rec_" + extrema.head.name),
+            extrema.tail.map(e => e.agg("__rec_" + e.name)): _*)
+          .withColumn("__rec_hit", lit(true))
+        candidate.join(rec, dims, "left").select(
+          dimCols ++ extrema.map { e =>
+            when(coalesce(col("__rec_hit"), lit(false)),
+              col("__rec_" + e.name)).otherwise(col(e.name)).as(e.name)
+          }: _*)
+      }
+    // every live group (CountCol > 0) has live rows, so it appears in
+    // oldExt or in this delta's inserts — `resolved` covers it; left
+    // join so a violated invariant surfaces as a null extremum, never
+    // a silently dropped group
+    (sumView.join(resolved, dims, "left"),
+      () => { dirtyDims.unpersist(false); () })
   }
 
   /** The view's published columns (dims + aggregate names) at its

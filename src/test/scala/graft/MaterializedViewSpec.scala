@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sink.{KeyedUpsertSink, MaterializedAggView}
-import graft.sink.MaterializedAggView.AggCol
+import graft.sink.MaterializedAggView.{AggCol, ExtremumCol}
 
 /** Incrementally-maintained materialized aggregate view: the contract
   * under test is maintained == recomputed-from-scratch after every
@@ -190,6 +190,126 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e2.getMessage.contains("recreated"))
   }
 
+  // ---- MIN/MAX maintenance (ExtremumCol two-path scheme) ----
+
+  private def extrema = Seq(
+    ExtremumCol("min_v", col("v"), isMin = true),
+    ExtremumCol("max_v", col("v"), isMin = false))
+
+  private def viewExt(viewPath: String): Set[(String, Long, Long, Long, Long)] =
+    MaterializedAggView.read(spark, viewPath)
+      .select("g", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  private def recomputedExt(basePath: String): Set[(String, Long, Long, Long, Long)] =
+    KeyedUpsertSink.readBucketedDelta(spark, basePath, keys, order)
+      .groupBy("g").agg(sum(lit(1L)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select("g", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  /** Seam guard: fail the test if the dirty-recompute path fires. */
+  private def forbidRecompute[A](body: => A): A = {
+    MaterializedAggView.onExtremaRecompute =
+      n => throw new AssertionError(s"base recompute fired ($n dirty groups)")
+    try body finally MaterializedAggView.onExtremaRecompute = _ => ()
+  }
+
+  test("min/max: inserts and non-tying retractions never read the base; a retracted extremum recomputes only the dirty group") {
+    val base = newDir("graft-mv-ext")
+    val view = newDir("graft-mv-ext-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L), ("b", "x", 5L, 10L),
+      ("c", "x", 9L, 10L), ("d", "y", 4L, 10L)), 0L)
+    forbidRecompute {
+      MaterializedAggView.bootstrap(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    }
+    assert(viewExt(view) == Set(("x", 3L, 15L, 1L, 9L), ("y", 1L, 4L, 4L, 4L)))
+    // pure insert + interior update: e is new, b moves 5→6 (retracted 5
+    // is strictly inside (1, 9)) — the cheap path must cover both
+    sinkTo(base)(batchDf(("e", "x", 7L, 20L), ("b", "x", 6L, 20L)), 1L)
+    forbidRecompute {
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    }
+    assert(viewExt(view) == recomputedExt(base))
+    assert(viewExt(view).contains(("x", 4L, 23L, 1L, 9L)))
+    // retract the stored min of x (a: 1→2): exactly one dirty group,
+    // recomputed from the base at head; y must not be in the dirty set
+    var fired = Seq.empty[Long]
+    MaterializedAggView.onExtremaRecompute = n => fired :+= n
+    try {
+      sinkTo(base)(batchDf(("a", "x", 2L, 30L)), 2L)
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    } finally MaterializedAggView.onExtremaRecompute = _ => ()
+    assert(fired == Seq(1L))
+    assert(viewExt(view) == recomputedExt(base))
+    assert(viewExt(view).contains(("x", 4L, 24L, 2L, 9L)))
+  }
+
+  test("min/max: a retracted max moving a key between groups recomputes the source group and seeds the target") {
+    val base = newDir("graft-mv-ext-move")
+    val view = newDir("graft-mv-ext-move-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L), ("c", "x", 9L, 10L)), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    // c (x's max) moves to brand-new group y: x recomputes to (1,1),
+    // y's extrema come from the insert path alone
+    sinkTo(base)(batchDf(("c", "y", 3L, 20L)), 1L)
+    MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    assert(viewExt(view) == Set(("x", 1L, 1L, 1L, 1L), ("y", 1L, 3L, 3L, 3L)))
+    // and retracting the LAST key of a group drops it, dirty or not
+    sinkTo(base)(batchDf(("a", "y", 2L, 30L)), 2L)
+    MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    assert(viewExt(view) == Set(("y", 2L, 5L, 2L, 3L)))
+  }
+
+  test("min/max: events-fixture waves stay equal to the from-scratch recompute") {
+    val ev = Tables.events(spark, Sf0001).select(
+      col("user_id").as("k"), col("event_type").as("g"),
+      (col("ts_ms") % 86400000L).as("v"), col("ts_us").as("ts"))
+    val base = newDir("graft-mv-ext-ev")
+    val view = newDir("graft-mv-ext-ev-view")
+    sinkTo(base)(ev.filter(col("ts") % 3 === 0), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    (1L to 2L).foreach { i =>
+      sinkTo(base)(ev.filter(col("ts") % 3 === i), i)
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+      assert(viewExt(view) == recomputedExt(base))
+    }
+  }
+
+  test("min/max: null values never dirty and an all-null group stores a null extremum") {
+    val base = newDir("graft-mv-ext-null")
+    val view = newDir("graft-mv-ext-null-view")
+    def nullableDf(rows: (String, String, Option[Long], Long)*): DataFrame =
+      rows.toDF("k", "g", "v", "ts")
+    sinkTo(base)(nullableDf(("a", "x", None, 10L), ("b", "x", None, 10L),
+      ("c", "y", Some(5L), 10L)), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    val boot = MaterializedAggView.read(spark, view)
+      .select("g", "min_v", "max_v")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(boot == Set(("x", None, None), ("y", Some(5L), Some(5L))))
+    // retract a null (a gains a value): null never ties an extremum, so
+    // no base read; x's min becomes the inserted 3
+    forbidRecompute {
+      sinkTo(base)(nullableDf(("a", "x", Some(3L), 20L)), 1L)
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    }
+    val after = MaterializedAggView.read(spark, view)
+      .select("g", "min_v", "max_v")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(after == Set(("x", Some(3L), Some(3L)), ("y", Some(5L), Some(5L))))
+  }
+
   test("reserved/colliding column names and empty dims are rejected") {
     val base = newDir("graft-mv-val")
     val view = newDir("graft-mv-val-view")
@@ -204,6 +324,16 @@ class MaterializedViewSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MaterializedAggView.bootstrap(spark, base, view, keys, order,
         dims, Seq(AggCol("__n", lit(1L))))
+    }
+    // extremum names join the same namespace: collisions and the
+    // reserved __ prefix are rejected before any work happens
+    intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order,
+        dims, aggs, Seq(ExtremumCol("n", col("v"), isMin = true)))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedAggView.bootstrap(spark, base, view, keys, order,
+        dims, aggs, Seq(ExtremumCol("__r_min", col("v"), isMin = true)))
     }
   }
 }
