@@ -117,6 +117,7 @@ object MaterializedAggView {
     val names = dims ++ aggs.map(_.name) ++ extrema.map(_.name)
     require(names.distinct == names,
       s"dim/agg names collide: ${names.mkString(", ")}")
+    require(names.forall(_.nonEmpty), "empty dim/agg/extremum name")
     require(!names.exists(_.startsWith("__")),
       "the __ prefix is reserved for the view's internal columns " +
         s"($WeightCol, $CountCol, refresh scratch); rename: " +
@@ -248,21 +249,34 @@ object MaterializedAggView {
     val deltas = KeyedUpsertSink.readChangesWeighted(
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
+    val old = spark.read.parquet(versionDir(viewPath, from).toString)
+    // the refresh spec must MATCH the bootstrapped view: a refresh
+    // called with a different agg/extremum set (easiest mistake: the
+    // defaulted extrema parameter omitted) would silently publish a
+    // view missing its maintained columns — destroyed state with no
+    // error. Fail loudly against the stored schema instead.
+    val expect = dims ++ aggs.map(_.name) ++ extrema.map(_.name) :+ CountCol
+    require(old.columns.sorted.toSeq == expect.sorted,
+      s"$viewPath stores columns [${old.columns.sorted.mkString(", ")}] " +
+        s"but this refresh maintains [${expect.sorted.mkString(", ")}] — " +
+        "the dims/aggs/extrema spec must match the bootstrapped view " +
+        "(a mismatched refresh would silently drop maintained state)")
     // sums fold over BOTH signs; extrema are sign-split below (a -1
     // row's value must not feed a min/max candidate)
     val deltaAgg = aggregate(deltas, dims, aggs, Seq.empty, col(WeightCol))
-    val old = spark.read.parquet(versionDir(viewPath, from).toString)
     val sumView = merge(
       old.select((dims ++ aggs.map(_.name) :+ CountCol).map(col): _*),
       deltaAgg, dims, aggs)
-    val (view, cleanup) =
-      if (extrema.isEmpty) (sumView, () => ())
-      else refreshExtrema(spark, basePath, keys, order, dims, extrema,
-        head, deltas, old, sumView)
-    val ordered = (dims ++ aggs.map(_.name) ++ extrema.map(_.name) :+
-      CountCol).map(col)
-    try publish(viewPath, head, view.select(ordered: _*))
-    finally cleanup()
+    // every frame pinned below (the reused feed, the dirty dim set) is
+    // released here even when an action inside the extremum path throws
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val view =
+        if (extrema.isEmpty) sumView
+        else refreshExtrema(spark, basePath, keys, order, dims, extrema,
+          head, deltas, old, sumView, pins)
+      publish(viewPath, head, view.select(expect.map(col): _*))
+    } finally pins.foreach(_.unpersist(false))
     Some((from, head))
   }
 
@@ -292,48 +306,55 @@ object MaterializedAggView {
     */
   private def refreshExtrema(spark: SparkSession, basePath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      extrema: Seq[ExtremumCol], head: Long, deltas: DataFrame,
-      old: DataFrame, sumView: DataFrame): (DataFrame, () => Unit) = {
+      extrema: Seq[ExtremumCol], head: Long, deltasRaw: DataFrame,
+      old: DataFrame, sumView: DataFrame,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val dimCols = dims.map(col)
+    // the feed is derived three ways below (insert extrema, retraction
+    // extrema, and the caller's sum fold already planned on top) — pin
+    // it so the resolve + symmetric difference runs once
+    val deltas = deltasRaw.persist()
+    pins += deltas
     val oldExt = old.select((dims ++ extrema.map(_.name)).map(col): _*)
-    val insAgg = deltas.filter(col(WeightCol) === 1L)
-      .groupBy(dimCols: _*)
-      .agg(extrema.head.agg(extrema.head.name),
-        extrema.tail.map(e => e.agg(e.name)): _*)
-    val candidate = oldExt.unionByName(insAgg)
-      .groupBy(dimCols: _*)
-      .agg(extrema.head.fold(col(extrema.head.name)).as(extrema.head.name),
-        extrema.tail.map(e => e.fold(col(e.name)).as(e.name)): _*)
+    val insAgg = extFold(deltas.filter(col(WeightCol) === 1L),
+      dims, extrema, _.expr)
+    val candidate = extFold(oldExt.unionByName(insAgg),
+      dims, extrema, e => col(e.name))
     // ties against the STORED (pre-refresh) extremum: min of the
     // retracted values per group vs the stored min (any tie ⇔ the
     // groupwise retracted-min ties), symmetrically for max
-    val retrAgg = deltas.filter(col(WeightCol) === -1L)
-      .groupBy(dimCols: _*)
-      .agg(extrema.head.agg("__r_" + extrema.head.name),
-        extrema.tail.map(e => e.agg("__r_" + e.name)): _*)
+    val retrAgg = extFold(deltas.filter(col(WeightCol) === -1L),
+      dims, extrema, _.expr, prefix = "__r_")
     val dirtyPred = extrema.map { e =>
       if (e.isMin) col("__r_" + e.name) <= col(e.name)
       else col("__r_" + e.name) >= col(e.name)
     }.reduce(_ || _)
     // pinned: read once for the count here, reused by the publish-time
     // semi-join (the caller unpersists after publish)
-    val dirtyDims = retrAgg.join(oldExt, dims).filter(dirtyPred)
-      .select(dimCols: _*).persist()
+    val dirtyDims = joinOnDims(retrAgg, oldExt, dims, "inner")
+      .filter(dirtyPred).select(dimCols: _*).persist()
+    pins += dirtyDims
     val nDirty = dirtyDims.count()
     val resolved =
       if (nDirty == 0) candidate
       else {
         onExtremaRecompute(nDirty)
-        val rec = KeyedUpsertSink.readBucketedDelta(
-          spark, basePath, keys, order, atVersion = Some(head))
-          .join(broadcast(dirtyDims), dims, "left_semi")
-          .groupBy(dimCols: _*)
-          .agg(extrema.head.agg("__rec_" + extrema.head.name),
-            extrema.tail.map(e => e.agg("__rec_" + e.name)): _*)
-          .withColumn("__rec_hit", lit(true))
-        candidate.join(rec, dims, "left").select(
+        // no broadcast hint: the dirty set is usually tiny (AQE will
+        // broadcast it), but a bulk rewrite can dirty millions of
+        // groups — let the planner fall back to a shuffle join rather
+        // than force a driver OOM
+        val rec = extFold(
+          joinOnDims(KeyedUpsertSink.readBucketedDelta(
+            spark, basePath, keys, order, atVersion = Some(head)),
+            dirtyDims, dims, "left_semi"),
+          dims, extrema, _.expr, prefix = "__rec_")
+          // "__rec" can't collide: user names never start with __, and
+          // every internal extremum column is "__rec_"/"__r_" + a
+          // (non-empty) user name
+          .withColumn("__rec", lit(true))
+        joinOnDims(candidate, rec, dims, "left").select(
           dimCols ++ extrema.map { e =>
-            when(coalesce(col("__rec_hit"), lit(false)),
+            when(coalesce(col("__rec"), lit(false)),
               col("__rec_" + e.name)).otherwise(col(e.name)).as(e.name)
           }: _*)
       }
@@ -341,8 +362,34 @@ object MaterializedAggView {
     // oldExt or in this delta's inserts — `resolved` covers it; left
     // join so a violated invariant surfaces as a null extremum, never
     // a silently dropped group
-    (sumView.join(resolved, dims, "left"),
-      () => { dirtyDims.unpersist(false); () })
+    joinOnDims(sumView, resolved, dims, "left")
+  }
+
+  /** Per-group extremum fold: `value` picks what each [[ExtremumCol]]
+    * aggregates (the raw expression for feed rows, the stored column
+    * for view rows); `prefix` namespaces the output for scratch frames.
+    */
+  private def extFold(df: DataFrame, dims: Seq[String],
+      extrema: Seq[ExtremumCol], value: ExtremumCol => Column,
+      prefix: String = ""): DataFrame = {
+    val cols = extrema.map(e => e.fold(value(e)).as(prefix + e.name))
+    df.groupBy(dims.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** NULL-SAFE equi-join on the dim columns. groupBy keeps a NULL dim
+    * value as a real group (and the sums path, pure union+groupBy,
+    * preserves it); a plain equi-join would silently drop that group's
+    * extrema. The right side's dims are renamed (`__d_` — user names
+    * never start with `__`) then dropped, so the output carries the
+    * LEFT frame's dims exactly once.
+    */
+  private def joinOnDims(left: DataFrame, right: DataFrame,
+      dims: Seq[String], joinType: String): DataFrame = {
+    val r = dims.foldLeft(right)(
+      (df, d) => df.withColumnRenamed(d, "__d_" + d))
+    val cond = dims.map(d => col(d) <=> col("__d_" + d)).reduce(_ && _)
+    dims.foldLeft(left.join(r, cond, joinType))(
+      (df, d) => df.drop("__d_" + d))
   }
 
   /** The view's published columns (dims + aggregate names) at its

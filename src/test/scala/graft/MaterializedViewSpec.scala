@@ -284,6 +284,76 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("min/max: a NULL dim value is a real group through every extremum path") {
+    // groupBy keeps NULL as a group; the extremum joins must be
+    // null-safe or this group's min/max silently null out on refresh
+    val base = newDir("graft-mv-ext-ndim")
+    val view = newDir("graft-mv-ext-ndim-view")
+    def ndimDf(rows: (String, Option[String], Long, Long)*): DataFrame =
+      rows.toDF("k", "g", "v", "ts")
+    sinkTo(base)(ndimDf(("a", None, 3L, 10L), ("b", None, 8L, 10L),
+      ("c", Some("x"), 5L, 10L)), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    def rows() = MaterializedAggView.read(spark, view)
+      .select("g", "n", "min_v", "max_v")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(rows() == Set((None, 2L, 3L, 8L), (Some("x"), 1L, 5L, 5L)))
+    // interior update inside the null group: cheap path, values keep
+    sinkTo(base)(ndimDf(("d", None, 5L, 20L)), 1L)
+    forbidRecompute {
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    }
+    assert(rows() == Set((None, 3L, 3L, 8L), (Some("x"), 1L, 5L, 5L)))
+    // retract the null group's min: IT must register dirty and recompute
+    var fired = Seq.empty[Long]
+    MaterializedAggView.onExtremaRecompute = n => fired :+= n
+    try {
+      sinkTo(base)(ndimDf(("a", None, 4L, 30L)), 2L)
+      MaterializedAggView.refresh(
+        spark, base, view, keys, order, dims, aggs, extrema)
+    } finally MaterializedAggView.onExtremaRecompute = _ => ()
+    assert(fired == Seq(1L))
+    assert(rows() == Set((None, 3L, 4L, 8L), (Some("x"), 1L, 5L, 5L)))
+  }
+
+  test("min/max: an extremum named 'hit' survives the dirty-recompute path") {
+    // regression guard: internal scratch names must not collide with
+    // any legal user name ("__rec_" + "hit" once shadowed the hit flag)
+    val base = newDir("graft-mv-ext-hit")
+    val view = newDir("graft-mv-ext-hit-view")
+    val ext = Seq(ExtremumCol("hit", col("v"), isMin = true))
+    sinkTo(base)(batchDf(("a", "x", 2L, 10L), ("b", "x", 6L, 10L)), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, ext)
+    sinkTo(base)(batchDf(("a", "x", 7L, 20L)), 1L) // retracts the min
+    MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs, ext)
+    val got = MaterializedAggView.read(spark, view)
+      .select("g", "hit").as[(String, Long)].collect().toSet
+    assert(got == Set(("x", 6L)))
+  }
+
+  test("refresh with a different agg/extremum spec than the bootstrapped view fails loudly") {
+    val base = newDir("graft-mv-ext-spec")
+    val view = newDir("graft-mv-ext-spec-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    sinkTo(base)(batchDf(("b", "x", 2L, 20L)), 1L)
+    // omitting the extrema (the defaulted parameter) must not silently
+    // publish a view stripped of its maintained min/max columns
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    }
+    assert(e.getMessage.contains("must match the bootstrapped view"))
+    // and the stored state is untouched: the matching refresh proceeds
+    MaterializedAggView.refresh(
+      spark, base, view, keys, order, dims, aggs, extrema)
+    assert(viewExt(view) == recomputedExt(base))
+  }
+
   test("min/max: null values never dirty and an all-null group stores a null extremum") {
     val base = newDir("graft-mv-ext-null")
     val view = newDir("graft-mv-ext-null-view")
