@@ -221,17 +221,24 @@ object SparkEntry {
           col("last_ts_ms") % 86400000L, isMin = true),
         MaterializedAggView.ExtremumCol("max_ts_day",
           col("last_ts_ms") % 86400000L, isMin = false))
+      // exact retractable COUNT DISTINCT through the per-version
+      // multiplicity aux table (hour-of-day: heavy value sharing, so
+      // retractions exercise the collapse-only-on-last-holder path)
+      // floor+cast: Column./ on longs is DOUBLE division (DuckDB // is
+      // integral) — keep the distinct values long on both sides
+      val nd = Seq(MaterializedAggView.DistinctCol("nd_hour",
+        floor(col("last_ts_ms") % 86400000L / 3600000L).cast("long")))
       val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
         s, path, keys, order, numBuckets = 16, compactAfter = 0) _
       sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
       MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims,
-        aggs, ext)
+        aggs, ext, nd)
       sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
       MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
-        aggs, ext)
+        aggs, ext, nd)
       sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
       MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
-        aggs, ext)
+        aggs, ext, nd)
       MaterializedAggView.read(s, viewPath)
     }),
 
@@ -1226,7 +1233,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day,
         |  CAST(min(last_ts_ms % 86400000) AS BIGINT) AS min_ts_day,
-        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day
+        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
+        |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
         |FROM resolved GROUP BY 1""".stripMargin,
 
     "etl_upsert_lookup" ->

@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   * derives on read (`sum/n`). MIN/MAX ([[ExtremumCol]]) are maintained
   * with the classic two-path scheme — cheap insert folding, bounded
   * dirty-group recompute on a retracted extremum (see [[ExtremumCol]]).
+  * Exact COUNT DISTINCT ([[DistinctCol]]) is maintained through a
+  * per-column multiplicity aux table folded from the same feed — never
+  * the base (see [[DistinctCol]]).
   *
   * Exactness contract: with exact-typed expressions (integral /
   * decimal) the maintained view equals the from-scratch recompute
@@ -30,9 +33,11 @@ import org.apache.spark.sql.functions._
   * or aggregate through a decimal).
   *
   * Storage and crash contract: each refresh publishes the merged view
-  * as `viewPath/v<headVersion>/` (staged, then one atomic rename) and
-  * THEN advances the `_head` watermark file (the sink's audited
-  * write-fsync + atomic-rename primitive). The watermark is the commit
+  * as `viewPath/v<headVersion>/` — the view rows under `view/`, each
+  * distinct column's multiplicity table under `aux_<name>/` — staged
+  * together, then ONE atomic rename — and THEN advances the `_head`
+  * watermark file (the sink's audited write-fsync + atomic-rename
+  * primitive). The watermark is the commit
   * point: a crash between the two leaves a complete-but-unreferenced
   * `v<H>` directory that the re-run deterministically rebuilds and
   * replaces — replaying the same (watermark, head] delta range produces
@@ -77,6 +82,22 @@ object MaterializedAggView {
       fold(expr).as(as)
   }
 
+  /** One maintained exact `COUNT(DISTINCT expr)` (nulls ignored, SQL
+    * semantics). Distinct counts are not distributive under retraction
+    * either, but unlike MIN/MAX they never need the base: the view
+    * carries an auxiliary MULTIPLICITY table per distinct column —
+    * `(dims, value) → live-key count` — stored as
+    * `v<H>/aux_<name>/` beside the view data and folded from the same
+    * weighted feed (`sum(__weight)` per (group, value); a value's row
+    * leaves the aux when its multiplicity reaches 0). The published
+    * count is the aux's live-row count per group. Space is the classic
+    * price: the aux holds one row per distinct (group, value) pair —
+    * bounded by the base's distinct pairs, not its rows; at 100 TB this
+    * is the difference between a view-sized merge and re-scanning the
+    * table for every COUNT DISTINCT refresh.
+    */
+  final case class DistinctCol(name: String, expr: Column)
+
   /** Test/telemetry seam: invoked with the dirty-group count just before
     * a refresh reads the base table to re-derive retracted extrema. NOT
     * invoked on refreshes whose retractions leave every stored extremum
@@ -102,6 +123,23 @@ object MaterializedAggView {
   private def versionDir(viewPath: String, v: Long): Path =
     Paths.get(viewPath, s"v$v")
 
+  /** The view data lives under `v<H>/view/`; each distinct column's
+    * multiplicity table under `v<H>/aux_<name>/` — one directory per
+    * version so the existing stage → single-atomic-rename publish and
+    * the whole-dir retention/cleanup cover both.
+    */
+  private def viewData(viewPath: String, v: Long): Path =
+    versionDir(viewPath, v).resolve("view")
+
+  private def auxData(viewPath: String, v: Long, name: String): Path =
+    versionDir(viewPath, v).resolve(s"aux_$name")
+
+  /** Aux multiplicity columns: the distinct expression's value and its
+    * live-key count per (dims, value).
+    */
+  private val AuxValCol = "__v"
+  private val AuxMulCol = "__m"
+
   /** The view's watermark: the base-table version its stored state
     * reflects. None before bootstrap; corruption is loud (the
     * checkpoint reader's contract), never "fresh".
@@ -110,11 +148,12 @@ object MaterializedAggView {
     ChangeFeedConsumer.readCheckpoint(headFile(viewPath))
 
   private def validate(dims: Seq[String], aggs: Seq[AggCol],
-      extrema: Seq[ExtremumCol]): Unit = {
+      extrema: Seq[ExtremumCol], distincts: Seq[DistinctCol]): Unit = {
     require(dims.nonEmpty, "dims must be non-empty — a global (no-group) " +
       "aggregate has no group rows to retract; wrap it in a constant dim")
     require(aggs.nonEmpty, "aggs must be non-empty")
-    val names = dims ++ aggs.map(_.name) ++ extrema.map(_.name)
+    val names = dims ++ aggs.map(_.name) ++ extrema.map(_.name) ++
+      distincts.map(_.name)
     require(names.distinct == names,
       s"dim/agg names collide: ${names.mkString(", ")}")
     require(names.forall(_.nonEmpty), "empty dim/agg/extremum name")
@@ -130,11 +169,23 @@ object MaterializedAggView {
     */
   private def aggregate(df: DataFrame, dims: Seq[String],
       aggs: Seq[AggCol], extrema: Seq[ExtremumCol],
-      weight: Column): DataFrame = {
+      distincts: Seq[DistinctCol], weight: Column): DataFrame = {
     val cols = aggs.map(a => sum(a.expr * weight).as(a.name)) ++
-      extrema.map(e => e.agg(e.name)) :+ sum(weight).as(CountCol)
+      extrema.map(e => e.agg(e.name)) ++
+      distincts.map(d => count_distinct(d.expr).as(d.name)) :+
+      sum(weight).as(CountCol)
     df.groupBy(dims.map(col): _*).agg(cols.head, cols.tail: _*)
   }
+
+  /** One distinct column's multiplicity table over `df`: live-key count
+    * per (dims, value), nulls excluded (SQL COUNT DISTINCT semantics).
+    * `weight` is `lit(1L)` at bootstrap and `__weight` on a feed fold.
+    */
+  private def buildAux(df: DataFrame, dims: Seq[String], d: DistinctCol,
+      weight: Column): DataFrame =
+    df.filter(d.expr.isNotNull)
+      .groupBy((dims.map(col) :+ d.expr.as(AuxValCol)): _*)
+      .agg(sum(weight).as(AuxMulCol))
 
   /** Fold a delta aggregate into the stored view: per-group sums add
     * (`sum` skips the side that lacks the group), then groups whose
@@ -152,12 +203,17 @@ object MaterializedAggView {
   /** Stage → atomic-rename the view data, advance the watermark, then
     * reclaim crash leftovers and all but the previous retained version.
     */
-  private def publish(viewPath: String, head: Long, view: DataFrame): Unit = {
+  private def publish(viewPath: String, head: Long, view: DataFrame,
+      auxes: Seq[(String, DataFrame)] = Seq.empty): Unit = {
     val root = Paths.get(viewPath)
     Files.createDirectories(root)
     val stage = root.resolve(
       s".stage-v$head-${java.util.UUID.randomUUID().toString.take(8)}")
-    view.write.mode("overwrite").parquet(stage.toString)
+    view.write.mode("overwrite").parquet(stage.resolve("view").toString)
+    auxes.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(
+        stage.resolve(s"aux_$name").toString)
+    }
     val target = versionDir(viewPath, head)
     // a crash between a past publish and its watermark advance leaves a
     // complete v<head> — this re-run rebuilt the SAME content from the
@@ -201,8 +257,9 @@ object MaterializedAggView {
   def bootstrap(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
       aggs: Seq[AggCol], extrema: Seq[ExtremumCol] = Seq.empty,
+      distincts: Seq[DistinctCol] = Seq.empty,
       force: Boolean = false): Option[Long] = {
-    validate(dims, aggs, extrema)
+    validate(dims, aggs, extrema, distincts)
     watermark(viewPath).foreach { v =>
       require(force,
         s"$viewPath already holds a view at watermark v$v — " +
@@ -217,7 +274,12 @@ object MaterializedAggView {
     require(!base.isEmpty,
       s"$basePath resolves to zero rows at v$head — an empty view has " +
         "no schema to store; bootstrap after the first data commit")
-    publish(viewPath, head, aggregate(base, dims, aggs, extrema, lit(1L)))
+    // the view's distinct counts come from count_distinct in the same
+    // scan; each aux is its own base scan (bootstrap-only cost — every
+    // refresh folds the feed instead)
+    publish(viewPath, head,
+      aggregate(base, dims, aggs, extrema, distincts, lit(1L)),
+      distincts.map(d => d.name -> buildAux(base, dims, d, lit(1L))))
     Some(head)
   }
 
@@ -230,9 +292,9 @@ object MaterializedAggView {
     */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      aggs: Seq[AggCol],
-      extrema: Seq[ExtremumCol] = Seq.empty): Option[(Long, Long)] = {
-    validate(dims, aggs, extrema)
+      aggs: Seq[AggCol], extrema: Seq[ExtremumCol] = Seq.empty,
+      distincts: Seq[DistinctCol] = Seq.empty): Option[(Long, Long)] = {
+    validate(dims, aggs, extrema, distincts)
     val from = watermark(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — bootstrap the view first (a fresh " +
         "view must not silently treat the whole history as one delta)"))
@@ -246,36 +308,66 @@ object MaterializedAggView {
       s"$basePath head is v$head but this view's watermark is v$from — " +
         "the table was recreated (or its history replaced); " +
         "re-bootstrap deliberately (force = true)")
-    val deltas = KeyedUpsertSink.readChangesWeighted(
+    val deltasRaw = KeyedUpsertSink.readChangesWeighted(
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
-    val old = spark.read.parquet(versionDir(viewPath, from).toString)
+    val old = spark.read.parquet(viewData(viewPath, from).toString)
     // the refresh spec must MATCH the bootstrapped view: a refresh
-    // called with a different agg/extremum set (easiest mistake: the
-    // defaulted extrema parameter omitted) would silently publish a
+    // called with a different agg/extremum/distinct set (easiest
+    // mistake: a defaulted parameter omitted) would silently publish a
     // view missing its maintained columns — destroyed state with no
     // error. Fail loudly against the stored schema instead.
-    val expect = dims ++ aggs.map(_.name) ++ extrema.map(_.name) :+ CountCol
+    val expect = dims ++ aggs.map(_.name) ++ extrema.map(_.name) ++
+      distincts.map(_.name) :+ CountCol
     require(old.columns.sorted.toSeq == expect.sorted,
       s"$viewPath stores columns [${old.columns.sorted.mkString(", ")}] " +
         s"but this refresh maintains [${expect.sorted.mkString(", ")}] — " +
-        "the dims/aggs/extrema spec must match the bootstrapped view " +
-        "(a mismatched refresh would silently drop maintained state)")
-    // sums fold over BOTH signs; extrema are sign-split below (a -1
-    // row's value must not feed a min/max candidate)
-    val deltaAgg = aggregate(deltas, dims, aggs, Seq.empty, col(WeightCol))
-    val sumView = merge(
-      old.select((dims ++ aggs.map(_.name) :+ CountCol).map(col): _*),
-      deltaAgg, dims, aggs)
-    // every frame pinned below (the reused feed, the dirty dim set) is
-    // released here even when an action inside the extremum path throws
+        "the dims/aggs/extrema/distincts spec must match the " +
+        "bootstrapped view (a mismatched refresh would silently drop " +
+        "maintained state)")
+    // every frame pinned below (the reused feed, the dirty dim set,
+    // merged aux tables) is released here even when an action inside
+    // the extremum/distinct paths throws
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val view =
+      // the feed is derived once per maintained tier (sum fold, insert
+      // extrema, retraction extrema, one aux fold per distinct) — pin
+      // it so the bucket resolve + symmetric difference runs once
+      val deltas =
+        if (extrema.isEmpty && distincts.isEmpty) deltasRaw
+        else { val d = deltasRaw.persist(); pins += d; d }
+      // sums fold over BOTH signs; extrema are sign-split in
+      // refreshExtrema (a -1 row's value must not feed a min/max
+      // candidate); distinct multiplicities fold signed like sums
+      val deltaAgg =
+        aggregate(deltas, dims, aggs, Seq.empty, Seq.empty, col(WeightCol))
+      val sumView = merge(
+        old.select((dims ++ aggs.map(_.name) :+ CountCol).map(col): _*),
+        deltaAgg, dims, aggs)
+      val extView =
         if (extrema.isEmpty) sumView
         else refreshExtrema(spark, basePath, keys, order, dims, extrema,
           head, deltas, old, sumView, pins)
-      publish(viewPath, head, view.select(expect.map(col): _*))
+      val (view, auxes) = distincts.foldLeft((extView,
+          Seq.empty[(String, DataFrame)])) { case ((v, as), d) =>
+        val oldAux = spark.read.parquet(
+          auxData(viewPath, from, d.name).toString)
+        val mergedAux = oldAux
+          .unionByName(buildAux(deltas, dims, d, col(WeightCol)))
+          .groupBy((dims :+ AuxValCol).map(col): _*)
+          .agg(sum(AuxMulCol).as(AuxMulCol))
+          .filter(col(AuxMulCol) =!= 0L)
+          .persist()
+        pins += mergedAux
+        // the published count is the aux's live-value count per group;
+        // a live group whose values are all null has no aux rows → 0
+        val dcount = mergedAux.groupBy(dims.map(col): _*)
+          .agg(count(lit(1L)).as(d.name))
+        val joined = joinOnDims(v, dcount, dims, "left")
+          .withColumn(d.name, coalesce(col(d.name), lit(0L)))
+        (joined, as :+ (d.name -> mergedAux))
+      }
+      publish(viewPath, head, view.select(expect.map(col): _*), auxes)
     } finally pins.foreach(_.unpersist(false))
     Some((from, head))
   }
@@ -306,15 +398,10 @@ object MaterializedAggView {
     */
   private def refreshExtrema(spark: SparkSession, basePath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      extrema: Seq[ExtremumCol], head: Long, deltasRaw: DataFrame,
+      extrema: Seq[ExtremumCol], head: Long, deltas: DataFrame,
       old: DataFrame, sumView: DataFrame,
       pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val dimCols = dims.map(col)
-    // the feed is derived three ways below (insert extrema, retraction
-    // extrema, and the caller's sum fold already planned on top) — pin
-    // it so the resolve + symmetric difference runs once
-    val deltas = deltasRaw.persist()
-    pins += deltas
     val oldExt = old.select((dims ++ extrema.map(_.name)).map(col): _*)
     val insAgg = extFold(deltas.filter(col(WeightCol) === 1L),
       dims, extrema, _.expr)
@@ -398,6 +485,6 @@ object MaterializedAggView {
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val v = watermark(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — the view was never bootstrapped"))
-    spark.read.parquet(versionDir(viewPath, v).toString).drop(CountCol)
+    spark.read.parquet(viewData(viewPath, v).toString).drop(CountCol)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sink.{KeyedUpsertSink, MaterializedAggView}
-import graft.sink.MaterializedAggView.{AggCol, ExtremumCol}
+import graft.sink.MaterializedAggView.{AggCol, DistinctCol, ExtremumCol}
 
 /** Incrementally-maintained materialized aggregate view: the contract
   * under test is maintained == recomputed-from-scratch after every
@@ -378,6 +378,102 @@ class MaterializedViewSpec extends SparkSpec {
       .select("g", "min_v", "max_v")
       .as[(String, Option[Long], Option[Long])].collect().toSet
     assert(after == Set(("x", Some(3L), Some(3L)), ("y", Some(5L), Some(5L))))
+  }
+
+  // ---- exact COUNT DISTINCT maintenance (DistinctCol aux tables) ----
+
+  private def distincts = Seq(DistinctCol("nd_v", col("v")))
+
+  private def viewNd(viewPath: String): Set[(String, Long, Long)] =
+    MaterializedAggView.read(spark, viewPath)
+      .select("g", "n", "nd_v").as[(String, Long, Long)].collect().toSet
+
+  private def recomputedNd(basePath: String): Set[(String, Long, Long)] =
+    KeyedUpsertSink.readBucketedDelta(spark, basePath, keys, order)
+      .groupBy("g").agg(sum(lit(1L)).as("n"),
+        count_distinct(col("v")).as("nd_v"))
+      .select("g", "n", "nd_v").as[(String, Long, Long)].collect().toSet
+
+  test("count distinct: multiplicity collapse — a shared value survives one retraction, drops with the last") {
+    val base = newDir("graft-mv-nd")
+    val view = newDir("graft-mv-nd-view")
+    // a and b share v=7; c holds v=9 → x: 2 distinct values
+    sinkTo(base)(batchDf(("a", "x", 7L, 10L), ("b", "x", 7L, 10L),
+      ("c", "x", 9L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    assert(viewNd(view) == Set(("x", 3L, 2L)))
+    // a moves 7→1: value 7 still live through b → distinct becomes 3
+    sinkTo(base)(batchDf(("a", "x", 1L, 20L)), 1L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    assert(viewNd(view) == Set(("x", 3L, 3L)))
+    assert(viewNd(view) == recomputedNd(base))
+    // b moves 7→9: value 7's LAST holder gone, 9 now shared → 2 distinct
+    sinkTo(base)(batchDf(("b", "x", 9L, 30L)), 2L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    assert(viewNd(view) == Set(("x", 3L, 2L)))
+    assert(viewNd(view) == recomputedNd(base))
+  }
+
+  test("count distinct: null values are ignored and an all-null group publishes 0") {
+    val base = newDir("graft-mv-nd-null")
+    val view = newDir("graft-mv-nd-null-view")
+    def nullableDf(rows: (String, String, Option[Long], Long)*): DataFrame =
+      rows.toDF("k", "g", "v", "ts")
+    sinkTo(base)(nullableDf(("a", "x", None, 10L), ("b", "x", None, 10L),
+      ("c", "y", Some(5L), 10L), ("d", "y", None, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    assert(viewNd(view) == Set(("x", 2L, 0L), ("y", 2L, 1L)))
+    // a null→3 transition adds the group's first value
+    sinkTo(base)(nullableDf(("a", "x", Some(3L), 20L)), 1L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    assert(viewNd(view) == Set(("x", 2L, 1L), ("y", 2L, 1L)))
+  }
+
+  test("count distinct: all three maintained tiers together equal the recompute across events-fixture waves") {
+    val ev = Tables.events(spark, Sf0001).select(
+      col("user_id").as("k"), col("event_type").as("g"),
+      (col("ts_ms") % 86400000L).as("v"), col("ts_us").as("ts"))
+    val base = newDir("graft-mv-nd-ev")
+    val view = newDir("graft-mv-nd-ev-view")
+    def full(basePath: String): Set[(String, Long, Long, Long, Long, Long)] =
+      KeyedUpsertSink.readBucketedDelta(spark, basePath, keys, order)
+        .groupBy("g").agg(sum(lit(1L)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          count_distinct(col("v")).as("nd_v"))
+        .select("g", "n", "sum_v", "min_v", "max_v", "nd_v")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    def view6(): Set[(String, Long, Long, Long, Long, Long)] =
+      MaterializedAggView.read(spark, view)
+        .select("g", "n", "sum_v", "min_v", "max_v", "nd_v")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    sinkTo(base)(ev.filter(col("ts") % 3 === 0), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, extrema, distincts)
+    assert(view6() == full(base))
+    (1L to 2L).foreach { i =>
+      sinkTo(base)(ev.filter(col("ts") % 3 === i), i)
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims,
+        aggs, extrema, distincts)
+      assert(view6() == full(base))
+    }
+  }
+
+  test("count distinct: refresh without the bootstrapped distinct spec fails loudly") {
+    val base = newDir("graft-mv-nd-spec")
+    val view = newDir("graft-mv-nd-spec-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, Seq.empty, distincts)
+    sinkTo(base)(batchDf(("b", "x", 2L, 20L)), 1L)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    }
+    assert(e.getMessage.contains("must match"))
   }
 
   test("reserved/colliding column names and empty dims are rejected") {
