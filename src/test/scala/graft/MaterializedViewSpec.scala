@@ -476,6 +476,67 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("must match"))
   }
 
+  test("streaming maintenance: refresh rides the ingest foreachBatch across restart and redelivery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, Sf0001).select(
+      col("user_id").as("k"), col("event_type").as("g"),
+      (col("ts_ms") % 86400000L).as("v"), col("ts_us").as("ts"))
+    val root = Files.createTempDirectory("graft-mv-stream")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    // seed commit + bootstrap: the maintenance loop assumes a
+    // bootstrapped view, exactly like ChangeFeedConsumer assumes a
+    // checkpoint
+    sinkTo(base)(ev.filter(col("ts") % 4 === 0), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, extrema, distincts)
+    def runOnce(ckpt: String): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").parquet(landing)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => {
+          // commit the micro-batch, then fold its weighted feed into
+          // the view — the view trails the table by at most one trigger
+          sinkTo(base)(df, id)
+          MaterializedAggView.refresh(spark, base, view, keys, order,
+            dims, aggs, extrema, distincts)
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def view6(): Set[(String, Long, Long, Long, Long, Long)] =
+      MaterializedAggView.read(spark, view)
+        .select("g", "n", "sum_v", "min_v", "max_v", "nd_v")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    def full(): Set[(String, Long, Long, Long, Long, Long)] =
+      KeyedUpsertSink.readBucketedDelta(spark, base, keys, order)
+        .groupBy("g").agg(sum(lit(1L)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          count_distinct(col("v")).as("nd_v"))
+        .select("g", "n", "sum_v", "min_v", "max_v", "nd_v")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val ckpt = root.resolve("ckpt").toString
+    ev.filter(col("ts") % 4 === 1).write.parquet(s"$landing/w1")
+    runOnce(ckpt)
+    assert(view6() == full())
+    // restart boundary: same checkpoint, new wave
+    ev.filter(col("ts") % 4 === 2).write.parquet(s"$landing/w2")
+    runOnce(ckpt)
+    assert(view6() == full())
+    // at-least-once redelivery: a FRESH checkpoint replays the whole
+    // landing dir — every replayed commit nets an empty feed, the
+    // watermark advances, the view's values never move
+    val before = view6()
+    runOnce(Files.createTempDirectory("graft-mv-stream-ckpt2").toString)
+    assert(MaterializedAggView.watermark(view).contains(
+      KeyedUpsertSink.tableVersions(base).max))
+    assert(view6() == before && view6() == full())
+  }
+
   test("reserved/colliding column names and empty dims are rejected") {
     val base = newDir("graft-mv-val")
     val view = newDir("graft-mv-val-view")
