@@ -1167,6 +1167,18 @@ object KeyedUpsertSink {
       (b, v) <- entries.toSeq
       (gen, pos) <- chainOf(v).zipWithIndex
     } yield (gen, pos, b)
+    readBucketTriples(spark, tablePath, triples)
+  }
+
+  /** Scan an explicit set of (generation, chain position, bucket)
+    * entries — [[readManifestBuckets]]'s core, also used by the change
+    * feed's append fast path to read a chain SUFFIX at its true
+    * positions.
+    */
+  private def readBucketTriples(
+      spark: SparkSession,
+      tablePath: String,
+      triples: Seq[(String, Int, Long)]): Option[DataFrame] = {
     if (triples.isEmpty) None
     else Some(triples.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
       case ((gen, pos), grp) =>
@@ -1336,6 +1348,65 @@ object KeyedUpsertSink {
     changesBetweenImpl(spark, tablePath, keys, order, fromVersion,
       toVersion, weighted = true)
 
+  /** Test/telemetry seam: which implementation served a change-feed
+    * read — "append" (chain-suffix fast path: batch-scale shuffles
+    * only) or "diff" (full symmetric difference over the touched
+    * buckets). Invoked once per non-idle feed read.
+    */
+  private[graft] var onChangesPath: String => Unit = _ => ()
+
+  /** The change feed's append fast path: with every touched bucket's
+    * from-chain a prefix of its to-chain, the changed keys are exactly
+    * those in the appended generations. `appended` carries the suffix
+    * rows at their true to-chain `__seq` positions; the before-image
+    * rows of those keys join in (null-safe — LWW groups null keys) and
+    * both sides resolve with the SAME `order :+ __seq` rank as
+    * [[resolveChainRead]] (from-prefix positions sit strictly below the
+    * suffix positions per bucket, so recency ties break identically).
+    * The feed is then the batch-scale symmetric difference of the two
+    * images — bit-identical to the full-diff path by construction,
+    * without its table-scale window + except shuffles.
+    */
+  private def appendFeed(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], before: Map[Long, String],
+      appended: DataFrame, weighted: Boolean): DataFrame = {
+    val beforeTriples = before.toSeq.flatMap { case (b, v) =>
+      chainOf(v).zipWithIndex.map { case (g, p) => (g, p, b) }
+    }
+    val oldSemi = readBucketTriples(spark, tablePath, beforeTriples)
+      .map { oldRows =>
+        val wanted = appended.select(keys.map(col): _*).distinct()
+        val renamed = keys.foldLeft(wanted)(
+          (df, k) => df.withColumnRenamed(k, "__k_" + k))
+        val cond = keys.map(k => col(k) <=> col("__k_" + k)).reduce(_ && _)
+        keys.foldLeft(oldRows.join(renamed, cond, "left_semi"))(
+          (df, k) => df.drop("__k_" + k))
+      }
+    def img(df: DataFrame): DataFrame =
+      latestByKey(df, keys, order :+ col("__seq"))
+        .drop("__seq").drop("__bucket")
+    oldSemi match {
+      case None => // touched buckets had no before image: inserts only
+        val ins = img(appended)
+        if (weighted) ins.withColumn("__weight", lit(1L)) else ins
+      case Some(o) =>
+        // align to the union schema (schema evolution can differ the
+        // two sides) with the before image as the left frame both
+        // times, so column order matches
+        val newImg = img(o.unionByName(appended, allowMissingColumns = true))
+        val oldImg = img(o.unionByName(appended.limit(0),
+          allowMissingColumns = true))
+          .select(newImg.columns.map(col).toIndexedSeq: _*)
+        // one row per key on both sides, so except's set semantics
+        // can't collapse distinct keys; an identical redelivered row
+        // nets nothing — same contract as the full diff
+        val plus = newImg.except(oldImg)
+        if (!weighted) plus
+        else plus.withColumn("__weight", lit(1L))
+          .unionByName(oldImg.except(newImg).withColumn("__weight", lit(-1L)))
+    }
+  }
+
   private def changesBetweenImpl(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], fromVersion: Long,
       toVersion: Option[Long], weighted: Boolean): DataFrame = {
@@ -1355,6 +1426,32 @@ object KeyedUpsertSink {
         .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
     def weigh(df: DataFrame, w: Long): DataFrame =
       if (weighted) df.withColumn("__weight", lit(w)) else df
+    // APPEND FAST PATH: when every touched bucket's from-chain is a
+    // prefix of its to-chain (pure delta appends — the steady state of
+    // a trickle feed; a compaction or merge-on-write commit in between
+    // breaks the prefix and falls back to the full diff below), the
+    // only keys whose resolved image can change are those IN the
+    // appended generations: a key's LWW resolve depends solely on its
+    // own rows, and the prefix rule means rows were only added. So the
+    // feed derives from the appended files (batch-scale) plus ONE scan
+    // of the before-image semi-joined to the appended keys — every
+    // shuffle is batch-scale, where the full diff below pays two
+    // table-scale window+except shuffles over the touched buckets.
+    val appendOnly = touched.forall { case (b, vTo) =>
+      chainOf(vTo).startsWith(manFrom.get(b).map(chainOf).getOrElse(Seq.empty))
+    }
+    if (appendOnly && touched.nonEmpty) {
+      val appendedTriples = touched.toSeq.flatMap { case (b, vTo) =>
+        val pre = manFrom.get(b).map(chainOf(_).length).getOrElse(0)
+        chainOf(vTo).zipWithIndex.drop(pre).map { case (g, p) => (g, p, b) }
+      }
+      // entry differs + prefix holds ⇒ the to-chain is strictly longer
+      val appended = readBucketTriples(spark, tablePath, appendedTriples).get
+      onChangesPath("append")
+      return appendFeed(spark, tablePath, keys, order, before, appended,
+        weighted)
+    }
+    if (touched.nonEmpty) onChangesPath("diff")
     (resolve(touched), resolve(before)) match {
       case (None, _) =>
         // nothing changed — the steady state a CDC poller hits on every

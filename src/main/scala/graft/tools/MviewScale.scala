@@ -1,0 +1,149 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables => T}
+import graft.sink.{KeyedUpsertSink, MaterializedAggView}
+import graft.sink.MaterializedAggView.{AggCol, DistinctCol, ExtremumCol}
+
+/** Attributed input/shuffle bytes since reset — the cost-shape numbers
+  * the wall clock hides at probe scale (tens of small jobs dominate
+  * sub-second scans; bytes don't lie about what a 1000-executor run
+  * would move).
+  */
+class IoListener extends SparkListener {
+  private val input = new AtomicLong
+  private val shuffleW = new AtomicLong
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      input.addAndGet(m.inputMetrics.bytesRead)
+      shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+  }
+  def reset(): Unit = { input.set(0); shuffleW.set(0) }
+  /** (input MB, shuffle-write MB); tiny listener-flush wait first. */
+  def snapshot(): (Long, Long) = {
+    Thread.sleep(300)
+    (input.get() >> 20, shuffleW.get() >> 20)
+  }
+}
+
+/** Measures the claim the incrementally-maintained view is FOR: after a
+  * trickle commit into a large base table, a `refresh` pays the CHANGE
+  * volume while a from-scratch rebuild pays the whole table. Two
+  * trickle shapes bracket the cost:
+  *
+  *   - `spread`: batch keys land in every bucket (worst case — the
+  *     feed's before-image scan touches the whole table; the append
+  *     fast path still keeps every SHUFFLE batch-scale);
+  *   - `local`: batch keys all hash into bucket 0 (the locality a
+  *     partitioned ingest produces — the feed reads 1/numBuckets of
+  *     the table, the recompute still reads all of it).
+  *
+  * Per mode: summed refresh vs rebuild walls, input MB, and shuffle MB
+  * (an `IoListener` snapshot around each phase), dirty-extremum
+  * fallback count, and a final maintained-== -rebuilt equality gate.
+  *
+  * Usage: runMain graft.tools.MviewScale <sfDir> [nBatches] [batchRows]
+  */
+object MviewScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nBatches = if (args.length > 1) args(1).toInt else 8
+    val batchRows = if (args.length > 2) args(2).toInt else 500
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("mview-scale")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
+
+    val numBuckets = 16
+    // key on event_id (the big-table premise: one row per event); the
+    // view groups by event_type over a bounded time-of-day value
+    val ev = T.events(spark, sfDir).select(col("event_id"),
+      col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = ev.count()
+    val keys = Seq("event_id")
+    val order = Seq(col("ts_us"))
+    val dims = Seq("event_type")
+    val aggs = Seq(AggCol("n", lit(1L)), AggCol("sum_v", col("v")))
+    val ext = Seq(ExtremumCol("min_v", col("v"), isMin = true),
+      ExtremumCol("max_v", col("v"), isMin = false))
+    val nd = Seq(DistinctCol("nd_hour",
+      floor(col("v") / 3600000L).cast("long")))
+
+    def run(mode: String): String = {
+      val root = Files.createTempDirectory(s"graft-mview-$mode")
+      val base = root.resolve("t").toString
+      val view = root.resolve("view").toString
+      val scratch = root.resolve("recompute").toString
+      val sink = KeyedUpsertSink.upsertBucketedDelta(
+        spark, base, keys, order, numBuckets, compactAfter = 8) _
+      sink(ev, 0L)
+      MaterializedAggView.bootstrap(
+        spark, base, view, keys, order, dims, aggs, ext, nd)
+
+      // one trickle batch: ~batchRows rows, values shifted so sums,
+      // extrema, and distincts all actually move
+      def trickle(i: Int): DataFrame = {
+        val picked =
+          if (mode == "local") ev.filter(
+            KeyedUpsertSink.bucketOf(keys, numBuckets) === 0L &&
+              pmod(col("event_id") + lit(i),
+                lit(math.max(total / (batchRows.toLong * numBuckets), 1L))) === 0)
+          else ev.filter(pmod(col("event_id") + lit(i),
+            lit(math.max(total / batchRows.toLong, 1L))) === 0)
+        picked
+          .withColumn("ts_us", col("ts_us") + lit(1000000L * (i + 1)))
+          .withColumn("v", pmod(col("v") + lit(3600000L * i), lit(86400000L)))
+      }
+
+      var dirtyFired = 0
+      MaterializedAggView.onExtremaRecompute = _ => dirtyFired += 1
+      var rfWall = 0.0; var rfIn = 0L; var rfSh = 0L
+      var rcWall = 0.0; var rcIn = 0L; var rcSh = 0L
+      (1 to nBatches).foreach { i =>
+        sink(trickle(i), i.toLong)
+        io.reset()
+        val t0 = System.nanoTime()
+        MaterializedAggView.refresh(
+          spark, base, view, keys, order, dims, aggs, ext, nd)
+        rfWall += (System.nanoTime() - t0) / 1e9
+        val (in1, sh1) = io.snapshot(); rfIn += in1; rfSh += sh1
+        io.reset()
+        val t1 = System.nanoTime()
+        MaterializedAggView.bootstrap(spark, base, scratch, keys, order,
+          dims, aggs, ext, nd, force = true)
+        rcWall += (System.nanoTime() - t1) / 1e9
+        val (in2, sh2) = io.snapshot(); rcIn += in2; rcSh += sh2
+      }
+      MaterializedAggView.onExtremaRecompute = _ => ()
+
+      // the asymmetry is only worth reporting if the answers agree
+      val a = MaterializedAggView.read(spark, view)
+      val b = MaterializedAggView.read(spark, scratch)
+        .select(a.columns.map(col).toIndexedSeq: _*)
+      val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      require(same, s"$mode: maintained view != rebuild — fix before measuring")
+      f""""$mode":{"refresh_wall_s":$rfWall%.2f,"rebuild_wall_s":$rcWall%.2f,"refresh_input_mb":$rfIn,"rebuild_input_mb":$rcIn,"refresh_shuffle_mb":$rfSh,"rebuild_shuffle_mb":$rcSh,"extrema_dirty_refreshes":$dirtyFired,"views_equal":$same}"""
+    }
+
+    val spread = run("spread")
+    val local = run("local")
+    println(s"""{"probe":"mview_scale","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":~$batchRows,$spread,$local}""")
+    spark.stop()
+  }
+}

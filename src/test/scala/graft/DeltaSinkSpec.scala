@@ -232,6 +232,59 @@ class DeltaSinkSpec extends SparkSpec {
     assert(err.getMessage.contains("v3 IS durably published"))
   }
 
+  /** Record which implementation serves each change-feed read. */
+  private def recordingPaths[A](body: => A): (A, Seq[String]) = {
+    var paths = Seq.empty[String]
+    KeyedUpsertSink.onChangesPath = p => paths :+= p
+    try (body, paths) finally KeyedUpsertSink.onChangesPath = _ => ()
+  }
+
+  test("change feed: pure appends take the append fast path; a compaction falls back to the diff — same rows either way") {
+    val path = newTable("graft-feed-path")
+    delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    delta(path)(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L) // v2
+    def weightedFrom1: Set[(String, Long, Long, Long)] =
+      KeyedUpsertSink.readChangesWeighted(spark, path, keys, order,
+        fromVersion = 1L)
+        .select("k", "v", "ts", "__weight")
+        .as[(String, Long, Long, Long)].collect().toSet
+    // chains are pure suffixes of v1's → the fast path serves, and the
+    // netted rows are the exact ±1 set
+    val (feedFast, p1) = recordingPaths(weightedFrom1)
+    assert(p1 == Seq("append"))
+    assert(feedFast == Set(("a", 2L, 20L, 1L), ("c", 1L, 20L, 1L),
+      ("a", 1L, 10L, -1L)))
+    // compacting folds every chain: v1's chains are no longer prefixes,
+    // so the same range must fall back to the full diff — and net the
+    // same rows (compaction rewrites files, not data)
+    KeyedUpsertSink.compactBucketChains(spark, path, keys, order) // v3
+    val (feedDiff, p2) = recordingPaths(weightedFrom1)
+    assert(p2 == Seq("diff"))
+    assert(feedDiff == feedFast)
+    // and a compaction-only range nets nothing through the diff path
+    val (compactOnly, p3) = recordingPaths {
+      KeyedUpsertSink.readChangesWeighted(spark, path, keys, order,
+        fromVersion = 2L).count()
+    }
+    assert(p3 == Seq("diff") && compactOnly == 0L)
+  }
+
+  test("change feed: the append fast path aligns schema evolution in both directions") {
+    val path = newTable("graft-feed-evo")
+    delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    // v2 ADDS a column; the -1 image must null-fill it, the +1 carry it
+    delta(path)(Seq(("a", 2L, 20L, "x")).toDF("k", "v", "ts", "tag"), 1L)
+    val (feed, paths) = recordingPaths {
+      KeyedUpsertSink.readChangesWeighted(spark, path, keys, order,
+        fromVersion = 1L)
+        .select("k", "v", "ts", "tag", "__weight")
+        .as[(String, Long, Long, Option[String], Long)].collect().toSet
+    }
+    assert(paths == Seq("append"))
+    assert(feed == Set(("a", 2L, 20L, Some("x"), 1L),
+      ("a", 1L, 10L, None, -1L)))
+  }
+
   test("streaming wiring: foreachBatch delta appends across restarts equal the batch LWW") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, Sf0001).select(col("user_id"),
