@@ -1370,17 +1370,14 @@ object KeyedUpsertSink {
   private def appendFeed(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], before: Map[Long, String],
       appended: DataFrame, weighted: Boolean): DataFrame = {
-    val beforeTriples = before.toSeq.flatMap { case (b, v) =>
-      chainOf(v).zipWithIndex.map { case (g, p) => (g, p, b) }
-    }
-    val oldSemi = readBucketTriples(spark, tablePath, beforeTriples)
+    val oldSemi = readManifestBuckets(spark, tablePath, before)
       .map { oldRows =>
         val wanted = appended.select(keys.map(col): _*).distinct()
         val renamed = keys.foldLeft(wanted)(
           (df, k) => df.withColumnRenamed(k, "__k_" + k))
         val cond = keys.map(k => col(k) <=> col("__k_" + k)).reduce(_ && _)
-        keys.foldLeft(oldRows.join(renamed, cond, "left_semi"))(
-          (df, k) => df.drop("__k_" + k))
+        // a semi-join's output carries only left-side columns
+        oldRows.join(renamed, cond, "left_semi")
       }
     def img(df: DataFrame): DataFrame =
       latestByKey(df, keys, order :+ col("__seq"))
@@ -1459,6 +1456,9 @@ object KeyedUpsertSink {
         // 0) so downstream select/write is version-independent
         resolve(manTo).map(df => weigh(df, 1L).limit(0))
           .getOrElse(spark.emptyDataFrame)
+      // defensive only: an empty `before` makes every prefix check
+      // vacuously true, so the append fast path already served this
+      // shape — kept as the documented fallback invariant
       case (Some(to), None) => weigh(to, 1L)
       case (Some(to), Some(from)) =>
         // align to the UNION of columns before the set difference:

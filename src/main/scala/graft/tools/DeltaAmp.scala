@@ -94,7 +94,7 @@ object DeltaAmp {
         compactAfter = 8)(b, i); ()
     }
 
-    println(f"""{"probe":"delta_amp","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":~$batchRows,"base_bytes":$mowBase,"mow_amp_bytes":$mowAmp,"delta_amp_bytes":$deltaAmp,"delta_compact_amp_bytes":$deltaCAmp,"mow_wall_s":$mowWall%.2f,"delta_wall_s":$deltaWall%.2f,"delta_compact_wall_s":$deltaCWall%.2f,"amp_ratio_mow_over_delta":${mowAmp.toDouble / math.max(deltaAmp, 1)}%.1f}""")
+    println(f"""{"probe":"delta_amp","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,"base_bytes":$mowBase,"mow_amp_bytes":$mowAmp,"delta_amp_bytes":$deltaAmp,"delta_compact_amp_bytes":$deltaCAmp,"mow_wall_s":$mowWall%.2f,"delta_wall_s":$deltaWall%.2f,"delta_compact_wall_s":$deltaCWall%.2f,"amp_ratio_mow_over_delta":${mowAmp.toDouble / math.max(deltaAmp, 1)}%.1f}""")
     spark.stop()
   }
 }

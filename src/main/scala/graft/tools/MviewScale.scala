@@ -28,10 +28,13 @@ class IoListener extends SparkListener {
     }
   }
   def reset(): Unit = { input.set(0); shuffleW.set(0) }
-  /** (input MB, shuffle-write MB); tiny listener-flush wait first. */
+  /** (input bytes, shuffle-write bytes) — RAW, so callers summing
+    * across phases don't compound per-snapshot truncation; tiny
+    * listener-flush wait first.
+    */
   def snapshot(): (Long, Long) = {
     Thread.sleep(300)
-    (input.get() >> 20, shuffleW.get() >> 20)
+    (input.get(), shuffleW.get())
   }
 }
 
@@ -138,12 +141,13 @@ object MviewScale {
         .select(a.columns.map(col).toIndexedSeq: _*)
       val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
       require(same, s"$mode: maintained view != rebuild — fix before measuring")
-      f""""$mode":{"refresh_wall_s":$rfWall%.2f,"rebuild_wall_s":$rcWall%.2f,"refresh_input_mb":$rfIn,"rebuild_input_mb":$rcIn,"refresh_shuffle_mb":$rfSh,"rebuild_shuffle_mb":$rcSh,"extrema_dirty_refreshes":$dirtyFired,"views_equal":$same}"""
+      def mb(b: Long): Double = b / 1048576.0
+      f""""$mode":{"refresh_wall_s":$rfWall%.2f,"rebuild_wall_s":$rcWall%.2f,"refresh_input_mb":${mb(rfIn)}%.1f,"rebuild_input_mb":${mb(rcIn)}%.1f,"refresh_shuffle_mb":${mb(rfSh)}%.1f,"rebuild_shuffle_mb":${mb(rcSh)}%.1f,"extrema_dirty_refreshes":$dirtyFired,"views_equal":$same}"""
     }
 
     val spread = run("spread")
     val local = run("local")
-    println(s"""{"probe":"mview_scale","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":~$batchRows,$spread,$local}""")
+    println(s"""{"probe":"mview_scale","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,$spread,$local}""")
     spark.stop()
   }
 }

@@ -269,6 +269,26 @@ class DeltaSinkSpec extends SparkSpec {
     assert(p3 == Seq("diff") && compactOnly == 0L)
   }
 
+  test("change feed: a null-keyed row's retraction survives the append fast path") {
+    // keys may carry null VALUES (only a missing key column is
+    // refused); the fast path's before-image semi-join must be
+    // null-safe or the null key's -1 image silently vanishes and a
+    // downstream maintained aggregate double-counts it
+    val path = newTable("graft-feed-nullkey")
+    def df(rows: (Option[String], Long, Long)*): DataFrame =
+      rows.toDF("k", "v", "ts")
+    delta(path)(df((None, 1L, 10L), (Some("a"), 1L, 10L)), 0L) // v1
+    delta(path)(df((None, 2L, 20L)), 1L)                       // v2
+    val (feed, paths) = recordingPaths {
+      KeyedUpsertSink.readChangesWeighted(spark, path, keys, order,
+        fromVersion = 1L)
+        .select("k", "v", "ts", "__weight")
+        .as[(Option[String], Long, Long, Long)].collect().toSet
+    }
+    assert(paths == Seq("append"))
+    assert(feed == Set((None, 2L, 20L, 1L), (None, 1L, 10L, -1L)))
+  }
+
   test("change feed: the append fast path aligns schema evolution in both directions") {
     val path = newTable("graft-feed-evo")
     delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
