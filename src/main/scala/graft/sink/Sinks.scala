@@ -1488,7 +1488,13 @@ object KeyedUpsertSink {
     * a different question.
     */
   private def manifestAt(tablePath: String, version: Long): Map[Long, String] =
-    versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
+    // v0 is the pre-first-commit state by protocol definition (the legacy
+    // lock-path `_manifest` when one exists, else empty) — never a file,
+    // so it resolves here, not in versionFiles. A change feed FROM v0 is
+    // therefore the full bootstrap image, the contract the streaming
+    // source's `startingVersion=0` documents.
+    if (version == 0L) legacyManifest(tablePath)
+    else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
       case Some((_, p)) => parseManifest(p)
       case None => throw new NoSuchElementException(
         s"$tablePath: no readable manifest v$version — pruned past the " +

@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.execution.streaming.{Source, Offset => OffsetV1}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sink.KeyedUpsertSink
+
+/** Streaming change-feed source over a [[graft.sink.KeyedUpsertSink]]
+  * versioned table: `spark.readStream.format("graft-changes")` makes the
+  * engine's own storage tier a first-class event source — the
+  * "Structured Streaming + event source connectors" mandate applied to
+  * its own tables. Offsets ARE manifest versions: each micro-batch is
+  * exactly `readChangesBetween(from, to]` (the upsert CDC — or the
+  * weighted retraction feed with `weighted=true`), so a streamed feed
+  * equals what a [[graft.sink.ChangeFeedConsumer]] poller would have
+  * produced over the same version ranges, and the checkpointed offset
+  * resumes precisely at the version the last committed batch ended on.
+  *
+  * Why the DSv1 `Source` seam and not a DSv2 `MicroBatchStream` (the
+  * repo's other connector, [[SyntheticEventsProvider]], is DSv2): a
+  * MicroBatchStream hands the engine per-partition ROW READERS, which
+  * fits a source whose rows exist somewhere (files, a queue). The
+  * change feed is a DERIVED relational computation — per-bucket chain
+  * reads, an LWW window resolve, a symmetric difference — i.e. a
+  * DataFrame, not a row iterator; forcing it through InputPartitions
+  * would mean materializing every batch to scratch storage first.
+  * `Source.getBatch` returns the feed's DataFrame directly and Spark
+  * splices its (batch-scale, append-fast-path) plan into the streaming
+  * query — the same reason Delta Lake's own table streaming source uses
+  * this API. Both APIs are engine-public and checkpoint-compatible.
+  *
+  * Options:
+  *  - `path` (required): the table root;
+  *  - `keys` (required): comma-separated key column names;
+  *  - `orderBy` (required): comma-separated LWW order column names —
+  *    must match the writer's order spec, or ties resolve differently
+  *    than the table's own reads;
+  *  - `weighted` (default false): emit the retraction feed (`__weight`
+  *    = +1 new image / -1 superseded image) instead of upserts-only;
+  *  - `startingVersion` (default: the head at source creation): stream
+  *    changes strictly AFTER this committed version. The default tails
+  *    new changes only; `startingVersion=0` replays the full history as
+  *    the first batch (v0 = the empty pre-first-commit table, so
+  *    (0, head] is a bootstrap);
+  *  - `maxVersionsPerTrigger` (optional): admission control — cap how
+  *    many manifest versions one micro-batch may cover, so a consumer
+  *    restarted after a long stall catches up in bounded batches
+  *    instead of one giant range.
+  *
+  * Retention contract (same as every feed reader): a batch whose `from`
+  * version has been vacuum-pruned fails LOUDLY with `manifestAt`'s
+  * error — never silently skips history. Size the table's vacuum keep
+  * window to exceed the stream's worst-case downtime.
+  *
+  * Schema is fixed at stream start (the resolved table schema at the
+  * head, footer-only reads). Columns ADDED by later commits surface
+  * after a stream restart — the standard streaming-source contract.
+  */
+class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changes"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeedSource.feedSchema(sqlContext, parameters))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, parameters)
+}
+
+private[sources] object ChangeFeedSource {
+  val WeightCol = "__weight"
+
+  def required(parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key, throw new IllegalArgumentException(
+      s"graft-changes requires the '$key' option " +
+        "(path, keys, orderBy are mandatory)"))
+
+  def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty)
+
+  /** The feed's schema: the resolved table schema at the current head
+    * (+ `__weight` when weighted). Loud before the first commit — an
+    * empty chain has no schema to stream.
+    */
+  def feedSchema(sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
+    val path = required(parameters, "path")
+    val keys = csv(required(parameters, "keys"))
+    val order = csv(required(parameters, "orderBy")).map(col)
+    require(KeyedUpsertSink.tableVersions(path).nonEmpty,
+      s"$path has no committed versions — a change-feed stream needs at " +
+        "least one commit to derive its schema (wrong path, or start the " +
+        "stream after the first commit)")
+    val base = KeyedUpsertSink.readBucketedDelta(
+      sqlContext.sparkSession, path, keys, order).schema
+    if (parameters.get("weighted").exists(_.toBoolean))
+      StructType(base.fields :+ StructField(WeightCol, LongType, nullable = false))
+    else base
+  }
+}
+
+private[sources] class ChangeFeedSource(
+    sqlContext: SQLContext, parameters: Map[String, String])
+    extends Source
+    with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
+  import ChangeFeedSource._
+
+  private val tablePath = required(parameters, "path")
+  private val keys = csv(required(parameters, "keys"))
+  private val orderCols = csv(required(parameters, "orderBy"))
+  private val weighted = parameters.get("weighted").exists(_.toBoolean)
+  private val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
+    val n = v.toLong
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1 (got $n)")
+    n
+  }
+
+  override val schema: StructType = feedSchema(sqlContext, parameters)
+
+  /** The stream's floor: changes strictly after this version flow. */
+  private val startVersion: Long =
+    parameters.get("startingVersion") match {
+      case Some(v) => v.toLong
+      case None => KeyedUpsertSink.tableVersions(tablePath).max
+    }
+
+  /** AvailableNow's drain target: the head frozen at prepare time, so
+    * the query terminates even while new commits keep landing.
+    */
+  @volatile private var availableTarget: Option[Long] = None
+
+  private def ver(o: streaming.Offset): Long = o.json().trim.toLong
+
+  private def currentHead: Long = {
+    val versions = KeyedUpsertSink.tableVersions(tablePath)
+    if (versions.isEmpty) throw new IllegalStateException(
+      s"$tablePath has no committed versions — the table was deleted or " +
+        "recreated under a running change-feed stream")
+    versions.max
+  }
+
+  // ── admission control (the FileStreamSource pattern: a v1 Source that
+  // implements SupportsAdmissionControl drives batch boundaries through
+  // latestOffset(start, limit), with the committed offset passed IN — no
+  // source-side offset bookkeeping to drift on restart)
+
+  override def initialOffset(): streaming.Offset = LongOffset(startVersion)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    LongOffset(json.trim.toLong)
+
+  // the version cap is this source's own option, not a row/file count —
+  // allAvailable + a self-applied cap in latestOffset (how FileStream
+  // interprets its maxFilesPerTrigger under admission control)
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    // start is null on the stream's very first batch (the v1 admission-
+    // control contract FileStreamSource also handles)
+    val base = Option(start).map(ver).getOrElse(startVersion)
+    val head = availableTarget.fold(currentHead)(math.min(currentHead, _))
+    LongOffset(maxVersions.fold(head)(c => math.min(head, base + c)))
+  }
+
+  override def reportLatestOffset(): streaming.Offset = LongOffset(currentHead)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(currentHead)
+
+  /** Unused once SupportsAdmissionControl is implemented (the engine
+    * calls latestOffset instead), but Source declares it abstract.
+    */
+  override def getOffset: Option[OffsetV1] = {
+    val head = currentHead
+    if (head > startVersion) Some(LongOffset(head)) else None
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = ver(end: streaming.Offset)
+    // start=None is either the stream's true first batch (floor =
+    // startVersion) or the engine's RECOVERY replay of an
+    // already-committed batch, where this fresh source's floor (head at
+    // creation) can sit ABOVE the old batch's end — clamp, the replayed
+    // frame only rebuilds source state and an empty feed carries the
+    // schema either way
+    val from = start.map(o => ver(o: streaming.Offset))
+      .getOrElse(math.min(startVersion, to))
+    // engine contract: a constructed batch always has from < to, but a
+    // degenerate range must still return the declared schema
+    val feed =
+      if (weighted) KeyedUpsertSink.readChangesWeighted(
+        sqlContext.sparkSession, tablePath, keys, orderCols.map(col),
+        fromVersion = from, toVersion = Some(to))
+      else KeyedUpsertSink.readChangesBetween(
+        sqlContext.sparkSession, tablePath, keys, orderCols.map(col),
+        fromVersion = from, toVersion = Some(to))
+    // pin the declared column set (a commit that ADDED columns mid-stream
+    // widens the feed, but this stream's schema is fixed until restart),
+    // then re-tag as a streaming leaf — the v1 getBatch contract
+    org.apache.spark.sql.graft.Bridge.streamingLeafDataFrame(
+      sqlContext.sparkSession,
+      feed.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}

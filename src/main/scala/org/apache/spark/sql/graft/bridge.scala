@@ -40,6 +40,18 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema)
 
+  /** `df` re-wrapped as a STREAMING-tagged leaf: what a DSv1
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming` on the batch plan). Planning happens here (toRdd
+    * builds the physical RDD DAG); execution stays lazy. This is the
+    * same move Spark's own v1 Kafka source makes —
+    * `internalCreateDataFrame(rdd, schema, isStreaming = true)`.
+    */
+  def streamingLeafDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
+
   /** The checkpointed RDD behind a `localCheckpoint(true)` frame, if its
     * optimized plan is the expected LogicalRDD leaf — lets graft.Staging
     * release the checkpoint blocks PROMPTLY on unpin (Dataset.unpersist

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sink.KeyedUpsertSink
+
+/** The `graft-changes` streaming source: `readStream` over a versioned
+  * keyed table must serve exactly the poller's change feed (offsets ARE
+  * manifest versions), resume from its checkpoint at the right version,
+  * fail loudly past the vacuum keep window, and serve trickle batches
+  * from the append fast path (batch-scale shuffles, never the table).
+  */
+class ChangeFeedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+
+  private def batchDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "ts")
+
+  private def sink(path: String) = KeyedUpsertSink.upsertBucketedDelta(
+    spark, path, keys, order, numBuckets = 4, compactAfter = 0) _
+
+  private def stream(table: String, ckpt: String, name: String,
+      extra: Map[String, String] = Map.empty) = {
+    val reader = spark.readStream.format("graft-changes")
+      .option("keys", "k").option("orderBy", "ts")
+    extra.foreach { case (k, v) => reader.option(k, v) }
+    reader.load(table)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def memRows(name: String): Set[(String, Long, Long)] =
+    spark.table(name).select("k", "v", "ts")
+      .as[(String, Long, Long)].collect().toSet
+
+  private def feedRows(table: String, from: Long, to: Long): Set[(String, Long, Long)] =
+    KeyedUpsertSink.readChangesBetween(spark, table, keys, order, from, Some(to))
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+
+  /** One AvailableNow run into a row buffer via foreachBatch (the memory
+    * sink refuses checkpoint RECOVERY, and the restart semantics are the
+    * point here). Returns the rows this run delivered.
+    */
+  private def drain(table: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Set[(String, Long, Long)] = {
+    val got = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    val reader = spark.readStream.format("graft-changes")
+      .option("keys", "k").option("orderBy", "ts")
+    extra.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.select("k", "v", "ts")
+          .as[(String, Long, Long)].collect(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.toSet
+  }
+
+  test("streamed batches equal the poller feed across multi-commit ranges, and resume from the checkpoint") {
+    val root = Files.createTempDirectory("graft-cfs")
+    val table = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(table)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1 — the "pre-stream" floor
+    // two commits land before the first trigger: one batch covers both
+    up(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L) // v2
+    up(batchDf(("d", 1L, 30L)), 2L)                 // v3
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = KeyedUpsertSink.onChangesPath
+    KeyedUpsertSink.onChangesPath = paths += _
+    try {
+      // floor at v1: everything the table committed after it streams
+      assert(drain(table, ckpt, Map("startingVersion" -> "1"))
+        == feedRows(table, 1L, 3L), "first batch = the (1, 3] poller range")
+      // trickle commits resolve through the append fast path — the
+      // structural proof that a stream batch never shuffles the table
+      assert(paths.nonEmpty && paths.forall(_ == "append"),
+        s"trickle stream batches must use the append fast path (got $paths)")
+      // restart under the same checkpoint: only the new range arrives
+      up(batchDf(("a", 3L, 40L)), 3L) // v4
+      assert(drain(table, ckpt) == feedRows(table, 3L, 4L),
+        "restart resumes at the checkpointed version, not startingVersion")
+      // idle restart: no new versions → no batch at all
+      assert(drain(table, ckpt).isEmpty)
+      // DEFAULT startingVersion = the head at source creation: a fresh
+      // stream started now (head v4) tails changes only — zero rows
+      assert(drain(table, root.resolve("ckDefault").toString).isEmpty,
+        "default floor is the head at stream start: no replay of history")
+    } finally KeyedUpsertSink.onChangesPath = prev
+  }
+
+  test("startingVersion=0 bootstraps the full history; maxVersionsPerTrigger bounds each batch") {
+    val root = Files.createTempDirectory("graft-cfs-boot")
+    val table = root.resolve("t").toString
+    val up = sink(table)
+    up(batchDf(("a", 1L, 10L)), 0L)                 // v1
+    up(batchDf(("b", 1L, 20L)), 1L)                 // v2
+    up(batchDf(("a", 2L, 30L), ("c", 1L, 30L)), 2L) // v3
+    val q = stream(table, root.resolve("ck1").toString, "cfsb",
+      Map("startingVersion" -> "0"))
+    q.awaitTermination()
+    assert(memRows("cfsb") == feedRows(table, 0L, 3L),
+      "(0, head] is the bootstrap image: the resolved table")
+    // cap = 1 version per trigger: AvailableNow drains in single-version
+    // batches, each one poller STEP — so the union equals the union of
+    // per-step feeds (which, unlike the coarse (0,3] range, keeps each
+    // key's intermediate images) and the batch count equals the span
+    val q2 = stream(table, root.resolve("ck2").toString, "cfsc",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    q2.awaitTermination()
+    assert(memRows("cfsc") ==
+      (feedRows(table, 0L, 1L) ++ feedRows(table, 1L, 2L) ++ feedRows(table, 2L, 3L)))
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 3,
+      "maxVersionsPerTrigger=1 must drain 3 versions as 3 batches")
+  }
+
+  test("the weighted feed streams retractions; a pruned offset and a missing table fail loudly") {
+    val root = Files.createTempDirectory("graft-cfs-guards")
+    val table = root.resolve("t").toString
+    val up = sink(table)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    up(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    val q = stream(table, root.resolve("ck1").toString, "cfsw",
+      Map("startingVersion" -> "1", "weighted" -> "true"))
+    q.awaitTermination()
+    val got = spark.table("cfsw").select("k", "v", "ts", "__weight")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 20L, 1L), ("a", 1L, 10L, -1L)),
+      "weighted stream carries the +1 new image and the -1 superseded image")
+    // a startingVersion the vacuum pruned (simulated delete) fails with
+    // manifestAt's loud error — never silently skips history
+    Files.delete(java.nio.file.Paths.get(table, f"_manifest.v${1L}%020d"))
+    val qBad = stream(table, root.resolve("ck2").toString, "cfsx",
+      Map("startingVersion" -> "1"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.awaitTermination()
+    }
+    assert(err.getMessage.contains("no readable manifest v1"),
+      s"pruned offset must surface manifestAt's error (got: ${err.getMessage.take(200)})")
+    // a table with no commits has no schema to stream — loud at start
+    val err2 = intercept[Exception] {
+      stream(root.resolve("nope").toString, root.resolve("ck3").toString, "cfsy")
+    }
+    assert(err2.getMessage.contains("no committed versions"))
+  }
+}
