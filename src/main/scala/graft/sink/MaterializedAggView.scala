@@ -33,21 +33,25 @@ import org.apache.spark.sql.functions._
   * or aggregate through a decimal).
   *
   * Storage and crash contract: each refresh publishes the merged view
-  * as `viewPath/v<headVersion>/` — the view rows under `view/`, each
-  * distinct column's multiplicity table under `aux_<name>/` — staged
-  * together, then ONE atomic rename — and THEN advances the `_head`
-  * watermark file (the sink's audited write-fsync + atomic-rename
-  * primitive). The watermark is the commit
-  * point: a crash between the two leaves a complete-but-unreferenced
-  * `v<H>` directory that the re-run deterministically rebuilds and
-  * replaces — replaying the same (watermark, head] delta range produces
-  * the same view, so the maintenance loop is effectively-once without a
-  * transaction log. The previous view version is retained for in-flight
-  * readers (one-version grace, the view-side analogue of the base
-  * table's vacuum `graceManifests`); older versions are reclaimed at
-  * publish. Single maintainer per view path — concurrent refreshers
-  * would race the stage/rename; run the loop from one driver, like
-  * [[ChangeFeedConsumer]].
+  * under a per-attempt unique `viewPath/v<H>-<uuid>/` directory — the
+  * view rows under `view/`, each distinct column's multiplicity table
+  * under `aux_<name>/` — staged together, then ONE atomic rename — and
+  * THEN commits a put-if-absent `_head.v<H>` watermark MARKER whose
+  * content names that directory. The marker is the commit point: a
+  * crash between the two leaves a complete-but-unreferenced directory
+  * that the re-run deterministically rebuilds (same (watermark, head]
+  * delta range ⇒ same view), so the maintenance loop is
+  * effectively-once without a transaction log. The previous committed
+  * version is retained for in-flight readers (one-version grace, the
+  * view-side analogue of the base table's vacuum `graceManifests`);
+  * unreferenced versions are reclaimed at publish.
+  *
+  * Single maintainer per view path — and, unlike a convention, ENFORCED:
+  * the watermark advance is a compare-and-swap over the marker chain
+  * (see [[publish]]), so a concurrent or stalled second maintainer
+  * fails loudly with `ConcurrentModificationException` instead of
+  * regressing the watermark or deleting a newer version's files
+  * (MaterializedViewRaceSpec races two real JVMs through it).
   *
   * Retention: the watermark must stay inside the base table's vacuum
   * keep window. A view stalled past it fails with `manifestAt`'s loud
@@ -118,21 +122,54 @@ object MaterializedAggView {
     */
   private[graft] var onBeforeHeadPublish: () => Unit = () => ()
 
+  /** The legacy (pre-CAS) watermark file — read as a fallback so views
+    * written by earlier rounds keep resolving; never written anymore.
+    */
   private def headFile(viewPath: String): Path = Paths.get(viewPath, "_head")
 
-  private def versionDir(viewPath: String, v: Long): Path =
-    Paths.get(viewPath, s"v$v")
-
-  /** The view data lives under `v<H>/view/`; each distinct column's
-    * multiplicity table under `v<H>/aux_<name>/` — one directory per
-    * version so the existing stage → single-atomic-rename publish and
-    * the whole-dir retention/cleanup cover both.
+  /** One committed watermark marker: `_head.v<H>` (zero-padded so a
+    * plain listing orders numerically), CONTENT = the unique directory
+    * name holding that version's data. The marker file IS the commit —
+    * published via [[KeyedUpsertSink.putIfAbsent]], so exactly one
+    * maintainer wins each version, the watermark (the max marker) can
+    * never regress, and racing maintainers never share a data directory.
     */
-  private def viewData(viewPath: String, v: Long): Path =
-    versionDir(viewPath, v).resolve("view")
+  private def markerPath(viewPath: String, v: Long): Path =
+    Paths.get(viewPath, f"_head.v$v%020d")
 
-  private def auxData(viewPath: String, v: Long, name: String): Path =
-    versionDir(viewPath, v).resolve(s"aux_$name")
+  /** Committed markers as (version, directory name), sorted by version. */
+  private def markers(viewPath: String): Seq[(Long, String)] = {
+    val root = Paths.get(viewPath)
+    if (!Files.isDirectory(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root)
+    val found = try s.iterator().asScala.toList.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_head.v")) None
+      else n.stripPrefix("_head.v").toLongOption.map(_ -> new String(
+        Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8).trim)
+    } finally s.close()
+    found.sortBy(_._1)
+  }
+
+  /** Directory holding version `v`'s data: the marker's recorded name,
+    * or the pre-CAS fixed `v<H>` layout when no marker exists.
+    */
+  private def viewDirAt(viewPath: String, v: Long): Path =
+    markers(viewPath).find(_._1 == v) match {
+      case Some((_, dir)) => Paths.get(viewPath, dir)
+      case None => Paths.get(viewPath, s"v$v")
+    }
+
+  /** The view data lives under `<versionDir>/view/`; each distinct
+    * column's multiplicity table under `<versionDir>/aux_<name>/` — one
+    * directory per version so the stage → single-atomic-rename publish
+    * and the whole-dir retention/cleanup cover both.
+    */
+  private def viewData(versionDir: Path): Path = versionDir.resolve("view")
+
+  private def auxData(versionDir: Path, name: String): Path =
+    versionDir.resolve(s"aux_$name")
 
   /** Aux multiplicity columns: the distinct expression's value and its
     * live-key count per (dims, value).
@@ -141,11 +178,14 @@ object MaterializedAggView {
   private val AuxMulCol = "__m"
 
   /** The view's watermark: the base-table version its stored state
-    * reflects. None before bootstrap; corruption is loud (the
-    * checkpoint reader's contract), never "fresh".
+    * reflects — the max committed `_head.v*` marker (falling back to
+    * the legacy `_head` file for pre-CAS views). None before bootstrap;
+    * corruption of the legacy file is loud (the checkpoint reader's
+    * contract), never "fresh".
     */
   def watermark(viewPath: String): Option[Long] =
-    ChangeFeedConsumer.readCheckpoint(headFile(viewPath))
+    markers(viewPath).lastOption.map(_._1)
+      .orElse(ChangeFeedConsumer.readCheckpoint(headFile(viewPath)))
 
   private def validate(dims: Seq[String], aggs: Seq[AggCol],
       extrema: Seq[ExtremumCol], distincts: Seq[DistinctCol]): Unit = {
@@ -200,11 +240,33 @@ object MaterializedAggView {
       .filter(col(CountCol) =!= 0L)
   }
 
-  /** Stage → atomic-rename the view data, advance the watermark, then
-    * reclaim crash leftovers and all but the previous retained version.
+  /** Stage → unique version directory → CAS watermark advance →
+    * reclaim. THE single-maintainer enforcement point: the watermark is
+    * a chain of put-if-absent `_head.v<H>` markers (each naming its
+    * unique data directory), and advancing requires BOTH
+    *
+    *  1. the current watermark to still be the `expectFrom` this pass
+    *     refreshed from — a maintainer that stalled while another
+    *     advanced fails loudly HERE, before its marker can land (the
+    *     old mutable `_head` file let that stall silently move the
+    *     watermark backward), and
+    *  2. winning the putIfAbsent on the new marker — of two maintainers
+    *     racing the same head, exactly one commits.
+    *
+    * The watermark is the max marker, so it is monotonic by
+    * construction even in the one benign interleaving both checks pass
+    * (two maintainers reading the same `expectFrom` but targeting
+    * DIFFERENT heads: both publish, readers resolve the max, and both
+    * directories hold correct content for their versions). A loser's
+    * staged directory is never referenced and is reclaimed by the next
+    * successful publish. `overwrite` is the force-bootstrap override:
+    * a deliberate atomic marker replace (plus clearing every other
+    * marker) instead of the CAS.
     */
-  private def publish(viewPath: String, head: Long, view: DataFrame,
-      auxes: Seq[(String, DataFrame)] = Seq.empty): Unit = {
+  private def publish(viewPath: String, expectFrom: Option[Long],
+      head: Long, view: DataFrame,
+      auxes: Seq[(String, DataFrame)] = Seq.empty,
+      overwrite: Boolean = false): Unit = {
     val root = Paths.get(viewPath)
     Files.createDirectories(root)
     val stage = root.resolve(
@@ -214,31 +276,90 @@ object MaterializedAggView {
       df.write.mode("overwrite").parquet(
         stage.resolve(s"aux_$name").toString)
     }
-    val target = versionDir(viewPath, head)
-    // a crash between a past publish and its watermark advance leaves a
-    // complete v<head> — this re-run rebuilt the SAME content from the
-    // same delta range, so replacing it is the deterministic replay
-    if (Files.exists(target)) KeyedUpsertSink.deleteRecursively(target)
-    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    // the data directory is PER-ATTEMPT unique: a crash between a past
+    // publish and its marker leaves an unreferenced directory this
+    // re-run never touches (it stages its own deterministic rebuild),
+    // and two racing maintainers can never delete files out from under
+    // each other's readers
+    val dirName = s"v$head-${java.util.UUID.randomUUID().toString.take(8)}"
+    Files.move(stage, root.resolve(dirName), StandardCopyOption.ATOMIC_MOVE)
     KeyedUpsertSink.fsyncDir(root)
     onBeforeHeadPublish()
-    ChangeFeedConsumer.writeCheckpoint(headFile(viewPath), head)
-    // reclamation AFTER the commit point: the new head and its
-    // predecessor stay (reader grace); dead stages and older versions go
+    val marker = markerPath(viewPath, head)
+    val bytes = s"$dirName\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (overwrite) {
+      // force re-bootstrap: deliberately discard maintained state. The
+      // marker replaces atomically and every OTHER marker is cleared so
+      // the new watermark is exactly `head` (a recreated base can sit
+      // BELOW the old watermark — stale higher markers must not shadow
+      // it). Single-actor by declaration: force is an operator action.
+      val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      KeyedUpsertSink.writeFsynced(tmp, bytes)
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      KeyedUpsertSink.fsyncDir(root)
+      markers(viewPath).filter(_._1 != head)
+        .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
+      Files.deleteIfExists(headFile(viewPath)) // legacy fallback file
+    } else {
+      val cur = watermark(viewPath)
+      if (cur != expectFrom) throw new java.util.ConcurrentModificationException(
+        s"$viewPath: watermark is ${cur.fold("absent")(v => s"v$v")} but this " +
+          s"maintainer refreshed from ${expectFrom.fold("nothing (bootstrap)")(v => s"v$v")} — " +
+          "another maintainer advanced the view concurrently; this pass's " +
+          "staged version is abandoned (never referenced) and will be " +
+          "reclaimed. The view is single-maintainer: run one refresh loop")
+      if (!KeyedUpsertSink.putIfAbsent(marker, bytes))
+        throw new java.util.ConcurrentModificationException(
+          s"$viewPath: another maintainer already published watermark " +
+            s"v$head — two refreshers raced the same head; this " +
+            "maintainer's staged version is abandoned (never referenced) " +
+            "and will be reclaimed. The view is single-maintainer: run " +
+            "one refresh loop")
+    }
+    reclaim(root, viewPath)
+  }
+
+  /** Reclamation, only ever run by a maintainer that just COMMITTED.
+    * Keeps the top-2 marker-referenced directories (current watermark +
+    * reader grace), every directory whose version exceeds the watermark
+    * (a concurrent maintainer's in-flight publish), and — while fewer
+    * than 2 markers exist — the newest pre-CAS plain `v<N>` directory
+    * below the watermark (grace for an upgraded legacy view). Loser
+    * directories, crash leftovers at or below the watermark, markers
+    * beyond a keep window, and stages quiescent past a one-minute dwell
+    * (a LIVE stage belongs to a concurrent maintainer mid-publish) go.
+    */
+  private def reclaim(root: Path, viewPath: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val keep: Set[Path] = Set(target) ++
-      versionsOnDisk(root).filter(_._1 < head).sortBy(_._1).lastOption.map(_._2)
+    val ms = markers(viewPath)
+    val wm = ms.lastOption.map(_._1).getOrElse(return)
+    val keepDirs: Set[String] = ms.takeRight(2).map(_._2).toSet ++
+      (if (ms.size < 2)
+        versionsOnDisk(root).filter(_._1 < wm).sortBy(_._1).lastOption
+          .map(_._2.getFileName.toString)
+      else None)
+    ms.dropRight(16).foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
+    val now = System.currentTimeMillis()
     Files.list(root).iterator().asScala.toList.foreach { p =>
       val name = p.getFileName.toString
-      val stale = (name.startsWith(".stage-") && p != stage) ||
-        (name.startsWith("v") && !keep.contains(p) &&
-          versionOf(name).nonEmpty)
-      if (stale) KeyedUpsertSink.deleteRecursively(p)
+      if (name.startsWith(".stage-")) {
+        if (now - KeyedUpsertSink.newestMtimeMs(p) > 60000L)
+          KeyedUpsertSink.deleteRecursively(p)
+      } else versionOf(name).foreach { v =>
+        if (!keepDirs.contains(name) && v <= wm)
+          KeyedUpsertSink.deleteRecursively(p)
+      }
     }
   }
 
+  /** Version of a data directory name — both the CAS layout
+    * (`v<N>-<suffix>`) and the legacy plain `v<N>`.
+    */
   private def versionOf(name: String): Option[Long] =
-    if (name.startsWith("v")) name.drop(1).toLongOption else None
+    if (!name.startsWith("v")) None
+    else name.drop(1).split("-", 2)(0).toLongOption
 
   private def versionsOnDisk(root: Path): Seq[(Long, Path)] = {
     import scala.jdk.CollectionConverters._
@@ -277,9 +398,10 @@ object MaterializedAggView {
     // the view's distinct counts come from count_distinct in the same
     // scan; each aux is its own base scan (bootstrap-only cost — every
     // refresh folds the feed instead)
-    publish(viewPath, head,
+    publish(viewPath, None, head,
       aggregate(base, dims, aggs, extrema, distincts, lit(1L)),
-      distincts.map(d => d.name -> buildAux(base, dims, d, lit(1L))))
+      distincts.map(d => d.name -> buildAux(base, dims, d, lit(1L))),
+      overwrite = force)
     Some(head)
   }
 
@@ -311,7 +433,8 @@ object MaterializedAggView {
     val deltasRaw = KeyedUpsertSink.readChangesWeighted(
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
-    val old = spark.read.parquet(viewData(viewPath, from).toString)
+    val fromDir = viewDirAt(viewPath, from)
+    val old = spark.read.parquet(viewData(fromDir).toString)
     // the refresh spec must MATCH the bootstrapped view: a refresh
     // called with a different agg/extremum/distinct set (easiest
     // mistake: a defaulted parameter omitted) would silently publish a
@@ -351,7 +474,7 @@ object MaterializedAggView {
       val (view, auxes) = distincts.foldLeft((extView,
           Seq.empty[(String, DataFrame)])) { case ((v, as), d) =>
         val oldAux = spark.read.parquet(
-          auxData(viewPath, from, d.name).toString)
+          auxData(fromDir, d.name).toString)
         val mergedAux = oldAux
           .unionByName(buildAux(deltas, dims, d, col(WeightCol)))
           .groupBy((dims :+ AuxValCol).map(col): _*)
@@ -367,7 +490,7 @@ object MaterializedAggView {
           .withColumn(d.name, coalesce(col(d.name), lit(0L)))
         (joined, as :+ (d.name -> mergedAux))
       }
-      publish(viewPath, head, view.select(expect.map(col): _*), auxes)
+      publish(viewPath, Some(from), head, view.select(expect.map(col): _*), auxes)
     } finally pins.foreach(_.unpersist(false))
     Some((from, head))
   }
@@ -485,6 +608,6 @@ object MaterializedAggView {
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val v = watermark(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — the view was never bootstrapped"))
-    spark.read.parquet(viewData(viewPath, v).toString).drop(CountCol)
+    spark.read.parquet(viewData(viewDirAt(viewPath, v)).toString).drop(CountCol)
   }
 }

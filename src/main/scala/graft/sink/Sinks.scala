@@ -1592,7 +1592,7 @@ object KeyedUpsertSink {
   /** Newest modification time anywhere under `p` — the in-flight-write-
     * aware quiescence clock of [[vacuumGenerations]]'s generation sweep.
     */
-  private def newestMtimeMs(p: Path): Long = {
+  private[sink] def newestMtimeMs(p: Path): Long = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(p)
     try s.iterator().asScala

@@ -144,11 +144,18 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedAggView.refresh(
       spark, base, view, keys, order, dims, aggs).contains((w0, w0 + 1)))
     assert(viewRows(view) == recomputed(base))
-    // retention: head + one prior version, no stage leftovers
+    // retention: exactly the two committed markers and their two data
+    // directories — the CRASHED attempt's unreferenced directory was
+    // reclaimed by the successful replay, and no stage survived
     import scala.jdk.CollectionConverters._
     val names = Files.list(Paths.get(view)).iterator().asScala
-      .map(_.getFileName.toString).toSet
-    assert(names == Set("_head", s"v$w0", s"v${w0 + 1}"))
+      .map(_.getFileName.toString).toList.sorted
+    val markers = names.filter(_.startsWith("_head.v"))
+    val dirs = names.filterNot(_.startsWith("_head"))
+    assert(markers == List(f"_head.v$w0%020d", f"_head.v${w0 + 1}%020d"),
+      s"markers: $names")
+    assert(dirs.map(_.split("-")(0)).sorted == List(s"v$w0", s"v${w0 + 1}"),
+      s"exactly one data dir per committed marker, crash leftover gone: $names")
   }
 
   test("double bootstrap refuses without force; force rebuilds") {
