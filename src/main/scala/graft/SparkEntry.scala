@@ -290,6 +290,35 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // Online re-bucketing mid-stream: two delta batches land in 8
+    // buckets, rebucketTable re-hashes the table into 32 in ONE
+    // versioned commit (layout metadata rides the same manifest file as
+    // the data swap), and a third batch commits under the NEW layout.
+    // The resolved read after all three must equal the declarative LWW
+    // — same oracle as etl_upsert_lww — proving the resize changed the
+    // physical layout without touching a single logical row.
+    "etl_upsert_rebucket" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-rbk-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 8, compactAfter = 0)(
+        ev.filter(col("last_event_id") % 3 === 0), 0L)
+      graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 8, compactAfter = 0)(
+        ev.filter(col("last_event_id") % 3 === 1), 1L)
+      graft.sink.KeyedUpsertSink.rebucketTable(s, path, keys, order, 32)
+      graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 32, compactAfter = 0)(
+        ev.filter(col("last_event_id") % 3 === 2), 2L)
+      graft.sink.KeyedUpsertSink.readBucketedDelta(s, path, keys, order)
+        .drop("ts_us")
+    }),
+
     // K1 through the ATOMIC generation-manifest sink: same two-batch
     // split, but each batch stages under gen-<id>/ and commits by one
     // manifest rename — a crash mid-write can't tear the table. Read-back
@@ -1200,6 +1229,13 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_delta" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // the resize is physical-only: the resolved table equals the LWW
+    "etl_upsert_rebucket" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events

@@ -267,13 +267,45 @@ object KeyedUpsertSink {
       java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("numBuckets=").toInt)
   }
 
+  /** The table's CURRENT bucket count: the head manifest's `#numBuckets`
+    * metadata when a [[rebucketTable]] has run (authoritative — the
+    * sidecar is frozen at first commit and goes stale at the first
+    * resize), else the `_layout` sidecar.
+    */
+  private[graft] def effectiveNumBuckets(tablePath: String): Option[Int] =
+    versionedHeadFull(tablePath)._3.get("numBuckets").map(_.toInt)
+      .orElse(readLayout(tablePath))
+
+  /** Bucket count in force at a SPECIFIC committed version — historical
+    * reads (time travel, change-feed endpoints) must hash with the
+    * layout of their version, not the head's.
+    */
+  private def numBucketsAt(tablePath: String, version: Long): Option[Int] =
+    metaAt(tablePath, version).get("numBuckets").map(_.toInt)
+      .orElse(readLayout(tablePath))
+
+  /** Retry-loop guard for writers: a [[rebucketTable]] that committed
+    * since this writer staged means its batch is hashed with a DEAD
+    * layout — re-staging would scatter keys across two bucket functions.
+    * Fail the batch loudly; the caller replays it with the new count.
+    */
+  private def requireLayoutUnchanged(tablePath: String, numBuckets: Int,
+      headMeta: Map[String, String]): Unit =
+    headMeta.get("numBuckets").map(_.toInt).foreach { nb =>
+      if (nb != numBuckets) throw new IllegalStateException(
+        s"$tablePath was re-bucketed to numBuckets=$nb while this writer " +
+          s"(numBuckets=$numBuckets) had a batch in flight — the staged " +
+          "generation is hashed with the old layout; replay the batch " +
+          "with the new bucket count (idempotent under the LWW merge)")
+    }
+
   private def ensureLayout(tablePath: String, numBuckets: Int): Unit = {
     def check(recorded: Int): Unit = require(recorded == numBuckets,
       s"$tablePath is laid out with numBuckets=$recorded but this writer " +
         s"was configured with numBuckets=$numBuckets — a mixed bucket " +
         "function scatters keys across two layouts and silently breaks " +
-        s"the LWW merge; use $recorded (re-bucketing needs a full rewrite)")
-    readLayout(tablePath) match {
+        s"the LWW merge; use $recorded (or rebucketTable to resize)")
+    effectiveNumBuckets(tablePath) match {
       case Some(nb) => check(nb)
       case None =>
         // adopting on a PRE-EXISTING (pre-sidecar) table: the adopted
@@ -625,10 +657,19 @@ object KeyedUpsertSink {
     * optimistic commit writes `_manifest.v1` carrying the legacy
     * entries forward) and empty otherwise.
     */
-  private[graft] def versionedHead(tablePath: String): (Long, Map[Long, String]) =
+  private[graft] def versionedHead(tablePath: String): (Long, Map[Long, String]) = {
+    val (v, m, _) = versionedHeadFull(tablePath)
+    (v, m)
+  }
+
+  /** Chain head including its metadata (the legacy v0 state has none —
+    * pre-meta formats resolve layout from the `_layout` sidecar).
+    */
+  private[graft] def versionedHeadFull(
+      tablePath: String): (Long, Map[Long, String], Map[String, String]) =
     versionFiles(Paths.get(tablePath)).maxByOption(_._1) match {
-      case Some((v, p)) => (v, parseManifest(p))
-      case None => (0L, legacyManifest(tablePath))
+      case Some((v, p)) => (v, parseManifest(p), parseMeta(p))
+      case None => (0L, legacyManifest(tablePath), Map.empty)
     }
 
   /** All committed `_manifest.v*` files as (version, path). Published
@@ -651,9 +692,11 @@ object KeyedUpsertSink {
   private def versionPath(tablePath: String, version: Long): Path =
     Paths.get(tablePath, f"_manifest.v$version%020d")
 
-  private def renderManifest(entries: Map[Long, String]): Array[Byte] =
-    entries.toSeq.sortBy(_._1)
-      .map { case (b, g) => s"$b,$g" }.mkString("", "\n", "\n")
+  private def renderManifest(entries: Map[Long, String],
+      meta: Map[String, String] = Map.empty): Array[Byte] =
+    (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+      entries.toSeq.sortBy(_._1).map { case (b, g) => s"$b,$g" })
+      .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Atomic create-if-absent publish of a complete file — the ONE
@@ -678,12 +721,14 @@ object KeyedUpsertSink {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** One commit attempt: publish `entries` as version `version`. False
-    * = another writer took that version first (nothing was published).
+  /** One commit attempt: publish `entries` (+ metadata) as version
+    * `version`. False = another writer took that version first (nothing
+    * was published).
     */
   private[graft] def tryCommitVersion(tablePath: String, version: Long,
-      entries: Map[Long, String]): Boolean =
-    putIfAbsent(versionPath(tablePath, version), renderManifest(entries))
+      entries: Map[Long, String],
+      meta: Map[String, String] = Map.empty): Boolean =
+    putIfAbsent(versionPath(tablePath, version), renderManifest(entries, meta))
 
   /** Outcome of one successor-publish attempt. Distinguishing the two
     * failure modes keeps caller diagnostics accurate: [[LostRace]] means
@@ -715,11 +760,12 @@ object KeyedUpsertSink {
     * the lock is a local-FS-only migration artifact).
     */
   private def publishNext(tablePath: String, ver: Long,
-      manAtStage: Map[Long, String], entries: Map[Long, String]): Publish =
+      manAtStage: Map[Long, String], entries: Map[Long, String],
+      meta: Map[String, String] = Map.empty): Publish =
     if (ver == 0L) withTableLock(tablePath) {
       if (legacyManifest(tablePath) == manAtStage &&
-        tryCommitVersion(tablePath, 1L, entries)) Published else LostRace
-    } else tryCommitSuccessor(tablePath, ver, entries)
+        tryCommitVersion(tablePath, 1L, entries, meta)) Published else LostRace
+    } else tryCommitSuccessor(tablePath, ver, entries, meta)
 
   /** Guarded successor publish for a versioned head (ver >= 1): refuses
     * to publish v(ver+1) when the base version file has been vacuum-
@@ -744,10 +790,11 @@ object KeyedUpsertSink {
     */
   private[graft] def tryCommitSuccessor(tablePath: String, ver: Long,
       entries: Map[Long, String],
+      meta: Map[String, String] = Map.empty,
       afterPrecheck: () => Unit = () => ()): Publish = {
     if (!Files.exists(versionPath(tablePath, ver))) return BasePruned
     afterPrecheck()
-    val ok = tryCommitVersion(tablePath, ver + 1, entries)
+    val ok = tryCommitVersion(tablePath, ver + 1, entries, meta)
     if (ok && !Files.exists(versionPath(tablePath, ver)))
       throw new IllegalStateException(
         s"$tablePath: base _manifest.v$ver was vacuum-pruned inside the " +
@@ -849,7 +896,7 @@ object KeyedUpsertSink {
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
       ensureLayout(tablePath, numBuckets)
-      var (ver, man) = versionedHead(tablePath)
+      var (ver, man, meta) = versionedHeadFull(tablePath)
       var retries = 0
       var restages = 0
       var hookPending = true
@@ -871,18 +918,20 @@ object KeyedUpsertSink {
         while (committed.isEmpty && !stale && attempt < maxAttempts) {
           attempt += 1
           if (hookPending) { hookPending = false; onBeforeFirstCommit() }
-          publishNext(tablePath, ver, man, man ++ written.map(_ -> gen)) match {
+          publishNext(tablePath, ver, man, man ++ written.map(_ -> gen), meta) match {
             case Published =>
               committed = Some(OptimisticCommit(ver + 1, gen, retries, restages))
             case res =>
             retries += 1
-            val (v2, m2) = versionedHead(tablePath)
+            val (v2, m2, meta2) = versionedHeadFull(tablePath)
             // v2 == ver is legal only at ver 0: legacy-manifest drift
             // (the handshake above bailed), where m2 is the fresh legacy
             // map to carry forward on the next attempt
             require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
+            requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
+            meta = meta2
             // conflict = any bucket WE touched moved since we staged
             stale = touched.exists(b => m2.get(b) != base.get(b))
             if (stale) restages += 1
@@ -958,7 +1007,7 @@ object KeyedUpsertSink {
       val gen = s"gen-$batchId-u${java.util.UUID.randomUUID().toString.take(8)}"
       val (_, written) =
         stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, Map.empty)
-      var (ver, man) = versionedHead(tablePath)
+      var (ver, man, meta) = versionedHeadFull(tablePath)
       var retries = 0
       var hookPending = true
       var attempt = 0
@@ -969,15 +1018,17 @@ object KeyedUpsertSink {
         val entries = man ++ written.map { b =>
           b -> renderChain(man.get(b).map(chainOf).getOrElse(Seq.empty) :+ gen)
         }
-        publishNext(tablePath, ver, man, entries) match {
+        publishNext(tablePath, ver, man, entries, meta) match {
           case Published =>
             committed = Some(OptimisticCommit(ver + 1, gen, retries, 0))
           case res =>
             retries += 1
-            val (v2, m2) = versionedHead(tablePath)
+            val (v2, m2, meta2) = versionedHeadFull(tablePath)
             require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
+            requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
+            meta = meta2
         }
       }
       val c = committed.getOrElse(throw new IllegalStateException(
@@ -1031,7 +1082,7 @@ object KeyedUpsertSink {
     var attempt = 0
     var hookPending = true
     while (attempt < maxAttempts) {
-      val (ver, man) = versionedHead(tablePath)
+      val (ver, man, meta) = versionedHeadFull(tablePath)
       val targets = man.filter { case (b, v) =>
         chainOf(v).length >= math.max(minChain, 2) && buckets.forall(_.contains(b))
       }
@@ -1068,7 +1119,10 @@ object KeyedUpsertSink {
         next match {
           case None => stale = true
           case Some(entries) =>
-            val res = tryCommitSuccessor(tablePath, v, entries)
+            // meta rides from the OUTER head read: a rebucket landing in
+            // between replaced every chain, so the prefix check above
+            // already forces the stale path before a stale meta commits
+            val res = tryCommitSuccessor(tablePath, v, entries, meta)
             if (res == Published) return written
             val (v2, m2) = versionedHead(tablePath)
             require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
@@ -1080,6 +1134,82 @@ object KeyedUpsertSink {
     throw new IllegalStateException(
       s"$tablePath: compaction lost $maxAttempts commit attempts — " +
         "hot-table storm; retry when the write rate drops")
+  }
+
+  /** Online re-bucketing: re-hash the WHOLE table into `newBuckets`
+    * hash partitions and swap layout + data in ONE optimistic manifest
+    * commit. At 100 TB a table that outgrew its bucket count (buckets
+    * sized for co-located merges now hold many files each) needs a
+    * resize that is an ordinary versioned commit, not an offline
+    * rebuild: readers before the swap resolve the old manifest (old
+    * layout, old generations — still retained for time travel under the
+    * vacuum grace), readers after it resolve the new one, and nothing
+    * in between can observe a mixed layout because the `#numBuckets`
+    * metadata rides the SAME manifest file as the new bucket map.
+    *
+    * Writer safety: the commit goes through the same put-if-absent
+    * chain as every upsert, so a batch committed between this rewrite's
+    * stage and its publish forces a full re-stage here (the staged
+    * image is the whole table — ANY head movement invalidates it),
+    * while a writer whose batch was staged under the OLD layout and
+    * loses its own race to this commit fails loudly
+    * ([[requireLayoutUnchanged]]) instead of scattering keys across two
+    * hash functions. Writers configured with the old count are refused
+    * at their next batch by [[ensureLayout]] (manifest metadata
+    * overrides the now-stale `_layout` sidecar).
+    *
+    * The rewrite doubles as a full compaction (chains resolve before
+    * re-hashing). Returns the committed version.
+    */
+  def rebucketTable(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      newBuckets: Int,
+      maxAttempts: Int = 5,
+      onBeforeFirstCommit: () => Unit = () => ()): Long = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1 (got $newBuckets)")
+    var attempt = 0
+    var hookPending = true
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (ver, man, meta) = versionedHeadFull(tablePath)
+      require(man.nonEmpty,
+        s"$tablePath has no committed data — delete and recreate an empty " +
+          "table with the new bucket count instead of rebucketing it")
+      val old = meta.get("numBuckets").map(_.toInt).orElse(readLayout(tablePath))
+      require(!old.contains(newBuckets),
+        s"$tablePath already has numBuckets=$newBuckets")
+      // resolve the full table at this head (the LWW resolve makes the
+      // rewrite a compaction too), re-hash, stage as one generation
+      val gen = s"gen-rebucket-u${java.util.UUID.randomUUID().toString.take(8)}"
+      val resolved = resolveChainRead(
+        readManifestBuckets(spark, tablePath, man).get, man, keys, order)
+      resolved
+        .withColumn("__bucket", bucketOf(keys, newBuckets))
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("__bucket")
+        .parquet(s"$tablePath/$gen")
+      val written = listBucketIds(Paths.get(tablePath, gen))
+      // the new map REPLACES the old one in full: old bucket ids vanish
+      // (their generations become vacuum-reclaimable), the metadata
+      // records the new layout atomically with it
+      val entries = written.map(_ -> gen).toMap
+      if (hookPending) { hookPending = false; onBeforeFirstCommit() }
+      publishNext(tablePath, ver, man, entries,
+        meta + ("numBuckets" -> newBuckets.toString)) match {
+        case Published => return ver + 1
+        case res =>
+          val (v2, _) = versionedHead(tablePath)
+          require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
+          // ANY concurrent commit invalidates a whole-table image —
+          // loop back and re-stage against the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"$tablePath: rebucket lost $maxAttempts full-rewrite attempts to " +
+        "concurrent commits — quiesce or throttle writers and retry")
   }
 
   /** Write + force to stable storage, so the atomic rename promotes a
@@ -1119,10 +1249,31 @@ object KeyedUpsertSink {
 
   private def parseManifest(p: Path): Map[Long, String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-      val Array(b, g) = line.split(",", 2)
-      b.toLong -> g
-    }.toMap
+    Files.readAllLines(p).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")) // `#` = metadata lines
+      .map { line =>
+        val Array(b, g) = line.split(",", 2)
+        b.toLong -> g
+      }.toMap
+  }
+
+  /** Manifest metadata lines (`#key=value`). Today the single key is
+    * `numBuckets`, written ONLY by [[rebucketTable]]: riding the
+    * manifest makes a layout change atomic with the data swap that
+    * implements it (a separate sidecar update would leave a crash
+    * window where the manifest's new-layout buckets read under the old
+    * hash — silently wrong lookups). Every committer carries the head's
+    * metadata forward verbatim; tables never rebucketed have none and
+    * keep resolving their layout from the `_layout` sidecar.
+    */
+  private def parseMeta(p: Path): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala
+      .filter(l => l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val Array(k, v) = l.stripPrefix("#").split("=", 2)
+        k -> v
+      }.toMap
   }
 
   /** A manifest VALUE is a `;`-joined generation chain, oldest first:
@@ -1262,11 +1413,16 @@ object KeyedUpsertSink {
   def lookupBucketed(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], keyDf: DataFrame,
       atVersion: Option[Long] = None): DataFrame = {
-    val nb = readLayout(tablePath).getOrElse(throw new IllegalStateException(
-      s"$tablePath has no _layout sidecar (recorded at the first commit " +
-        "since round 15) — a point lookup must hash with the writer's " +
-        "bucket count; run one commit to adopt the sidecar, or read via " +
-        "readBucketedDelta"))
+    // hash with the layout IN FORCE AT THE READ VERSION: after a
+    // rebucket, a historical lookup must use the old count (its
+    // manifest's buckets are old-layout) and a head lookup the new one
+    val nb = atVersion.fold(effectiveNumBuckets(tablePath))(
+      v => numBucketsAt(tablePath, v))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath has no _layout sidecar (recorded at the first commit " +
+          "since round 15) — a point lookup must hash with the writer's " +
+          "bucket count; run one commit to adopt the sidecar, or read via " +
+          "readBucketedDelta"))
     val resolver = keyDf.sparkSession.sessionState.conf.resolver
     require(keys.forall(k => keyDf.columns.exists(resolver(_, k))),
       s"keyDf must carry the key column(s) ${keys.mkString(", ")} " +
@@ -1416,8 +1572,21 @@ object KeyedUpsertSink {
       s"$tablePath: readChangesBetween range is reversed — " +
         s"fromVersion=$fromVersion > toVersion=$toV")
     val manTo = manifestAt(tablePath, toV)
-    val touched = manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
-    val before = manFrom.filter { case (b, _) => touched.contains(b) }
+    // a rebucket inside the range redefines what a bucket ID means: the
+    // per-bucket diff below would drop any old bucket id absent from the
+    // new layout's map (silently presenting its rows as inserts), so the
+    // whole table diffs on BOTH sides — row-level except is layout-
+    // agnostic, only the bucket-pruning shortcut is. Correct (never
+    // silently wrong), at the documented table-scale cost: a rebucket IS
+    // a full rewrite, and a feed spanning it pays the same scale once.
+    val layoutChanged = metaAt(tablePath, fromVersion).get("numBuckets") !=
+      metaAt(tablePath, toV).get("numBuckets")
+    val touched =
+      if (layoutChanged) manTo
+      else manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
+    val before =
+      if (layoutChanged) manFrom
+      else manFrom.filter { case (b, _) => touched.contains(b) }
     def resolve(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
         .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
@@ -1434,7 +1603,7 @@ object KeyedUpsertSink {
     // of the before-image semi-joined to the appended keys — every
     // shuffle is batch-scale, where the full diff below pays two
     // table-scale window+except shuffles over the touched buckets.
-    val appendOnly = touched.forall { case (b, vTo) =>
+    val appendOnly = !layoutChanged && touched.forall { case (b, vTo) =>
       chainOf(vTo).startsWith(manFrom.get(b).map(chainOf).getOrElse(Seq.empty))
     }
     if (appendOnly && touched.nonEmpty) {
@@ -1496,6 +1665,19 @@ object KeyedUpsertSink {
     if (version == 0L) legacyManifest(tablePath)
     else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
       case Some((_, p)) => parseManifest(p)
+      case None => throw new NoSuchElementException(
+        s"$tablePath: no readable manifest v$version — pruned past the " +
+          s"vacuum keep window or never committed (have: " +
+          s"${tableVersions(tablePath).mkString(",")})")
+    }
+
+  /** Manifest metadata as of commit `version` (empty for v0 and for
+    * pre-meta manifests). Same loud-on-pruned contract as [[manifestAt]].
+    */
+  private def metaAt(tablePath: String, version: Long): Map[String, String] =
+    if (version == 0L) Map.empty
+    else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
+      case Some((_, p)) => parseMeta(p)
       case None => throw new NoSuchElementException(
         s"$tablePath: no readable manifest v$version — pruned past the " +
           s"vacuum keep window or never committed (have: " +
