@@ -58,9 +58,12 @@ object Bench {
     "events_interval_join",
     // round 9: paragraph boilerplate removal, per-domain cap, z-order scan
     "text_boilerplate", "sample_domain_cap", "layout_zorder_scan",
-    // round 15: incrementally-maintained materialized aggregate view
-    // (bootstrap + two weighted-change-feed refreshes over the delta sink)
-    "etl_view_incremental")
+    // round 16: the view tier's headline is the STEADY-STATE maintenance
+    // pass (one O(batch) delta commit + one refresh over a memoized
+    // fixture) — etl_view_incremental's wall was ~70% fixture commit I/O
+    // (three whole-table waves + bootstrap), masking refresh regressions;
+    // it remains a Verify correctness query
+    "etl_view_refresh")
 
   /** Compact-key scheme for the driver artifact line.
     *
@@ -90,7 +93,8 @@ object Bench {
     *   approx_→apx_  _quantiles→_qnt  _transform→_xfm  _matchers→_mch
     *   _jaccard→_jac  _length_filter→_lenf  _clean_corpus→_clean
     *   json_extract→jsonx  _optimistic→_opt  _allpairs→_ap
-    *   _view_incremental→_mview  _ann→(dropped — "silsh" means
+    *   _view_incremental→_mview  _view_refresh→_mviewr
+    *   _ann→(dropped — "silsh" means
     *   "sim_lsh_ann")  _bucketed→_bkt  _clusters→_cls  _strip→_st
     *   boilerplate→bplate  _audit_tally→_tally  _tumbling→_tumb
     */
@@ -116,7 +120,7 @@ object Bench {
     "_optimistic" -> "_opt", "_allpairs" -> "_ap", "boilerplate" -> "bplate",
     "_changes" -> "_chg", "_lookup" -> "_lkp", "_delta" -> "_dlt",
     "_audit_tally" -> "_tally", "_tumbling" -> "_tumb",
-    "_view_incremental" -> "_mview",
+    "_view_incremental" -> "_mview", "_view_refresh" -> "_mviewr",
     // round 15: one consolidated shortening batch (the 102nd query pushed
     // the worst-case artifact line past the 1900-char budget): the _ann
     // suffix is redundant inside the si* family, and three singleton

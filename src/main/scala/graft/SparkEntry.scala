@@ -64,6 +64,13 @@ object SparkEntry {
     * createTempDirectory per call leaked one full parquet table into
     * /tmp per bench rep, forever.
     */
+  /** etl_view_refresh's memoized fixture per sf dir: (base table path,
+    * view path, next batch id). Built once per JVM so the benched wall
+    * is the steady-state maintenance pass, not fixture commit I/O.
+    */
+  private val viewBenchFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, java.util.concurrent.atomic.AtomicLong)]()
+
   private def scratchTable(tag: String, sfDir: String): String = {
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"$tag-${java.nio.file.Paths.get(sfDir).getFileName}")
@@ -237,6 +244,60 @@ object SparkEntry {
       MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
         aggs, ext, nd)
       sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
+        aggs, ext, nd)
+      MaterializedAggView.read(s, viewPath)
+    }),
+
+    // STEADY-STATE view maintenance (the bench headline for the view
+    // tier): etl_view_incremental above times three whole-table commit
+    // waves plus bootstrap plus refreshes in one wall — ~70% fixture
+    // parquet I/O at sf0.1 (r15 finding), masking the refresh path.
+    // Here the fixture (three waves + bootstrap + catch-up refresh) is
+    // built ONCE per JVM per sf dir; every invocation then pays exactly
+    // one O(batch) delta commit + one refresh — the per-trigger
+    // maintenance cost a 100 TB deployment actually repeats, so this
+    // wall moves when the REFRESH logic changes, not when commit I/O
+    // does. The committed wave is a REDELIVERY (a read-level LWW
+    // no-op), so the view's content is invocation-count-independent and
+    // the same recompute oracle pins it hash-exactly.
+    "etl_view_refresh" -> ((s, dir) => {
+      import graft.sink.MaterializedAggView
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val dims = Seq("last_event_type")
+      val aggs = Seq(
+        MaterializedAggView.AggCol("n_users", lit(1L)),
+        MaterializedAggView.AggCol("sum_ts_day",
+          col("last_ts_ms") % 86400000L))
+      val ext = Seq(
+        MaterializedAggView.ExtremumCol("min_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = true),
+        MaterializedAggView.ExtremumCol("max_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = false))
+      val nd = Seq(MaterializedAggView.DistinctCol("nd_hour",
+        floor(col("last_ts_ms") % 86400000L / 3600000L).cast("long")))
+      val (path, viewPath, ctr) = viewBenchFixtures.computeIfAbsent(dir, _ => {
+        val p = scratchTable("graft-view-rf-base-q", dir)
+        val vp = scratchTable("graft-view-rf-q", dir)
+        val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+          s, p, keys, order, numBuckets = 16, compactAfter = 8) _
+        sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+        MaterializedAggView.bootstrap(s, p, vp, keys, order, dims,
+          aggs, ext, nd)
+        sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+        sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+        MaterializedAggView.refresh(s, p, vp, keys, order, dims,
+          aggs, ext, nd)
+        (p, vp, new java.util.concurrent.atomic.AtomicLong(3L))
+      })
+      graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 8)(
+        ev.filter(col("last_event_id") % 3 === 1), ctr.getAndIncrement())
       MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
         aggs, ext, nd)
       MaterializedAggView.read(s, viewPath)
@@ -1260,6 +1321,22 @@ object SparkEntry {
     // the maintained view must equal the group-by over the FINAL LWW
     // state (HUGEINT sums cast back to the engine's exact long type)
     "etl_view_incremental" ->
+      """WITH resolved AS (
+        |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type AS last_event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day,
+        |  CAST(min(last_ts_ms % 86400000) AS BIGINT) AS min_ts_day,
+        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
+        |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
+        |FROM resolved GROUP BY 1""".stripMargin,
+
+    // the steady-state pass redelivers an already-committed wave (LWW
+    // no-op), so the maintained view still equals the same recompute
+    "etl_view_refresh" ->
       """WITH resolved AS (
         |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
         |  FROM events

@@ -1398,17 +1398,28 @@ object KeyedUpsertSink {
     }
   }
 
+  /** Hard bound on [[lookupBucketed]]'s request set: the keys are
+    * collected to the driver for bucket pruning, so the API is a POINT
+    * lookup by contract. 100k keys × a few hundred bytes ≈ tens of MB —
+    * comfortable on any driver; beyond it the caller wants a
+    * distributed join, not pruning.
+    */
+  val MaxLookupKeys: Int = 100000
+
   /** Bucket-pruned point lookup: resolve ONLY the buckets the requested
     * keys hash to — at 100 TB a point read must touch O(requested keys)
     * bucket directories, never scan the table. `keyDf` carries exactly
     * the key columns (one row per requested key tuple); the bucket count
-    * comes from the `_layout` sidecar, so the reader cannot hash with a
-    * different function than the writer did. Works on chained
-    * (merge-on-read) and plain manifest tables alike; `atVersion` makes
-    * it a historical point read.
+    * comes from the table's layout record (manifest metadata after a
+    * [[rebucketTable]], else the `_layout` sidecar), so the reader
+    * cannot hash with a different function than the writer did. Works
+    * on chained (merge-on-read) and plain manifest tables alike;
+    * `atVersion` makes it a historical point read.
     *
     * Driver-side metadata: one collect of the requested keys' distinct
-    * buckets — bounded by the lookup set the caller already holds.
+    * buckets — bounded by [[MaxLookupKeys]] with a loud refusal above
+    * it (a bulk subset read belongs on readBucketedDelta + a
+    * distributed join, where pruning would not help anyway).
     */
   def lookupBucketed(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], keyDf: DataFrame,
@@ -1427,14 +1438,26 @@ object KeyedUpsertSink {
     require(keys.forall(k => keyDf.columns.exists(resolver(_, k))),
       s"keyDf must carry the key column(s) ${keys.mkString(", ")} " +
         s"(has: ${keyDf.columns.mkString(", ")})")
-    // materialize the request set ONCE (bounded: it is the caller's
-    // lookup set) — deriving `buckets` from one execution and the
-    // semi-join from a re-execution would let a non-deterministic keyDf
-    // (sample, unordered limit) hash a key into a bucket the pruning
-    // already dropped: a silently incomplete result
+    // materialize the request set ONCE — deriving `buckets` from one
+    // execution and the semi-join from a re-execution would let a
+    // non-deterministic keyDf (sample, unordered limit) hash a key into
+    // a bucket the pruning already dropped: a silently incomplete
+    // result. The collect is bounded by CONTRACT, and the contract is
+    // enforced: this is a POINT-lookup API (the request set lives on
+    // the driver), and a caller treating it as a bulk subset read would
+    // otherwise discover the driver-memory wall as an opaque OOM. Above
+    // the bound, read the table through readBucketedDelta and join the
+    // request set distributed — at millions of keys most buckets are
+    // touched anyway, so bucket pruning has nothing left to save.
     val keyed = keyDf.select(keys.map(col): _*).distinct()
       .withColumn("__bucket", bucketOf(keys, nb))
-    val keyRows = keyed.collect().toIndexedSeq
+    val keyRows = keyed.limit(MaxLookupKeys + 1).collect().toIndexedSeq
+    require(keyRows.size <= MaxLookupKeys,
+      s"lookupBucketed request set exceeds $MaxLookupKeys distinct keys — " +
+        "this is a point-lookup API whose request set is collected to " +
+        "the driver for bucket pruning; for bulk subset reads join the " +
+        "key set against readBucketedDelta (distributed, no pruning " +
+        "needed at that selectivity)")
     val buckets = keyRows.map(r => r.getLong(r.length - 1)).toSet // last field = __bucket
     val requestDf = spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters

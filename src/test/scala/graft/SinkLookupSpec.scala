@@ -224,4 +224,23 @@ class SinkLookupSpec extends SparkSpec {
       .as[(String, Long, Long, Option[String])].collect().toSet
     assert(feed == Set(("b", 2L, 20L, Some("x"))))
   }
+
+  test("an oversized request set is refused with the point-lookup contract, never an opaque driver OOM") {
+    val path = newTable("graft-lookup-bound")
+    delta(path)(batchDf(("a", 1L, 10L)), 0L)
+    val oversized = spark.range(0, KeyedUpsertSink.MaxLookupKeys + 1)
+      .select(col("id").cast("string").as("k"))
+    val err = intercept[IllegalArgumentException] {
+      KeyedUpsertSink.lookupBucketed(spark, path, keys, order, oversized)
+    }
+    assert(err.getMessage.contains("point-lookup API"),
+      s"documented contract refusal, got: ${err.getMessage}")
+    // exactly AT the bound still serves (and stays a correct lookup)
+    val atBound = spark.range(0, KeyedUpsertSink.MaxLookupKeys - 1)
+      .select(concat(lit("miss-"), col("id")).as("k"))
+      .unionByName(keyDf("a"))
+    val got = KeyedUpsertSink.lookupBucketed(spark, path, keys, order, atBound)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 10L)))
+  }
 }
