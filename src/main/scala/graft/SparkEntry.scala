@@ -303,6 +303,57 @@ object SparkEntry {
       MaterializedAggView.read(s, viewPath)
     }),
 
+    // Maintained SECOND MOMENTS: the view stores exact long sums of x
+    // and x² (the q_stats hi/lo split keeps the x² totals inside a LONG
+    // at any plausible scale: x = time-of-day ms ≤ 8.64e7, x² ≤ 7.5e15
+    // < 2^53, hi ≤ 7.5e7·n, lo ≤ 1e8·n) folded incrementally from the
+    // weighted feed — integer adds commute with retraction, so the
+    // maintained moments are bit-exact — and stddev derives ON READ
+    // from the exact moments with q_stats' one-double-cast discipline.
+    // The oracle recomputes stddev from scratch over the final LWW: the
+    // hash match proves a maintained stats surface equals the batch one.
+    "etl_view_stats" -> ((s, dir) => {
+      import graft.sink.MaterializedAggView
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-view-stats-base-q", dir)
+      val viewPath = scratchTable("graft-view-stats-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val dims = Seq("last_event_type")
+      val split = 100000000L
+      val x = col("last_ts_ms") % 86400000L
+      val xx = x * x
+      val aggs = Seq(
+        MaterializedAggView.AggCol("n_users", lit(1L)),
+        MaterializedAggView.AggCol("sum_x", x),
+        // `/` on longs is double division; exact here since xx < 2^53
+        MaterializedAggView.AggCol("xx_hi", (xx / split).cast("long")),
+        MaterializedAggView.AggCol("xx_lo", xx % split))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims, aggs)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      MaterializedAggView.refresh(s, path, viewPath, keys, order, dims, aggs)
+      val v = MaterializedAggView.read(s, viewPath)
+      val n = col("n_users")
+      val dx = col("sum_x").cast("double")
+      val dxx = (col("xx_hi").cast("decimal(38,0)") * lit(split) + col("xx_lo"))
+        .cast("double")
+      // clamp at 0: rounding in dxx - dx²/n can land ~-1e-10 on a
+      // constant-valued group; sqrt would yield NaN and the ANSI
+      // decimal cast would throw (exact variance there is 0)
+      val varX = greatest(dxx - pow(dx, lit(2)) / n, lit(0.0))
+      v.select(col("last_event_type"), n,
+        when(n > 1, sqrt(varX / (n - 1)))
+          .cast("decimal(18,6)").cast("double").as("stddev_ts_day"))
+    }),
+
     // Bucket-pruned point lookup: resolve ONLY the buckets the requested
     // keys hash to (the _layout sidecar supplies the writer's bucket
     // count) — the O(requested keys) read path a 100 TB keyed table
@@ -1333,6 +1384,30 @@ object SparkEntry {
         |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
         |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
         |FROM resolved GROUP BY 1""".stripMargin,
+
+    // maintained exact moments → stddev on read must equal the
+    // from-scratch recompute (q_stats' exact-integer → one-double-cast
+    // discipline on both engines)
+    "etl_view_stats" ->
+      """WITH resolved AS (
+        |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |), f AS (
+        |  SELECT event_type, last_ts_ms % 86400000 AS x FROM resolved
+        |), s AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx
+        |  FROM f GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx
+        |  FROM s)
+        |SELECT event_type AS last_event_type, CAST(n AS BIGINT) AS n_users,
+        |  CAST(CAST(CAST(CASE WHEN n > 1 THEN
+        |    sqrt(greatest(dxx - pow(dx, 2) / n, 0) / (n - 1))
+        |  END AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS stddev_ts_day
+        |FROM d""".stripMargin,
 
     // the steady-state pass redelivers an already-committed wave (LWW
     // no-op), so the maintained view still equals the same recompute
