@@ -281,11 +281,17 @@ object SparkEntry {
           col("last_ts_ms") % 86400000L, isMin = false))
       val nd = Seq(MaterializedAggView.DistinctCol("nd_hour",
         floor(col("last_ts_ms") % 86400000L / 3600000L).cast("long")))
+      // compactAfter=0 BY DESIGN: an auto-compaction landing inside a
+      // later rep would put a whole-chain fold plus the feed's full-diff
+      // fallback into that rep's wall — exactly the commit-I/O noise
+      // this query exists to exclude. Chains grow by one generation per
+      // invocation (a few reps per JVM; the min-of-reps picks the
+      // shortest-chain rep, so the reported wall is stable).
       val (path, viewPath, ctr) = viewBenchFixtures.computeIfAbsent(dir, _ => {
         val p = scratchTable("graft-view-rf-base-q", dir)
         val vp = scratchTable("graft-view-rf-q", dir)
         val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
-          s, p, keys, order, numBuckets = 16, compactAfter = 8) _
+          s, p, keys, order, numBuckets = 16, compactAfter = 0) _
         sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
         MaterializedAggView.bootstrap(s, p, vp, keys, order, dims,
           aggs, ext, nd)
@@ -296,7 +302,7 @@ object SparkEntry {
         (p, vp, new java.util.concurrent.atomic.AtomicLong(3L))
       })
       graft.sink.KeyedUpsertSink.upsertBucketedDelta(
-        s, path, keys, order, numBuckets = 16, compactAfter = 8)(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0)(
         ev.filter(col("last_event_id") % 3 === 1), ctr.getAndIncrement())
       MaterializedAggView.refresh(s, path, viewPath, keys, order, dims,
         aggs, ext, nd)

@@ -137,7 +137,12 @@ object MaterializedAggView {
   private def markerPath(viewPath: String, v: Long): Path =
     Paths.get(viewPath, f"_head.v$v%020d")
 
-  /** Committed markers as (version, directory name), sorted by version. */
+  /** Committed markers as (version, directory name), sorted by version.
+    * A marker the maintainer's keep-window prune unlinks between this
+    * listing and its read is skipped, not fatal — concurrent readers
+    * are exactly what the grace design supports, and a pruned marker
+    * was by construction far below the watermark.
+    */
   private def markers(viewPath: String): Seq[(Long, String)] = {
     val root = Paths.get(viewPath)
     if (!Files.isDirectory(root)) return Seq.empty
@@ -146,8 +151,11 @@ object MaterializedAggView {
     val found = try s.iterator().asScala.toList.flatMap { p =>
       val n = p.getFileName.toString
       if (!n.startsWith("_head.v")) None
-      else n.stripPrefix("_head.v").toLongOption.map(_ -> new String(
-        Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8).trim)
+      else n.stripPrefix("_head.v").toLongOption.flatMap { v =>
+        try Some(v -> new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
     } finally s.close()
     found.sortBy(_._1)
   }
@@ -303,20 +311,31 @@ object MaterializedAggView {
         .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
       Files.deleteIfExists(headFile(viewPath)) // legacy fallback file
     } else {
+      // the loser's just-moved directory is provably unreferenced (its
+      // marker was never written — or, on a put-if-absent loss, the
+      // existing marker names the WINNER's directory), so delete it
+      // HERE: reclaim() only runs on later successful publishes, and an
+      // operator who heeds the error and stops this loop would
+      // otherwise leak a full view copy forever
+      def lose(msg: String): Nothing = {
+        // best-effort: the WINNER's reclaim may have deleted this
+        // unreferenced dir already (it sits at/below the new watermark)
+        try KeyedUpsertSink.deleteRecursively(root.resolve(dirName))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+        throw new java.util.ConcurrentModificationException(msg)
+      }
       val cur = watermark(viewPath)
-      if (cur != expectFrom) throw new java.util.ConcurrentModificationException(
+      if (cur != expectFrom) lose(
         s"$viewPath: watermark is ${cur.fold("absent")(v => s"v$v")} but this " +
           s"maintainer refreshed from ${expectFrom.fold("nothing (bootstrap)")(v => s"v$v")} — " +
           "another maintainer advanced the view concurrently; this pass's " +
-          "staged version is abandoned (never referenced) and will be " +
+          "staged version (never referenced) was reclaimed. The view is " +
+          "single-maintainer: run one refresh loop")
+      if (!KeyedUpsertSink.putIfAbsent(marker, bytes)) lose(
+        s"$viewPath: another maintainer already published watermark " +
+          s"v$head — two refreshers raced the same head; this " +
+          "maintainer's staged version (never referenced) was " +
           "reclaimed. The view is single-maintainer: run one refresh loop")
-      if (!KeyedUpsertSink.putIfAbsent(marker, bytes))
-        throw new java.util.ConcurrentModificationException(
-          s"$viewPath: another maintainer already published watermark " +
-            s"v$head — two refreshers raced the same head; this " +
-            "maintainer's staged version is abandoned (never referenced) " +
-            "and will be reclaimed. The view is single-maintainer: run " +
-            "one refresh loop")
     }
     reclaim(root, viewPath)
   }
@@ -606,8 +625,16 @@ object MaterializedAggView {
     * current watermark. Loud before bootstrap.
     */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
-    val v = watermark(viewPath).getOrElse(throw new IllegalStateException(
-      s"$viewPath: no watermark — the view was never bootstrapped"))
-    spark.read.parquet(viewData(viewDirAt(viewPath, v)).toString).drop(CountCol)
+    // ONE markers() snapshot serves both the watermark and its
+    // directory — separate reads would double the listing I/O and
+    // could straddle a concurrent advance
+    val ms = markers(viewPath)
+    val dir = ms.lastOption.map { case (_, d) => Paths.get(viewPath, d) }
+      .orElse( // pre-CAS legacy view: `_head` file + plain v<H> dir
+        ChangeFeedConsumer.readCheckpoint(headFile(viewPath))
+          .map(v => Paths.get(viewPath, s"v$v")))
+      .getOrElse(throw new IllegalStateException(
+        s"$viewPath: no watermark — the view was never bootstrapped"))
+    spark.read.parquet(viewData(dir).toString).drop(CountCol)
   }
 }

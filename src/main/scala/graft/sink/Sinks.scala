@@ -276,14 +276,6 @@ object KeyedUpsertSink {
     versionedHeadFull(tablePath)._3.get("numBuckets").map(_.toInt)
       .orElse(readLayout(tablePath))
 
-  /** Bucket count in force at a SPECIFIC committed version — historical
-    * reads (time travel, change-feed endpoints) must hash with the
-    * layout of their version, not the head's.
-    */
-  private def numBucketsAt(tablePath: String, version: Long): Option[Int] =
-    metaAt(tablePath, version).get("numBuckets").map(_.toInt)
-      .orElse(readLayout(tablePath))
-
   /** Retry-loop guard for writers: a [[rebucketTable]] that committed
     * since this writer staged means its batch is hashed with a DEAD
     * layout — re-staging would scatter keys across two bucket functions.
@@ -663,12 +655,17 @@ object KeyedUpsertSink {
   }
 
   /** Chain head including its metadata (the legacy v0 state has none —
-    * pre-meta formats resolve layout from the `_layout` sidecar).
+    * pre-meta formats resolve layout from the `_layout` sidecar). ONE
+    * read of the head file feeds both parsers — this sits on every
+    * commit attempt's critical path.
     */
   private[graft] def versionedHeadFull(
       tablePath: String): (Long, Map[Long, String], Map[String, String]) =
     versionFiles(Paths.get(tablePath)).maxByOption(_._1) match {
-      case Some((v, p)) => (v, parseManifest(p), parseMeta(p))
+      case Some((v, p)) =>
+        import scala.jdk.CollectionConverters._
+        val lines = Files.readAllLines(p).asScala.toSeq
+        (v, parseManifestLines(lines), parseMetaLines(lines))
       case None => (0L, legacyManifest(tablePath), Map.empty)
     }
 
@@ -897,6 +894,11 @@ object KeyedUpsertSink {
       if (touched.isEmpty) return None
       ensureLayout(tablePath, numBuckets)
       var (ver, man, meta) = versionedHeadFull(tablePath)
+      // guard the FIRST attempt too: a rebucket can commit between
+      // ensureLayout and this head read, and an unchecked first
+      // put-if-absent would land old-layout buckets in the new layout's
+      // manifest (the retry-path check alone leaves that window open)
+      requireLayoutUnchanged(tablePath, numBuckets, meta)
       var retries = 0
       var restages = 0
       var hookPending = true
@@ -1008,6 +1010,10 @@ object KeyedUpsertSink {
       val (_, written) =
         stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, Map.empty)
       var (ver, man, meta) = versionedHeadFull(tablePath)
+      // first-attempt layout guard — same window as the optimistic path:
+      // a rebucket committing during the stage must fail this batch
+      // loudly, not let its old-layout buckets into the new manifest
+      requireLayoutUnchanged(tablePath, numBuckets, meta)
       var retries = 0
       var hookPending = true
       var attempt = 0
@@ -1249,13 +1255,16 @@ object KeyedUpsertSink {
 
   private def parseManifest(p: Path): Map[Long, String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala
+    parseManifestLines(Files.readAllLines(p).asScala.toSeq)
+  }
+
+  private def parseManifestLines(lines: Seq[String]): Map[Long, String] =
+    lines
       .filter(l => l.nonEmpty && !l.startsWith("#")) // `#` = metadata lines
       .map { line =>
         val Array(b, g) = line.split(",", 2)
         b.toLong -> g
       }.toMap
-  }
 
   /** Manifest metadata lines (`#key=value`). Today the single key is
     * `numBuckets`, written ONLY by [[rebucketTable]]: riding the
@@ -1268,13 +1277,16 @@ object KeyedUpsertSink {
     */
   private def parseMeta(p: Path): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala
+    parseMetaLines(Files.readAllLines(p).asScala.toSeq)
+  }
+
+  private def parseMetaLines(lines: Seq[String]): Map[String, String] =
+    lines
       .filter(l => l.startsWith("#") && l.contains("="))
       .map { l =>
         val Array(k, v) = l.stripPrefix("#").split("=", 2)
         k -> v
       }.toMap
-  }
 
   /** A manifest VALUE is a `;`-joined generation chain, oldest first:
     * merge-on-write commits ([[upsertBucketedAtomic]] /
@@ -1424,16 +1436,24 @@ object KeyedUpsertSink {
   def lookupBucketed(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], keyDf: DataFrame,
       atVersion: Option[Long] = None): DataFrame = {
-    // hash with the layout IN FORCE AT THE READ VERSION: after a
-    // rebucket, a historical lookup must use the old count (its
-    // manifest's buckets are old-layout) and a head lookup the new one
-    val nb = atVersion.fold(effectiveNumBuckets(tablePath))(
-      v => numBucketsAt(tablePath, v))
-      .getOrElse(throw new IllegalStateException(
-        s"$tablePath has no _layout sidecar (recorded at the first commit " +
-          "since round 15) — a point lookup must hash with the writer's " +
-          "bucket count; run one commit to adopt the sidecar, or read via " +
-          "readBucketedDelta"))
+    // hash with the layout IN FORCE AT THE READ VERSION — and resolve
+    // layout and manifest from ONE head/version snapshot: reading them
+    // in two separate listings lets a rebucket commit in between, and a
+    // lookup hashing with the old count against the new layout's
+    // manifest prunes to the WRONG buckets (silently incomplete result)
+    val (fullManifest, nbOpt) = atVersion match {
+      case Some(v) => (manifestAt(tablePath, v),
+        metaAt(tablePath, v).get("numBuckets").map(_.toInt)
+          .orElse(readLayout(tablePath)))
+      case None =>
+        val (_, man, meta) = versionedHeadFull(tablePath)
+        (man, meta.get("numBuckets").map(_.toInt).orElse(readLayout(tablePath)))
+    }
+    val nb = nbOpt.getOrElse(throw new IllegalStateException(
+      s"$tablePath has no _layout sidecar (recorded at the first commit " +
+        "since round 15) — a point lookup must hash with the writer's " +
+        "bucket count; run one commit to adopt the sidecar, or read via " +
+        "readBucketedDelta"))
     val resolver = keyDf.sparkSession.sessionState.conf.resolver
     require(keys.forall(k => keyDf.columns.exists(resolver(_, k))),
       s"keyDf must carry the key column(s) ${keys.mkString(", ")} " +
@@ -1463,10 +1483,6 @@ object KeyedUpsertSink {
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(keyRows).asJava), keyed.schema)
       .drop("__bucket")
-    val fullManifest = atVersion match {
-      case Some(v) => manifestAt(tablePath, v)
-      case None => readManifest(tablePath)
-    }
     val manifest = fullManifest.filter { case (b, _) => buckets.contains(b) }
     def resolved(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.execution.streaming.{Source, Offset => OffsetV1}
@@ -77,10 +79,10 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new ChangeFeedSource(sqlContext, parameters)
+    new ChangeFeedSource(sqlContext, parameters, metadataPath)
 }
 
-private[sources] object ChangeFeedSource {
+private[graft] object ChangeFeedSource {
   val WeightCol = "__weight"
 
   def required(parameters: Map[String, String], key: String): String =
@@ -110,8 +112,9 @@ private[sources] object ChangeFeedSource {
   }
 }
 
-private[sources] class ChangeFeedSource(
-    sqlContext: SQLContext, parameters: Map[String, String])
+private[graft] class ChangeFeedSource(
+    sqlContext: SQLContext, parameters: Map[String, String],
+    metadataPath: String)
     extends Source
     with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow {
@@ -129,12 +132,53 @@ private[sources] class ChangeFeedSource(
 
   override val schema: StructType = feedSchema(sqlContext, parameters)
 
-  /** The stream's floor: changes strictly after this version flow. */
-  private val startVersion: Long =
-    parameters.get("startingVersion") match {
-      case Some(v) => v.toLong
-      case None => KeyedUpsertSink.tableVersions(tablePath).max
+  /** The stream's floor: changes strictly after this version flow.
+    *
+    * PERSISTED under the query's `metadataPath` on first resolution
+    * (put-if-absent, the Kafka-source `initialPartitionOffsets`
+    * discipline): the engine re-runs an UNCOMMITTED batch 0 after a
+    * crash as `getBatch(None, end)`, and a freshly-constructed source
+    * whose defaulted floor re-resolved to the NEW head would serve
+    * that replay an empty range — rows between the original floor and
+    * `end` would be silently lost exactly when the sink never got
+    * them. With the floor persisted, every restart of this query
+    * recovers the same one.
+    */
+  private val startVersion: Long = {
+    // metadataPath arrives as a URI string (`file:/...`) from the
+    // checkpoint manager — Paths.get would treat it as RELATIVE and
+    // scatter `file:` directories under the CWD
+    val metaDir = if (metadataPath.contains(":"))
+      Paths.get(new java.net.URI(metadataPath).getPath)
+    else Paths.get(metadataPath)
+    val persisted = metaDir.resolve("graft-changes-start")
+    if (Files.exists(persisted))
+      new String(Files.readAllBytes(persisted),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else {
+      val floor = parameters.get("startingVersion") match {
+        case Some(v) =>
+          val n = v.toLong
+          val head = KeyedUpsertSink.tableVersions(tablePath).max
+          // fail at stream START with the real problem — a floor above
+          // the head would otherwise surface later as a confusing
+          // reversed-range error on the first batch
+          require(n >= 0 && n <= head,
+            s"startingVersion=$n is outside $tablePath's committed range " +
+              s"[0, $head] — the floor must be an existing version (0 = " +
+              "full-history bootstrap)")
+          n
+        case None => KeyedUpsertSink.tableVersions(tablePath).max
+      }
+      Files.createDirectories(persisted.getParent)
+      // lost race (a concurrent restart of the same query) → read the
+      // winner's floor; both resolved it from the same parameters
+      KeyedUpsertSink.putIfAbsent(persisted,
+        s"$floor\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(Files.readAllBytes(persisted),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     }
+  }
 
   /** AvailableNow's drain target: the head frozen at prepare time, so
     * the query terminates even while new commits keep landing.

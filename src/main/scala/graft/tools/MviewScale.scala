@@ -54,13 +54,27 @@ class IoListener extends SparkListener {
   * (an `IoListener` snapshot around each phase), dirty-extremum
   * fallback count, and a final maintained-== -rebuilt equality gate.
   *
-  * Usage: runMain graft.tools.MviewScale <sfDir> [nBatches] [batchRows]
+  * `scale` replicates the sf dir's events with disjoint event_ids
+  * (cached to parquet once, the ScaleProbe100 growth-model pattern), so
+  * sf0.1 at scales 1/10/100 spans two decades of base size (100k → 10M
+  * rows) while the trickle stays `batchRows` — the axis on which
+  * "refresh shuffle bytes stay batch-scale" is a measurable exponent.
+  *
+  * `compactAfter` (0 = never) separates the two refresh regimes: with
+  * in-run compaction the totals include one compaction-triggered
+  * full-diff refresh (the documented fallback — ITS bytes grow with
+  * the touched buckets), while 0 isolates the pure append fast path,
+  * whose per-refresh shuffle must stay batch-scale at every base size.
+  *
+  * Usage: runMain graft.tools.MviewScale <sfDir> [nBatches] [batchRows] [scale] [compactAfter]
   */
 object MviewScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nBatches = if (args.length > 1) args(1).toInt else 8
     val batchRows = if (args.length > 2) args(2).toInt else 500
+    val scale = if (args.length > 3) args(3).toInt else 1
+    val compactAfter = if (args.length > 4) args(4).toInt else 8
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("mview-scale")
@@ -75,9 +89,19 @@ object MviewScale {
     val numBuckets = 16
     // key on event_id (the big-table premise: one row per event); the
     // view groups by event_type over a bounded time-of-day value
-    val ev = T.events(spark, sfDir).select(col("event_id"),
+    val evBase = T.events(spark, sfDir).select(col("event_id"),
       col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = (if (scale <= 1) evBase
+      else ProbeCorpus.cached(spark,
+        s"/tmp/graft-mview-ev-${scale}x-${java.nio.file.Paths.get(sfDir).getFileName}") {
+        // disjoint keys per copy; values phase-shifted so replicas are
+        // not pure duplicates (distinct counts and extrema must move)
+        (0 until scale).map(i => evBase.select(
+          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("event_type"),
+          pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
+          col("ts_us"))).reduce(_ unionByName _)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = ev.count()
     val keys = Seq("event_id")
     val order = Seq(col("ts_us"))
@@ -94,7 +118,7 @@ object MviewScale {
       val view = root.resolve("view").toString
       val scratch = root.resolve("recompute").toString
       val sink = KeyedUpsertSink.upsertBucketedDelta(
-        spark, base, keys, order, numBuckets, compactAfter = 8) _
+        spark, base, keys, order, numBuckets, compactAfter = compactAfter) _
       sink(ev, 0L)
       MaterializedAggView.bootstrap(
         spark, base, view, keys, order, dims, aggs, ext, nd)
@@ -147,7 +171,7 @@ object MviewScale {
 
     val spread = run("spread")
     val local = run("local")
-    println(s"""{"probe":"mview_scale","sf":"$sfDir","base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,$spread,$local}""")
+    println(s"""{"probe":"mview_scale","sf":"$sfDir","scale":$scale,"base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,"compact_after":$compactAfter,$spread,$local}""")
     spark.stop()
   }
 }

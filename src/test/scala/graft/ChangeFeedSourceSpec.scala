@@ -126,6 +126,88 @@ class ChangeFeedSourceSpec extends SparkSpec {
       "maxVersionsPerTrigger=1 must drain 3 versions as 3 batches")
   }
 
+  test("a replica table maintained by streaming the source into an LWW sink equals the upstream") {
+    val root = Files.createTempDirectory("graft-cfs-mirror")
+    val up = root.resolve("up").toString
+    val down = root.resolve("down").toString
+    val ckpt = root.resolve("ckpt").toString
+    val sinkUp = sink(up)
+    sinkUp(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+    def tableOf(p: String): Set[(String, Long, Long)] =
+      KeyedUpsertSink.readBucketedDelta(spark, p, keys, order)
+        .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    // the full mirroring loop over the engine's own connector: stream
+    // the CDC from table `up` (full-history bootstrap) into a second
+    // LWW table — after each drain the replica equals the upstream,
+    // and the checkpoint carries the stream across restarts
+    var downBatch = 0L
+    def mirror(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("keys", "k").option("orderBy", "ts")
+        .option("startingVersion", "0")
+        .load(up)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          KeyedUpsertSink.upsertBucketedDelta(
+            spark, down, keys, order, numBuckets = 4, compactAfter = 0)(
+            df, { downBatch += 1; downBatch })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mirror()
+    assert(tableOf(down) == tableOf(up))
+    // more upstream commits — update, insert, redelivery — then re-drain
+    sinkUp(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L)
+    sinkUp(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 2L) // redelivery
+    sinkUp(batchDf(("d", 1L, 30L)), 3L)
+    mirror()
+    assert(tableOf(down) == tableOf(up),
+      "replica diverged from upstream after streamed maintenance")
+  }
+
+  test("an uncommitted batch 0 replays with the ORIGINAL floor after a crash (persisted under metadataPath)") {
+    val root = Files.createTempDirectory("graft-cfs-recover")
+    val table = root.resolve("t").toString
+    val meta = root.resolve("meta").toString
+    val up = sink(table)
+    up(batchDf(("a", 1L, 10L)), 0L) // v1 — the head when the stream starts
+    val params = Map("path" -> table, "keys" -> "k", "orderBy" -> "ts")
+    // "stream start": the source resolves its default floor (head v1)
+    // and must PERSIST it under the query's metadataPath
+    val src1 = new graft.sources.ChangeFeedSource(
+      spark.sqlContext, params, meta)
+    assert(Files.exists(java.nio.file.Paths.get(meta, "graft-changes-start")))
+    // the engine plans batch 0 to the then-head... more commits land,
+    // and the sink CRASHES before committing batch 0
+    up(batchDf(("b", 1L, 20L)), 1L) // v2
+    up(batchDf(("c", 1L, 30L)), 2L) // v3
+    val end = new org.apache.spark.sql.execution.streaming.runtime.LongOffset(3L)
+    // restart: a FRESH source for the same query (same metadataPath);
+    // without persistence its defaulted floor would re-resolve to the
+    // NEW head (v3) and the engine's replay getBatch(None, 3) would
+    // return an empty frame — rows (1,3] silently lost
+    val src2 = new graft.sources.ChangeFeedSource(
+      spark.sqlContext, params, meta)
+    // getBatch returns a streaming-tagged frame (the engine splices it
+    // into a streaming plan; batch analysis refuses it) — lift the
+    // already-planned RDD off the LogicalRDD leaf and re-wrap as batch
+    val streamed = src2.getBatch(None, end)
+    val rdd = streamed.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case other => fail(s"expected a LogicalRDD leaf, got ${other.getClass}")
+    }
+    val replay = org.apache.spark.sql.graft.Bridge.leafDataFrame(
+      spark, rdd, streamed.schema)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(replay == Set(("b", 1L, 20L), ("c", 1L, 30L)),
+      "the replayed batch 0 must cover (originalFloor, end], not be empty")
+    src1.stop(); src2.stop()
+  }
+
   test("the weighted feed streams retractions; a pruned offset and a missing table fail loudly") {
     val root = Files.createTempDirectory("graft-cfs-guards")
     val table = root.resolve("t").toString

@@ -170,13 +170,6 @@ class MaterializedViewRaceSpec extends SparkSpec {
         ("a", "x", 100L + i, 20L + i)), i.toLong)
       tryRefresh()
     }
-    // a reader holding the PREVIOUS version before the final wave keeps
-    // reading it (grace), even as maintenance advances past it
-    val reader = MaterializedAggView.read(spark, view)
-    sinkTo(base)(batchDf(("b", "y", 50L, 99L)), 7L)
-    tryRefresh()
-    assert(reader.collect().nonEmpty, "grace version deleted under a reader")
-
     Files.writeString(java.nio.file.Paths.get(done), "done")
     assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
       "child driver did not finish in time")
@@ -190,22 +183,36 @@ class MaterializedViewRaceSpec extends SparkSpec {
         KeyedUpsertSink.tableVersions(base).max && guard < 20) {
       tryRefresh(); guard += 1
     }
+    // a reader holding the PREVIOUS version keeps reading it across ONE
+    // advance (the documented one-version grace). Checked after the
+    // child exits: with a concurrent maintainer a SECOND advance can
+    // legitimately reclaim the grace version, so mid-race this check
+    // would assert more than the contract promises.
+    val reader = MaterializedAggView.read(spark, view)
+    sinkTo(base)(batchDf(("b", "y", 50L, 99L)), 7L)
+    tryRefresh()
+    assert(reader.collect().nonEmpty, "grace version deleted under a reader")
 
-    // the committed ranges of BOTH drivers chain contiguously: CAS
-    // admits no overlap (two commits of one from) and no gap
+    // the invariants publish() actually guarantees (its scaladoc admits
+    // ONE benign interleaving: two maintainers reading the same
+    // expectFrom but targeting DIFFERENT heads can both commit, so
+    // from-versions may duplicate — but every TO (a marker version) is
+    // put-if-absent-unique, the watermark is the max marker and never
+    // regresses, and every from is a previously-committed watermark)
     val childRanges = raw"MVRACER ok from=(\d+) to=(\d+)".r
       .findAllMatchIn(log).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
-    val all = (ownRanges ++ childRanges).sortBy(_._1)
+    val all = (ownRanges ++ childRanges).sortBy(_._2)
     assert(all.nonEmpty)
-    assert(all.map(_._1).distinct.size == all.size,
-      s"two maintainers committed the same from-version: $all")
-    all.sliding(2).foreach {
-      case Seq((_, t1), (f2, _)) => assert(t1 == f2,
-        s"committed ranges must chain without gap or overlap: $all")
-      case _ => ()
-    }
-    assert(all.head._1 == w0)
-    assert(all.last._2 == KeyedUpsertSink.tableVersions(base).max)
+    val tos = all.map(_._2)
+    assert(tos.distinct.size == tos.size,
+      s"a watermark version was committed twice — putIfAbsent broken: $all")
+    assert(all.forall { case (f, t) => f < t }, s"regressing range: $all")
+    val legalFroms = tos.toSet + w0
+    assert(all.forall { case (f, _) => legalFroms.contains(f) },
+      s"a refresh started from a never-committed watermark: $all")
+    assert(MaterializedAggView.watermark(view).contains(tos.max),
+      "watermark must be the max committed marker")
+    assert(tos.max == KeyedUpsertSink.tableVersions(base).max)
     // and the maintained content equals the from-scratch recompute
     assert(viewRows(view) == recomputed(base))
   }
