@@ -109,6 +109,23 @@ object MaterializedAggView {
     */
   private[graft] var onExtremaRecompute: Long => Unit = _ => ()
 
+  /** Routing bound for the dirty-extremum recompute: at or below this
+    * many estimated dirty live keys the key-bounded
+    * [[KeyedUpsertSink.readBucketedDeltaMatching]] read wins (its
+    * candidate-key set broadcasts, so only the dirty keys' rows ever
+    * shuffle); above it the single full-table LWW window is the
+    * predictable cost. 500k keys sits well under Spark's default
+    * broadcast threshold for numeric keys and within ~2× of it for
+    * wide string keys — a mis-route costs at most ~1.3× the plain
+    * window (measured), never a cliff.
+    */
+  private[graft] val DirtyKeysBoundedReadMax: Long = 500000L
+
+  /** Test/telemetry seam: (estimated dirty live keys, chosen path —
+    * "bounded" | "full") for each dirty-extremum recompute.
+    */
+  private[graft] var onDirtyRoute: (Long, String) => Unit = (_, _) => ()
+
   private val WeightCol = "__weight"
 
   /** Hidden per-group live-row count; a group leaves the view when its
@@ -568,14 +585,47 @@ object MaterializedAggView {
       if (nDirty == 0) candidate
       else {
         onExtremaRecompute(nDirty)
-        // no broadcast hint: the dirty set is usually tiny (AQE will
-        // broadcast it), but a bulk rewrite can dirty millions of
-        // groups — let the planner fall back to a shuffle join rather
-        // than force a driver OOM
+        // ADAPTIVE base read (round 16, probe-driven). Two ways to
+        // re-derive the dirty groups' extrema from a chained base:
+        //  - readBucketedDelta + post-resolve dim filter: ONE LWW
+        //    window over the WHOLE table (measured ~220 MB shuffled at
+        //    the ×100 probe) — cost independent of the dirty share;
+        //  - readBucketedDeltaMatching: candidate keys derived
+        //    map-side, window only over their rows — near-free when
+        //    the dirty groups are small, but when the candidate key
+        //    set is too big to broadcast the key semi-join SMJ-shuffles
+        //    the table ON TOP of the window (measured 296 vs 224 MB at
+        //    a 20%-of-rows dirty share).
+        // Route on the view's own maintained live-key counts (CountCol
+        // at the pre-refresh watermark — a heuristic, not a contract):
+        // small dirty key sets take the key-bounded read, big ones the
+        // single predictable full window.
+        val dirtyKeyEst = joinOnDims(
+          old.select((dims :+ CountCol).map(col): _*), dirtyDims, dims,
+          "left_semi").agg(coalesce(sum(CountCol), lit(0L))).head().getLong(0)
+        val bounded = dirtyKeyEst <= DirtyKeysBoundedReadMax
+        onDirtyRoute(dirtyKeyEst, if (bounded) "bounded" else "full")
+        val baseImage =
+          if (bounded)
+            // broadcastKeys: the route itself is the evidence the key
+            // set is small (est ≤ DirtyKeysBoundedReadMax) — without
+            // the hint, AQE's estimate of the distinct's output tips
+            // to sort-merge near ~400k keys and shuffles the table
+            KeyedUpsertSink.readBucketedDeltaMatching(
+              spark, basePath, keys, order, dirtyDims, dims,
+              atVersion = Some(head), broadcastKeys = true)
+          else KeyedUpsertSink.readBucketedDelta(
+            spark, basePath, keys, order, atVersion = Some(head))
+        // the key-bounded image is a SUPERSET (a key whose OLD version
+        // had a dirty dim resolves to a possibly-clean dim), and the
+        // full image is the whole table — either way the resolved rows
+        // are pruned to the dirty dims here. No broadcast hint on
+        // purpose: the dirty set is usually tiny (AQE broadcasts it),
+        // but a bulk rewrite can dirty millions of groups — let the
+        // planner fall back to a shuffle join rather than force a
+        // driver OOM.
         val rec = extFold(
-          joinOnDims(KeyedUpsertSink.readBucketedDelta(
-            spark, basePath, keys, order, atVersion = Some(head)),
-            dirtyDims, dims, "left_semi"),
+          joinOnDims(baseImage, dirtyDims, dims, "left_semi"),
           dims, extrema, _.expr, prefix = "__rec_")
           // "__rec" can't collide: user names never start with __, and
           // every internal extremum column is "__rec_"/"__r_" + a

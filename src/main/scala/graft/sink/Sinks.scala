@@ -1410,6 +1410,71 @@ object KeyedUpsertSink {
     }
   }
 
+  /** NULL-SAFE distributed semi-join of `left` to `right` on `cols`
+    * (right side deduplicated and renamed so the output carries only
+    * left columns). Null key/dim values are legal rows everywhere in
+    * this family — a plain equi-join would silently drop them.
+    */
+  private def semiJoinNullSafe(left: DataFrame, right: DataFrame,
+      cols: Seq[String], hintBroadcast: Boolean = false): DataFrame = {
+    val r0 = cols.foldLeft(right.select(cols.map(col): _*).distinct())(
+      (df, c) => df.withColumnRenamed(c, "__sj_" + c))
+    // the hint is for callers who KNOW the right side is small (e.g. a
+    // counted key set): AQE's size estimate for a distinct's shuffle
+    // output sits near the 10 MB threshold already at ~400k long keys,
+    // and a mis-planned sort-merge here shuffles the whole LEFT table
+    // (measured: 248 MB vs ~0 at the ×100 probe)
+    val r = if (hintBroadcast) broadcast(r0) else r0
+    val cond = cols.map(c => col(c) <=> col("__sj_" + c)).reduce(_ && _)
+    left.join(r, cond, "left_semi")
+  }
+
+  /** Resolved image (at `atVersion`, default head) of every key that has
+    * ANY version-row whose `matchCols` values null-safe-match a row of
+    * `matchDf` — the KEY-BOUNDED recompute read. On a chained
+    * (merge-on-read) table, [[readBucketedDelta]] + a post-resolve
+    * filter pays the LWW window over the WHOLE table before the filter
+    * can prune (measured: ~220 MB shuffled on a 10M-row base for one
+    * dirty-extremum recompute); this entry point instead derives the
+    * candidate keys map-side (scan + broadcastable semi-join against
+    * `matchDf`), semi-joins the table's rows down to those keys, and
+    * windows only the survivors — the shuffle is bounded by the
+    * matching keys' rows, never the table. Fully distributed: no
+    * driver-side key collection, so `matchDf` may be arbitrarily large
+    * (unlike [[lookupBucketed]]'s point-read contract).
+    *
+    * The result is a SUPERSET image by design: a key whose OLD version
+    * matched but whose resolved row no longer does is still returned
+    * (at its resolved values) — callers re-filter on the resolved rows
+    * (cheap, they are already key-unique).
+    */
+  /** `broadcastKeys = true` force-broadcasts the derived candidate-key
+    * set: pass it ONLY when the caller has evidence the key count is
+    * small (the view routes here on its maintained per-group counts) —
+    * AQE's own estimate of a distinct's output sits near the broadcast
+    * threshold already at ~400k keys, and the sort-merge fallback
+    * shuffles the whole table (measured 248 MB vs ~0 at the ×100
+    * probe). With false, the planner decides (safe at any size).
+    */
+  def readBucketedDeltaMatching(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], matchDf: DataFrame,
+      matchCols: Seq[String], atVersion: Option[Long] = None,
+      broadcastKeys: Boolean = false): DataFrame = {
+    val manifest = atVersion match {
+      case Some(v) => manifestAt(tablePath, v)
+      case None => readManifest(tablePath)
+    }
+    readManifestBuckets(spark, tablePath, manifest) match {
+      case None => spark.emptyDataFrame
+      case Some(all) =>
+        val wantedKeys = semiJoinNullSafe(all, matchDf, matchCols)
+          .select(keys.map(col): _*).distinct()
+        resolveChainRead(
+          semiJoinNullSafe(all, wantedKeys, keys, hintBroadcast = broadcastKeys),
+          manifest, keys, order).drop("__bucket")
+    }
+  }
+
   /** Hard bound on [[lookupBucketed]]'s request set: the keys are
     * collected to the driver for bucket pruning, so the API is a POINT
     * lookup by contract. 100k keys × a few hundred bytes ≈ tens of MB —
@@ -1566,14 +1631,7 @@ object KeyedUpsertSink {
       keys: Seq[String], order: Seq[Column], before: Map[Long, String],
       appended: DataFrame, weighted: Boolean): DataFrame = {
     val oldSemi = readManifestBuckets(spark, tablePath, before)
-      .map { oldRows =>
-        val wanted = appended.select(keys.map(col): _*).distinct()
-        val renamed = keys.foldLeft(wanted)(
-          (df, k) => df.withColumnRenamed(k, "__k_" + k))
-        val cond = keys.map(k => col(k) <=> col("__k_" + k)).reduce(_ && _)
-        // a semi-join's output carries only left-side columns
-        oldRows.join(renamed, cond, "left_semi")
-      }
+      .map(oldRows => semiJoinNullSafe(oldRows, appended, keys))
     def img(df: DataFrame): DataFrame =
       latestByKey(df, keys, order :+ col("__seq"))
         .drop("__seq").drop("__bucket")

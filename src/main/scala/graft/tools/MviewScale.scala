@@ -75,6 +75,11 @@ object MviewScale {
     val batchRows = if (args.length > 2) args(2).toInt else 500
     val scale = if (args.length > 3) args(3).toInt else 1
     val compactAfter = if (args.length > 4) args(4).toInt else 8
+    // "type" (5 giant groups — any dirty group is ~20% of the keys, the
+    // adaptive recompute's full-window regime) or "hour" (24 groups —
+    // one dirty group is ~4% ≈ broadcastable keys, the key-bounded
+    // regime readBucketedDeltaMatching exists for)
+    val dimMode = if (args.length > 5) args(5) else "type"
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("mview-scale")
@@ -102,7 +107,12 @@ object MviewScale {
           pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
           col("ts_us"))).reduce(_ unionByName _)
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = ev.count()
+    val totalPre = ev.count()
+    val evd = (if (dimMode == "hour")
+      ev.withColumn("event_type", concat(lit("h"),
+        floor(col("v") / 3600000L).cast("long")))
+    else ev).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = totalPre
     val keys = Seq("event_id")
     val order = Seq(col("ts_us"))
     val dims = Seq("event_type")
@@ -119,7 +129,7 @@ object MviewScale {
       val scratch = root.resolve("recompute").toString
       val sink = KeyedUpsertSink.upsertBucketedDelta(
         spark, base, keys, order, numBuckets, compactAfter = compactAfter) _
-      sink(ev, 0L)
+      sink(evd, 0L)
       MaterializedAggView.bootstrap(
         spark, base, view, keys, order, dims, aggs, ext, nd)
 
@@ -127,11 +137,11 @@ object MviewScale {
       // extrema, and distincts all actually move
       def trickle(i: Int): DataFrame = {
         val picked =
-          if (mode == "local") ev.filter(
+          if (mode == "local") evd.filter(
             KeyedUpsertSink.bucketOf(keys, numBuckets) === 0L &&
               pmod(col("event_id") + lit(i),
                 lit(math.max(total / (batchRows.toLong * numBuckets), 1L))) === 0)
-          else ev.filter(pmod(col("event_id") + lit(i),
+          else evd.filter(pmod(col("event_id") + lit(i),
             lit(math.max(total / batchRows.toLong, 1L))) === 0)
         picked
           .withColumn("ts_us", col("ts_us") + lit(1000000L * (i + 1)))
@@ -139,7 +149,9 @@ object MviewScale {
       }
 
       var dirtyFired = 0
-      MaterializedAggView.onExtremaRecompute = _ => dirtyFired += 1
+      val routes = scala.collection.mutable.ArrayBuffer.empty[String]
+      MaterializedAggView.onExtremaRecompute = n => { dirtyFired += 1; routes += s"groups=$n" }
+      MaterializedAggView.onDirtyRoute = (est, path) => routes += s"est=$est path=$path"
       var rfWall = 0.0; var rfIn = 0L; var rfSh = 0L
       var rcWall = 0.0; var rcIn = 0L; var rcSh = 0L
       (1 to nBatches).foreach { i =>
@@ -150,6 +162,7 @@ object MviewScale {
           spark, base, view, keys, order, dims, aggs, ext, nd)
         rfWall += (System.nanoTime() - t0) / 1e9
         val (in1, sh1) = io.snapshot(); rfIn += in1; rfSh += sh1
+        System.err.println(f"[mview-scale] $mode refresh $i shuffleMB=${sh1 / 1048576.0}%.1f inputMB=${in1 / 1048576.0}%.1f")
         io.reset()
         val t1 = System.nanoTime()
         MaterializedAggView.bootstrap(spark, base, scratch, keys, order,
@@ -158,6 +171,8 @@ object MviewScale {
         val (in2, sh2) = io.snapshot(); rcIn += in2; rcSh += sh2
       }
       MaterializedAggView.onExtremaRecompute = _ => ()
+      MaterializedAggView.onDirtyRoute = (_, _) => ()
+      System.err.println(s"[mview-scale] $mode dirty routes: ${routes.mkString("; ")}")
 
       // the asymmetry is only worth reporting if the answers agree
       val a = MaterializedAggView.read(spark, view)
@@ -171,7 +186,7 @@ object MviewScale {
 
     val spread = run("spread")
     val local = run("local")
-    println(s"""{"probe":"mview_scale","sf":"$sfDir","scale":$scale,"base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,"compact_after":$compactAfter,$spread,$local}""")
+    println(s"""{"probe":"mview_scale","sf":"$sfDir","scale":$scale,"base_rows":$total,"n_batches":$nBatches,"batch_rows":$batchRows,"compact_after":$compactAfter,"dim_mode":"$dimMode",$spread,$local}""")
     spark.stop()
   }
 }

@@ -225,6 +225,41 @@ class SinkLookupSpec extends SparkSpec {
     assert(feed == Set(("b", 2L, 20L, Some("x"))))
   }
 
+  test("readBucketedDeltaMatching: any-version match, resolved values, null-safe, distributed") {
+    val path = newTable("graft-match-read")
+    // k1's OLD version sits in group "x"; its resolved row moved to "y".
+    // k2 stays in "x". k3 never touches "x". k4 has a NULL group.
+    def rows(t: (String, String, Long, Long)*) = t.toDF("k", "g", "v", "ts")
+    val sink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets = 4, compactAfter = 0) _
+    sink(rows(("k1", "x", 1L, 10L), ("k2", "x", 1L, 10L), ("k3", "z", 1L, 10L)), 0L)
+    sink(rows(("k1", "y", 2L, 20L), ("k4", null, 9L, 20L)), 1L)
+    def matching(ms: (String, Option[String])*): Set[(String, String, Long, Long)] = {
+      val mdf = ms.map { case (_, g) => Tuple1(g.orNull) }.toDF("g")
+      KeyedUpsertSink.readBucketedDeltaMatching(
+        spark, path, keys, order, mdf, Seq("g"))
+        .select("k", "g", "v", "ts")
+        .as[(String, Option[String], Long, Long)].collect()
+        .map { case (k, g, v, ts) => (k, g.orNull, v, ts) }.toSet
+    }
+    // matching "x": k1 qualifies via its SUPERSEDED version but returns
+    // its RESOLVED row (g=y) — the documented superset contract; k2's
+    // resolved row matches directly; k3/k4 are absent
+    assert(matching(("m", Some("x"))) ==
+      Set(("k1", "y", 2L, 20L), ("k2", "x", 1L, 10L)))
+    // a NULL match value finds the null-group key (null-safe joins)
+    assert(matching(("m", None)) == Set(("k4", null, 9L, 20L)))
+    // no match → empty; and the result equals the full resolve filtered
+    // to candidate keys (cross-check against readBucketedDelta)
+    assert(matching(("m", Some("nope"))).isEmpty)
+    val full = KeyedUpsertSink.readBucketedDelta(spark, path, keys, order)
+      .select("k", "g", "v", "ts")
+      .as[(String, Option[String], Long, Long)].collect()
+      .map { case (k, g, v, ts) => (k, g.orNull, v, ts) }.toSet
+    assert(matching(("m", Some("x")), ("m", Some("y")), ("m", Some("z")),
+      ("m", None)) == full)
+  }
+
   test("an oversized request set is refused with the point-lookup contract, never an opaque driver OOM") {
     val path = newTable("graft-lookup-bound")
     delta(path)(batchDf(("a", 1L, 10L)), 0L)
