@@ -62,7 +62,13 @@ object Bench {
     // pass (one O(batch) delta commit + one refresh over a memoized
     // fixture) — etl_view_incremental's wall was ~70% fixture commit I/O
     // (three whole-table waves + bootstrap), masking refresh regressions;
-    // it remains a Verify correctness query
+    // it remains a Verify correctness query. Also Verify-only on
+    // purpose: etl_upsert_rebucket (a rare whole-table maintenance op —
+    // its wall is the same commit-I/O envelope as etl_upsert_delta plus
+    // one rewrite, measuring nothing new per round) and etl_view_stats
+    // (same fixture/commit envelope as etl_view_incremental with two
+    // extra long sums — the moments' cost is not distinguishable from
+    // I/O noise at sf0.1).
     "etl_view_refresh")
 
   /** Compact-key scheme for the driver artifact line.

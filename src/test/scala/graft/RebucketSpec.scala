@@ -114,6 +114,27 @@ class RebucketSpec extends SparkSpec {
     } finally KeyedUpsertSink.onChangesPath = prev
   }
 
+  test("vacuum reclaims the old layout's generations; time-travel grace retains them first") {
+    val root = Files.createTempDirectory("graft-rebkt-vac")
+    val t = root.resolve("t").toString
+    val up = sink(t)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    val preVersion = KeyedUpsertSink.tableVersions(t).max
+    val before = table(t)
+    KeyedUpsertSink.rebucketTable(spark, t, keys, order, newBuckets = 16) // v2
+    // grace 1: the pre-resize manifest's generations stay readable —
+    // time travel across the resize boundary still serves
+    KeyedUpsertSink.vacuumGenerations(t, graceManifests = 1, quiesceMs = 0)
+    assert(table(t, at = Some(preVersion)) == before,
+      "grace must retain the old layout's generations for time travel")
+    // grace 0: only the head manifest's generations survive — the old
+    // layout's directories are reclaimed, the head still reads
+    val reclaimed = KeyedUpsertSink.vacuumGenerations(t, graceManifests = 0,
+      quiesceMs = 0)
+    assert(reclaimed.nonEmpty, "the old layout's generations must be reclaimed")
+    assert(table(t) == before)
+  }
+
   test("a commit landing inside the rebucket's stage-publish window forces a re-stage that keeps it") {
     val root = Files.createTempDirectory("graft-rebkt-race")
     val t = root.resolve("t").toString
