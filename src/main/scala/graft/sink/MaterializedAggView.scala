@@ -607,10 +607,12 @@ object MaterializedAggView {
         onDirtyRoute(dirtyKeyEst, if (bounded) "bounded" else "full")
         val baseImage =
           if (bounded)
-            // broadcastKeys: the route itself is the evidence the key
-            // set is small (est ≤ DirtyKeysBoundedReadMax) — without
-            // the hint, AQE's estimate of the distinct's output tips
-            // to sort-merge near ~400k keys and shuffles the table
+            // broadcastKeys: ASK for the broadcast (without it AQE's
+            // estimate tips to sort-merge near ~400k keys and shuffles
+            // the table); the read SELF-VERIFIES by counting the true
+            // candidate set first — this route's est counts LIVE keys,
+            // but candidates include keys whose superseded versions
+            // matched, which on a churn-heavy chain can be table-scale
             KeyedUpsertSink.readBucketedDeltaMatching(
               spark, basePath, keys, order, dirtyDims, dims,
               atVersion = Some(head), broadcastKeys = true)

@@ -1416,11 +1416,14 @@ object KeyedUpsertSink {
     * this family — a plain equi-join would silently drop them.
     */
   private def semiJoinNullSafe(left: DataFrame, right: DataFrame,
-      cols: Seq[String], hintBroadcast: Boolean = false): DataFrame = {
-    val r0 = cols.foldLeft(right.select(cols.map(col): _*).distinct())(
+      cols: Seq[String], hintBroadcast: Boolean = false,
+      dedupRight: Boolean = true): DataFrame = {
+    val base = if (dedupRight) right.select(cols.map(col): _*).distinct()
+      else right.select(cols.map(col): _*)
+    val r0 = cols.foldLeft(base)(
       (df, c) => df.withColumnRenamed(c, "__sj_" + c))
-    // the hint is for callers who KNOW the right side is small (e.g. a
-    // counted key set): AQE's size estimate for a distinct's shuffle
+    // the hint is for callers who have VERIFIED the right side is small
+    // (a counted key set): AQE's size estimate for a distinct's shuffle
     // output sits near the 10 MB threshold already at ~400k long keys,
     // and a mis-planned sort-merge here shuffles the whole LEFT table
     // (measured: 248 MB vs ~0 at the ×100 probe)
@@ -1428,6 +1431,14 @@ object KeyedUpsertSink {
     val cond = cols.map(c => col(c) <=> col("__sj_" + c)).reduce(_ && _)
     left.join(r, cond, "left_semi")
   }
+
+  /** Hard cap for [[readBucketedDeltaMatching]]'s self-verified
+    * broadcast: 1M keys ≈ single-digit MB serialized for numeric keys,
+    * safely inside executor/driver broadcast budgets even for wide
+    * string keys. Above it the planner decides (worst case ≈ 1.3× the
+    * plain full window — a slope, never a cliff).
+    */
+  private[graft] val MaxBroadcastCandidateKeys: Long = 1000000L
 
   /** Resolved image (at `atVersion`, default head) of every key that has
     * ANY version-row whose `matchCols` values null-safe-match a row of
@@ -1448,13 +1459,19 @@ object KeyedUpsertSink {
     * (at its resolved values) — callers re-filter on the resolved rows
     * (cheap, they are already key-unique).
     */
-  /** `broadcastKeys = true` force-broadcasts the derived candidate-key
-    * set: pass it ONLY when the caller has evidence the key count is
-    * small (the view routes here on its maintained per-group counts) —
-    * AQE's own estimate of a distinct's output sits near the broadcast
-    * threshold already at ~400k keys, and the sort-merge fallback
-    * shuffles the whole table (measured 248 MB vs ~0 at the ×100
-    * probe). With false, the planner decides (safe at any size).
+  /** `broadcastKeys = true` asks for a broadcast of the derived
+    * candidate-key set, SELF-VERIFIED: the key set is counted first and
+    * the hint applies only at or below [[MaxBroadcastCandidateKeys]] —
+    * a caller's estimate can undercount by table-scale (e.g. the view
+    * routes on LIVE per-group counts, but candidates include keys whose
+    * SUPERSEDED versions matched: a churn-heavy group with 100 live
+    * keys can have millions of candidates), and an unconditional
+    * broadcast there is a driver-memory cliff. The count costs one
+    * extra pass over the candidate derivation (scan-side, no new
+    * shuffle) — paid only on this opt-in path. Without the hint AQE's
+    * own estimate tips to sort-merge near ~400k keys and shuffles the
+    * whole table (measured 248 MB vs ~0 at the ×100 probe); with
+    * false, the planner always decides (safe at any size).
     */
   def readBucketedDeltaMatching(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], matchDf: DataFrame,
@@ -1469,8 +1486,13 @@ object KeyedUpsertSink {
       case Some(all) =>
         val wantedKeys = semiJoinNullSafe(all, matchDf, matchCols)
           .select(keys.map(col): _*).distinct()
+        val hint = broadcastKeys &&
+          wantedKeys.limit((MaxBroadcastCandidateKeys + 1).toInt).count() <=
+            MaxBroadcastCandidateKeys
+        // wantedKeys is already distinct — skip the helper's dedup
         resolveChainRead(
-          semiJoinNullSafe(all, wantedKeys, keys, hintBroadcast = broadcastKeys),
+          semiJoinNullSafe(all, wantedKeys, keys, hintBroadcast = hint,
+            dedupRight = false),
           manifest, keys, order).drop("__bucket")
     }
   }

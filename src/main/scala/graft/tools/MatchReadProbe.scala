@@ -58,10 +58,13 @@ object MatchReadProbe {
     val t0 = System.nanoTime()
     val out = KeyedUpsertSink.readBucketedDeltaMatching(
       spark, base, keys, order, matchDf, Seq("event_type"))
-    val n = out.count()
+    // collect() drives THIS DataFrame's QueryExecution to its final
+    // adaptive plan — count() would plan a different QueryExecution and
+    // leave out.queryExecution at isFinalPlan=false (the memory-file /
+    // PlanRegressionSpec gotcha)
+    val n = out.collect().length
     val wall = (System.nanoTime() - t0) / 1e9
     val (in, sh) = io.snapshot()
-    // the FINAL adaptive plan (count() finalized it)
     val plan = out.queryExecution.executedPlan.toString
     val joins = plan.linesIterator.filter(l =>
       l.contains("Join") || l.contains("Exchange")).map(_.trim.take(110)).toSeq

@@ -66,7 +66,7 @@ class IoListener extends SparkListener {
   * the touched buckets), while 0 isolates the pure append fast path,
   * whose per-refresh shuffle must stay batch-scale at every base size.
   *
-  * Usage: runMain graft.tools.MviewScale <sfDir> [nBatches] [batchRows] [scale] [compactAfter]
+  * Usage: runMain graft.tools.MviewScale <sfDir> [nBatches] [batchRows] [scale] [compactAfter] [dimMode]
   */
 object MviewScale {
   def main(args: Array[String]): Unit = {
@@ -106,13 +106,15 @@ object MviewScale {
           col("event_type"),
           pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
           col("ts_us"))).reduce(_ unionByName _)
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totalPre = ev.count()
+      })
+    // ONE cached copy: fold the dim derivation in before the persist (a
+    // second MEMORY_AND_DISK copy of a 10M-row corpus doubles cache
+    // pressure inside the very measurements this probe reports)
     val evd = (if (dimMode == "hour")
       ev.withColumn("event_type", concat(lit("h"),
         floor(col("v") / 3600000L).cast("long")))
     else ev).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = totalPre
+    val total = evd.count()
     val keys = Seq("event_id")
     val order = Seq(col("ts_us"))
     val dims = Seq("event_type")
