@@ -63,7 +63,8 @@ import graft.sink.KeyedUpsertSink
   * head, footer-only reads). Columns ADDED by later commits surface
   * after a stream restart — the standard streaming-source contract.
   */
-class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class ChangeFeedSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
   override def sourceSchema(
@@ -80,6 +81,44 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext, parameters, metadataPath)
+
+  /** The BATCH facade: `spark.read.format("graft-changes")` with
+    * `fromVersion` (required) / `toVersion` (default head) — one
+    * (from, to] CDC range as a plain DataFrame, so SQL-level users get
+    * the feed without the Scala API. Library callers should prefer
+    * [[graft.sink.KeyedUpsertSink.readChangesBetween]] directly: this
+    * facade routes rows through a Row-typed `buildScan` RDD (the DSv1
+    * relation contract), which pays an InternalRow↔Row round-trip the
+    * direct DataFrame never does.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    import ChangeFeedSource._
+    val path = required(parameters, "path")
+    val keyCols = csv(required(parameters, "keys"))
+    val order = csv(required(parameters, "orderBy")).map(col)
+    val from = parameters.getOrElse("fromVersion",
+      throw new IllegalArgumentException(
+        "graft-changes batch read requires 'fromVersion' (0 = full-history " +
+          "bootstrap image); add .option(\"fromVersion\", ...) — an " +
+          "unbounded batch read of a change feed is ambiguous")).toLong
+    val to = parameters.get("toVersion").map(_.toLong)
+    val weighted = parameters.get("weighted").exists(_.toBoolean)
+    val feed =
+      if (weighted) KeyedUpsertSink.readChangesWeighted(
+        sqlContext.sparkSession, path, keyCols, order, from, to)
+      else KeyedUpsertSink.readChangesBetween(
+        sqlContext.sparkSession, path, keyCols, order, from, to)
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = feed.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        feed.rdd
+    }
+  }
 }
 
 private[graft] object ChangeFeedSource {

@@ -169,6 +169,35 @@ class ChangeFeedSourceSpec extends SparkSpec {
       "replica diverged from upstream after streamed maintenance")
   }
 
+  test("the batch facade reads one (from, to] range; an unbounded read is refused") {
+    val root = Files.createTempDirectory("graft-cfs-batch")
+    val table = root.resolve("t").toString
+    val up = sink(table)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    up(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L) // v2
+    def read(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format("graft-changes")
+        .option("keys", "k").option("orderBy", "ts")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(table)
+    }
+    // the facade equals the library API over the same range
+    assert(read("fromVersion" -> "1").select("k", "v", "ts")
+      .as[(String, Long, Long)].collect().toSet == feedRows(table, 1L, 2L))
+    // full-history bootstrap + explicit toVersion
+    assert(read("fromVersion" -> "0", "toVersion" -> "1")
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+      == feedRows(table, 0L, 1L))
+    // weighted: the retraction row rides along
+    val w = read("fromVersion" -> "1", "weighted" -> "true")
+      .select("k", "v", "ts", "__weight")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(w == Set(("a", 2L, 20L, 1L), ("c", 1L, 20L, 1L), ("a", 1L, 10L, -1L)))
+    // an unbounded batch read of a change feed is ambiguous — refused
+    val err = intercept[IllegalArgumentException] { read() }
+    assert(err.getMessage.contains("requires 'fromVersion'"))
+  }
+
   test("an uncommitted batch 0 replays with the ORIGINAL floor after a crash (persisted under metadataPath)") {
     val root = Files.createTempDirectory("graft-cfs-recover")
     val table = root.resolve("t").toString
