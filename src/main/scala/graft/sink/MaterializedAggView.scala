@@ -318,12 +318,24 @@ object MaterializedAggView {
       // the new watermark is exactly `head` (a recreated base can sit
       // BELOW the old watermark — stale higher markers must not shadow
       // it). Single-actor by declaration: force is an operator action.
+      // Markers ABOVE the new head go FIRST — with their data
+      // directories (reclaim's `v <= wm` rule would never touch dirs
+      // above the new watermark, so they'd leak forever, and a reader
+      // listing markers between the new publish and a late cleanup
+      // could resolve the old incarnation's higher marker)
+      markers(viewPath).filter(_._1 > head).foreach { case (v, dirName0) =>
+        Files.deleteIfExists(markerPath(viewPath, v))
+        try KeyedUpsertSink.deleteRecursively(root.resolve(dirName0))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
       val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       KeyedUpsertSink.writeFsynced(tmp, bytes)
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       KeyedUpsertSink.fsyncDir(root)
+      // stale LOWER markers: clear the markers; their data dirs sit
+      // at/below the new watermark, where reclaim's rule sweeps them
       markers(viewPath).filter(_._1 != head)
         .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
       Files.deleteIfExists(headFile(viewPath)) // legacy fallback file
@@ -376,13 +388,26 @@ object MaterializedAggView {
         versionsOnDisk(root).filter(_._1 < wm).sortBy(_._1).lastOption
           .map(_._2.getFileName.toString)
       else None)
-    ms.dropRight(16).foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
+    // markers prune to the SAME window as retained data directories —
+    // a marker whose directory is gone is a dangling audit surface, not
+    // history (the old keep-16 window left markers 3..16 pointing at
+    // deleted directories)
+    ms.dropRight(2).foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
     val now = System.currentTimeMillis()
     Files.list(root).iterator().asScala.toList.foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(".stage-")) {
         if (now - KeyedUpsertSink.newestMtimeMs(p) > 60000L)
           KeyedUpsertSink.deleteRecursively(p)
+      } else if (name.startsWith("._head.") &&
+          (name.contains(".put-") || name.contains(".tmp-"))) {
+        // a crashed putIfAbsent / force-publish leaves its fsynced tmp
+        // file in the view root (the table-side vacuum sweeps the
+        // analogous `._manifest*.put-*`; nothing else covers the view
+        // dir) — same quiescence dwell as stages, in case it belongs
+        // to a concurrent maintainer mid-publish
+        if (now - KeyedUpsertSink.newestMtimeMs(p) > 60000L)
+          Files.deleteIfExists(p)
       } else versionOf(name).foreach { v =>
         if (!keepDirs.contains(name) && v <= wm)
           KeyedUpsertSink.deleteRecursively(p)

@@ -1117,10 +1117,14 @@ object KeyedUpsertSink {
           case (None, _) => None
           case (Some(acc), b) =>
             val before = chainOf(targets(b))
-            val now = chainOf(m(b))
-            if (now.startsWith(before))
-              Some(acc + (b -> renderChain(gen +: now.drop(before.length))))
-            else None
+            // a concurrent rebucketTable that SHRANK the layout removes
+            // bucket ids from the map entirely — that is a stale fold
+            // (take the documented re-stage path), not a crash
+            m.get(b).map(chainOf) match {
+              case Some(now) if now.startsWith(before) =>
+                Some(acc + (b -> renderChain(gen +: now.drop(before.length))))
+              case _ => None
+            }
         }
         next match {
           case None => stale = true

@@ -186,10 +186,19 @@ private[graft] class ChangeFeedSource(
   private val startVersion: Long = {
     // metadataPath arrives as a URI string (`file:/...`) from the
     // checkpoint manager — Paths.get would treat it as RELATIVE and
-    // scatter `file:` directories under the CWD
-    val metaDir = if (metadataPath.contains(":"))
-      Paths.get(new java.net.URI(metadataPath).getPath)
-    else Paths.get(metadataPath)
+    // scatter `file:` directories under the CWD. Detect a URI by a
+    // successful parse WITH a scheme and path (not a substring-colon
+    // test: a plain local path containing `:`, or one with spaces or
+    // brackets, must fall back to Paths.get, not throw an opaque
+    // URISyntaxException)
+    val metaDir =
+      try {
+        val u = new java.net.URI(metadataPath)
+        if (u.getScheme != null && u.getPath != null) Paths.get(u.getPath)
+        else Paths.get(metadataPath)
+      } catch {
+        case _: java.net.URISyntaxException => Paths.get(metadataPath)
+      }
     val persisted = metaDir.resolve("graft-changes-start")
     if (Files.exists(persisted))
       new String(Files.readAllBytes(persisted),
