@@ -190,8 +190,11 @@ object SparkEntry {
         s, path, keys, order, numBuckets = 16, compactAfter = 0) _
       sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
       sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      // SELF-DESCRIBING read (round 17): no keys/order re-supplied — the
+      // feed resolves the spec the first commit recorded in the manifest
+      // metadata, so this oracle also gates the stored-spec path
       graft.sink.KeyedUpsertSink.readChangesBetween(
-        s, path, keys, order, fromVersion = 1L).drop("ts_us")
+        s, path, fromVersion = 1L).drop("ts_us")
     }),
 
     // Incrementally-maintained materialized aggregate view over the
@@ -378,8 +381,8 @@ object SparkEntry {
       sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
       sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
       val wanted = ev.select("user_id").where(col("user_id") % 17 === 0).distinct()
-      graft.sink.KeyedUpsertSink.lookupBucketed(
-        s, path, keys, order, wanted).drop("ts_us")
+      // SELF-DESCRIBING lookup (round 17): spec from manifest metadata
+      graft.sink.KeyedUpsertSink.lookupBucketed(s, path, wanted).drop("ts_us")
     }),
 
     // K1 through the MERGE-ON-READ delta sink: four small batches, each

@@ -899,6 +899,7 @@ object KeyedUpsertSink {
       // put-if-absent would land old-layout buckets in the new layout's
       // manifest (the retry-path check alone leaves that window open)
       requireLayoutUnchanged(tablePath, numBuckets, meta)
+      meta = specMeta(spark, tablePath, meta, keys, order)
       var retries = 0
       var restages = 0
       var hookPending = true
@@ -933,7 +934,7 @@ object KeyedUpsertSink {
             requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
-            meta = meta2
+            meta = specMeta(spark, tablePath, meta2, keys, order)
             // conflict = any bucket WE touched moved since we staged
             stale = touched.exists(b => m2.get(b) != base.get(b))
             if (stale) restages += 1
@@ -1014,6 +1015,7 @@ object KeyedUpsertSink {
       // a rebucket committing during the stage must fail this batch
       // loudly, not let its old-layout buckets into the new manifest
       requireLayoutUnchanged(tablePath, numBuckets, meta)
+      meta = specMeta(spark, tablePath, meta, keys, order)
       var retries = 0
       var hookPending = true
       var attempt = 0
@@ -1034,7 +1036,7 @@ object KeyedUpsertSink {
             requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
-            meta = meta2
+            meta = specMeta(spark, tablePath, meta2, keys, order)
         }
       }
       val c = committed.getOrElse(throw new IllegalStateException(
@@ -1088,11 +1090,15 @@ object KeyedUpsertSink {
     var attempt = 0
     var hookPending = true
     while (attempt < maxAttempts) {
-      val (ver, man, meta) = versionedHeadFull(tablePath)
+      val (ver, man, meta0) = versionedHeadFull(tablePath)
       val targets = man.filter { case (b, v) =>
         chainOf(v).length >= math.max(minChain, 2) && buckets.forall(_.contains(b))
       }
       if (targets.isEmpty) return Seq.empty
+      // the fold REWRITES rows under the compactor's LWW spec — a
+      // compactor with the wrong order would materialize different
+      // winners; same writer-side handshake as every committer
+      val meta = specMeta(spark, tablePath, meta0, keys, order)
       // chains only exist on versioned tables (the delta writer always
       // commits through the chain protocol), so the v0 handshake can't
       // be needed here
@@ -1184,10 +1190,14 @@ object KeyedUpsertSink {
     var hookPending = true
     while (attempt < maxAttempts) {
       attempt += 1
-      val (ver, man, meta) = versionedHeadFull(tablePath)
+      val (ver, man, meta0) = versionedHeadFull(tablePath)
       require(man.nonEmpty,
         s"$tablePath has no committed data — delete and recreate an empty " +
           "table with the new bucket count instead of rebucketing it")
+      // same writer-side spec handshake as every committer (the rewrite
+      // LWW-resolves under this spec); a rebucket on a pre-spec table
+      // records the spec alongside the new layout
+      val meta = specMeta(spark, tablePath, meta0, keys, order)
       val old = meta.get("numBuckets").map(_.toInt).orElse(readLayout(tablePath))
       require(!old.contains(newBuckets),
         s"$tablePath already has numBuckets=$newBuckets")
@@ -1291,6 +1301,127 @@ object KeyedUpsertSink {
         val Array(k, v) = l.stripPrefix("#").split("=", 2)
         k -> v
       }.toMap
+
+  // ─────────────────── self-describing key/order spec (manifest meta) ──
+
+  private[graft] val KeySpecMeta = "keySpec"
+  private[graft] val OrderSpecMeta = "orderSpec"
+
+  /** Canonical string form of ONE LWW order expression for the spec
+    * metadata: a bare attribute's (possibly dotted) name, else the
+    * expression's SQL text — both re-parseable by
+    * `org.apache.spark.sql.functions.expr`. Canonicalizing through the
+    * converted catalyst tree makes `col("ts")`, `df("ts")` and the
+    * re-parsed stored form compare equal.
+    */
+  private def canonicalOrderOne(spark: SparkSession, c: Column): String =
+    org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c) match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+      case other => other.sql
+    }
+
+  private def canonicalOrder(spark: SparkSession, order: Seq[Column]): String =
+    order.map(c => escapeSpecPart(canonicalOrderOne(spark, c))).mkString(",")
+
+  private def canonicalKeys(keys: Seq[String]): String =
+    keys.map(escapeSpecPart).mkString(",")
+
+  /** Spec parts join with `,`; a part containing `,` or `\` escapes
+    * them (`\,` / `\\`). Newlines cannot ride a manifest line at all —
+    * refused loudly at record time rather than silently truncated.
+    */
+  private def escapeSpecPart(s: String): String = {
+    require(!s.exists(ch => ch == '\n' || ch == '\r'),
+      s"key/order spec part contains a newline and cannot be recorded " +
+        s"in manifest metadata: '${s.take(60)}'")
+    s.replace("\\", "\\\\").replace(",", "\\,")
+  }
+
+  private def splitSpecParts(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 2 }
+      else if (ch == ',') { out += cur.toString(); cur.clear(); i += 1 }
+      else { cur.append(ch); i += 1 }
+    }
+    out += cur.toString()
+    out.toSeq
+  }
+
+  /** The table's PERSISTED key/LWW-order spec — recorded by the first
+    * versioned commit (round 17+ writers), so every reader can default
+    * to the spec the table was actually written with instead of
+    * re-supplying it per call (an `orderBy` that differs from the
+    * writer's resolves ties differently than the table's own reads —
+    * a silent-wrong-LWW class this metadata kills). None for tables
+    * written before the spec was recorded or never versioned-committed;
+    * one commit with a current writer records it in place.
+    */
+  def storedSpec(tablePath: String): Option[(Seq[String], Seq[Column])] = {
+    val meta = versionedHeadFull(tablePath)._3
+    (meta.get(KeySpecMeta), meta.get(OrderSpecMeta)) match {
+      case (Some(k), Some(o)) =>
+        Some((splitSpecParts(k), splitSpecParts(o).map(expr)))
+      case _ => None
+    }
+  }
+
+  private def mustStoredSpec(tablePath: String): (Seq[String], Seq[Column]) =
+    storedSpec(tablePath).getOrElse(throw new IllegalStateException(
+      s"$tablePath carries no key/order spec metadata (written before " +
+        "the spec was recorded, or no versioned commit yet) — pass keys " +
+        "and order explicitly; one commit with a current writer records " +
+        "the spec for every future reader"))
+
+  /** Writer-side spec handshake, run on every commit attempt with the
+    * freshest head metadata: a table that already carries a spec REFUSES
+    * a writer whose keys/order differ (a mismatched writer would commit
+    * rows whose LWW resolution disagrees with every other read of the
+    * table — the silent corruption class this metadata exists to kill);
+    * a table without one (first versioned commit, or pre-spec history)
+    * records this writer's.
+    */
+  private def specMeta(spark: SparkSession, tablePath: String,
+      meta: Map[String, String], keys: Seq[String],
+      order: Seq[Column]): Map[String, String] = {
+    val k = canonicalKeys(keys)
+    val o = canonicalOrder(spark, order)
+    (meta.get(KeySpecMeta), meta.get(OrderSpecMeta)) match {
+      case (None, None) => meta + (KeySpecMeta -> k) + (OrderSpecMeta -> o)
+      case (sk, so) =>
+        require(sk.forall(_ == k) && so.forall(_ == o),
+          s"$tablePath was committed with keys=[${sk.getOrElse("")}] " +
+            s"order=[${so.getOrElse("")}] but this caller supplies " +
+            s"keys=[$k] order=[$o] — a mismatched spec silently changes " +
+            "LWW winners; use the stored spec (storedSpec/the no-spec " +
+            "read overloads), or rebuild the table deliberately")
+        // one absent + one present is a hand-edited manifest; the
+        // require above already refused unless the present one matches,
+        // so re-record the pair for consistency
+        meta + (KeySpecMeta -> k) + (OrderSpecMeta -> o)
+    }
+  }
+
+  /** Reader-side spec handshake: an explicit spec that disagrees with
+    * the table's stored one is refused loudly (same corruption class as
+    * the writer-side check — a reader with a different order resolves
+    * ties differently than the table's own reads). Tables without
+    * stored specs validate nothing. The spec is immutable once recorded
+    * (every committer re-validates it), so reading it outside the
+    * caller's manifest snapshot cannot race a spec change.
+    */
+  private def requireSpecMatches(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column]): Unit = {
+    val meta = versionedHeadFull(tablePath)._3
+    if (meta.contains(KeySpecMeta) || meta.contains(OrderSpecMeta))
+      specMeta(spark, tablePath, meta, keys, order)
+  }
 
   /** A manifest VALUE is a `;`-joined generation chain, oldest first:
     * merge-on-write commits ([[upsertBucketedAtomic]] /
@@ -1404,6 +1535,7 @@ object KeyedUpsertSink {
   def readBucketedDelta(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column],
       atVersion: Option[Long] = None): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     val manifest = atVersion match {
       case Some(v) => manifestAt(tablePath, v)
       case None => readManifest(tablePath)
@@ -1412,6 +1544,19 @@ object KeyedUpsertSink {
       case Some(df) => resolveChainRead(df, manifest, keys, order).drop("__bucket")
       case None => spark.emptyDataFrame
     }
+  }
+
+  /** [[readBucketedDelta]] under the table's own STORED key/order spec
+    * ([[storedSpec]]) — the self-describing read: no per-call spec to
+    * mistype. Loud when the table carries no spec metadata.
+    */
+  def readBucketedDelta(spark: SparkSession, tablePath: String): DataFrame =
+    readBucketedDelta(spark, tablePath, None)
+
+  def readBucketedDelta(spark: SparkSession, tablePath: String,
+      atVersion: Option[Long]): DataFrame = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    readBucketedDelta(spark, tablePath, keys, order, atVersion)
   }
 
   /** NULL-SAFE distributed semi-join of `left` to `right` on `cols`
@@ -1481,6 +1626,7 @@ object KeyedUpsertSink {
       keys: Seq[String], order: Seq[Column], matchDf: DataFrame,
       matchCols: Seq[String], atVersion: Option[Long] = None,
       broadcastKeys: Boolean = false): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     val manifest = atVersion match {
       case Some(v) => manifestAt(tablePath, v)
       case None => readManifest(tablePath)
@@ -1527,6 +1673,7 @@ object KeyedUpsertSink {
   def lookupBucketed(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], keyDf: DataFrame,
       atVersion: Option[Long] = None): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     // hash with the layout IN FORCE AT THE READ VERSION — and resolve
     // layout and manifest from ONE head/version snapshot: reading them
     // in two separate listings lets a rebucket commit in between, and a
@@ -1588,6 +1735,19 @@ object KeyedUpsertSink {
     }.getOrElse(spark.emptyDataFrame) // table has no data at all
   }
 
+  /** [[lookupBucketed]] under the table's own STORED key/order spec —
+    * loud when the table carries no spec metadata.
+    */
+  def lookupBucketed(spark: SparkSession, tablePath: String,
+      keyDf: DataFrame): DataFrame =
+    lookupBucketed(spark, tablePath, keyDf, None)
+
+  def lookupBucketed(spark: SparkSession, tablePath: String,
+      keyDf: DataFrame, atVersion: Option[Long]): DataFrame = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    lookupBucketed(spark, tablePath, keys, order, keyDf, atVersion)
+  }
+
   /** Upsert change feed between two committed versions: every row of the
     * resolved table at `toVersion` (default: head) that is not present
     * identically in the resolved table at `fromVersion` — i.e. the keys
@@ -1612,6 +1772,19 @@ object KeyedUpsertSink {
     changesBetweenImpl(spark, tablePath, keys, order, fromVersion,
       toVersion, weighted = false)
 
+  /** [[readChangesBetween]] under the table's own STORED key/order spec
+    * — loud when the table carries no spec metadata.
+    */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Long): DataFrame =
+    readChangesBetween(spark, tablePath, fromVersion, None)
+
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Option[Long]): DataFrame = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    readChangesBetween(spark, tablePath, keys, order, fromVersion, toVersion)
+  }
+
   /** Weighted change feed between two committed versions: every row of
     * the [[readChangesBetween]] upsert feed carries `__weight` = +1, and
     * the superseded `fromVersion` image of each UPDATED key carries
@@ -1633,6 +1806,19 @@ object KeyedUpsertSink {
       toVersion: Option[Long] = None): DataFrame =
     changesBetweenImpl(spark, tablePath, keys, order, fromVersion,
       toVersion, weighted = true)
+
+  /** [[readChangesWeighted]] under the table's own STORED key/order
+    * spec — loud when the table carries no spec metadata.
+    */
+  def readChangesWeighted(spark: SparkSession, tablePath: String,
+      fromVersion: Long): DataFrame =
+    readChangesWeighted(spark, tablePath, fromVersion, None)
+
+  def readChangesWeighted(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Option[Long]): DataFrame = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    readChangesWeighted(spark, tablePath, keys, order, fromVersion, toVersion)
+  }
 
   /** Test/telemetry seam: which implementation served a change-feed
     * read — "append" (chain-suffix fast path: batch-scale shuffles
@@ -1686,6 +1872,7 @@ object KeyedUpsertSink {
   private def changesBetweenImpl(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], fromVersion: Long,
       toVersion: Option[Long], weighted: Boolean): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     val manFrom = manifestAt(tablePath, fromVersion)
     val toV = toVersion.getOrElse(versionedHead(tablePath)._1)
     // a reversed range would present REVERTED old values as "inserts or

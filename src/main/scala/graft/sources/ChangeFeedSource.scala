@@ -38,10 +38,15 @@ import graft.sink.KeyedUpsertSink
   *
   * Options:
   *  - `path` (required): the table root;
-  *  - `keys` (required): comma-separated key column names;
-  *  - `orderBy` (required): comma-separated LWW order column names —
-  *    must match the writer's order spec, or ties resolve differently
-  *    than the table's own reads;
+  *  - `keys` (optional): comma-separated key column names;
+  *  - `orderBy` (optional): comma-separated LWW order column names.
+  *    Tables written since the spec metadata exists are
+  *    SELF-DESCRIBING: omit both and the stored spec
+  *    ([[graft.sink.KeyedUpsertSink.storedSpec]]) applies — the safe
+  *    default, since an `orderBy` that differs from the writer's
+  *    resolves ties differently than the table's own reads. An explicit
+  *    spec that MISMATCHES the stored one fails loudly (the readers
+  *    validate); give both options or neither;
   *  - `weighted` (default false): emit the retraction feed (`__weight`
   *    = +1 new image / -1 superseded image) instead of upserts-only;
   *  - `startingVersion` (default: the head at source creation): stream
@@ -96,8 +101,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     import ChangeFeedSource._
     val path = required(parameters, "path")
-    val keyCols = csv(required(parameters, "keys"))
-    val order = csv(required(parameters, "orderBy")).map(col)
+    val (keyCols, order) = resolveSpec(parameters)
     val from = parameters.getOrElse("fromVersion",
       throw new IllegalArgumentException(
         "graft-changes batch read requires 'fromVersion' (0 = full-history " +
@@ -126,10 +130,35 @@ private[graft] object ChangeFeedSource {
 
   def required(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key, throw new IllegalArgumentException(
-      s"graft-changes requires the '$key' option " +
-        "(path, keys, orderBy are mandatory)"))
+      s"graft-changes requires the '$key' option ('path' is mandatory; " +
+        "'keys'/'orderBy' default to the table's stored spec)"))
 
   def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty)
+
+  /** The key/order spec this read runs under: the explicit `keys` +
+    * `orderBy` options when BOTH are given (the sink readers then
+    * validate them against the table's stored spec — a mismatch fails
+    * loudly there), else the table's stored spec (loud when a pre-spec
+    * table has none). Exactly one of the two options is a misuse —
+    * half a spec can't be validated or defaulted coherently.
+    */
+  def resolveSpec(parameters: Map[String, String])
+      : (Seq[String], Seq[org.apache.spark.sql.Column]) = {
+    val path = required(parameters, "path")
+    (parameters.get("keys"), parameters.get("orderBy")) match {
+      case (Some(k), Some(o)) => (csv(k), csv(o).map(col))
+      case (None, None) => KeyedUpsertSink.storedSpec(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path carries no key/order spec metadata (written before the " +
+            "spec was recorded, or no versioned commit yet) — pass the " +
+            "'keys' and 'orderBy' options explicitly; one commit with a " +
+            "current writer records the spec"))
+      case _ => throw new IllegalArgumentException(
+        "graft-changes takes 'keys' and 'orderBy' together or neither " +
+          "(neither = the table's stored spec) — exactly one of them " +
+          "cannot be validated or defaulted coherently")
+    }
+  }
 
   /** The feed's schema: the resolved table schema at the current head
     * (+ `__weight` when weighted). Loud before the first commit — an
@@ -137,12 +166,11 @@ private[graft] object ChangeFeedSource {
     */
   def feedSchema(sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
     val path = required(parameters, "path")
-    val keys = csv(required(parameters, "keys"))
-    val order = csv(required(parameters, "orderBy")).map(col)
     require(KeyedUpsertSink.tableVersions(path).nonEmpty,
       s"$path has no committed versions — a change-feed stream needs at " +
         "least one commit to derive its schema (wrong path, or start the " +
         "stream after the first commit)")
+    val (keys, order) = resolveSpec(parameters)
     val base = KeyedUpsertSink.readBucketedDelta(
       sqlContext.sparkSession, path, keys, order).schema
     if (parameters.get("weighted").exists(_.toBoolean))
@@ -160,8 +188,10 @@ private[graft] class ChangeFeedSource(
   import ChangeFeedSource._
 
   private val tablePath = required(parameters, "path")
-  private val keys = csv(required(parameters, "keys"))
-  private val orderCols = csv(required(parameters, "orderBy"))
+  // resolved once at source creation (explicit options, else the
+  // table's stored spec) — the spec is immutable once recorded, so a
+  // per-batch re-resolve would only re-read the same metadata
+  private val (keys, orderCols) = resolveSpec(parameters)
   private val weighted = parameters.get("weighted").exists(_.toBoolean)
   private val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
     val n = v.toLong
@@ -295,10 +325,10 @@ private[graft] class ChangeFeedSource(
     // degenerate range must still return the declared schema
     val feed =
       if (weighted) KeyedUpsertSink.readChangesWeighted(
-        sqlContext.sparkSession, tablePath, keys, orderCols.map(col),
+        sqlContext.sparkSession, tablePath, keys, orderCols,
         fromVersion = from, toVersion = Some(to))
       else KeyedUpsertSink.readChangesBetween(
-        sqlContext.sparkSession, tablePath, keys, orderCols.map(col),
+        sqlContext.sparkSession, tablePath, keys, orderCols,
         fromVersion = from, toVersion = Some(to))
     // pin the declared column set (a commit that ADDED columns mid-stream
     // widens the feed, but this stream's schema is fixed until restart),
