@@ -88,10 +88,13 @@ object KeyedUpsertSink {
     *
     * Schemas align BY NAME with null back-fill in both directions, so a
     * batch that ADDS a column merges against older rows (which get null
-    * there), and older columns a projected batch lacks survive as null
-    * on the new rows — the schema-evolution contract of the
-    * atomic/optimistic variants. Key and order columns must exist in
-    * every batch ([[requireKeyOrderCols]] fails loudly otherwise).
+    * there). Key and order columns must exist in every batch
+    * ([[requireKeyOrderCols]] fails loudly otherwise); on the VERSIONED
+    * committers a batch dropping or retyping a committed value column
+    * is refused before reaching here ([[evolveSchemaMeta]] — the
+    * deliberate contract), while the metadata-less lock-path sinks keep
+    * the legacy permissive union (a lacked column survives as null on
+    * the new rows).
     */
   private def mergeLww(existing: Option[DataFrame], batch: DataFrame,
       keys: Seq[String], order: Seq[Column]): DataFrame = {
@@ -861,9 +864,11 @@ object KeyedUpsertSink {
     * after which lock-path commits are refused.
     *
     * Schema evolution: a batch may ADD columns relative to earlier
-    * generations (and earlier generations' columns it lacks are
-    * null-filled) — the merge and [[readBucketedAtomic]] align by name
-    * across generations. Key and order columns must exist in every
+    * generations (older rows read null there) — the merge and
+    * [[readBucketedAtomic]] align by name across generations, and the
+    * committed column contract widens atomically with the commit. A
+    * batch DROPPING or RETYPING a committed column is refused loudly
+    * ([[evolveSchemaMeta]]); key and order columns must exist in every
     * batch.
     *
     * `onBeforeFirstCommit` is a deterministic-interleaving seam for the
@@ -899,7 +904,8 @@ object KeyedUpsertSink {
       // put-if-absent would land old-layout buckets in the new layout's
       // manifest (the retry-path check alone leaves that window open)
       requireLayoutUnchanged(tablePath, numBuckets, meta)
-      meta = specMeta(spark, tablePath, meta, keys, order)
+      meta = evolveSchemaMeta(spark, tablePath,
+        specMeta(spark, tablePath, meta, keys, order), batch.schema)
       var retries = 0
       var restages = 0
       var hookPending = true
@@ -934,7 +940,8 @@ object KeyedUpsertSink {
             requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
-            meta = specMeta(spark, tablePath, meta2, keys, order)
+            meta = evolveSchemaMeta(spark, tablePath,
+              specMeta(spark, tablePath, meta2, keys, order), batch.schema)
             // conflict = any bucket WE touched moved since we staged
             stale = touched.exists(b => m2.get(b) != base.get(b))
             if (stale) restages += 1
@@ -1003,6 +1010,16 @@ object KeyedUpsertSink {
         .collect().map(_.getLong(0)).toSeq.sorted
       if (touched.isEmpty) return None
       ensureLayout(tablePath, numBuckets)
+      // validate the spec + schema contracts BEFORE staging: a refused
+      // batch must not pay (or leak) a staged generation. The head is
+      // re-read after the stage — the freshest base for the first
+      // commit attempt — and the contracts re-validate on every retry.
+      locally {
+        val preMeta = versionedHeadFull(tablePath)._3
+        requireLayoutUnchanged(tablePath, numBuckets, preMeta)
+        evolveSchemaMeta(spark, tablePath,
+          specMeta(spark, tablePath, preMeta, keys, order), batch.schema)
+      }
       // stage against an EMPTY base: mergeLww degrades to the intra-batch
       // latestByKey compaction (one row per key per delta — two in-batch
       // duplicates must not reach read time, where they'd tie on __seq),
@@ -1015,7 +1032,8 @@ object KeyedUpsertSink {
       // a rebucket committing during the stage must fail this batch
       // loudly, not let its old-layout buckets into the new manifest
       requireLayoutUnchanged(tablePath, numBuckets, meta)
-      meta = specMeta(spark, tablePath, meta, keys, order)
+      meta = evolveSchemaMeta(spark, tablePath,
+        specMeta(spark, tablePath, meta, keys, order), batch.schema)
       var retries = 0
       var hookPending = true
       var attempt = 0
@@ -1036,7 +1054,8 @@ object KeyedUpsertSink {
             requireLayoutUnchanged(tablePath, numBuckets, meta2)
             ver = v2
             man = m2
-            meta = specMeta(spark, tablePath, meta2, keys, order)
+            meta = evolveSchemaMeta(spark, tablePath,
+              specMeta(spark, tablePath, meta2, keys, order), batch.schema)
         }
       }
       val c = committed.getOrElse(throw new IllegalStateException(
@@ -1421,6 +1440,90 @@ object KeyedUpsertSink {
     val meta = versionedHeadFull(tablePath)._3
     if (meta.contains(KeySpecMeta) || meta.contains(OrderSpecMeta))
       specMeta(spark, tablePath, meta, keys, order)
+  }
+
+  // ───────────────────── schema-evolution contract (manifest meta) ──
+
+  private[graft] val SchemaMeta = "schema"
+
+  /** Engine scratch columns the schema contract never records. */
+  private def userFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    schema.fields.toSeq.filterNot(f => f.name == "__bucket" || f.name == "__seq")
+
+  /** The table's COMMITTED column contract (names + types), recorded at
+    * the first versioned commit and widened by every column-adding
+    * batch since. None for tables written before the contract existed
+    * (their next commit records it) or never versioned-committed.
+    */
+  def storedSchema(tablePath: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    versionedHeadFull(tablePath)._3.get(SchemaMeta).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Writer-side schema contract for the versioned committers, run on
+    * every commit attempt with the freshest head metadata. The contract,
+    * chosen deliberately (pre-contract behavior was whatever parquet
+    * union does — including silent int→long-style coercion at read
+    * time):
+    *
+    *  - the first versioned commit RECORDS the batch's columns;
+    *  - a batch may ADD columns — widen-with-nulls (older rows read
+    *    null there), and the recorded contract grows atomically with
+    *    the commit;
+    *  - a batch RETYPING a committed column is refused loudly — the
+    *    per-generation union would otherwise silently coerce values
+    *    (or fail far away at read time with no writer to blame);
+    *  - a batch DROPPING a committed column is refused loudly — the
+    *    LWW merge would silently null-fill it on every row the batch
+    *    wins, which reads as data loss; a caller that really means it
+    *    carries the column explicitly (`lit(null).cast(...)`).
+    *
+    * The lock-path sinks ([[upsertBucketed]]/[[upsertBucketedAtomic]])
+    * keep the legacy permissive union — they have no metadata channel;
+    * the versioned protocol is the 100 TB path and gets the contract.
+    */
+  private def evolveSchemaMeta(spark: SparkSession, tablePath: String,
+      meta: Map[String, String],
+      batchSchema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val batchFields = userFields(batchSchema)
+    meta.get(SchemaMeta) match {
+      case None =>
+        // nullability is normalized away (every column is nullable under
+        // the merge's null back-fill anyway): the contract is names+types
+        meta + (SchemaMeta -> StructType(
+          batchFields.map(f => StructField(f.name, f.dataType))).json)
+      case Some(json) =>
+        val stored = DataType.fromJson(json).asInstanceOf[StructType]
+        val retyped = batchFields.flatMap { f =>
+          stored.fields.find(s => resolver(s.name, f.name))
+            .filter(_.dataType.catalogString != f.dataType.catalogString)
+            .map(s => s"${f.name} (table: ${s.dataType.catalogString}, " +
+              s"batch: ${f.dataType.catalogString})")
+        }
+        require(retyped.isEmpty,
+          s"$tablePath: batch retypes committed column(s) " +
+            s"${retyped.mkString("; ")} — the per-generation union would " +
+            "silently coerce values across generations; cast the batch " +
+            "to the table's committed types, or rebuild the table " +
+            "deliberately")
+        val dropped = stored.fields.toSeq
+          .filterNot(s => batchFields.exists(f => resolver(f.name, s.name)))
+        require(dropped.isEmpty,
+          s"$tablePath: batch drops committed column(s) " +
+            s"${dropped.map(_.name).mkString(", ")} — the LWW merge would " +
+            "silently null-fill them on every row this batch wins (reads " +
+            "as data loss); carry them explicitly " +
+            "(lit(null).cast(<type>)) if that is really intended")
+        val added = batchFields
+          .filterNot(f => stored.fields.exists(s => resolver(s.name, f.name)))
+        if (added.isEmpty) meta
+        else meta + (SchemaMeta -> StructType(stored.fields.toSeq ++
+          added.map(f => StructField(f.name, f.dataType))).json)
+    }
   }
 
   /** A manifest VALUE is a `;`-joined generation chain, oldest first:

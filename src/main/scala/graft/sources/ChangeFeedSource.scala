@@ -66,7 +66,12 @@ import graft.sink.KeyedUpsertSink
   *
   * Schema is fixed at stream start (the resolved table schema at the
   * head, footer-only reads). Columns ADDED by later commits surface
-  * after a stream restart — the standard streaming-source contract.
+  * after a stream restart — the standard streaming-source contract —
+  * with ranges whose generations predate a column serving typed nulls
+  * there (what a batch read of those versions resolves under the
+  * widened contract). Dropped/retyped columns cannot occur mid-stream:
+  * the versioned committers refuse them at the writer
+  * ([[graft.sink.KeyedUpsertSink.storedSchema]]'s contract).
   */
 class ChangeFeedSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
@@ -331,11 +336,21 @@ private[graft] class ChangeFeedSource(
         sqlContext.sparkSession, tablePath, keys, orderCols,
         fromVersion = from, toVersion = Some(to))
     // pin the declared column set (a commit that ADDED columns mid-stream
-    // widens the feed, but this stream's schema is fixed until restart),
-    // then re-tag as a streaming leaf — the v1 getBatch contract
+    // widens the feed, but this stream's schema is fixed until restart).
+    // The converse alignment matters on RESTART after a widening commit:
+    // this fresh source's schema is the WIDE one, but a replayed (or
+    // straddling) range whose generations predate the new column yields
+    // a narrower feed — pad it with typed nulls, exactly what a batch
+    // read of those versions resolves under the widened contract. Then
+    // re-tag as a streaming leaf — the v1 getBatch contract.
+    val aligned = schema.fields.foldLeft(feed) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
     org.apache.spark.sql.graft.Bridge.streamingLeafDataFrame(
       sqlContext.sparkSession,
-      feed.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   override def stop(): Unit = ()

@@ -133,8 +133,19 @@ class OptimisticSinkSpec extends SparkSpec {
       ("a", 2L, 20L, Some("x")), // LWW winner carries the new column
       ("b", 1L, 10L, None),      // old generation: null back-fill
       ("c", 1L, 20L, Some("y"))))
-    // a later batch missing a non-key column still merges (null there)
-    sink(Seq(("d", 30L)).toDF("k", "ts"), 2L)
+    // a later batch DROPPING committed value columns is refused loudly
+    // (round 17 — the deliberate contract: silent null-fill on the rows
+    // this batch wins reads as data loss); carrying the columns as
+    // typed nulls is the explicit way to mean it
+    val err = intercept[IllegalArgumentException] {
+      sink(Seq(("d", 30L)).toDF("k", "ts"), 2L)
+    }
+    assert(err.getMessage.contains("drops committed column(s)"))
+    assert(err.getMessage.contains("v, extra") || err.getMessage.contains("extra, v"),
+      err.getMessage)
+    sink(Seq(("d", 30L)).toDF("k", "ts")
+      .withColumn("v", lit(null).cast("long"))
+      .withColumn("extra", lit(null).cast("string")), 2L)
     val got2 = KeyedUpsertSink.readBucketedAtomic(spark, path)
       .select("k", "v", "ts", "extra")
       .as[(String, Option[Long], Long, Option[String])].collect().toSet
