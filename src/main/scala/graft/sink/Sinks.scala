@@ -1972,9 +1972,38 @@ object KeyedUpsertSink {
     }
   }
 
+  /** Sorted bucket ids whose manifest entry changed from version `v-1`
+    * to `v` — the per-version work list sub-version admission control
+    * slices. None when a layout change (rebucket) makes bucket ids
+    * incomparable across the step: that version cannot split by bucket
+    * and must drain as one batch.
+    */
+  private[graft] def touchedBucketsAt(tablePath: String,
+      v: Long): Option[Seq[Long]] =
+    if (metaAt(tablePath, v - 1).get("numBuckets") !=
+        metaAt(tablePath, v).get("numBuckets")) None
+    else {
+      val before = manifestAt(tablePath, v - 1)
+      Some(manifestAt(tablePath, v).collect {
+        case (b, g) if !before.get(b).contains(g) => b
+      }.toSeq.sorted)
+    }
+
+  /** One version step's change feed restricted to a bucket subset — the
+    * sub-version micro-batch of the `graft-changes` source. Buckets
+    * partition keys (within one layout), so the union of disjoint
+    * slices over `touchedBucketsAt(v)` equals the whole (v-1, v] feed.
+    */
+  private[graft] def readChangesSlice(spark: SparkSession, tablePath: String,
+      keys: Seq[String], order: Seq[Column], version: Long,
+      buckets: Set[Long], weighted: Boolean): DataFrame =
+    changesBetweenImpl(spark, tablePath, keys, order, version - 1,
+      Some(version), weighted, bucketSubset = Some(buckets))
+
   private def changesBetweenImpl(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column], fromVersion: Long,
-      toVersion: Option[Long], weighted: Boolean): DataFrame = {
+      toVersion: Option[Long], weighted: Boolean,
+      bucketSubset: Option[Set[Long]] = None): DataFrame = {
     requireSpecMatches(spark, tablePath, keys, order)
     val manFrom = manifestAt(tablePath, fromVersion)
     val toV = toVersion.getOrElse(versionedHead(tablePath)._1)
@@ -1994,9 +2023,17 @@ object KeyedUpsertSink {
     // a full rewrite, and a feed spanning it pays the same scale once.
     val layoutChanged = metaAt(tablePath, fromVersion).get("numBuckets") !=
       metaAt(tablePath, toV).get("numBuckets")
-    val touched =
+    // a bucket SUBSET is only meaningful within one layout — callers
+    // ([[readChangesSlice]] via touchedBucketsAt) never construct one
+    // across a resize, so this is a construction invariant, not a
+    // user-facing contract
+    require(bucketSubset.isEmpty || !layoutChanged,
+      s"$tablePath: a bucket-restricted feed cannot span a layout change")
+    val touchedAll =
       if (layoutChanged) manTo
       else manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
+    val touched = bucketSubset.fold(touchedAll)(s =>
+      touchedAll.filter { case (b, _) => s.contains(b) })
     val before =
       if (layoutChanged) manFrom
       else manFrom.filter { case (b, _) => touched.contains(b) }

@@ -57,7 +57,18 @@ import graft.sink.KeyedUpsertSink
   *  - `maxVersionsPerTrigger` (optional): admission control — cap how
   *    many manifest versions one micro-batch may cover, so a consumer
   *    restarted after a long stall catches up in bounded batches
-  *    instead of one giant range.
+  *    instead of one giant range;
+  *  - `maxBucketsPerTrigger` (optional): SUB-version admission control
+  *    — cap how many touched buckets one micro-batch may cover. A
+  *    single giant commit (a compaction, a backfill — one version) is
+  *    invisible to the version cap; with this cap it drains as
+  *    consecutive bucket slices (the offset becomes
+  *    `{"version":N,"bucketCursor":M}` mid-version — the Delta-style
+  *    (version, file-index) offset idea, per bucket because this feed
+  *    is derived per bucket; clean boundaries keep the plain long, so
+  *    old checkpoints resume unchanged). A rebucket version cannot
+  *    split (bucket ids are incomparable across layouts) and drains
+  *    whole. Composes with `maxVersionsPerTrigger`.
   *
   * Retention contract (same as every feed reader): a batch whose `from`
   * version has been vacuum-pruned fails LOUDLY with `manifestAt`'s
@@ -165,6 +176,41 @@ private[graft] object ChangeFeedSource {
     }
   }
 
+  /** Sub-version stream offset: `version` versions are fully emitted,
+    * PLUS the first `cursor` buckets (of the sorted touched-bucket list)
+    * of version `version + 1`. `cursor == 0` — a clean version boundary
+    * — serializes as the plain long the pre-cursor checkpoints used, so
+    * old checkpoints resume unchanged and a stream that never splits a
+    * version writes the old format.
+    */
+  private[graft] case class BucketCursorOffset(version: Long, cursor: Long)
+      extends OffsetV1 {
+    override def json(): String =
+      s"""{"version":$version,"bucketCursor":$cursor}"""
+  }
+
+  private val CursorOffsetRe =
+    """\{\s*"version"\s*:\s*(\d+)\s*,\s*"bucketCursor"\s*:\s*(\d+)\s*\}""".r
+
+  /** Parse either offset encoding: a plain long (clean boundary — the
+    * pre-cursor format) or the cursor JSON.
+    */
+  private[graft] def parseOffset(json: String): (Long, Long) = {
+    val t = json.trim
+    t.toLongOption match {
+      case Some(v) => (v, 0L)
+      case None => t match {
+        case CursorOffsetRe(v, c) => (v.toLong, c.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"graft-changes: unparseable offset '$t' — expected a version " +
+            "long or {\"version\":N,\"bucketCursor\":M}")
+      }
+    }
+  }
+
+  private[graft] def offsetOf(v: Long, c: Long): OffsetV1 =
+    if (c == 0L) LongOffset(v) else BucketCursorOffset(v, c)
+
   /** The feed's schema: the resolved table schema at the current head
     * (+ `__weight` when weighted). Loud before the first commit — an
     * empty chain has no schema to stream.
@@ -201,6 +247,11 @@ private[graft] class ChangeFeedSource(
   private val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
     val n = v.toLong
     require(n >= 1, s"maxVersionsPerTrigger must be >= 1 (got $n)")
+    n
+  }
+  private val maxBuckets = parameters.get("maxBucketsPerTrigger").map { v =>
+    val n = v.toLong
+    require(n >= 1, s"maxBucketsPerTrigger must be >= 1 (got $n)")
     n
   }
 
@@ -268,7 +319,7 @@ private[graft] class ChangeFeedSource(
     */
   @volatile private var availableTarget: Option[Long] = None
 
-  private def ver(o: streaming.Offset): Long = o.json().trim.toLong
+  private def pos(o: streaming.Offset): (Long, Long) = parseOffset(o.json())
 
   private def currentHead: Long = {
     val versions = KeyedUpsertSink.tableVersions(tablePath)
@@ -285,22 +336,82 @@ private[graft] class ChangeFeedSource(
 
   override def initialOffset(): streaming.Offset = LongOffset(startVersion)
 
-  override def deserializeOffset(json: String): streaming.Offset =
-    LongOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): streaming.Offset = {
+    val (v, c) = parseOffset(json)
+    offsetOf(v, c)
+  }
 
-  // the version cap is this source's own option, not a row/file count —
-  // allAvailable + a self-applied cap in latestOffset (how FileStream
-  // interprets its maxFilesPerTrigger under admission control)
+  // the version/bucket caps are this source's own options, not a
+  // row/file count — allAvailable + a self-applied cap in latestOffset
+  // (how FileStream interprets its maxFilesPerTrigger under admission
+  // control)
   override def getDefaultReadLimit: streaming.ReadLimit =
     streaming.ReadLimit.allAvailable()
 
+  /** Batch-boundary policy. Plain `maxVersionsPerTrigger` caps whole
+    * versions (the pre-cursor behavior, unchanged). With
+    * `maxBucketsPerTrigger` the offset walks INSIDE a version: a
+    * version whose touched-bucket list alone exceeds the cap drains as
+    * consecutive bucket slices (`BucketCursorOffset`), so one giant
+    * commit — a compaction, a backfill — no longer lands in a single
+    * micro-batch; small versions still batch together up to the caps.
+    * Invariants the construction maintains (getBatch relies on them):
+    * a batch containing a cursor never spans more than one version
+    * step, and a bucket slice never starts on a layout-change version
+    * (those cannot split — they drain whole and terminate their batch).
+    */
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
     // start is null on the stream's very first batch (the v1 admission-
     // control contract FileStreamSource also handles)
-    val base = Option(start).map(ver).getOrElse(startVersion)
+    val (v0, c0) = Option(start).map(pos).getOrElse((startVersion, 0L))
     val head = availableTarget.fold(currentHead)(math.min(currentHead, _))
-    LongOffset(maxVersions.fold(head)(c => math.min(head, base + c)))
+    maxBuckets match {
+      case None =>
+        if (c0 > 0L)
+          // the cap was removed on a restart mid-version: finish that
+          // version first — getBatch's slice arithmetic stays one-step
+          offsetOf(v0 + 1, 0L)
+        else LongOffset(maxVersions.fold(head)(c => math.min(head, v0 + c)))
+      case Some(bCap) =>
+        if (c0 > 0L) {
+          // mid-version: emit the next slice, or the remainder — and
+          // terminate the batch at the boundary either way (a batch
+          // never mixes a partial version with other versions)
+          val touched = KeyedUpsertSink.touchedBucketsAt(tablePath, v0 + 1)
+            .getOrElse(throw new IllegalStateException(
+              s"$tablePath: checkpointed bucket cursor inside version " +
+                s"${v0 + 1}, which spans a layout change — a slice can " +
+                "never be constructed there; the checkpoint is from a " +
+                "different table history"))
+          if (touched.size - c0 > bCap) offsetOf(v0, c0 + bCap)
+          else offsetOf(v0 + 1, 0L)
+        } else {
+          var v = v0
+          var budget = bCap
+          var versionsLeft = maxVersions.getOrElse(Long.MaxValue)
+          var tookAny = false
+          while (v < head && versionsLeft > 0L && budget > 0L) {
+            KeyedUpsertSink.touchedBucketsAt(tablePath, v + 1) match {
+              case None =>
+                // layout-change version: not splittable — take it whole
+                // when it's the batch's first content, else stop before
+                // it; either way it terminates the batch
+                if (!tookAny) v += 1
+                return offsetOf(v, 0L)
+              case Some(touched) =>
+                if (touched.size <= budget) {
+                  v += 1; budget -= touched.size; versionsLeft -= 1
+                  tookAny = true
+                } else if (!tookAny) {
+                  // the first version alone exceeds the cap: slice it
+                  return offsetOf(v, budget)
+                } else return offsetOf(v, 0L)
+            }
+          }
+          offsetOf(v, 0L)
+        }
+    }
   }
 
   override def reportLatestOffset(): streaming.Offset = LongOffset(currentHead)
@@ -317,24 +428,44 @@ private[graft] class ChangeFeedSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val to = ver(end: streaming.Offset)
+    val (toV, toC) = pos(end: streaming.Offset)
     // start=None is either the stream's true first batch (floor =
     // startVersion) or the engine's RECOVERY replay of an
     // already-committed batch, where this fresh source's floor (head at
     // creation) can sit ABOVE the old batch's end — clamp, the replayed
     // frame only rebuilds source state and an empty feed carries the
     // schema either way
-    val from = start.map(o => ver(o: streaming.Offset))
-      .getOrElse(math.min(startVersion, to))
+    val (from, fromC) = start.map(o => pos(o: streaming.Offset))
+      .getOrElse((math.min(startVersion, toV), 0L))
     // engine contract: a constructed batch always has from < to, but a
     // degenerate range must still return the declared schema
     val feed =
-      if (weighted) KeyedUpsertSink.readChangesWeighted(
-        sqlContext.sparkSession, tablePath, keys, orderCols,
-        fromVersion = from, toVersion = Some(to))
-      else KeyedUpsertSink.readChangesBetween(
-        sqlContext.sparkSession, tablePath, keys, orderCols,
-        fromVersion = from, toVersion = Some(to))
+      if (fromC == 0L && toC == 0L)
+        // clean version boundaries: the plain range feed
+        if (weighted) KeyedUpsertSink.readChangesWeighted(
+          sqlContext.sparkSession, tablePath, keys, orderCols,
+          fromVersion = from, toVersion = Some(toV))
+        else KeyedUpsertSink.readChangesBetween(
+          sqlContext.sparkSession, tablePath, keys, orderCols,
+          fromVersion = from, toVersion = Some(toV))
+      else {
+        // a cursor batch covers exactly ONE version step (the
+        // latestOffset construction invariant): the slice [fromC, toC)
+        // — or [fromC, end) when the batch completes the version — of
+        // that version's sorted touched-bucket list
+        val stepV = if (toC > 0L) toV + 1 else toV
+        require(from == (if (toC > 0L) toV else toV - 1),
+          s"$tablePath: cursor batch spans more than one version step " +
+            s"(($from,$fromC) -> ($toV,$toC)) — not a constructible range")
+        val touched = KeyedUpsertSink.touchedBucketsAt(tablePath, stepV)
+          .getOrElse(throw new IllegalStateException(
+            s"$tablePath: bucket slice inside version $stepV, which " +
+              "spans a layout change — not a constructible range"))
+        val hi = if (toC > 0L) toC.toInt else touched.size
+        KeyedUpsertSink.readChangesSlice(
+          sqlContext.sparkSession, tablePath, keys, orderCols, stepV,
+          touched.slice(fromC.toInt, hi).toSet, weighted)
+      }
     // pin the declared column set (a commit that ADDED columns mid-stream
     // widens the feed, but this stream's schema is fixed until restart).
     // The converse alignment matters on RESTART after a widening commit:
