@@ -494,6 +494,22 @@ object MaterializedAggView {
     val deltasRaw = KeyedUpsertSink.readChangesWeighted(
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
+    applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
+      extrema, distincts, from, head, deltasRaw)
+    Some((from, head))
+  }
+
+  /** The fold core shared by [[refresh]] (which derives the weighted
+    * feed itself) and [[maintainStream]] (which receives it from the
+    * `graft-changes` stream): fold `deltasRaw` — the weighted feed over
+    * exactly (`from`, `head`] — into the view stored at watermark
+    * `from`, and publish the result at `head` through the CAS.
+    */
+  private def applyDelta(spark: SparkSession, basePath: String,
+      viewPath: String, keys: Seq[String], order: Seq[Column],
+      dims: Seq[String], aggs: Seq[AggCol], extrema: Seq[ExtremumCol],
+      distincts: Seq[DistinctCol], from: Long, head: Long,
+      deltasRaw: DataFrame): Unit = {
     val fromDir = viewDirAt(viewPath, from)
     val old = spark.read.parquet(viewData(fromDir).toString)
     // the refresh spec must MATCH the bootstrapped view: a refresh
@@ -553,7 +569,102 @@ object MaterializedAggView {
       }
       publish(viewPath, Some(from), head, view.select(expect.map(col): _*), auxes)
     } finally pins.foreach(_.unpersist(false))
-    Some((from, head))
+  }
+
+  /** Test/telemetry seam: runs after a [[maintainStream]] batch's fold
+    * published, BEFORE the streaming checkpoint commits — the crash
+    * window whose replay the `to <= watermark` skip absorbs. Production
+    * never sets it.
+    */
+  private[graft] var onAfterStreamFold: Long => Unit = _ => ()
+
+  /** CONTINUOUS maintenance: the view follows the base table through
+    * the `graft-changes` weighted stream instead of manual [[refresh]]
+    * calls — readStream (stored key/order spec, `versionColumns`
+    * anchors) → foreachBatch fold → the same CAS publish as a manual
+    * refresh, which is what makes the loop exactly-once:
+    *
+    *  - each batch carries its manifest range as constant columns; the
+    *    fold applies it at the view's CURRENT watermark and publishes
+    *    at the batch's end version;
+    *  - a batch whose end is at or below the watermark is a REPLAY (the
+    *    engine re-runs the last uncommitted batch after a crash — even
+    *    one whose fold already published) and is skipped: the fold is
+    *    anchored, so replay-skip needs no transaction log;
+    *  - an empty batch advances nothing (the watermark lags the stream
+    *    offset over no-op ranges; the next non-empty batch's fold
+    *    covers the gap, which provably carried no feed rows);
+    *  - a batch STRADDLING the watermark (end above, start below with
+    *    feed rows in between) means another maintainer advanced the
+    *    view mid-range — folding it would double-count, so it fails
+    *    with `ConcurrentModificationException`, the same
+    *    single-maintainer doctrine the CAS enforces for concurrent
+    *    racers. Don't mix manual refreshes into a checkpointed
+    *    maintenance stream's lifetime.
+    *
+    * The view must be [[bootstrap]]ped first. The base table must be
+    * self-describing (round-17 writers record the spec; the stream
+    * reads under it). `trigger` defaults to AvailableNow — run-to-drain
+    * maintenance; pass a processing-time trigger for a resident loop.
+    * Returns the started query; failures surface through
+    * `awaitTermination` as usual.
+    */
+  def maintainStream(spark: SparkSession, basePath: String,
+      viewPath: String, keys: Seq[String], order: Seq[Column],
+      dims: Seq[String], aggs: Seq[AggCol],
+      extrema: Seq[ExtremumCol] = Seq.empty,
+      distincts: Seq[DistinctCol] = Seq.empty,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    validate(dims, aggs, extrema, distincts)
+    val wm0 = watermark(viewPath).getOrElse(throw new IllegalStateException(
+      s"$viewPath: no watermark — bootstrap the view before streaming " +
+        "maintenance (a fresh view must not treat the whole history as " +
+        "one delta)"))
+    val fromCol = graft.sources.ChangeFeedSource.FromVersionCol
+    val toCol = graft.sources.ChangeFeedSource.ToVersionCol
+    val reader = spark.readStream.format("graft-changes")
+      .option("path", basePath)
+      .option("weighted", "true")
+      .option("versionColumns", "true")
+      // first start only: the floor is the view's watermark (persisted
+      // under the checkpoint after that — restarts resume from offsets)
+      .option("startingVersion", wm0.toString)
+    maxVersionsPerTrigger.foreach(n =>
+      reader.option("maxVersionsPerTrigger", n.toString))
+    reader.load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // both anchors are per-batch constants
+          val anchor = batch.select(min(col(fromCol)), max(col(toCol))).head()
+          val (bFrom, bTo) = (anchor.getLong(0), anchor.getLong(1))
+          val wm = watermark(viewPath).getOrElse(
+            throw new IllegalStateException(
+              s"$viewPath: watermark vanished under a running " +
+                "maintenance stream — the view was deleted or recreated"))
+          if (bTo > wm) {
+            if (bFrom < wm) throw new java.util.ConcurrentModificationException(
+              s"$viewPath: watermark v$wm sits INSIDE this batch's range " +
+                s"(v$bFrom, v$bTo] — another maintainer advanced the view " +
+                "mid-range; folding would double-count. The view is " +
+                "single-maintainer: stop manual refreshes while a " +
+                "maintenance stream owns it (or restart the stream with " +
+                "a fresh checkpoint)")
+            applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
+              extrema, distincts, wm, bTo,
+              batch.drop(fromCol).drop(toCol))
+            onAfterStreamFold(bTo)
+          } // else: replay of an already-folded batch — skip
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 
   /** The MIN/MAX half of a refresh ([[ExtremumCol]]'s two-path scheme).

@@ -144,6 +144,16 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
 private[graft] object ChangeFeedSource {
   val WeightCol = "__weight"
 
+  /** With `versionColumns=true`, every batch row carries its range as
+    * two constant columns — the only way a foreachBatch consumer (which
+    * receives rows, not offsets) can anchor an exactly-once fold to the
+    * manifest versions the batch covers ([[graft.sink
+    * .MaterializedAggView.maintainStream]] is the built-in consumer).
+    * Cost: 16 bytes/row of literal payload, on an opt-in path.
+    */
+  val FromVersionCol = "__from_version"
+  val ToVersionCol = "__to_version"
+
   def required(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key, throw new IllegalArgumentException(
       s"graft-changes requires the '$key' option ('path' is mandatory; " +
@@ -224,9 +234,15 @@ private[graft] object ChangeFeedSource {
     val (keys, order) = resolveSpec(parameters)
     val base = KeyedUpsertSink.readBucketedDelta(
       sqlContext.sparkSession, path, keys, order).schema
-    if (parameters.get("weighted").exists(_.toBoolean))
-      StructType(base.fields :+ StructField(WeightCol, LongType, nullable = false))
-    else base
+    val weighted =
+      if (parameters.get("weighted").exists(_.toBoolean))
+        StructType(base.fields :+ StructField(WeightCol, LongType, nullable = false))
+      else base
+    if (parameters.get("versionColumns").exists(_.toBoolean))
+      StructType(weighted.fields :+
+        StructField(FromVersionCol, LongType, nullable = false) :+
+        StructField(ToVersionCol, LongType, nullable = false))
+    else weighted
   }
 }
 
@@ -244,6 +260,7 @@ private[graft] class ChangeFeedSource(
   // per-batch re-resolve would only re-read the same metadata
   private val (keys, orderCols) = resolveSpec(parameters)
   private val weighted = parameters.get("weighted").exists(_.toBoolean)
+  private val versionCols = parameters.get("versionColumns").exists(_.toBoolean)
   private val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
     val n = v.toLong
     require(n >= 1, s"maxVersionsPerTrigger must be >= 1 (got $n)")
@@ -254,6 +271,16 @@ private[graft] class ChangeFeedSource(
     require(n >= 1, s"maxBucketsPerTrigger must be >= 1 (got $n)")
     n
   }
+  // a sub-version SLICE carries only part of its version's feed: a
+  // consumer anchoring a fold on the version columns would fold partial
+  // data under a whole-version watermark (under-count) or skip the
+  // remaining slices (the replay guard fires at `to <= watermark`).
+  // Refuse the combination at stream start, not at the first bad fold.
+  require(versionCols == false || maxBuckets.isEmpty,
+    "graft-changes: versionColumns anchors folds to WHOLE versions — " +
+      "sub-version bucket slices (maxBucketsPerTrigger) cannot anchor a " +
+      "version-watermark fold; use maxVersionsPerTrigger to bound " +
+      "catch-up for version-anchored consumers")
 
   override val schema: StructType = feedSchema(sqlContext, parameters)
 
@@ -466,6 +493,14 @@ private[graft] class ChangeFeedSource(
           sqlContext.sparkSession, tablePath, keys, orderCols, stepV,
           touched.slice(fromC.toInt, hi).toSet, weighted)
       }
+    // the range anchors for an exactly-once foreachBatch consumer — as
+    // constant columns, because the v1 contract hands the consumer rows,
+    // not offsets
+    val anchored =
+      if (!versionCols) feed
+      else feed
+        .withColumn(FromVersionCol, org.apache.spark.sql.functions.lit(from))
+        .withColumn(ToVersionCol, org.apache.spark.sql.functions.lit(toV))
     // pin the declared column set (a commit that ADDED columns mid-stream
     // widens the feed, but this stream's schema is fixed until restart).
     // The converse alignment matters on RESTART after a widening commit:
@@ -474,7 +509,7 @@ private[graft] class ChangeFeedSource(
     // a narrower feed — pad it with typed nulls, exactly what a batch
     // read of those versions resolves under the widened contract. Then
     // re-tag as a streaming leaf — the v1 getBatch contract.
-    val aligned = schema.fields.foldLeft(feed) { (df, f) =>
+    val aligned = schema.fields.foldLeft(anchored) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name,
         org.apache.spark.sql.functions.lit(null).cast(f.dataType))
