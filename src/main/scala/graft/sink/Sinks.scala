@@ -1079,6 +1079,11 @@ object KeyedUpsertSink {
           // chain stays long; the next trigger retries the fold.
           case scala.util.control.NonFatal(_) => ()
         }
+      // with auto-compaction DISABLED nothing bounds read amplification
+      // — flag runaway chains once per (table, JVM) instead of letting
+      // reads quietly decay ([[ChainDriftWarnAt]])
+      if (compactAfter <= 0)
+        warnChainDrift(tablePath, readManifest(tablePath), written)
       Some(c)
     } finally bucketed.unpersist()
   }
@@ -1249,6 +1254,126 @@ object KeyedUpsertSink {
     throw new IllegalStateException(
       s"$tablePath: rebucket lost $maxAttempts full-rewrite attempts to " +
         "concurrent commits — quiesce or throttle writers and retry")
+  }
+
+  // ─────────────────────────── bucket-count advisor (operational) ──
+
+  /** One bucket's physical health at the current head: live data files
+    * and bytes across its generation chain, and the chain length.
+    */
+  final case class BucketStats(bucket: Long, files: Long, bytes: Long,
+      chainLen: Int)
+
+  /** Per-bucket physical stats from the head manifest + file listing —
+    * driver-side METADATA (one directory listing per (bucket,
+    * generation) pair, the same class of work as vacuum), never a data
+    * scan. The operational input [[adviseRebucket]] reads.
+    */
+  def tableStats(tablePath: String): Seq[BucketStats] = {
+    import scala.jdk.CollectionConverters._
+    readManifest(tablePath).toSeq.sortBy(_._1).map { case (b, chain) =>
+      val gens = chainOf(chain)
+      var files = 0L
+      var bytes = 0L
+      gens.foreach { g =>
+        val dir = Paths.get(tablePath, g, s"__bucket=$b")
+        if (Files.isDirectory(dir)) {
+          val s = Files.list(dir)
+          try s.iterator().asScala.foreach { p =>
+            val n = p.getFileName.toString
+            if (!n.startsWith(".") && !n.startsWith("_")) {
+              files += 1
+              bytes += Files.size(p)
+            }
+          } finally s.close()
+        }
+      }
+      BucketStats(b, files, bytes, gens.length)
+    }
+  }
+
+  /** A recommendation to resize — see [[adviseRebucket]]. */
+  final case class RebucketAdvice(currentBuckets: Int,
+      recommendedBuckets: Int, totalBytes: Long, maxChainLen: Int,
+      reason: String)
+
+  /** Should this table be re-bucketed? A bucket count is sized so one
+    * bucket holds roughly a task's worth of data (`targetBytesPerBucket`
+    * — default 1 GiB, the usual parquet task envelope); a table that
+    * outgrew its count concentrates many files per bucket (long merge
+    * chains, fat co-located joins), one that shrank far below it pays
+    * per-bucket overheads for near-empty directories. Recommends the
+    * next power of two that puts the CURRENT total bytes at the target,
+    * with a 2× hysteresis band so healthy tables are never churned:
+    * None unless the recommendation is at least a doubling or a
+    * halving. The resize itself is [[rebucketTable]] — one atomic
+    * versioned commit (see the README runbook).
+    *
+    * Advice, not a contract: bytes are measured at the head (chains
+    * included, so a badly-chained table reads bigger than its resolved
+    * size — compaction first gives a truer measure; `maxChainLen` in
+    * the advice flags that).
+    */
+  def adviseRebucket(tablePath: String,
+      targetBytesPerBucket: Long = 1L << 30,
+      minBuckets: Int = 16): Option[RebucketAdvice] = {
+    require(targetBytesPerBucket >= 1, "targetBytesPerBucket must be >= 1")
+    require(minBuckets >= 1, "minBuckets must be >= 1")
+    val stats = tableStats(tablePath)
+    if (stats.isEmpty) return None
+    val nb = effectiveNumBuckets(tablePath).getOrElse(return None)
+    val total = stats.map(_.bytes).sum
+    val ideal = math.max(1L,
+      (total + targetBytesPerBucket - 1) / targetBytesPerBucket)
+    var rec0 = 1L
+    while (rec0 < ideal) rec0 <<= 1
+    // shrink advice floors at `minBuckets` — per-bucket overheads only
+    // matter at scale, and "shrink your 4-bucket test table to 1" is
+    // churn, not advice; a floor at or above the current count means
+    // the table is simply healthy
+    val rec = if (rec0 < nb) math.max(rec0, minBuckets.toLong) else rec0
+    // a shrink floored to at-or-above the current count is "healthy",
+    // never re-read as growth advice
+    if (rec0 < nb && rec >= nb) return None
+    if (rec >= 2L * nb || rec <= nb / 2L) Some(RebucketAdvice(
+      nb, rec.toInt, total, stats.map(_.chainLen).max,
+      if (rec > nb)
+        s"$total bytes over $nb buckets ≈ ${total / math.max(1, nb)} " +
+          s"bytes/bucket, past the $targetBytesPerBucket target — " +
+          s"rebucketTable(..., $rec)"
+      else
+        s"$total bytes over $nb buckets ≈ ${total / math.max(1, nb)} " +
+          s"bytes/bucket, far under the $targetBytesPerBucket target — " +
+          s"rebucketTable(..., $rec) cuts per-bucket overheads"))
+    else None
+  }
+
+  /** Chain-drift warning threshold for writers that DISABLED
+    * auto-compaction (`compactAfter = 0`): nothing else bounds read
+    * amplification there, so the writer flags a touched chain past this
+    * length once per (table, JVM).
+    */
+  private[graft] val ChainDriftWarnAt: Int = 32
+
+  /** Telemetry seam for the chain-drift warning (default: stderr). */
+  private[graft] var onChainDrift: (String, Long, Int) => Unit =
+    (table, bucket, len) => System.err.println(
+      s"[graft] $table: bucket $bucket's generation chain is $len long " +
+        s"(auto-compaction disabled) — reads pay the whole chain; run " +
+        "compactBucketChains, or re-enable compactAfter")
+
+  private val chainDriftWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnChainDrift(tablePath: String, entries: Map[Long, String],
+      written: Seq[Long]): Unit = {
+    val worst = written.map(b =>
+      b -> entries.get(b).map(chainOf(_).length).getOrElse(0))
+      .maxByOption(_._2)
+    worst.foreach { case (b, len) =>
+      if (len > ChainDriftWarnAt && chainDriftWarned.add(tablePath))
+        onChainDrift(tablePath, b, len)
+    }
   }
 
   /** Write + force to stable storage, so the atomic rename promotes a

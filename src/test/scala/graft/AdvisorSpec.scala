@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.KeyedUpsertSink
+
+/** The bucket-count advisor: `tableStats` measures per-bucket physical
+  * health from the manifest + listings, `adviseRebucket` recommends a
+  * power-of-two resize only past a 2× hysteresis band (deliberately
+  * overgrown table → advice fires with a sane count; healthy table →
+  * silent), and delta writers with auto-compaction disabled warn once
+  * per (table, JVM) when a touched chain drifts past the bound.
+  */
+class AdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+
+  private def newTable(tag: String): String =
+    Files.createTempDirectory(tag).resolve("t").toString
+
+  private def batchDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "ts")
+
+  test("stats measure per-bucket files, bytes and chain length; advice respects the hysteresis band") {
+    val path = newTable("graft-advisor")
+    val sink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, order, numBuckets = 4, compactAfter = 0) _
+    sink(batchDf((1 to 32).map(i => (s"k$i", i.toLong, 10L)): _*), 0L)
+    sink(batchDf(("k1", 99L, 20L)), 1L) // one bucket grows a 2-chain
+    val stats = KeyedUpsertSink.tableStats(path)
+    assert(stats.nonEmpty && stats.forall(s => s.files >= 1 && s.bytes > 0))
+    assert(stats.map(_.chainLen).max == 2)
+    assert(stats.map(_.bucket).distinct.size == stats.size)
+    // healthy under the default 1 GiB target: silent
+    assert(KeyedUpsertSink.adviseRebucket(path).isEmpty)
+    // a table deliberately "overgrown" for a tiny target: advice fires,
+    // growth is a power of two at least 2x the current count, and the
+    // chain hint rides along
+    val total = stats.map(_.bytes).sum
+    val advice = KeyedUpsertSink.adviseRebucket(
+      path, targetBytesPerBucket = math.max(1L, total / 64))
+      .getOrElse(fail("overgrown table must draw advice"))
+    assert(advice.currentBuckets == 4)
+    assert(advice.recommendedBuckets >= 8)
+    assert(Integer.bitCount(advice.recommendedBuckets) == 1, "power of two")
+    assert(advice.totalBytes == total)
+    assert(advice.maxChainLen == 2)
+    assert(advice.reason.contains("rebucketTable"))
+    // shrink direction: a target far above the data recommends fewer
+    // buckets, also outside the band only
+    val shrink = KeyedUpsertSink.adviseRebucket(
+      path, targetBytesPerBucket = total * 10, minBuckets = 1)
+      .getOrElse(fail("a near-empty wide table must draw shrink advice"))
+    assert(shrink.recommendedBuckets <= 2)
+    // within the band (recommended == current): silent. Target that
+    // puts ideal exactly at 4 buckets:
+    assert(KeyedUpsertSink.adviseRebucket(
+      path, targetBytesPerBucket = math.max(1L, (total + 3) / 4),
+      minBuckets = 1).isEmpty)
+    // the default minBuckets floor: a small table never draws
+    // shrink-to-1 churn (the floored recommendation reads as healthy)
+    assert(KeyedUpsertSink.adviseRebucket(
+      path, targetBytesPerBucket = total * 10).isEmpty)
+  }
+
+  test("delta writers with compaction disabled warn once per table past the chain-drift bound") {
+    val path = newTable("graft-advisor-drift")
+    val warned = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+    val old = KeyedUpsertSink.onChainDrift
+    KeyedUpsertSink.onChainDrift = (t, b, l) => warned += ((t, b, l))
+    try {
+      val sink = KeyedUpsertSink.upsertBucketedDelta(
+        spark, path, keys, order, numBuckets = 1, compactAfter = 0) _
+      // one key, one bucket: every commit appends to the same chain
+      (0 until (KeyedUpsertSink.ChainDriftWarnAt + 2)).foreach { i =>
+        sink(batchDf(("k", i.toLong, 10L + i)), i.toLong)
+      }
+      assert(warned.size == 1, s"exactly one warning per (table, JVM): $warned")
+      val (t, b, len) = warned.head
+      assert(t == path && b == 0L && len > KeyedUpsertSink.ChainDriftWarnAt)
+    } finally KeyedUpsertSink.onChainDrift = old
+  }
+}
