@@ -216,12 +216,34 @@ object Bench {
     // record it in a `failed` list the driver JSON carries alongside the
     // (fast-fail) wall time, so a regression can't read as a speedup
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // per-rep VIEW ROUTE observability (r16 verdict "what's wrong" #2):
+    // a stalled etl_view_refresh rep used to need a custom probe to
+    // distinguish "a dirty-extremum recompute fired" from "the machine
+    // stalled" — the counters ride bench_full.json per rep now, so the
+    // adjudication reads straight from the artifact. Counters cover the
+    // dirty-route choice (bounded/full), extremum recomputes, and the
+    // change feed's diff-fallback (vs append fast path) servings.
+    val ctBounded = new java.util.concurrent.atomic.AtomicLong
+    val ctFull = new java.util.concurrent.atomic.AtomicLong
+    val ctExtrema = new java.util.concurrent.atomic.AtomicLong
+    val ctDiff = new java.util.concurrent.atomic.AtomicLong
+    val ctAppend = new java.util.concurrent.atomic.AtomicLong
+    graft.sink.MaterializedAggView.onDirtyRoute = (_, path) =>
+      (if (path == "bounded") ctBounded else ctFull).incrementAndGet()
+    graft.sink.MaterializedAggView.onExtremaRecompute = _ =>
+      ctExtrema.incrementAndGet()
+    graft.sink.KeyedUpsertSink.onChangesPath = p =>
+      (if (p == "diff") ctDiff else ctAppend).incrementAndGet()
+    def routeSnapshot(): (Long, Long, Long, Long, Long) =
+      (ctBounded.get(), ctFull.get(), ctExtrema.get(), ctDiff.get(),
+        ctAppend.get())
     // (wall, gc, jit, succeeded) — success is tracked PER REP, and a
     // query is failed only when NO rep passes: a transient single-rep
     // failure (FS hiccup inside the noisy-sample third rep, say) must
     // not drop a genuinely passing query's wall from the headline total
-    def once(name: String): (Double, Double, Double, Boolean) = {
+    def once(name: String): (Double, Double, Double, Boolean, (Long, Long, Long, Long, Long)) = {
       val fn = SparkEntry.queries(name)
+      val r0 = routeSnapshot()
       val g0 = gcMillis(); val j0 = jitMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -230,13 +252,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      val r1 = routeSnapshot()
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
-        (jitMillis() - j0) / 1e3, ok)
+        (jitMillis() - j0) / 1e3, ok,
+        (r1._1 - r0._1, r1._2 - r0._2, r1._3 - r0._3, r1._4 - r0._4,
+          r1._5 - r0._5))
     }
     val ccAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // every rep's (wall, gc, jit), not just the best — the round-11
     // JIT stall could only be adjudicated from per-rep attribution
     val allReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double, Double)]]
+    // per-rep [bounded, full, extrema, diff, append] route counts,
+    // recorded only for queries where any rep was nonzero (the view/feed
+    // tier) — `append` makes the healthy signal POSITIVE: a stalled rep
+    // with [0,0,0,0,N] is a machine stall, not a plan change
+    val allRoutes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Long, Long, Long, Long, Long)]]
     val results = names.zipWithIndex.map { case (name, _) =>
       // settle before every query: finished queries leave broadcast and
       // checkpoint blocks whose deferred cleanup otherwise lands as
@@ -281,6 +311,13 @@ object Bench {
         Seq(s1, s2, once(name)) else Seq(s1, s2)
       ccAfter(name) = codeCacheUsedMb()
       allReps(name) = samples.map(s => (s._1, s._2, s._3))
+      if (samples.exists(s => s._5 != ((0L, 0L, 0L, 0L, 0L)))) {
+        allRoutes(name) = samples.map(_._5)
+        System.err.println(s"[bench] $name routes per rep " +
+          "[bounded,full,extrema,diff,append]: " + samples.map(s =>
+          s"[${s._5._1},${s._5._2},${s._5._3},${s._5._4},${s._5._5}]")
+          .mkString(","))
+      }
       val passing = samples.filter(_._4)
       if (passing.isEmpty) failed += name
       val pick = (if (passing.nonEmpty) passing else samples).minBy(_._1)
@@ -331,6 +368,10 @@ object Bench {
           k -> allReps.getOrElse(k, Nil).map { case (w, g, j) =>
             s"[${fmt(w, 3)},${fmt(g, 3)},${fmt(j, 3)}]"
           }.mkString("[", ",", "]")
+        })},"view_routes":${
+        jmap(allRoutes.toSeq.map { case (k, reps) =>
+          k -> reps.map { case (b, f, e, d, a) => s"[$b,$f,$e,$d,$a]" }
+            .mkString("[", ",", "]")
         })},"failed":$failedArr,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
