@@ -314,26 +314,29 @@ object MaterializedAggView {
     val bytes = s"$dirName\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (overwrite) {
       // force re-bootstrap: deliberately discard maintained state. The
-      // marker replaces atomically and every OTHER marker is cleared so
-      // the new watermark is exactly `head` (a recreated base can sit
-      // BELOW the old watermark — stale higher markers must not shadow
-      // it). Single-actor by declaration: force is an operator action.
-      // Markers ABOVE the new head go FIRST — with their data
-      // directories (reclaim's `v <= wm` rule would never touch dirs
-      // above the new watermark, so they'd leak forever, and a reader
-      // listing markers between the new publish and a late cleanup
-      // could resolve the old incarnation's higher marker)
-      markers(viewPath).filter(_._1 > head).foreach { case (v, dirName0) =>
-        Files.deleteIfExists(markerPath(viewPath, v))
-        try KeyedUpsertSink.deleteRecursively(root.resolve(dirName0))
-        catch { case _: java.nio.file.NoSuchFileException => () }
-      }
+      // NEW marker publishes FIRST (atomic replace): a crash at any
+      // point leaves the view readable — either still the old state, or
+      // the new one (deleting the stale markers before publishing would
+      // open a window where NO marker exists and the old data dirs are
+      // already destroyed). Then stale markers ABOVE the new head go,
+      // WITH their data directories (reclaim's `v <= wm` rule never
+      // touches dirs above the watermark, so they'd leak forever); a
+      // crash between the publish and this cleanup leaves the stale
+      // higher marker shadowing the new one, which the next refresh
+      // surfaces LOUDLY (its CAS expectFrom mismatches) — recover by
+      // re-running the force. Single-actor by declaration: force is an
+      // operator action.
       val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       KeyedUpsertSink.writeFsynced(tmp, bytes)
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       KeyedUpsertSink.fsyncDir(root)
+      markers(viewPath).filter(_._1 > head).foreach { case (v, dirName0) =>
+        Files.deleteIfExists(markerPath(viewPath, v))
+        try KeyedUpsertSink.deleteRecursively(root.resolve(dirName0))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
       // stale LOWER markers: clear the markers; their data dirs sit
       // at/below the new watermark, where reclaim's rule sweeps them
       markers(viewPath).filter(_._1 != head)
@@ -620,6 +623,11 @@ object MaterializedAggView {
       maxVersionsPerTrigger: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     validate(dims, aggs, extrema, distincts)
+    // the STREAM reads under the table's stored spec regardless of the
+    // caller's arguments — validate the caller's spec NOW, or a
+    // mismatch would surface only at the first dirty-extremum recompute
+    // (possibly days in), or never on a no-extrema view
+    KeyedUpsertSink.requireSpecMatches(spark, basePath, keys, order)
     val wm0 = watermark(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — bootstrap the view before streaming " +
         "maintenance (a fresh view must not treat the whole history as " +
@@ -638,28 +646,35 @@ object MaterializedAggView {
     reader.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // both anchors are per-batch constants
-          val anchor = batch.select(min(col(fromCol)), max(col(toCol))).head()
-          val (bFrom, bTo) = (anchor.getLong(0), anchor.getLong(1))
-          val wm = watermark(viewPath).getOrElse(
-            throw new IllegalStateException(
-              s"$viewPath: watermark vanished under a running " +
-                "maintenance stream — the view was deleted or recreated"))
-          if (bTo > wm) {
-            if (bFrom < wm) throw new java.util.ConcurrentModificationException(
-              s"$viewPath: watermark v$wm sits INSIDE this batch's range " +
-                s"(v$bFrom, v$bTo] — another maintainer advanced the view " +
-                "mid-range; folding would double-count. The view is " +
-                "single-maintainer: stop manual refreshes while a " +
-                "maintenance stream owns it (or restart the stream with " +
-                "a fresh checkpoint)")
-            applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
-              extrema, distincts, wm, bTo,
-              batch.drop(fromCol).drop(toCol))
-            onAfterStreamFold(bTo)
-          } // else: replay of an already-folded batch — skip
-        }
+        // pin BEFORE the first action: the feed plan (touched-bucket
+        // window + symmetric difference) would otherwise execute once
+        // for the emptiness/anchor probe and again for the fold
+        val pinned = batch.persist()
+        try {
+          // one action covers emptiness AND both anchors (the version
+          // columns are per-batch constants — any row carries them)
+          val first = pinned.select(col(fromCol), col(toCol)).take(1)
+          if (first.nonEmpty) {
+            val (bFrom, bTo) = (first(0).getLong(0), first(0).getLong(1))
+            val wm = watermark(viewPath).getOrElse(
+              throw new IllegalStateException(
+                s"$viewPath: watermark vanished under a running " +
+                  "maintenance stream — the view was deleted or recreated"))
+            if (bTo > wm) {
+              if (bFrom < wm) throw new java.util.ConcurrentModificationException(
+                s"$viewPath: watermark v$wm sits INSIDE this batch's range " +
+                  s"(v$bFrom, v$bTo] — another maintainer advanced the view " +
+                  "mid-range; folding would double-count. The view is " +
+                  "single-maintainer: stop manual refreshes while a " +
+                  "maintenance stream owns it (or restart the stream with " +
+                  "a fresh checkpoint)")
+              applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
+                extrema, distincts, wm, bTo,
+                pinned.drop(fromCol).drop(toCol))
+              onAfterStreamFold(bTo)
+            } // else: replay of an already-folded batch — skip
+          }
+        } finally pinned.unpersist(false)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -1081,9 +1081,12 @@ object KeyedUpsertSink {
         }
       // with auto-compaction DISABLED nothing bounds read amplification
       // — flag runaway chains once per (table, JVM) instead of letting
-      // reads quietly decay ([[ChainDriftWarnAt]])
-      if (compactAfter <= 0)
-        warnChainDrift(tablePath, readManifest(tablePath), written)
+      // reads quietly decay ([[ChainDriftWarnAt]]). Lengths derive from
+      // the in-scope head map (+1 for this commit's append): NO extra
+      // listing or manifest read on the hot write path
+      if (compactAfter <= 0 && !chainDriftWarned.contains(tablePath))
+        warnChainDrift(tablePath, written.map(b =>
+          b -> (man.get(b).map(chainOf(_).length).getOrElse(0) + 1)))
       Some(c)
     } finally bucketed.unpersist()
   }
@@ -1365,12 +1368,14 @@ object KeyedUpsertSink {
   private val chainDriftWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def warnChainDrift(tablePath: String, entries: Map[Long, String],
-      written: Seq[Long]): Unit = {
-    val worst = written.map(b =>
-      b -> entries.get(b).map(chainOf(_).length).getOrElse(0))
-      .maxByOption(_._2)
-    worst.foreach { case (b, len) =>
+  /** `lengths` = the committed chain lengths of this batch's buckets,
+    * derived by the caller from state already in scope — this must stay
+    * free on the hot write path (no listing, no manifest read), and it
+    * can fire at most once per (table, JVM) anyway.
+    */
+  private def warnChainDrift(tablePath: String,
+      lengths: Seq[(Long, Int)]): Unit = {
+    lengths.maxByOption(_._2).foreach { case (b, len) =>
       if (len > ChainDriftWarnAt && chainDriftWarned.add(tablePath))
         onChainDrift(tablePath, b, len)
     }
@@ -1461,11 +1466,21 @@ object KeyedUpsertSink {
   private def canonicalOrderOne(spark: SparkSession, c: Column): String =
     org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c) match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.name
+        a.nameParts.map(quotePart).mkString(".")
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        a.name
+        quotePart(a.name)
       case other => other.sql
     }
+
+  /** Backquote an identifier part unless it is a plain word — a column
+    * literally named `evt.ts` must not round-trip through the stored
+    * spec as a two-part reference (the silent-wrong-LWW class again).
+    * Matches the SQL parser's quoting rule (backticks double inside).
+    */
+  private def quotePart(part: String): String =
+    if (part.matches("[a-zA-Z0-9_]+")) part
+    else "`" + part.replace("`", "``") + "`"
+
 
   private def canonicalOrder(spark: SparkSession, order: Seq[Column]): String =
     order.map(c => escapeSpecPart(canonicalOrderOne(spark, c))).mkString(",")
@@ -1560,7 +1575,7 @@ object KeyedUpsertSink {
     * (every committer re-validates it), so reading it outside the
     * caller's manifest snapshot cannot race a spec change.
     */
-  private def requireSpecMatches(spark: SparkSession, tablePath: String,
+  private[graft] def requireSpecMatches(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column]): Unit = {
     val meta = versionedHeadFull(tablePath)._3
     if (meta.contains(KeySpecMeta) || meta.contains(OrderSpecMeta))
@@ -2104,14 +2119,33 @@ object KeyedUpsertSink {
     * and must drain as one batch.
     */
   private[graft] def touchedBucketsAt(tablePath: String,
-      v: Long): Option[Seq[Long]] =
-    if (metaAt(tablePath, v - 1).get("numBuckets") !=
-        metaAt(tablePath, v).get("numBuckets")) None
-    else {
-      val before = manifestAt(tablePath, v - 1)
-      Some(manifestAt(tablePath, v).collect {
-        case (b, g) if !before.get(b).contains(g) => b
-      }.toSeq.sorted)
+      v: Long): Option[Seq[Long]] = {
+    // ONE listing + one read per version (not four): this sits on the
+    // streaming source's admission-control walk, which probes many
+    // versions per trigger during catch-up
+    val (manBefore, metaBefore) = manifestAndMetaAt(tablePath, v - 1)
+    val (manNow, metaNow) = manifestAndMetaAt(tablePath, v)
+    if (metaBefore.get("numBuckets") != metaNow.get("numBuckets")) None
+    else Some(manNow.collect {
+      case (b, g) if !manBefore.get(b).contains(g) => b
+    }.toSeq.sorted)
+  }
+
+  /** Manifest + metadata of one version from ONE listing and ONE file
+    * read. Same loud-on-pruned contract as [[manifestAt]].
+    */
+  private def manifestAndMetaAt(tablePath: String,
+      version: Long): (Map[Long, String], Map[String, String]) =
+    if (version == 0L) (legacyManifest(tablePath), Map.empty)
+    else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
+      case Some((_, p)) =>
+        import scala.jdk.CollectionConverters._
+        val lines = Files.readAllLines(p).asScala.toSeq
+        (parseManifestLines(lines), parseMetaLines(lines))
+      case None => throw new NoSuchElementException(
+        s"$tablePath: no readable manifest v$version — pruned past the " +
+          s"vacuum keep window or never committed (have: " +
+          s"${tableVersions(tablePath).mkString(",")})")
     }
 
   /** One version step's change feed restricted to a bucket subset — the

@@ -346,6 +346,30 @@ private[graft] class ChangeFeedSource(
     */
   @volatile private var availableTarget: Option[Long] = None
 
+  /** Per-version touched-bucket memo: a committed manifest is IMMUTABLE
+    * (put-if-absent; vacuum deletes, never rewrites), so the diff for a
+    * version never changes. Without this, a bucket-capped catch-up walk
+    * re-lists the table root per probed version per trigger, and
+    * getBatch repeats the listing for its own step — a listing storm on
+    * an object store. Bounded: the walk only ever probes versions near
+    * the stream's frontier, so a small window suffices.
+    */
+  private val touchedMemo =
+    new java.util.LinkedHashMap[Long, Option[Seq[Long]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Option[Seq[Long]]]): Boolean = size > 64
+    }
+
+  private def touchedAt(v: Long): Option[Seq[Long]] = touchedMemo.synchronized {
+    val cached = touchedMemo.get(v)
+    if (cached != null) cached
+    else {
+      val fresh = KeyedUpsertSink.touchedBucketsAt(tablePath, v)
+      touchedMemo.put(v, fresh)
+      fresh
+    }
+  }
+
   private def pos(o: streaming.Offset): (Long, Long) = parseOffset(o.json())
 
   private def currentHead: Long = {
@@ -405,7 +429,7 @@ private[graft] class ChangeFeedSource(
           // mid-version: emit the next slice, or the remainder — and
           // terminate the batch at the boundary either way (a batch
           // never mixes a partial version with other versions)
-          val touched = KeyedUpsertSink.touchedBucketsAt(tablePath, v0 + 1)
+          val touched = touchedAt(v0 + 1)
             .getOrElse(throw new IllegalStateException(
               s"$tablePath: checkpointed bucket cursor inside version " +
                 s"${v0 + 1}, which spans a layout change — a slice can " +
@@ -419,7 +443,7 @@ private[graft] class ChangeFeedSource(
           var versionsLeft = maxVersions.getOrElse(Long.MaxValue)
           var tookAny = false
           while (v < head && versionsLeft > 0L && budget > 0L) {
-            KeyedUpsertSink.touchedBucketsAt(tablePath, v + 1) match {
+            touchedAt(v + 1) match {
               case None =>
                 // layout-change version: not splittable — take it whole
                 // when it's the batch's first content, else stop before
@@ -484,7 +508,7 @@ private[graft] class ChangeFeedSource(
         require(from == (if (toC > 0L) toV else toV - 1),
           s"$tablePath: cursor batch spans more than one version step " +
             s"(($from,$fromC) -> ($toV,$toC)) — not a constructible range")
-        val touched = KeyedUpsertSink.touchedBucketsAt(tablePath, stepV)
+        val touched = touchedAt(stepV)
           .getOrElse(throw new IllegalStateException(
             s"$tablePath: bucket slice inside version $stepV, which " +
               "spans a layout change — not a constructible range"))
