@@ -312,6 +312,76 @@ object SparkEntry {
       MaterializedAggView.read(s, viewPath)
     }),
 
+    // STREAMED view maintenance (round 17): the same maintained view,
+    // but the catch-up folds arrive through the `graft-changes`
+    // weighted STREAM (maintainStream: versionColumns anchors +
+    // foreachBatch + the CAS publish) instead of manual refresh calls
+    // — the oracle's hash match proves the streamed fold pipeline
+    // (source → anchored batches → applyDelta) equals the from-scratch
+    // recompute, retractions included. Verify-only: its wall is the
+    // same fixture-commit envelope as etl_view_incremental plus
+    // streaming-engine overhead, measuring nothing per round that
+    // etl_view_refresh doesn't already track.
+    "etl_view_stream" -> ((s, dir) => {
+      import graft.sink.MaterializedAggView
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-view-stream-base-q", dir)
+      val viewPath = scratchTable("graft-view-stream-q", dir)
+      val ckpt = scratchTable("graft-view-stream-ckpt-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val dims = Seq("last_event_type")
+      val aggs = Seq(
+        MaterializedAggView.AggCol("n_users", lit(1L)),
+        MaterializedAggView.AggCol("sum_ts_day",
+          col("last_ts_ms") % 86400000L))
+      val ext = Seq(
+        MaterializedAggView.ExtremumCol("min_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = true),
+        MaterializedAggView.ExtremumCol("max_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = false))
+      val nd = Seq(MaterializedAggView.DistinctCol("nd_hour",
+        floor(col("last_ts_ms") % 86400000L / 3600000L).cast("long")))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims,
+        aggs, ext, nd)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      val q = MaterializedAggView.maintainStream(s, path, viewPath, keys,
+        order, dims, aggs, ext, nd, checkpointDir = ckpt)
+      q.awaitTermination()
+      MaterializedAggView.read(s, viewPath)
+    }),
+
+    // Schema-WIDENING upsert under the round-17 evolution contract: the
+    // second batch ADDS a column; rows whose LWW winner predates it
+    // read null there (widen-with-nulls — the deliberate choice; drops
+    // and retypes are refused loudly, spec-pinned). The oracle computes
+    // the same LWW with the added column nulled for old-batch winners.
+    "etl_upsert_evolve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_us"))
+      val path = scratchTable("graft-upsert-evolve-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      // batch 0: the narrow schema (no event-type column yet)
+      sink(ev.filter(col("last_event_id") % 2 === 0)
+        .drop("last_event_type"), 0L)
+      // batch 1: widened — adds last_event_type
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.readBucketedDelta(s, path)
+        .drop("ts_us")
+    }),
+
     // Maintained SECOND MOMENTS: the view stores exact long sums of x
     // and x² (the q_stats hi/lo split keeps the x² totals inside a LONG
     // at any plausible scale: x = time-of-day ms ≤ 8.64e7, x² ≤ 7.5e15
@@ -1393,6 +1463,30 @@ object SparkEntry {
         |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
         |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
         |FROM resolved GROUP BY 1""".stripMargin,
+
+    // the STREAMED maintenance pipeline must land on the identical
+    // recompute — same oracle as the manually-refreshed view
+    "etl_view_stream" ->
+      """WITH resolved AS (
+        |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type AS last_event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day,
+        |  CAST(min(last_ts_ms % 86400000) AS BIGINT) AS min_ts_day,
+        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
+        |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
+        |FROM resolved GROUP BY 1""".stripMargin,
+
+    // widen-with-nulls: winners from the pre-widening batch (even
+    // event_ids) read null in the added column
+    "etl_upsert_evolve" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  CASE WHEN event_id % 2 = 1 THEN event_type END AS last_event_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     // maintained exact moments → stddev on read must equal the
     // from-scratch recompute (q_stats' exact-integer → one-double-cast
