@@ -94,6 +94,37 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view) == viewRows(view2))
   }
 
+  test("bounded catch-up: maxVersionsPerTrigger folds the backlog in capped anchored batches") {
+    val root = Files.createTempDirectory("graft-mvs-cap")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    up(batchDf(("a", "x", 5L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    // a 5-version backlog accrues while the maintainer is down
+    (1 to 5).foreach { i =>
+      up(batchDf((s"k$i", if (i % 2 == 0) "x" else "y", i.toLong, 10L + i)), i.toLong)
+    }
+    val folds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val old = MaterializedAggView.onAfterStreamFold
+    MaterializedAggView.onAfterStreamFold = folds += _
+    try {
+      val q = MaterializedAggView.maintainStream(spark, base, view, keys,
+        order, dims, aggs, ext, nd, checkpointDir = ckpt,
+        maxVersionsPerTrigger = Some(2L))
+      q.awaitTermination()
+    } finally MaterializedAggView.onAfterStreamFold = old
+    // ceil(5/2) = 3 anchored folds, watermarks strictly ascending to
+    // the head, each batch ≤ 2 versions
+    assert(folds.toSeq == folds.sorted.distinct.toSeq, s"folds: $folds")
+    assert(folds.size == 3, s"expected 3 capped folds, got $folds")
+    assert(folds.last == KeyedUpsertSink.tableVersions(base).max)
+    assert(MaterializedAggView.watermark(view) == Some(folds.last))
+    assert(viewRows(view) == recompute(base))
+  }
+
   test("a publish-then-crash replay is skipped, never double-folded") {
     val root = Files.createTempDirectory("graft-mvs-crash")
     val base = root.resolve("t").toString
