@@ -314,33 +314,41 @@ object MaterializedAggView {
     val bytes = s"$dirName\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (overwrite) {
       // force re-bootstrap: deliberately discard maintained state. The
-      // NEW marker publishes FIRST (atomic replace): a crash at any
-      // point leaves the view readable — either still the old state, or
-      // the new one (deleting the stale markers before publishing would
-      // open a window where NO marker exists and the old data dirs are
-      // already destroyed). Then stale markers ABOVE the new head go,
-      // WITH their data directories (reclaim's `v <= wm` rule never
-      // touches dirs above the watermark, so they'd leak forever); a
-      // crash between the publish and this cleanup leaves the stale
-      // higher marker shadowing the new one, which the next refresh
-      // surfaces LOUDLY (its CAS expectFrom mismatches) — recover by
-      // re-running the force. Single-actor by declaration: force is an
-      // operator action.
+      // multi-step replace cannot be atomic, so the ORDERING pins which
+      // crash outcomes are possible — the one outcome no crash may
+      // produce is the view silently serving a version ABOVE the new
+      // head forever (watermark = max marker; reclaim never touches
+      // dirs above it; plain readers have no guard that would notice —
+      // a refresh fails loud on head<from and a maintenance stream on
+      // the startingVersion bound, but a reader-only deployment never
+      // learns). So: (1) stale HIGHER markers clear FIRST — markers
+      // only, their data dirs stay on disk, so a crash here leaves the
+      // view either on an older lower marker or loudly watermark-less,
+      // both recoverable by re-running the force, nothing destroyed;
+      // (2) the new marker publishes (atomic replace) — the view now
+      // reads the forced state; (3) stale LOWER markers clear (their
+      // dirs sit at/below the watermark where reclaim's rule sweeps
+      // them); (4) the higher markers' now-unreferenced dirs go
+      // (reclaim's `v <= wm` rule never would — a crash between (2)
+      // and (4) leaks them until the force is re-run, the benign
+      // residual). Single-actor by declaration: force is an operator
+      // action.
+      val staleHigher = markers(viewPath).filter(_._1 > head)
+      staleHigher.foreach { case (v, _) =>
+        Files.deleteIfExists(markerPath(viewPath, v))
+      }
       val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       KeyedUpsertSink.writeFsynced(tmp, bytes)
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       KeyedUpsertSink.fsyncDir(root)
-      markers(viewPath).filter(_._1 > head).foreach { case (v, dirName0) =>
-        Files.deleteIfExists(markerPath(viewPath, v))
+      markers(viewPath).filter(_._1 != head)
+        .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
+      staleHigher.foreach { case (_, dirName0) =>
         try KeyedUpsertSink.deleteRecursively(root.resolve(dirName0))
         catch { case _: java.nio.file.NoSuchFileException => () }
       }
-      // stale LOWER markers: clear the markers; their data dirs sit
-      // at/below the new watermark, where reclaim's rule sweeps them
-      markers(viewPath).filter(_._1 != head)
-        .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
       Files.deleteIfExists(headFile(viewPath)) // legacy fallback file
     } else {
       // the loser's just-moved directory is provably unreferenced (its

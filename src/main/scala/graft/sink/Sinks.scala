@@ -1429,20 +1429,17 @@ object KeyedUpsertSink {
         b.toLong -> g
       }.toMap
 
-  /** Manifest metadata lines (`#key=value`). Today the single key is
-    * `numBuckets`, written ONLY by [[rebucketTable]]: riding the
-    * manifest makes a layout change atomic with the data swap that
-    * implements it (a separate sidecar update would leave a crash
-    * window where the manifest's new-layout buckets read under the old
-    * hash — silently wrong lookups). Every committer carries the head's
-    * metadata forward verbatim; tables never rebucketed have none and
-    * keep resolving their layout from the `_layout` sidecar.
+  /** Manifest metadata lines (`#key=value`). Keys today: `numBuckets`
+    * (written ONLY by [[rebucketTable]] — riding the manifest makes a
+    * layout change atomic with the data swap that implements it; a
+    * separate sidecar update would leave a crash window where the
+    * manifest's new-layout buckets read under the old hash),
+    * `keySpec`/`orderSpec` (the self-describing table spec, r17) and
+    * `schema` (the column contract, r17). Every committer carries the
+    * head's metadata forward (validating/evolving the r17 keys);
+    * pre-meta tables keep resolving their layout from the `_layout`
+    * sidecar.
     */
-  private def parseMeta(p: Path): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    parseMetaLines(Files.readAllLines(p).asScala.toSeq)
-  }
-
   private def parseMetaLines(lines: Seq[String]): Map[String, String] =
     lines
       .filter(l => l.startsWith("#") && l.contains("="))
@@ -1472,14 +1469,18 @@ object KeyedUpsertSink {
       case other => other.sql
     }
 
-  /** Backquote an identifier part unless it is a plain word — a column
-    * literally named `evt.ts` must not round-trip through the stored
-    * spec as a two-part reference (the silent-wrong-LWW class again).
-    * Matches the SQL parser's quoting rule (backticks double inside).
+  /** Backquote an identifier part — ALWAYS. A conditional "plain words
+    * stay bare" rule has two parse traps the second review pass caught:
+    * a digit-led name (`2d` re-parses as the DOUBLE literal 2.0 — LWW
+    * by a constant, the silent-wrong class again) and SQL keywords
+    * (`order` fails to parse under enforced-reserved-keywords configs).
+    * A backquoted identifier parses as an attribute under every
+    * configuration, and canonicalization is stable because BOTH the
+    * writer's spec and the re-parsed stored one pass through here
+    * (backticks double inside, the SQL parser's escape).
     */
   private def quotePart(part: String): String =
-    if (part.matches("[a-zA-Z0-9_]+")) part
-    else "`" + part.replace("`", "``") + "`"
+    "`" + part.replace("`", "``") + "`"
 
 
   private def canonicalOrder(spark: SparkSession, order: Seq[Column]): String =
@@ -2266,32 +2267,18 @@ object KeyedUpsertSink {
     * a different question.
     */
   private def manifestAt(tablePath: String, version: Long): Map[Long, String] =
-    // v0 is the pre-first-commit state by protocol definition (the legacy
-    // lock-path `_manifest` when one exists, else empty) — never a file,
-    // so it resolves here, not in versionFiles. A change feed FROM v0 is
-    // therefore the full bootstrap image, the contract the streaming
-    // source's `startingVersion=0` documents.
-    if (version == 0L) legacyManifest(tablePath)
-    else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
-      case Some((_, p)) => parseManifest(p)
-      case None => throw new NoSuchElementException(
-        s"$tablePath: no readable manifest v$version — pruned past the " +
-          s"vacuum keep window or never committed (have: " +
-          s"${tableVersions(tablePath).mkString(",")})")
-    }
+    // ONE definition of the v0 rule and the loud-on-pruned contract:
+    // [[manifestAndMetaAt]] (v0 = the pre-first-commit state — the
+    // legacy lock-path `_manifest` when one exists, else empty — so a
+    // change feed FROM v0 is the full bootstrap image, the contract the
+    // streaming source's `startingVersion=0` documents)
+    manifestAndMetaAt(tablePath, version)._1
 
   /** Manifest metadata as of commit `version` (empty for v0 and for
     * pre-meta manifests). Same loud-on-pruned contract as [[manifestAt]].
     */
   private def metaAt(tablePath: String, version: Long): Map[String, String] =
-    if (version == 0L) Map.empty
-    else versionFiles(Paths.get(tablePath)).find(_._1 == version) match {
-      case Some((_, p)) => parseMeta(p)
-      case None => throw new NoSuchElementException(
-        s"$tablePath: no readable manifest v$version — pruned past the " +
-          s"vacuum keep window or never committed (have: " +
-          s"${tableVersions(tablePath).mkString(",")})")
-    }
+    manifestAndMetaAt(tablePath, version)._2
 
   /** Best-effort reclamation of generation directories no manifest entry
     * references (superseded or orphaned by a crash), plus stale

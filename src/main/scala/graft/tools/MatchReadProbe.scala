@@ -29,17 +29,7 @@ object MatchReadProbe {
     spark.sparkContext.setLogLevel("WARN")
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
-    val evBase = graft.Tables.events(spark, sfDir).select(col("event_id"),
-      col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
-    val ev = (if (scale <= 1) evBase
-      else ProbeCorpus.cached(spark,
-        s"/tmp/graft-mview-ev-${scale}x-${java.nio.file.Paths.get(sfDir).getFileName}") {
-        (0 until scale).map(i => evBase.select(
-          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-          col("event_type"),
-          pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
-          col("ts_us"))).reduce(_ unionByName _)
-      })
+    val ev = ProbeCorpus.scaledEvents(spark, sfDir, scale)
       .withColumn("event_type",
         concat(lit("h"), floor(col("v") / 3600000L).cast("long")))
     val root = Files.createTempDirectory("graft-matchread")

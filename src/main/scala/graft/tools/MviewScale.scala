@@ -94,19 +94,7 @@ object MviewScale {
     val numBuckets = 16
     // key on event_id (the big-table premise: one row per event); the
     // view groups by event_type over a bounded time-of-day value
-    val evBase = T.events(spark, sfDir).select(col("event_id"),
-      col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
-    val ev = (if (scale <= 1) evBase
-      else ProbeCorpus.cached(spark,
-        s"/tmp/graft-mview-ev-${scale}x-${java.nio.file.Paths.get(sfDir).getFileName}") {
-        // disjoint keys per copy; values phase-shifted so replicas are
-        // not pure duplicates (distinct counts and extrema must move)
-        (0 until scale).map(i => evBase.select(
-          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-          col("event_type"),
-          pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
-          col("ts_us"))).reduce(_ unionByName _)
-      })
+    val ev = ProbeCorpus.scaledEvents(spark, sfDir, scale)
     // ONE cached copy: fold the dim derivation in before the persist (a
     // second MEMORY_AND_DISK copy of a 10M-row corpus doubles cache
     // pressure inside the very measurements this probe reports)

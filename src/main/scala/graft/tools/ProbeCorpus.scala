@@ -50,6 +50,31 @@ object ProbeCorpus {
   /** Synthesize once into parquet and read back, so probe timings
     * measure the operator, not the synthesis.
     */
+  /** The scale-probe event corpus shared by MviewScale /
+    * StreamFeedScale / MatchReadProbe: the sf dir's events projected to
+    * (event_id, event_type, v = time-of-day ms, ts_us), replicated
+    * `scale` times with disjoint event_ids and 7919-phase-shifted
+    * values (replicas must move distinct counts and extrema), cached
+    * under ONE /tmp path per (scale, sf). A single definition — three
+    * drifting copies sharing one cache file would silently consume
+    * each other's corpus and the probes' decades would stop lining up
+    * row-for-row.
+    */
+  def scaledEvents(spark: SparkSession, sfDir: String, scale: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val evBase = graft.Tables.events(spark, sfDir).select(col("event_id"),
+      col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
+    if (scale <= 1) evBase
+    else cached(spark,
+      s"/tmp/graft-mview-ev-${scale}x-${java.nio.file.Paths.get(sfDir).getFileName}") {
+      (0 until scale).map(i => evBase.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("event_type"),
+        pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
+        col("ts_us"))).reduce(_ unionByName _)
+    }
+  }
+
   def cached(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
     if (!Files.exists(Paths.get(path)))
       build.repartition(32).write.parquet(path)

@@ -46,17 +46,8 @@ object StreamFeedScale {
     val numBuckets = 16
     // the SAME scaled corpus (and /tmp cache) as MviewScale, so the two
     // probes' decades line up row-for-row
-    val evBase = T.events(spark, sfDir).select(col("event_id"),
-      col("event_type"), (col("ts_ms") % 86400000L).as("v"), col("ts_us"))
-    val ev = (if (scale <= 1) evBase
-      else ProbeCorpus.cached(spark,
-        s"/tmp/graft-mview-ev-${scale}x-${java.nio.file.Paths.get(sfDir).getFileName}") {
-        (0 until scale).map(i => evBase.select(
-          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-          col("event_type"),
-          pmod(col("v") + lit(i.toLong * 7919L), lit(86400000L)).as("v"),
-          col("ts_us"))).reduce(_ unionByName _)
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = ProbeCorpus.scaledEvents(spark, sfDir, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = ev.count()
     val keys = Seq("event_id")
     val order = Seq(col("ts_us"))

@@ -173,6 +173,27 @@ class SelfDescribingSpec extends SparkSpec {
       Set(("a", 1L, 10L), ("b", 1L, 20L)))
   }
 
+  test("hostile column names round-trip: digit-led and keyword order columns") {
+    // "2d" unquoted re-parses as the DOUBLE literal 2.0 (LWW by a
+    // constant — silently wrong rows); "order" is a SQL keyword. The
+    // spec stores every attribute part backquoted, so both survive.
+    val path = newTable("graft-sds-hostile")
+    val rows = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "2d", "order")
+    val hostileOrder = Seq(col("2d"), col("order"))
+    val sink = KeyedUpsertSink.upsertBucketedDelta(
+      spark, path, keys, hostileOrder, numBuckets = 4, compactAfter = 0) _
+    sink(rows, 0L)
+    // a stale update loses under the REAL column order (2d: 9 > 1 means
+    // the new row wins for a; if the stored spec degenerated to a
+    // constant, the later __seq would win regardless — same answer — so
+    // ALSO check the inverse: a LOWER 2d loses)
+    sink(Seq(("a", 0L, 5L)).toDF("k", "2d", "order"), 1L)
+    val got = KeyedUpsertSink.readBucketedDelta(spark, path)
+      .select("k", "2d").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 2L)),
+      s"stale low-2d update must lose under the stored spec: $got")
+  }
+
   test("composite order expressions round-trip through the stored spec") {
     val path = newTable("graft-sds-expr")
     val compOrder = Seq(col("ts") % 100L, col("v"))
