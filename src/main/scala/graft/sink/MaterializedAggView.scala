@@ -139,6 +139,16 @@ object MaterializedAggView {
     */
   private[graft] var onBeforeHeadPublish: () => Unit = () => ()
 
+  /** Test seam for the force-bootstrap crash windows: invoked between
+    * the overwrite path's ordered steps with the step just COMPLETED
+    * ("cleared-higher" | "published" | "cleared-lower"), so a spec can
+    * throw mid-force and assert the documented invariant — no crash
+    * outcome serves a version above the new head, and nothing above it
+    * is destroyed before the new marker is readable. Production never
+    * sets it.
+    */
+  private[graft] var onForceStep: String => Unit = _ => ()
+
   /** The legacy (pre-CAS) watermark file — read as a fallback so views
     * written by earlier rounds keep resolving; never written anymore.
     */
@@ -333,20 +343,28 @@ object MaterializedAggView {
       // and (4) leaks them until the force is re-run, the benign
       // residual). Single-actor by declaration: force is an operator
       // action.
-      val staleHigher = markers(viewPath).filter(_._1 > head)
-      staleHigher.foreach { case (v, _) =>
+      markers(viewPath).filter(_._1 > head).foreach { case (v, _) =>
         Files.deleteIfExists(markerPath(viewPath, v))
       }
+      onForceStep("cleared-higher")
       val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
       KeyedUpsertSink.writeFsynced(tmp, bytes)
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       KeyedUpsertSink.fsyncDir(root)
+      onForceStep("published")
       markers(viewPath).filter(_._1 != head)
         .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
-      staleHigher.foreach { case (_, dirName0) =>
-        try KeyedUpsertSink.deleteRecursively(root.resolve(dirName0))
+      onForceStep("cleared-lower")
+      // ALL data dirs above the new head go — not just the ones whose
+      // markers this run listed: a previous force that crashed after
+      // its marker-clear left orphaned higher dirs that neither
+      // reclaim's `v <= wm` rule nor a marker-driven sweep would ever
+      // touch. Above-head dirs are provably not the just-published
+      // state (its version IS head), and force is single-actor.
+      versionsOnDisk(root).filter(_._1 > head).foreach { case (_, p) =>
+        try KeyedUpsertSink.deleteRecursively(p)
         catch { case _: java.nio.file.NoSuchFileException => () }
       }
       Files.deleteIfExists(headFile(viewPath)) // legacy fallback file

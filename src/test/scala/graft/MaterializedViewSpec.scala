@@ -172,6 +172,64 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(view) == Set(("x", 1L, 1L)))
   }
 
+  test("force-bootstrap crash windows: no outcome serves a version above the new head, nothing destroyed before the new marker reads") {
+    // the recreated-base shape: the old view sits at watermark v3, the
+    // recreated base's head is v1 — the stale markers are all HIGHER
+    // than the new head, the exact configuration where a wrong step
+    // order either silently serves discarded state forever or destroys
+    // it before any replacement is readable (both found in this
+    // round's review passes)
+    val base = newDir("graft-mv-force-crash")
+    val view = newDir("graft-mv-force-crash-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    sinkTo(base)(batchDf(("b", "y", 2L, 20L)), 1L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    sinkTo(base)(batchDf(("c", "y", 3L, 30L)), 2L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    assert(MaterializedAggView.watermark(view).contains(3L))
+    rmTree(base)
+    sinkTo(base)(batchDf(("z", "z", 9L, 90L)), 0L) // recreated: head v1
+    def forceCrashAt(step: String): Unit = {
+      MaterializedAggView.onForceStep =
+        s => if (s == step) throw new RuntimeException(s"crash after $s")
+      try intercept[RuntimeException] {
+        MaterializedAggView.bootstrap(spark, base, view, keys, order,
+          dims, aggs, force = true)
+      } finally MaterializedAggView.onForceStep = _ => ()
+    }
+    // crash after the stale higher MARKERS cleared, before the new one
+    // published: the view is loudly watermark-less (never silently the
+    // discarded v3 state), and the old data directories are intact
+    forceCrashAt("cleared-higher")
+    assert(MaterializedAggView.watermark(view).isEmpty,
+      "no marker may resolve above the new head after the clear")
+    val e = intercept[IllegalStateException] {
+      MaterializedAggView.read(spark, view)
+    }
+    assert(e.getMessage.contains("never bootstrapped"))
+    import scala.jdk.CollectionConverters._
+    def names(): Set[String] = Files.list(Paths.get(view)).iterator()
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names().exists(_.startsWith("v2-")) &&
+      names().exists(_.startsWith("v3-")),
+      s"the discarded state's data dirs must survive the crash: ${names()}")
+    // re-run the force, crashing right after the new marker publishes:
+    // the view now READS the forced state even though cleanup is pending
+    forceCrashAt("published")
+    assert(MaterializedAggView.watermark(view).contains(1L))
+    assert(viewRows(view) == Set(("z", 1L, 9L)))
+    // a clean re-run completes the cleanup: higher dirs and markers gone
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, force = true)
+    assert(MaterializedAggView.watermark(view).contains(1L))
+    assert(viewRows(view) == Set(("z", 1L, 9L)))
+    assert(!names().exists(_.startsWith("_head.v" + "0" * 19 + "3")),
+      s"stale higher marker must be gone: ${names()}")
+    assert(!names().exists(n => n.startsWith("v2-") || n.startsWith("v3-")),
+      s"orphaned above-head dirs must be swept by the completed force: ${names()}")
+  }
+
   test("refresh without bootstrap and a recreated base fail loudly") {
     val base = newDir("graft-mv-loud")
     val view = newDir("graft-mv-loud-view")
