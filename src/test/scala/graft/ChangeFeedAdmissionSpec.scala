@@ -83,6 +83,37 @@ class ChangeFeedAdmissionSpec extends SparkSpec {
     assert(batches.flatten.toSet == feedRows(table, 0L, 1L))
   }
 
+  test("a bucket slice structurally never touches buckets outside it (deletion proof)") {
+    // the SinkLookupSpec pattern: DELETE every file outside the slice
+    // before reading — a scan that touched them would fail loudly, so a
+    // passing read is proof of pruning, not an inference from metrics
+    val root = Files.createTempDirectory("graft-adm-prune")
+    val table = root.resolve("t").toString
+    sink(table)(fatBatch, 0L) // v1 touches all 8 buckets
+    val touched = KeyedUpsertSink.touchedBucketsAt(table, 1L).get
+    val slice = touched.take(3).toSet
+    val expect = KeyedUpsertSink
+      .readChangesSlice(spark, table, keys, order, 1L, slice, weighted = false)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    // destroy every OTHER bucket's directory under the generation
+    import scala.jdk.CollectionConverters._
+    val gens = Files.list(java.nio.file.Paths.get(table)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("gen-")).toList
+    assert(gens.size == 1)
+    touched.filterNot(slice).foreach { b =>
+      val dir = gens.head.resolve(s"__bucket=$b")
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder()).iterator()
+        .forEachRemaining(p => { Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+    val got = KeyedUpsertSink
+      .readChangesSlice(spark, table, keys, order, 1L, slice, weighted = false)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty,
+      "the slice must read identically with every other bucket destroyed")
+  }
+
   test("cursor offsets recover through a mid-version checkpoint after a consumer crash") {
     val root = Files.createTempDirectory("graft-adm-crash")
     val table = root.resolve("t").toString
