@@ -2310,6 +2310,45 @@ object KeyedUpsertSink {
     * retention-must-exceed-transaction-duration contract every
     * versioned-log table format documents.
     */
+  /** Read-only vacuum PREVIEW: what [[vacuumGenerations]] with the same
+    * `graceManifests` would reclaim, and how much it weighs — the
+    * operational "is retention sized right / is it worth running"
+    * question answered without mutating anything. The real vacuum
+    * additionally applies its quiescence dwell, so an in-flight
+    * writer's staged generation can appear here as reclaimable and
+    * still (correctly) survive the actual run.
+    */
+  final case class VacuumStats(liveGenerations: Int,
+      reclaimableGenerations: Seq[String], reclaimableBytes: Long,
+      retainedVersions: Int)
+
+  def vacuumStats(tablePath: String,
+      graceManifests: Int = 0): VacuumStats = {
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) return VacuumStats(0, Seq.empty, 0L, 0)
+    import scala.jdk.CollectionConverters._
+    val vfiles = versionFiles(dir).sortBy(_._1)
+    // the SAME live-set rule as vacuumGenerations below
+    val live = readManifest(tablePath).values.flatMap(chainOf).toSet ++
+      recentHistory(dir, graceManifests).flatMap(h => manifestValues(h)) ++
+      vfiles.takeRight(graceManifests + 1).flatMap { case (_, p) => manifestValues(p) }
+    val s = Files.list(dir)
+    val gens = try s.iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("gen-")) finally s.close()
+    val dead = gens.filterNot(p => live.contains(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
+    val bytes = dead.map { p =>
+      val w = Files.walk(p)
+      try w.iterator().asScala
+        .map(q => scala.util.Try(
+          if (Files.isRegularFile(q)) Files.size(q) else 0L).getOrElse(0L))
+        .sum
+      finally w.close()
+    }.sum
+    VacuumStats(live.size, dead.map(_.getFileName.toString), bytes,
+      vfiles.size)
+  }
+
   def vacuumGenerations(tablePath: String, graceManifests: Int = 0,
       quiesceMs: Long = 60000L): Seq[String] = {
     val dir = Paths.get(tablePath)

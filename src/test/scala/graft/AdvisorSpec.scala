@@ -68,6 +68,31 @@ class AdvisorSpec extends SparkSpec {
       path, targetBytesPerBucket = total * 10).isEmpty)
   }
 
+  test("vacuumStats previews exactly what the vacuum reclaims, grace included") {
+    val path = newTable("graft-advisor-vac")
+    val sink = KeyedUpsertSink.upsertBucketedOptimistic(
+      spark, path, keys, order, 2) _
+    // merge-on-write: each commit REWRITES its buckets, superseding the
+    // previous generations entirely
+    val g1 = sink(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L).get.gen
+    val g2 = sink(batchDf(("a", 2L, 20L), ("b", 2L, 20L)), 1L).get.gen
+    val preview = KeyedUpsertSink.vacuumStats(path)
+    assert(preview.reclaimableGenerations == Seq(g1),
+      s"superseded generation must preview as reclaimable: $preview")
+    assert(preview.reclaimableBytes > 0L)
+    assert(preview.retainedVersions == 2)
+    // with one manifest of reader grace, g1 is still referenced — the
+    // preview must agree with the vacuum's own live-set rule
+    assert(KeyedUpsertSink.vacuumStats(path, graceManifests = 1)
+      .reclaimableGenerations.isEmpty)
+    // the preview equals the actual reclaim, and after it nothing is left
+    val removed = KeyedUpsertSink.vacuumGenerations(path, quiesceMs = 0L)
+    assert(removed == preview.reclaimableGenerations)
+    val after = KeyedUpsertSink.vacuumStats(path)
+    assert(after.reclaimableGenerations.isEmpty && after.reclaimableBytes == 0L)
+    assert(!after.reclaimableGenerations.contains(g2))
+  }
+
   test("delta writers with compaction disabled warn once per table past the chain-drift bound") {
     val path = newTable("graft-advisor-drift")
     val warned = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
