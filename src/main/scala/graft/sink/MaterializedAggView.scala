@@ -658,6 +658,33 @@ object MaterializedAggView {
       s"$viewPath: no watermark — bootstrap the view before streaming " +
         "maintenance (a fresh view must not treat the whole history as " +
         "one delta)"))
+    // REUSED-CHECKPOINT guard. The fold's `wm < batchFrom` case is legal
+    // only because every gap range was previously delivered to THIS
+    // query as an empty batch (empty-skips advance offsets but not the
+    // watermark) — an invariant that holds exactly while the watermark
+    // never moves BACKWARD relative to this query's history. A force
+    // re-bootstrap onto a recreated base moves it backward; restarting
+    // the stream on the OLD checkpoint would then resume at the old
+    // history's offsets and silently fold only the tail of the new
+    // history (under-counted aggregates, no error — the one silent
+    // path the round's review sweep found). The stream's first start
+    // persisted its floor under the checkpoint; a watermark below that
+    // floor is exactly "moved backward", so refuse at start. (The
+    // sources/0 layout is the engine's stable per-source metadata path
+    // — the same file the source itself writes.)
+    val persistedFloor = java.nio.file.Paths.get(
+      checkpointDir, "sources", "0", "graft-changes-start")
+    if (java.nio.file.Files.exists(persistedFloor)) {
+      val floor = new String(java.nio.file.Files.readAllBytes(persistedFloor),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      if (wm0 < floor) throw new IllegalStateException(
+        s"$viewPath: watermark v$wm0 sits BELOW this checkpoint's " +
+          s"persisted stream floor v$floor — the view was re-bootstrapped " +
+          "(force) onto an earlier version or a recreated base since this " +
+          "maintenance stream last ran; resuming would silently skip " +
+          s"(v$wm0, v$floor] of the new history. Restart the maintenance " +
+          "stream with a FRESH checkpoint directory")
+    }
     val fromCol = graft.sources.ChangeFeedSource.FromVersionCol
     val toCol = graft.sources.ChangeFeedSource.ToVersionCol
     val reader = spark.readStream.format("graft-changes")

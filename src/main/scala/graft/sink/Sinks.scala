@@ -1280,15 +1280,25 @@ object KeyedUpsertSink {
       var bytes = 0L
       gens.foreach { g =>
         val dir = Paths.get(tablePath, g, s"__bucket=$b")
-        if (Files.isDirectory(dir)) {
-          val s = Files.list(dir)
-          try s.iterator().asScala.foreach { p =>
-            val n = p.getFileName.toString
-            if (!n.startsWith(".") && !n.startsWith("_")) {
-              files += 1
-              bytes += Files.size(p)
-            }
-          } finally s.close()
+        // tolerate concurrent reclamation (vacuum/compaction deleting a
+        // superseded generation between the manifest snapshot and this
+        // listing): a read-only advisor returns slightly-stale stats,
+        // never a NoSuchFileException — the markers() discipline
+        try {
+          if (Files.isDirectory(dir)) {
+            val s = Files.list(dir)
+            try s.iterator().asScala.foreach { p =>
+              val n = p.getFileName.toString
+              if (!n.startsWith(".") && !n.startsWith("_")) {
+                files += 1
+                bytes += scala.util.Try(Files.size(p)).getOrElse(0L)
+              }
+            } finally s.close()
+          }
+        } catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case e: java.io.UncheckedIOException
+              if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
         }
       }
       BucketStats(b, files, bytes, gens.length)
@@ -1553,7 +1563,28 @@ object KeyedUpsertSink {
     val k = canonicalKeys(keys)
     val o = canonicalOrder(spark, order)
     (meta.get(KeySpecMeta), meta.get(OrderSpecMeta)) match {
-      case (None, None) => meta + (KeySpecMeta -> k) + (OrderSpecMeta -> o)
+      case (None, None) =>
+        // RECORD-time round-trip guard: a spec that does not re-parse
+        // and canonicalize back to itself would strand every future
+        // path-only reader on an opaque parse error — refuse to record
+        // it, loudly, at the one moment the caller can still pick a
+        // simpler order expression. (Residual caveat, documented on
+        // [[storedSpec]]: catalyst's own SQL rendering leaves keyword
+        // column names bare inside COMPOSITE expressions, which
+        // round-trips under the default parser but fails on a cluster
+        // running spark.sql.ansi.enforceReservedKeywords=true — the
+        // failure there is this same loud parse error at read time,
+        // never a silent wrong answer.)
+        splitSpecParts(o).foreach { part =>
+          val back = scala.util.Try(canonicalOrderOne(spark, expr(part)))
+          require(back.toOption.contains(part),
+            s"order expression '$part' does not round-trip through its " +
+              "stored SQL form (re-parse gave " +
+              s"${back.fold(e => s"error: ${e.getMessage}", v => s"'$v'")}) " +
+              "— it cannot be persisted as the table's spec; use plain " +
+              "column references or a simpler expression")
+        }
+        meta + (KeySpecMeta -> k) + (OrderSpecMeta -> o)
       case (sk, so) =>
         require(sk.forall(_ == k) && so.forall(_ == o),
           s"$tablePath was committed with keys=[${sk.getOrElse("")}] " +
@@ -2165,7 +2196,11 @@ object KeyedUpsertSink {
       toVersion: Option[Long], weighted: Boolean,
       bucketSubset: Option[Set[Long]] = None): DataFrame = {
     requireSpecMatches(spark, tablePath, keys, order)
-    val manFrom = manifestAt(tablePath, fromVersion)
+    // ONE listing + read per endpoint (manifest and meta together) —
+    // this sits on the streaming source's per-micro-batch hot path,
+    // where separate manifestAt/metaAt calls doubled the directory
+    // listings and manifest reads
+    val (manFrom, metaFrom) = manifestAndMetaAt(tablePath, fromVersion)
     val toV = toVersion.getOrElse(versionedHead(tablePath)._1)
     // a reversed range would present REVERTED old values as "inserts or
     // updates at their to-version values" — a silently different
@@ -2173,7 +2208,7 @@ object KeyedUpsertSink {
     require(toV >= fromVersion,
       s"$tablePath: readChangesBetween range is reversed — " +
         s"fromVersion=$fromVersion > toVersion=$toV")
-    val manTo = manifestAt(tablePath, toV)
+    val (manTo, metaTo) = manifestAndMetaAt(tablePath, toV)
     // a rebucket inside the range redefines what a bucket ID means: the
     // per-bucket diff below would drop any old bucket id absent from the
     // new layout's map (silently presenting its rows as inserts), so the
@@ -2181,8 +2216,8 @@ object KeyedUpsertSink {
     // agnostic, only the bucket-pruning shortcut is. Correct (never
     // silently wrong), at the documented table-scale cost: a rebucket IS
     // a full rewrite, and a feed spanning it pays the same scale once.
-    val layoutChanged = metaAt(tablePath, fromVersion).get("numBuckets") !=
-      metaAt(tablePath, toV).get("numBuckets")
+    val layoutChanged =
+      metaFrom.get("numBuckets") != metaTo.get("numBuckets")
     // a bucket SUBSET is only meaningful within one layout — callers
     // ([[readChangesSlice]] via touchedBucketsAt) never construct one
     // across a resize, so this is a construction invariant, not a
@@ -2338,12 +2373,20 @@ object KeyedUpsertSink {
     val dead = gens.filterNot(p => live.contains(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
     val bytes = dead.map { p =>
-      val w = Files.walk(p)
-      try w.iterator().asScala
-        .map(q => scala.util.Try(
-          if (Files.isRegularFile(q)) Files.size(q) else 0L).getOrElse(0L))
-        .sum
-      finally w.close()
+      // same concurrent-reclaim tolerance as tableStats: a vacuum can
+      // delete a dead generation mid-walk — count what remains
+      try {
+        val w = Files.walk(p)
+        try w.iterator().asScala
+          .map(q => scala.util.Try(
+            if (Files.isRegularFile(q)) Files.size(q) else 0L).getOrElse(0L))
+          .sum
+        finally w.close()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => 0L
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => 0L
+      }
     }.sum
     VacuumStats(live.size, dead.map(_.getFileName.toString), bytes,
       vfiles.size)

@@ -152,6 +152,45 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view) == recompute(base))
   }
 
+  test("a force re-bootstrap below the checkpoint's floor refuses the old checkpoint loudly") {
+    // the silent-wrong-data hole the final review sweep found: force a
+    // view onto a recreated base (watermark moves BACKWARD), then
+    // restart the maintenance stream on the OLD checkpoint — without
+    // the guard it would resume at the old history's offsets and fold
+    // only the tail of the new history (under-counted aggregates, no
+    // error)
+    val root = Files.createTempDirectory("graft-mvs-floor")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    up(batchDf(("a", "x", 5L, 10L)), 0L)
+    up(batchDf(("b", "x", 7L, 20L)), 1L)
+    up(batchDf(("c", "y", 1L, 30L)), 2L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    stream(base, view, ckpt) // persists the floor (v3) under the checkpoint
+    // the base is recreated with a shorter history; the view is
+    // deliberately re-bootstrapped onto it
+    val s0 = Files.walk(java.nio.file.Paths.get(base))
+    try s0.sorted(java.util.Comparator.reverseOrder()).iterator()
+      .forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally s0.close()
+    up(batchDf(("z", "z", 9L, 90L)), 0L) // new history: head v1
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd, force = true)
+    up(batchDf(("w", "z", 4L, 95L)), 1L) // new history grows to v2
+    val err = intercept[IllegalStateException] {
+      MaterializedAggView.maintainStream(spark, base, view, keys, order,
+        dims, aggs, ext, nd, checkpointDir = ckpt)
+    }
+    assert(err.getMessage.contains("persisted stream floor"))
+    assert(err.getMessage.contains("FRESH checkpoint"))
+    // the documented recovery — a fresh checkpoint — catches up correctly
+    stream(base, view, root.resolve("ckpt2").toString)
+    assert(viewRows(view) == recompute(base))
+  }
+
   test("a manual refresh racing the maintenance stream loses loudly") {
     val root = Files.createTempDirectory("graft-mvs-race")
     val base = root.resolve("t").toString
