@@ -358,6 +358,54 @@ object SparkEntry {
       MaterializedAggView.read(s, viewPath)
     }),
 
+    // SLICED streamed view maintenance (round 17, second pass): the same
+    // pipeline under SUB-VERSION admission control — maxBucketsPerTrigger
+    // splits each fat catch-up version into bucket slices, the fold
+    // anchors on (version, bucketCursor), the view walks through
+    // mid-version watermarks (mixed-state extremum recomputes) and must
+    // STILL land on the identical from-scratch recompute. The 100 TB
+    // story: one giant commit (compaction/backfill) no longer dictates
+    // the maintainer's peak batch size. Verify-only, same envelope
+    // rationale as etl_view_stream.
+    "etl_view_stream_sliced" -> ((s, dir) => {
+      import graft.sink.MaterializedAggView
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-view-slstream-base-q", dir)
+      val viewPath = scratchTable("graft-view-slstream-q", dir)
+      val ckpt = scratchTable("graft-view-slstream-ckpt-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val dims = Seq("last_event_type")
+      val aggs = Seq(
+        MaterializedAggView.AggCol("n_users", lit(1L)),
+        MaterializedAggView.AggCol("sum_ts_day",
+          col("last_ts_ms") % 86400000L))
+      val ext = Seq(
+        MaterializedAggView.ExtremumCol("min_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = true),
+        MaterializedAggView.ExtremumCol("max_ts_day",
+          col("last_ts_ms") % 86400000L, isMin = false))
+      val nd = Seq(MaterializedAggView.DistinctCol("nd_hour",
+        floor(col("last_ts_ms") % 86400000L / 3600000L).cast("long")))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      MaterializedAggView.bootstrap(s, path, viewPath, keys, order, dims,
+        aggs, ext, nd)
+      // both catch-up commits touch ~all 16 buckets → ~6 slices each at
+      // the cap of 3, every one a mid-version anchored fold
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      val q = MaterializedAggView.maintainStream(s, path, viewPath, keys,
+        order, dims, aggs, ext, nd, checkpointDir = ckpt,
+        maxBucketsPerTrigger = Some(3L))
+      q.awaitTermination()
+      MaterializedAggView.read(s, viewPath)
+    }),
+
     // Schema-WIDENING upsert under the round-17 evolution contract: the
     // second batch ADDS a column; rows whose LWW winner predates it
     // read null there (widen-with-nulls — the deliberate choice; drops
@@ -1467,6 +1515,22 @@ object SparkEntry {
     // the STREAMED maintenance pipeline must land on the identical
     // recompute — same oracle as the manually-refreshed view
     "etl_view_stream" ->
+      """WITH resolved AS (
+        |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type AS last_event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(last_ts_ms % 86400000) AS BIGINT) AS sum_ts_day,
+        |  CAST(min(last_ts_ms % 86400000) AS BIGINT) AS min_ts_day,
+        |  CAST(max(last_ts_ms % 86400000) AS BIGINT) AS max_ts_day,
+        |  CAST(count(DISTINCT last_ts_ms % 86400000 // 3600000) AS BIGINT) AS nd_hour
+        |FROM resolved GROUP BY 1""".stripMargin,
+
+    // SUB-VERSION slicing must change nothing about the answer: the
+    // sliced maintenance stream lands on the same recompute
+    "etl_view_stream_sliced" ->
       """WITH resolved AS (
         |  SELECT event_type, epoch_us(ts)//1000 AS last_ts_ms
         |  FROM events

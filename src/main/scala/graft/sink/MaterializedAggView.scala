@@ -154,23 +154,41 @@ object MaterializedAggView {
     */
   private def headFile(viewPath: String): Path = Paths.get(viewPath, "_head")
 
-  /** One committed watermark marker: `_head.v<H>` (zero-padded so a
-    * plain listing orders numerically), CONTENT = the unique directory
-    * name holding that version's data. The marker file IS the commit —
-    * published via [[KeyedUpsertSink.putIfAbsent]], so exactly one
-    * maintainer wins each version, the watermark (the max marker) can
-    * never regress, and racing maintainers never share a data directory.
+  /** A watermark position: base version `v` fully applied PLUS the first
+    * `c` buckets (of version v+1's sorted touched-bucket list) — the
+    * same (version, bucketCursor) convention as the `graft-changes`
+    * sub-version stream offset, because a SLICED maintenance stream's
+    * folds land exactly on those offsets. A clean version boundary is
+    * `c == 0` — every watermark of an unsliced view. Ordered
+    * lexicographically.
     */
-  private def markerPath(viewPath: String, v: Long): Path =
-    Paths.get(viewPath, f"_head.v$v%020d")
+  private def lexLt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  /** Committed markers as (version, directory name), sorted by version.
+  private def fmtMark(m: (Long, Long)): String =
+    if (m._2 == 0L) s"v${m._1}" else s"(v${m._1}, bucket cursor ${m._2})"
+
+  /** One committed watermark marker: `_head.v<H>` at a clean version
+    * boundary (zero-padded so a plain listing orders numerically — the
+    * only form pre-cursor views ever wrote, so old views resolve
+    * unchanged), `_head.v<H>.c<C>` for a mid-version position. CONTENT =
+    * the unique directory name holding that position's data. The marker
+    * file IS the commit — published via [[KeyedUpsertSink.putIfAbsent]],
+    * so exactly one maintainer wins each position, the watermark (the
+    * lexicographic max marker) can never regress, and racing maintainers
+    * never share a data directory.
+    */
+  private def markerPath(viewPath: String, m: (Long, Long)): Path =
+    if (m._2 == 0L) Paths.get(viewPath, f"_head.v${m._1}%020d")
+    else Paths.get(viewPath, f"_head.v${m._1}%020d.c${m._2}%010d")
+
+  /** Committed markers as ((version, cursor), directory name), sorted.
     * A marker the maintainer's keep-window prune unlinks between this
     * listing and its read is skipped, not fatal — concurrent readers
     * are exactly what the grace design supports, and a pruned marker
     * was by construction far below the watermark.
     */
-  private def markers(viewPath: String): Seq[(Long, String)] = {
+  private def markers(viewPath: String): Seq[((Long, Long), String)] = {
     val root = Paths.get(viewPath)
     if (!Files.isDirectory(root)) return Seq.empty
     import scala.jdk.CollectionConverters._
@@ -178,22 +196,31 @@ object MaterializedAggView {
     val found = try s.iterator().asScala.toList.flatMap { p =>
       val n = p.getFileName.toString
       if (!n.startsWith("_head.v")) None
-      else n.stripPrefix("_head.v").toLongOption.flatMap { v =>
-        try Some(v -> new String(Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        catch { case _: java.nio.file.NoSuchFileException => None }
+      else {
+        val body = n.stripPrefix("_head.v")
+        val mark = body.split("\\.c", 2) match {
+          case Array(v) => v.toLongOption.map((_, 0L))
+          case Array(v, c) =>
+            for (vl <- v.toLongOption; cl <- c.toLongOption) yield (vl, cl)
+        }
+        mark.flatMap { m =>
+          try Some(m -> new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
       }
     } finally s.close()
     found.sortBy(_._1)
   }
 
-  /** Directory holding version `v`'s data: the marker's recorded name,
-    * or the pre-CAS fixed `v<H>` layout when no marker exists.
+  /** Directory holding position `m`'s data: the marker's recorded name,
+    * or the pre-CAS fixed `v<H>` layout when no marker exists (clean
+    * positions only — mid-version states postdate the CAS).
     */
-  private def viewDirAt(viewPath: String, v: Long): Path =
-    markers(viewPath).find(_._1 == v) match {
+  private def viewDirAt(viewPath: String, m: (Long, Long)): Path =
+    markers(viewPath).find(_._1 == m) match {
       case Some((_, dir)) => Paths.get(viewPath, dir)
-      case None => Paths.get(viewPath, s"v$v")
+      case None => Paths.get(viewPath, s"v${m._1}")
     }
 
   /** The view data lives under `<versionDir>/view/`; each distinct
@@ -219,8 +246,19 @@ object MaterializedAggView {
     * contract), never "fresh".
     */
   def watermark(viewPath: String): Option[Long] =
+    watermarkFull(viewPath).map(_._1)
+
+  /** The full (version, bucketCursor) watermark: versions `<= _1` are
+    * fully applied, plus — when `_2 > 0` — the first `_2` buckets of
+    * version `_1 + 1` (a SLICED maintenance stream's mid-version
+    * position; see [[markerPath]]). [[watermark]] is its version
+    * component, truthful either way ("fully reflects v"), which is all
+    * clean-boundary consumers need.
+    */
+  def watermarkFull(viewPath: String): Option[(Long, Long)] =
     markers(viewPath).lastOption.map(_._1)
-      .orElse(ChangeFeedConsumer.readCheckpoint(headFile(viewPath)))
+      .orElse(ChangeFeedConsumer.readCheckpoint(headFile(viewPath))
+        .map((_, 0L)))
 
   private def validate(dims: Seq[String], aggs: Seq[AggCol],
       extrema: Seq[ExtremumCol], distincts: Seq[DistinctCol]): Unit = {
@@ -298,14 +336,19 @@ object MaterializedAggView {
     * a deliberate atomic marker replace (plus clearing every other
     * marker) instead of the CAS.
     */
-  private def publish(viewPath: String, expectFrom: Option[Long],
-      head: Long, view: DataFrame,
+  private def publish(viewPath: String, expectFrom: Option[(Long, Long)],
+      head: (Long, Long), view: DataFrame,
       auxes: Seq[(String, DataFrame)] = Seq.empty,
       overwrite: Boolean = false): Unit = {
     val root = Paths.get(viewPath)
     Files.createDirectories(root)
+    // mid-version data dirs carry the cursor in their name; versionOf
+    // still parses the version component, so the reclaim sweep rule
+    // (`v <= wm`) covers both forms
+    val headTag =
+      if (head._2 == 0L) s"v${head._1}" else s"v${head._1}-c${head._2}"
     val stage = root.resolve(
-      s".stage-v$head-${java.util.UUID.randomUUID().toString.take(8)}")
+      s".stage-$headTag-${java.util.UUID.randomUUID().toString.take(8)}")
     view.write.mode("overwrite").parquet(stage.resolve("view").toString)
     auxes.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(
@@ -316,7 +359,7 @@ object MaterializedAggView {
     // re-run never touches (it stages its own deterministic rebuild),
     // and two racing maintainers can never delete files out from under
     // each other's readers
-    val dirName = s"v$head-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dirName = s"$headTag-${java.util.UUID.randomUUID().toString.take(8)}"
     Files.move(stage, root.resolve(dirName), StandardCopyOption.ATOMIC_MOVE)
     KeyedUpsertSink.fsyncDir(root)
     onBeforeHeadPublish()
@@ -343,8 +386,8 @@ object MaterializedAggView {
       // and (4) leaks them until the force is re-run, the benign
       // residual). Single-actor by declaration: force is an operator
       // action.
-      markers(viewPath).filter(_._1 > head).foreach { case (v, _) =>
-        Files.deleteIfExists(markerPath(viewPath, v))
+      markers(viewPath).filter(m => lexLt(head, m._1)).foreach { case (m, _) =>
+        Files.deleteIfExists(markerPath(viewPath, m))
       }
       onForceStep("cleared-higher")
       val tmp = root.resolve(s".${marker.getFileName}.tmp-" +
@@ -363,7 +406,7 @@ object MaterializedAggView {
       // reclaim's `v <= wm` rule nor a marker-driven sweep would ever
       // touch. Above-head dirs are provably not the just-published
       // state (its version IS head), and force is single-actor.
-      versionsOnDisk(root).filter(_._1 > head).foreach { case (_, p) =>
+      versionsOnDisk(root).filter(_._1 > head._1).foreach { case (_, p) =>
         try KeyedUpsertSink.deleteRecursively(p)
         catch { case _: java.nio.file.NoSuchFileException => () }
       }
@@ -382,16 +425,16 @@ object MaterializedAggView {
         catch { case _: java.nio.file.NoSuchFileException => () }
         throw new java.util.ConcurrentModificationException(msg)
       }
-      val cur = watermark(viewPath)
+      val cur = watermarkFull(viewPath)
       if (cur != expectFrom) lose(
-        s"$viewPath: watermark is ${cur.fold("absent")(v => s"v$v")} but this " +
-          s"maintainer refreshed from ${expectFrom.fold("nothing (bootstrap)")(v => s"v$v")} — " +
+        s"$viewPath: watermark is ${cur.fold("absent")(fmtMark)} but this " +
+          s"maintainer refreshed from ${expectFrom.fold("nothing (bootstrap)")(fmtMark)} — " +
           "another maintainer advanced the view concurrently; this pass's " +
           "staged version (never referenced) was reclaimed. The view is " +
           "single-maintainer: run one refresh loop")
       if (!KeyedUpsertSink.putIfAbsent(marker, bytes)) lose(
         s"$viewPath: another maintainer already published watermark " +
-          s"v$head — two refreshers raced the same head; this " +
+          s"${fmtMark(head)} — two refreshers raced the same head; this " +
           "maintainer's staged version (never referenced) was " +
           "reclaimed. The view is single-maintainer: run one refresh loop")
     }
@@ -414,7 +457,7 @@ object MaterializedAggView {
     val wm = ms.lastOption.map(_._1).getOrElse(return)
     val keepDirs: Set[String] = ms.takeRight(2).map(_._2).toSet ++
       (if (ms.size < 2)
-        versionsOnDisk(root).filter(_._1 < wm).sortBy(_._1).lastOption
+        versionsOnDisk(root).filter(_._1 < wm._1).sortBy(_._1).lastOption
           .map(_._2.getFileName.toString)
       else None)
     // markers prune to the SAME window as retained data directories —
@@ -438,7 +481,10 @@ object MaterializedAggView {
         if (now - KeyedUpsertSink.newestMtimeMs(p) > 60000L)
           Files.deleteIfExists(p)
       } else versionOf(name).foreach { v =>
-        if (!keepDirs.contains(name) && v <= wm)
+        // mid-version dirs parse to their version component, which by
+        // the marker convention (versions <= v fully applied) sits at or
+        // below the watermark version whenever they are reclaimable
+        if (!keepDirs.contains(name) && v <= wm._1)
           KeyedUpsertSink.deleteRecursively(p)
       }
     }
@@ -488,7 +534,7 @@ object MaterializedAggView {
     // the view's distinct counts come from count_distinct in the same
     // scan; each aux is its own base scan (bootstrap-only cost — every
     // refresh folds the feed instead)
-    publish(viewPath, None, head,
+    publish(viewPath, None, (head, 0L),
       aggregate(base, dims, aggs, extrema, distincts, lit(1L)),
       distincts.map(d => d.name -> buildAux(base, dims, d, lit(1L))),
       overwrite = force)
@@ -507,9 +553,19 @@ object MaterializedAggView {
       aggs: Seq[AggCol], extrema: Seq[ExtremumCol] = Seq.empty,
       distincts: Seq[DistinctCol] = Seq.empty): Option[(Long, Long)] = {
     validate(dims, aggs, extrema, distincts)
-    val from = watermark(viewPath).getOrElse(throw new IllegalStateException(
-      s"$viewPath: no watermark — bootstrap the view first (a fresh " +
-        "view must not silently treat the whole history as one delta)"))
+    val fromFull = watermarkFull(viewPath).getOrElse(
+      throw new IllegalStateException(
+        s"$viewPath: no watermark — bootstrap the view first (a fresh " +
+          "view must not silently treat the whole history as one delta)"))
+    // a MID-VERSION watermark belongs to a sliced maintenance stream
+    // mid-drain: a whole-version refresh from it would need the slice
+    // remainder plus the tail — the stream's job. Refuse rather than
+    // guess (the stream's own restart resumes the position).
+    if (fromFull._2 != 0L) throw new IllegalStateException(
+      s"$viewPath: watermark ${fmtMark(fromFull)} is mid-version — a " +
+        "sliced maintenance stream owns this view mid-drain; let it " +
+        "finish (or restart it) instead of refreshing manually")
+    val from = fromFull._1
     val versions = KeyedUpsertSink.tableVersions(basePath)
     if (versions.isEmpty) throw new IllegalStateException(
       s"$basePath has no committed versions — wrong path, or the table " +
@@ -524,7 +580,7 @@ object MaterializedAggView {
       spark, basePath, keys, order, fromVersion = from,
       toVersion = Some(head))
     applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
-      extrema, distincts, from, head, deltasRaw)
+      extrema, distincts, (from, 0L), (head, 0L), deltasRaw)
     Some((from, head))
   }
 
@@ -537,8 +593,25 @@ object MaterializedAggView {
   private def applyDelta(spark: SparkSession, basePath: String,
       viewPath: String, keys: Seq[String], order: Seq[Column],
       dims: Seq[String], aggs: Seq[AggCol], extrema: Seq[ExtremumCol],
-      distincts: Seq[DistinctCol], from: Long, head: Long,
+      distincts: Seq[DistinctCol], from: (Long, Long), head: (Long, Long),
       deltasRaw: DataFrame): Unit = {
+    // the base image the dirty-extremum recompute reads: at a clean
+    // boundary, the committed manifest; mid-version (a slice fold), the
+    // MIXED manifest — applied buckets at the step version, the rest
+    // still at the base version — the exact state this fold publishes.
+    // Reading everything at the step version instead would leak the
+    // UNAPPLIED buckets' future values into extrema the sums don't
+    // reflect yet. Lazy: only the dirty-retraction path pays it.
+    lazy val headManifest: Map[Long, String] =
+      if (head._2 == 0L) KeyedUpsertSink.manifestAt(basePath, head._1)
+      else {
+        val touched = KeyedUpsertSink.touchedBucketsAt(basePath, head._1 + 1)
+          .getOrElse(throw new IllegalStateException(
+            s"$basePath: mid-version position ${fmtMark(head)} inside a " +
+              "layout-change version — slices are never constructed there"))
+        KeyedUpsertSink.mixedManifestAt(basePath, head._1,
+          touched.take(head._2.toInt).toSet)
+      }
     val fromDir = viewDirAt(viewPath, from)
     val old = spark.read.parquet(viewData(fromDir).toString)
     // the refresh spec must MATCH the bootstrapped view: a refresh
@@ -576,7 +649,7 @@ object MaterializedAggView {
       val extView =
         if (extrema.isEmpty) sumView
         else refreshExtrema(spark, basePath, keys, order, dims, extrema,
-          head, deltas, old, sumView, pins)
+          headManifest, deltas, old, sumView, pins)
       val (view, auxes) = distincts.foldLeft((extView,
           Seq.empty[(String, DataFrame)])) { case ((v, as), d) =>
         val oldAux = spark.read.parquet(
@@ -646,7 +719,8 @@ object MaterializedAggView {
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maxVersionsPerTrigger: Option[Long] = None)
+      maxVersionsPerTrigger: Option[Long] = None,
+      maxBucketsPerTrigger: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     validate(dims, aggs, extrema, distincts)
     // the STREAM reads under the table's stored spec regardless of the
@@ -654,7 +728,7 @@ object MaterializedAggView {
     // mismatch would surface only at the first dirty-extremum recompute
     // (possibly days in), or never on a no-extrema view
     KeyedUpsertSink.requireSpecMatches(spark, basePath, keys, order)
-    val wm0 = watermark(viewPath).getOrElse(throw new IllegalStateException(
+    val wm0 = watermarkFull(viewPath).getOrElse(throw new IllegalStateException(
       s"$viewPath: no watermark — bootstrap the view before streaming " +
         "maintenance (a fresh view must not treat the whole history as " +
         "one delta)"))
@@ -675,27 +749,37 @@ object MaterializedAggView {
     val persistedFloor = java.nio.file.Paths.get(
       checkpointDir, "sources", "0", "graft-changes-start")
     if (java.nio.file.Files.exists(persistedFloor)) {
-      val floor = new String(java.nio.file.Files.readAllBytes(persistedFloor),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      if (wm0 < floor) throw new IllegalStateException(
-        s"$viewPath: watermark v$wm0 sits BELOW this checkpoint's " +
-          s"persisted stream floor v$floor — the view was re-bootstrapped " +
-          "(force) onto an earlier version or a recreated base since this " +
-          "maintenance stream last ran; resuming would silently skip " +
-          s"(v$wm0, v$floor] of the new history. Restart the maintenance " +
-          "stream with a FRESH checkpoint directory")
+      val floor = graft.sources.ChangeFeedSource.parseOffset(
+        new String(java.nio.file.Files.readAllBytes(persistedFloor),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      if (lexLt(wm0, floor)) throw new IllegalStateException(
+        s"$viewPath: watermark ${fmtMark(wm0)} sits BELOW this checkpoint's " +
+          s"persisted stream floor ${fmtMark(floor)} — the view was " +
+          "re-bootstrapped (force) onto an earlier version or a recreated " +
+          "base since this maintenance stream last ran; resuming would " +
+          s"silently skip (${fmtMark(wm0)}, ${fmtMark(floor)}] of the new " +
+          "history. Restart the maintenance stream with a FRESH " +
+          "checkpoint directory")
     }
     val fromCol = graft.sources.ChangeFeedSource.FromVersionCol
     val toCol = graft.sources.ChangeFeedSource.ToVersionCol
+    val fromCur = graft.sources.ChangeFeedSource.FromCursorCol
+    val toCur = graft.sources.ChangeFeedSource.ToCursorCol
     val reader = spark.readStream.format("graft-changes")
       .option("path", basePath)
       .option("weighted", "true")
       .option("versionColumns", "true")
-      // first start only: the floor is the view's watermark (persisted
-      // under the checkpoint after that — restarts resume from offsets)
-      .option("startingVersion", wm0.toString)
+      // first start only: the floor is the view's watermark — possibly a
+      // MID-VERSION position left by a previous sliced stream whose
+      // checkpoint is gone, recovered through the cursor-offset floor
+      // encoding (persisted under the checkpoint after that — restarts
+      // resume from offsets)
+      .option("startingVersion", graft.sources.ChangeFeedSource
+        .offsetOf(wm0._1, wm0._2).json())
     maxVersionsPerTrigger.foreach(n =>
       reader.option("maxVersionsPerTrigger", n.toString))
+    maxBucketsPerTrigger.foreach(n =>
+      reader.option("maxBucketsPerTrigger", n.toString))
     reader.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -704,27 +788,30 @@ object MaterializedAggView {
         // for the emptiness/anchor probe and again for the fold
         val pinned = batch.persist()
         try {
-          // one action covers emptiness AND both anchors (the version
-          // columns are per-batch constants — any row carries them)
-          val first = pinned.select(col(fromCol), col(toCol)).take(1)
+          // one action covers emptiness AND all four anchors (the
+          // range columns are per-batch constants — any row carries them)
+          val first = pinned
+            .select(col(fromCol), col(toCol), col(fromCur), col(toCur))
+            .take(1)
           if (first.nonEmpty) {
-            val (bFrom, bTo) = (first(0).getLong(0), first(0).getLong(1))
-            val wm = watermark(viewPath).getOrElse(
+            val bFrom = (first(0).getLong(0), first(0).getLong(2))
+            val bTo = (first(0).getLong(1), first(0).getLong(3))
+            val wm = watermarkFull(viewPath).getOrElse(
               throw new IllegalStateException(
                 s"$viewPath: watermark vanished under a running " +
                   "maintenance stream — the view was deleted or recreated"))
-            if (bTo > wm) {
-              if (bFrom < wm) throw new java.util.ConcurrentModificationException(
-                s"$viewPath: watermark v$wm sits INSIDE this batch's range " +
-                  s"(v$bFrom, v$bTo] — another maintainer advanced the view " +
-                  "mid-range; folding would double-count. The view is " +
-                  "single-maintainer: stop manual refreshes while a " +
-                  "maintenance stream owns it (or restart the stream with " +
-                  "a fresh checkpoint)")
+            if (lexLt(wm, bTo)) {
+              if (lexLt(bFrom, wm)) throw new java.util.ConcurrentModificationException(
+                s"$viewPath: watermark ${fmtMark(wm)} sits INSIDE this " +
+                  s"batch's range (${fmtMark(bFrom)}, ${fmtMark(bTo)}] — " +
+                  "another maintainer advanced the view mid-range; folding " +
+                  "would double-count. The view is single-maintainer: stop " +
+                  "manual refreshes while a maintenance stream owns it (or " +
+                  "restart the stream with a fresh checkpoint)")
               applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
                 extrema, distincts, wm, bTo,
-                pinned.drop(fromCol).drop(toCol))
-              onAfterStreamFold(bTo)
+                pinned.drop(fromCol).drop(toCol).drop(fromCur).drop(toCur))
+              onAfterStreamFold(bTo._1)
             } // else: replay of an already-folded batch — skip
           }
         } finally pinned.unpersist(false)
@@ -761,8 +848,8 @@ object MaterializedAggView {
     */
   private def refreshExtrema(spark: SparkSession, basePath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
-      extrema: Seq[ExtremumCol], head: Long, deltas: DataFrame,
-      old: DataFrame, sumView: DataFrame,
+      extrema: Seq[ExtremumCol], baseManifest: => Map[Long, String],
+      deltas: DataFrame, old: DataFrame, sumView: DataFrame,
       pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val dimCols = dims.map(col)
     val oldExt = old.select((dims ++ extrema.map(_.name)).map(col): _*)
@@ -817,11 +904,11 @@ object MaterializedAggView {
             // candidate set first — this route's est counts LIVE keys,
             // but candidates include keys whose superseded versions
             // matched, which on a churn-heavy chain can be table-scale
-            KeyedUpsertSink.readBucketedDeltaMatching(
+            KeyedUpsertSink.readBucketedDeltaMatchingManifest(
               spark, basePath, keys, order, dirtyDims, dims,
-              atVersion = Some(head), broadcastKeys = true)
-          else KeyedUpsertSink.readBucketedDelta(
-            spark, basePath, keys, order, atVersion = Some(head))
+              baseManifest, broadcastKeys = true)
+          else KeyedUpsertSink.readBucketedDeltaManifest(
+            spark, basePath, keys, order, baseManifest)
         // the key-bounded image is a SUPERSET (a key whose OLD version
         // had a dirty dim resolves to a possibly-clean dim), and the
         // full image is the whole table — either way the resolved rows

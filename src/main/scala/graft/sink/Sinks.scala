@@ -1810,15 +1810,48 @@ object KeyedUpsertSink {
   def readBucketedDelta(spark: SparkSession, tablePath: String,
       keys: Seq[String], order: Seq[Column],
       atVersion: Option[Long] = None): DataFrame = {
-    requireSpecMatches(spark, tablePath, keys, order)
     val manifest = atVersion match {
       case Some(v) => manifestAt(tablePath, v)
       case None => readManifest(tablePath)
     }
+    readBucketedDeltaManifest(spark, tablePath, keys, order, manifest)
+  }
+
+  /** [[readBucketedDelta]] over an EXPLICIT bucket→chain manifest — the
+    * seam that makes MIXED-state reads possible: a sub-version consumer
+    * (the sliced maintenance stream) sits between two versions, with
+    * some buckets already applied at v+1 and the rest still at v, and
+    * that state IS a manifest ([[mixedManifestAt]]) even though no
+    * single committed version holds it. Same resolve as the public
+    * reader; callers own the manifest's coherence (one layout).
+    */
+  private[graft] def readBucketedDeltaManifest(spark: SparkSession,
+      tablePath: String, keys: Seq[String], order: Seq[Column],
+      manifest: Map[Long, String]): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     readManifestBuckets(spark, tablePath, manifest) match {
       case Some(df) => resolveChainRead(df, manifest, keys, order).drop("__bucket")
       case None => spark.emptyDataFrame
     }
+  }
+
+  /** The bucket→chain manifest of the MIXED state `(v, applied)`:
+    * versions `<= v` fully applied PLUS the `applied` buckets of version
+    * `v + 1` — the state a sub-version slice consumer's store reflects
+    * mid-version. Buckets in `applied` take v+1's chain (including
+    * buckets v+1 created); everything else keeps v's. Defined only
+    * within one layout — a slice never spans a rebucket (the feed
+    * construction invariant), and this guards it anyway.
+    */
+  private[graft] def mixedManifestAt(tablePath: String, v: Long,
+      applied: Set[Long]): Map[Long, String] = {
+    val (manBase, metaBase) = manifestAndMetaAt(tablePath, v)
+    val (manStep, metaStep) = manifestAndMetaAt(tablePath, v + 1)
+    require(metaBase.get("numBuckets") == metaStep.get("numBuckets"),
+      s"$tablePath: a mixed (sub-version) state cannot span the layout " +
+        s"change at v${v + 1} — bucket ids are incomparable across it")
+    manBase.filterNot { case (b, _) => applied(b) } ++
+      manStep.filter { case (b, _) => applied(b) }
   }
 
   /** [[readBucketedDelta]] under the table's own STORED key/order spec
@@ -1901,11 +1934,23 @@ object KeyedUpsertSink {
       keys: Seq[String], order: Seq[Column], matchDf: DataFrame,
       matchCols: Seq[String], atVersion: Option[Long] = None,
       broadcastKeys: Boolean = false): DataFrame = {
-    requireSpecMatches(spark, tablePath, keys, order)
     val manifest = atVersion match {
       case Some(v) => manifestAt(tablePath, v)
       case None => readManifest(tablePath)
     }
+    readBucketedDeltaMatchingManifest(spark, tablePath, keys, order,
+      matchDf, matchCols, manifest, broadcastKeys)
+  }
+
+  /** [[readBucketedDeltaMatching]] over an explicit manifest — the
+    * key-bounded twin of [[readBucketedDeltaManifest]], for the same
+    * mixed-state consumers.
+    */
+  private[graft] def readBucketedDeltaMatchingManifest(spark: SparkSession,
+      tablePath: String, keys: Seq[String], order: Seq[Column],
+      matchDf: DataFrame, matchCols: Seq[String],
+      manifest: Map[Long, String], broadcastKeys: Boolean): DataFrame = {
+    requireSpecMatches(spark, tablePath, keys, order)
     readManifestBuckets(spark, tablePath, manifest) match {
       case None => spark.emptyDataFrame
       case Some(all) =>
@@ -2301,7 +2346,7 @@ object KeyedUpsertSink {
     * committed) — returning the nearest survivor would silently answer
     * a different question.
     */
-  private def manifestAt(tablePath: String, version: Long): Map[Long, String] =
+  private[graft] def manifestAt(tablePath: String, version: Long): Map[Long, String] =
     // ONE definition of the v0 rule and the loud-on-pruned contract:
     // [[manifestAndMetaAt]] (v0 = the pre-first-commit state — the
     // legacy lock-path `_manifest` when one exists, else empty — so a
@@ -2390,6 +2435,82 @@ object KeyedUpsertSink {
     }.sum
     VacuumStats(live.size, dead.map(_.getFileName.toString), bytes,
       vfiles.size)
+  }
+
+  /** A retention recommendation — see [[adviseRetention]]. */
+  final case class RetentionAdvice(head: Long, oldestReadable: Long,
+      laggard: Option[(String, Long)], requiredGraceManifests: Int,
+      intact: Boolean, reason: String)
+
+  /** Size the vacuum keep window from OBSERVED consumer lag — the other
+    * half of the retention contract every feed reader documents ("size
+    * the keep window to exceed the stream's worst-case downtime"), which
+    * until now the operator had to guess at. `consumers` are
+    * (label, position) pairs: the oldest table version each consumer
+    * still reads FROM —
+    *
+    *  - a maintained view: [[MaterializedAggView.watermark]] (a refresh
+    *    or maintenance stream reads the feed from exactly there);
+    *  - a `graft-changes` stream: [[graft.sources.ChangeFeedSourceProvider
+    *    .checkpointPosition]]`._1` (the committed resume position);
+    *  - a [[ChangeFeedConsumer]] poller: its persisted checkpoint.
+    *
+    * The advice: `requiredGraceManifests` is the SMALLEST
+    * `graceManifests` under which [[vacuumGenerations]] keeps every
+    * version from the slowest consumer's position to the head fully
+    * readable (manifests AND the generations they reference — the
+    * vacuum's live set is `takeRight(grace + 1)` version files, so the
+    * bound is the count of versions above the laggard). `intact` reports
+    * whether the laggard's position is STILL whole right now (its
+    * manifest listed and every generation its chains reference present)
+    * — false means a past vacuum already outran this consumer and its
+    * next read will fail loudly; re-seed it (views: re-bootstrap)
+    * rather than widening retention after the fact. With no consumers,
+    * grace 0 suffices (current-head readers only).
+    */
+  def adviseRetention(tablePath: String,
+      consumers: Seq[(String, Long)]): RetentionAdvice = {
+    val versions = tableVersions(tablePath)
+    require(versions.nonEmpty,
+      s"$tablePath has no committed versions — nothing to retain")
+    val head = versions.max
+    val oldest = versions.min
+    val laggard = consumers.minByOption(_._2)
+    laggard.foreach { case (label, v) =>
+      require(v >= 0 && v <= head,
+        s"$tablePath: consumer '$label' reports position v$v outside " +
+          s"the committed range [0, $head] — is it a consumer of a " +
+          "different table?")
+    }
+    val need = laggard.map(_._2).getOrElse(head)
+    val required = versions.count(_ > need)
+    val intact = laggard.forall { case (_, v) =>
+      // v0 is the synthetic pre-first-commit state — always "readable"
+      v == 0L || (versions.contains(v) && {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(Paths.get(tablePath))
+        val gensOnDisk = try s.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
+        finally s.close()
+        manifestAt(tablePath, v).values.flatMap(chainOf)
+          .forall(gensOnDisk.contains)
+      })
+    }
+    RetentionAdvice(head, oldest, laggard, required, intact,
+      laggard match {
+        case None =>
+          "no lagging consumers registered — grace 0 retains the head " +
+            "for current readers"
+        case Some((label, v)) if !intact =>
+          s"consumer '$label' still needs v$v but retention already " +
+            "outran it (manifest pruned or generations reclaimed) — " +
+            "re-seed that consumer; future runs need graceManifests >= " +
+            s"$required"
+        case Some((label, v)) =>
+          s"slowest consumer '$label' reads from v$v (head v$head) — " +
+            s"vacuum with graceManifests >= $required to keep its whole " +
+            "catch-up range alive"
+      })
   }
 
   def vacuumGenerations(tablePath: String, graceManifests: Int = 0,

@@ -141,18 +141,74 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
   }
 }
 
+/** Operational introspection over a `graft-changes` streaming query's
+  * CHECKPOINT — the public entry point for retention sizing
+  * ([[graft.sink.KeyedUpsertSink.adviseRetention]] composes it).
+  */
+object ChangeFeedSourceProvider {
+  /** The (version, bucketCursor) position a checkpointed `graft-changes`
+    * stream would RESUME from — i.e. the oldest table position its next
+    * run still reads, which the table's vacuum retention must keep
+    * alive. The last COMMITTED batch's end offset (an uncommitted
+    * in-flight batch replays from exactly there); before any commit, the
+    * persisted starting floor; None for a checkpoint no `graft-changes`
+    * query ever started on. Loud on an unparseable offset log — an
+    * advisor must not guess a retention bound.
+    */
+  def checkpointPosition(checkpointDir: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(checkpointDir)
+    def maxBatch(sub: String): Option[Long] = {
+      val d = dir.resolve(sub)
+      if (!Files.isDirectory(d)) None
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .flatMap(p => p.getFileName.toString.toLongOption).maxOption
+        finally s.close()
+      }
+    }
+    maxBatch("commits") match {
+      case Some(b) =>
+        val off = dir.resolve("offsets").resolve(b.toString)
+        // OffsetSeqLog v1 layout: version header line, metadata JSON
+        // line, then ONE offset line per source (this source is always
+        // source 0 of its query)
+        val lines = Files.readAllLines(off).asScala.filter(_.trim.nonEmpty)
+        require(lines.size >= 3,
+          s"$off: not a v1 offset log (${lines.size} lines) — was this " +
+            "checkpoint written by a streaming query?")
+        Some(ChangeFeedSource.parseOffset(lines(2).trim))
+      case None =>
+        val floor = dir.resolve("sources").resolve("0")
+          .resolve("graft-changes-start")
+        if (Files.exists(floor))
+          Some(ChangeFeedSource.parseOffset(new String(
+            Files.readAllBytes(floor),
+            java.nio.charset.StandardCharsets.UTF_8).trim))
+        else None
+    }
+  }
+}
+
 private[graft] object ChangeFeedSource {
   val WeightCol = "__weight"
 
   /** With `versionColumns=true`, every batch row carries its range as
-    * two constant columns — the only way a foreachBatch consumer (which
+    * four constant columns — the only way a foreachBatch consumer (which
     * receives rows, not offsets) can anchor an exactly-once fold to the
-    * manifest versions the batch covers ([[graft.sink
+    * manifest range the batch covers ([[graft.sink
     * .MaterializedAggView.maintainStream]] is the built-in consumer).
-    * Cost: 16 bytes/row of literal payload, on an opt-in path.
+    * The CURSOR pair carries the sub-version position (0 at a clean
+    * version boundary — every batch of an unsliced stream), so anchored
+    * folds compose with `maxBucketsPerTrigger`: a slice batch anchors at
+    * `(version, bucketCursor)` exactly like the offset it came from.
+    * Cost: 32 bytes/row of literal payload, on an opt-in path.
     */
   val FromVersionCol = "__from_version"
   val ToVersionCol = "__to_version"
+  val FromCursorCol = "__from_cursor"
+  val ToCursorCol = "__to_cursor"
 
   def required(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key, throw new IllegalArgumentException(
@@ -241,7 +297,9 @@ private[graft] object ChangeFeedSource {
     if (parameters.get("versionColumns").exists(_.toBoolean))
       StructType(weighted.fields :+
         StructField(FromVersionCol, LongType, nullable = false) :+
-        StructField(ToVersionCol, LongType, nullable = false))
+        StructField(ToVersionCol, LongType, nullable = false) :+
+        StructField(FromCursorCol, LongType, nullable = false) :+
+        StructField(ToCursorCol, LongType, nullable = false))
     else weighted
   }
 }
@@ -271,17 +329,6 @@ private[graft] class ChangeFeedSource(
     require(n >= 1, s"maxBucketsPerTrigger must be >= 1 (got $n)")
     n
   }
-  // a sub-version SLICE carries only part of its version's feed: a
-  // consumer anchoring a fold on the version columns would fold partial
-  // data under a whole-version watermark (under-count) or skip the
-  // remaining slices (the replay guard fires at `to <= watermark`).
-  // Refuse the combination at stream start, not at the first bad fold.
-  require(versionCols == false || maxBuckets.isEmpty,
-    "graft-changes: versionColumns anchors folds to WHOLE versions — " +
-      "sub-version bucket slices (maxBucketsPerTrigger) cannot anchor a " +
-      "version-watermark fold; use maxVersionsPerTrigger to bound " +
-      "catch-up for version-anchored consumers")
-
   override val schema: StructType = feedSchema(sqlContext, parameters)
 
   /** The stream's floor: changes strictly after this version flow.
@@ -296,7 +343,7 @@ private[graft] class ChangeFeedSource(
     * them. With the floor persisted, every restart of this query
     * recovers the same one.
     */
-  private val startVersion: Long = {
+  private val startFloor: (Long, Long) = {
     // metadataPath arrives as a URI string (`file:/...`) from the
     // checkpoint manager — Paths.get would treat it as RELATIVE and
     // scatter `file:` directories under the CWD. Detect a URI by a
@@ -314,12 +361,16 @@ private[graft] class ChangeFeedSource(
       }
     val persisted = metaDir.resolve("graft-changes-start")
     if (Files.exists(persisted))
-      new String(Files.readAllBytes(persisted),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      parseOffset(new String(Files.readAllBytes(persisted),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
     else {
-      val floor = parameters.get("startingVersion") match {
+      val floor: (Long, Long) = parameters.get("startingVersion") match {
         case Some(v) =>
-          val n = v.toLong
+          // either a plain version long (the documented form) or a
+          // cursor offset JSON — the latter lets a consumer resume a
+          // MID-VERSION position with a fresh checkpoint (the sliced
+          // maintenance stream recovering a mid-version view watermark)
+          val (n, c) = parseOffset(v)
           val head = KeyedUpsertSink.tableVersions(tablePath).max
           // fail at stream START with the real problem — a floor above
           // the head would otherwise surface later as a confusing
@@ -328,16 +379,35 @@ private[graft] class ChangeFeedSource(
             s"startingVersion=$n is outside $tablePath's committed range " +
               s"[0, $head] — the floor must be an existing version (0 = " +
               "full-history bootstrap)")
-          n
-        case None => KeyedUpsertSink.tableVersions(tablePath).max
+          if (c > 0L) {
+            // a cursor indexes version n+1's sorted touched-bucket list:
+            // validate it is constructible NOW, not at the first batch
+            require(n < head,
+              s"startingVersion cursor ($n,$c) points inside v${n + 1}, " +
+                s"which is beyond $tablePath's head v$head")
+            val touched = KeyedUpsertSink.touchedBucketsAt(tablePath, n + 1)
+              .getOrElse(throw new IllegalArgumentException(
+                s"startingVersion cursor ($n,$c) points inside v${n + 1}, " +
+                  "a layout-change version — slices are never " +
+                  "constructible there"))
+            require(c < touched.size,
+              s"startingVersion cursor ($n,$c) is outside v${n + 1}'s " +
+                s"touched-bucket list (${touched.size} buckets) — a " +
+                "completed version is the plain floor ${n + 1}")
+          }
+          (n, c)
+        case None => (KeyedUpsertSink.tableVersions(tablePath).max, 0L)
       }
       Files.createDirectories(persisted.getParent)
       // lost race (a concurrent restart of the same query) → read the
-      // winner's floor; both resolved it from the same parameters
+      // winner's floor; both resolved it from the same parameters.
+      // Clean floors keep the plain-long encoding (old guard readers
+      // parse it); cursor floors persist the offset JSON.
       KeyedUpsertSink.putIfAbsent(persisted,
-        s"$floor\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      new String(Files.readAllBytes(persisted),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        s"${offsetOf(floor._1, floor._2).json()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      parseOffset(new String(Files.readAllBytes(persisted),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
     }
   }
 
@@ -385,7 +455,8 @@ private[graft] class ChangeFeedSource(
   // latestOffset(start, limit), with the committed offset passed IN — no
   // source-side offset bookkeeping to drift on restart)
 
-  override def initialOffset(): streaming.Offset = LongOffset(startVersion)
+  override def initialOffset(): streaming.Offset =
+    offsetOf(startFloor._1, startFloor._2)
 
   override def deserializeOffset(json: String): streaming.Offset = {
     val (v, c) = parseOffset(json)
@@ -415,7 +486,7 @@ private[graft] class ChangeFeedSource(
       limit: streaming.ReadLimit): streaming.Offset = {
     // start is null on the stream's very first batch (the v1 admission-
     // control contract FileStreamSource also handles)
-    val (v0, c0) = Option(start).map(pos).getOrElse((startVersion, 0L))
+    val (v0, c0) = Option(start).map(pos).getOrElse(startFloor)
     val head = availableTarget.fold(currentHead)(math.min(currentHead, _))
     maxBuckets match {
       case None =>
@@ -475,7 +546,7 @@ private[graft] class ChangeFeedSource(
     */
   override def getOffset: Option[OffsetV1] = {
     val head = currentHead
-    if (head > startVersion) Some(LongOffset(head)) else None
+    if (head > startFloor._1) Some(LongOffset(head)) else None
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -487,7 +558,12 @@ private[graft] class ChangeFeedSource(
     // frame only rebuilds source state and an empty feed carries the
     // schema either way
     val (from, fromC) = start.map(o => pos(o: streaming.Offset))
-      .getOrElse((math.min(startVersion, toV), 0L))
+      .getOrElse {
+        // lexicographic clamp of the (possibly mid-version) floor
+        if (startFloor._1 < toV ||
+          (startFloor._1 == toV && startFloor._2 <= toC)) startFloor
+        else (toV, toC)
+      }
     // engine contract: a constructed batch always has from < to, but a
     // degenerate range must still return the declared schema
     val feed =
@@ -525,6 +601,8 @@ private[graft] class ChangeFeedSource(
       else feed
         .withColumn(FromVersionCol, org.apache.spark.sql.functions.lit(from))
         .withColumn(ToVersionCol, org.apache.spark.sql.functions.lit(toV))
+        .withColumn(FromCursorCol, org.apache.spark.sql.functions.lit(fromC))
+        .withColumn(ToCursorCol, org.apache.spark.sql.functions.lit(toC))
     // pin the declared column set (a commit that ADDED columns mid-stream
     // widens the feed, but this stream's schema is fixed until restart).
     // The converse alignment matters on RESTART after a widening commit:

@@ -93,6 +93,69 @@ class AdvisorSpec extends SparkSpec {
     assert(!after.reclaimableGenerations.contains(g2))
   }
 
+  test("adviseRetention sizes the keep window from observed consumer lag; the advised grace provably suffices") {
+    val root = Files.createTempDirectory("graft-advisor-ret")
+    val base = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    // merge-on-write: each commit REWRITES its buckets, so retention
+    // genuinely decides whether an old version's generations survive
+    val sink = KeyedUpsertSink.upsertBucketedOptimistic(
+      spark, base, keys, order, 2) _
+    sink(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    sink(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    // a mirror stream drains through v2, then stalls (its checkpoint
+    // holds the committed resume position)
+    val q = spark.readStream.format("graft-changes")
+      .option("path", base).option("startingVersion", "0").load()
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(graft.sources.ChangeFeedSourceProvider.checkpointPosition(ckpt)
+      == Some((2L, 0L)))
+    // a checkpoint no query ever started on reports nothing
+    assert(graft.sources.ChangeFeedSourceProvider.checkpointPosition(
+      root.resolve("never").toString).isEmpty)
+    // the table advances while both consumers lag
+    sink(batchDf(("b", 2L, 30L)), 2L) // v3
+    sink(batchDf(("a", 3L, 40L)), 3L) // v4
+    sink(batchDf(("b", 3L, 50L)), 4L) // v5 (head)
+    val streamPos = graft.sources.ChangeFeedSourceProvider
+      .checkpointPosition(ckpt).get._1
+    val advice = KeyedUpsertSink.adviseRetention(base,
+      Seq("mirror-stream" -> streamPos, "nightly-poller" -> 1L))
+    assert(advice.head == 5L && advice.laggard == Some(("nightly-poller", 1L)))
+    assert(advice.requiredGraceManifests == 4,
+      s"versions above v1 = 4: $advice")
+    assert(advice.intact, s"nothing vacuumed yet: $advice")
+    assert(advice.reason.contains("graceManifests >= 4"))
+    // STRUCTURAL sufficiency: vacuum AT the advised grace, then the
+    // laggard's whole catch-up feed still reads — a reclaim that had
+    // touched its range would fail this loudly
+    KeyedUpsertSink.vacuumGenerations(base,
+      graceManifests = advice.requiredGraceManifests, quiesceMs = 0L)
+    val caught = KeyedUpsertSink.readChangesWeighted(
+      spark, base, keys, order, fromVersion = 1L, toVersion = Some(5L))
+    assert(caught.collect().nonEmpty)
+    // no consumers: grace 0, head-only retention
+    val idle = KeyedUpsertSink.adviseRetention(base, Seq.empty)
+    assert(idle.requiredGraceManifests == 0 && idle.intact)
+    // the OUTRAN case: vacuum with no grace reclaims the superseded
+    // generations the laggard still needed — the advice reports the
+    // consumer as broken (re-seed), not as a retention to widen
+    KeyedUpsertSink.vacuumGenerations(base, graceManifests = 0,
+      quiesceMs = 0L)
+    val broken = KeyedUpsertSink.adviseRetention(base,
+      Seq("nightly-poller" -> 1L))
+    assert(!broken.intact, s"v1's generations are gone: $broken")
+    assert(broken.reason.contains("re-seed"))
+    // a position outside the committed range is a caller error, loudly
+    intercept[IllegalArgumentException] {
+      KeyedUpsertSink.adviseRetention(base, Seq("typo" -> 99L))
+    }
+  }
+
   test("delta writers with compaction disabled warn once per table past the chain-drift bound") {
     val path = newTable("graft-advisor-drift")
     val warned = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]

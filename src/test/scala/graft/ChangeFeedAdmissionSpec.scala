@@ -127,6 +127,9 @@ class ChangeFeedAdmissionSpec extends SparkSpec {
       Map("startingVersion" -> "0", "maxBucketsPerTrigger" -> "3"),
       batches, failAtBatch = 1)
     assert(batches.size == 1, "exactly the pre-crash slice must deliver")
+    // the committed MID-VERSION position is what retention sizing reads
+    assert(graft.sources.ChangeFeedSourceProvider.checkpointPosition(ckpt)
+      == Some((0L, 3L)))
     // restart: replay the crashed slice, then the rest — the union must
     // be the complete feed with zero duplicate rows across slices
     drain(table, ckpt,
@@ -160,6 +163,43 @@ class ChangeFeedAdmissionSpec extends SparkSpec {
         s"got ${batches.size}")
     // the union across the resize equals the bootstrap feed at head
     assert(batches.flatten.toSet == feedRows(table, 0L, 3L))
+  }
+
+  test("versionColumns composes with the bucket cap: slice batches carry contiguous (version, cursor) anchors") {
+    val root = Files.createTempDirectory("graft-adm-anchor")
+    val table = root.resolve("t").toString
+    sink(table)(batchDf(("p", 0L, 5L)), 0L) // v1: one small commit
+    sink(table)(fatBatch, 1L)               // v2: touches all 8 buckets
+    val anchors = scala.collection.mutable.ArrayBuffer
+      .empty[((Long, Long), (Long, Long))]
+    val q = spark.readStream.format("graft-changes")
+      .option("path", table)
+      .option("startingVersion", "0")
+      .option("versionColumns", "true")
+      .option("maxBucketsPerTrigger", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val r = df.select("__from_version", "__from_cursor",
+          "__to_version", "__to_cursor").head()
+        anchors += (((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        ()
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the anchor ranges chain contiguously from the floor to the head...
+    assert(anchors.head._1 == ((0L, 0L)), s"anchors: $anchors")
+    assert(anchors.last._2 == ((2L, 0L)), s"anchors: $anchors")
+    anchors.sliding(2).foreach {
+      case scala.collection.mutable.ArrayBuffer(a, b) =>
+        assert(a._2 == b._1, s"gap between $a and $b in $anchors")
+      case _ => ()
+    }
+    // ...and the fat version really was delivered as cursor slices
+    assert(anchors.exists(_._2._2 > 0L),
+      s"expected at least one mid-version anchor in $anchors")
   }
 
   test("an old plain-long checkpoint resumes correctly when the bucket cap is added later") {

@@ -49,11 +49,27 @@ class StreamingViewSpec extends SparkSpec {
       .select("d", "n", "sum_v", "min_v", "max_v", "nd_v")
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
 
-  private def stream(base: String, view: String, ckpt: String): Unit = {
+  private def stream(base: String, view: String, ckpt: String,
+      maxBuckets: Option[Long] = None): Unit = {
     val q = MaterializedAggView.maintainStream(spark, base, view, keys,
-      order, dims, aggs, ext, nd, checkpointDir = ckpt)
+      order, dims, aggs, ext, nd, checkpointDir = ckpt,
+      maxBucketsPerTrigger = maxBuckets)
     q.awaitTermination()
   }
+
+  /** The from-scratch recompute over an EXPLICIT manifest — the audit
+    * for a mid-version (mixed) state: applied buckets at the step
+    * version, the rest still at the base version.
+    */
+  private def recomputeManifest(base: String,
+      man: Map[Long, String]): Set[(String, Long, Long, Long, Long, Long)] =
+    KeyedUpsertSink.readBucketedDeltaManifest(spark, base, keys, order, man)
+      .groupBy("d").agg(
+        count(lit(1L)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        count_distinct(col("v") % 10L).as("nd_v"))
+      .select("d", "n", "sum_v", "min_v", "max_v", "nd_v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
 
   test("streamed maintenance equals the recompute across multi-wave commits, and a restart resumes") {
     val root = Files.createTempDirectory("graft-mvs")
@@ -225,5 +241,148 @@ class StreamingViewSpec extends SparkSpec {
     // the view itself is UNDAMAGED — still exactly the manual refresh's
     // state (watermark v3), never a double fold
     assert(MaterializedAggView.watermark(view).contains(3L))
+  }
+
+  /** A fat commit touching every bucket of the 4-bucket layout. */
+  private def fatBatch(tag: Long): DataFrame =
+    batchDf((1 to 16).map(i =>
+      (s"k$i", if (i % 2 == 0) "x" else "y", 100L * tag + i, 10L * tag)): _*)
+
+  test("sliced streamed maintenance: a fat commit drains in bucket slices; every mid-version state is the mixed base") {
+    val root = Files.createTempDirectory("graft-mvs-slice")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    up(fatBatch(1L), 0L) // v1: seeds all 4 buckets
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    up(fatBatch(2L), 1L) // v2: rewrites every key (touches all 4 buckets)
+    val touched = KeyedUpsertSink.touchedBucketsAt(base, 2L).get
+    assert(touched.size == 4, s"fixture must touch all 4 buckets: $touched")
+    // crash the stream after its FIRST fold — a mid-version slice
+    var folds = 0
+    MaterializedAggView.onAfterStreamFold = _ => {
+      folds += 1
+      if (folds == 1) throw new RuntimeException("injected crash mid-drain")
+    }
+    try {
+      val q = MaterializedAggView.maintainStream(spark, base, view, keys,
+        order, dims, aggs, ext, nd, checkpointDir = ckpt,
+        maxBucketsPerTrigger = Some(1L))
+      intercept[Throwable] { q.awaitTermination() }
+    } finally MaterializedAggView.onAfterStreamFold = _ => ()
+    // the crash landed after a MID-VERSION publish: the watermark is the
+    // cursor position, and the stored view equals the recompute over the
+    // MIXED manifest — the first slice's bucket at v2, the rest at v1
+    assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)))
+    val mixed = KeyedUpsertSink.mixedManifestAt(base, 1L,
+      touched.take(1).toSet)
+    assert(viewRows(view) == recomputeManifest(base, mixed),
+      "the mid-version view must equal the mixed-state recompute")
+    assert(viewRows(view) != recompute(base),
+      "fixture must distinguish the mixed state from the final state")
+    // the SAME checkpoint resumes: the crashed slice replays (skipped at
+    // the watermark), the remaining slices fold, the final state is the
+    // whole-table recompute at the head
+    stream(base, view, ckpt, maxBuckets = Some(1L))
+    assert(MaterializedAggView.watermarkFull(view) == Some((2L, 0L)))
+    assert(viewRows(view) == recompute(base))
+  }
+
+  test("a mid-version dirty-extremum recompute reads the MIXED state, never an unapplied bucket's future value") {
+    val root = Files.createTempDirectory("graft-mvs-mixed-ext")
+    // learn each key's bucket on a scratch table with the same layout
+    // (bucket assignment is a pure function of key and bucket count):
+    // one single-key commit per key, touchedBucketsAt names its bucket
+    val probe = root.resolve("probe").toString
+    val upProbe = sink(probe)
+    val bucketOf = (1 to 8).map { i =>
+      upProbe(batchDf((s"k$i", "g", 0L, 1L)), (i - 1).toLong)
+      s"k$i" -> KeyedUpsertSink.touchedBucketsAt(probe, i.toLong).get.head
+    }.toMap
+    // two keys in DISTINCT buckets, kA's strictly first in slice order
+    val sorted = bucketOf.toSeq.sortBy(_._2)
+    val kA = sorted.head._1
+    val kB = sorted.find(_._2 > bucketOf(kA)).map(_._1).getOrElse(
+      fail("fixture needs keys in at least two distinct buckets"))
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    // v1: kA holds the group min (40); kB sits at 60; everyone else 70+
+    up(batchDf((1 to 8).map { i =>
+      val k = s"k$i"
+      val v = if (k == kA) 40L else if (k == kB) 60L else 70L + i
+      (k, "g", v, 10L)
+    }: _*), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    // v2: kA's update RETRACTS the stored min (40 -> 55, dirties the
+    // group); kB — in a LATER bucket, so an UNAPPLIED slice — drops to
+    // the future global min 1
+    up(batchDf((kA, "g", 55L, 20L), (kB, "g", 1L, 20L)), 1L)
+    assert(KeyedUpsertSink.touchedBucketsAt(base, 2L).get ==
+      Seq(bucketOf(kA), bucketOf(kB)).sorted)
+    var folds = 0
+    MaterializedAggView.onAfterStreamFold = _ => {
+      folds += 1
+      if (folds == 1) throw new RuntimeException("injected crash mid-drain")
+    }
+    try {
+      val q = MaterializedAggView.maintainStream(spark, base, view, keys,
+        order, dims, aggs, ext, nd, checkpointDir = ckpt,
+        maxBucketsPerTrigger = Some(1L))
+      intercept[Throwable] { q.awaitTermination() }
+    } finally MaterializedAggView.onAfterStreamFold = _ => ()
+    assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)))
+    // the dirty recompute ran against the MIXED manifest: kA at 55, kB
+    // still at its OLD 60 — min 55. A recompute that read v2 plain would
+    // leak kB's unapplied 1 into an extremum the sums don't reflect yet.
+    val mid = viewRows(view)
+    assert(mid.map(_._4).min == 55L,
+      s"mid-version min must be the mixed state's 55, got: $mid")
+    // draining the rest lands the true final state (min 1)
+    stream(base, view, ckpt, maxBuckets = Some(1L))
+    assert(viewRows(view) == recompute(base))
+    assert(viewRows(view).map(_._4).min == 1L)
+  }
+
+  test("a mid-version watermark recovers on a FRESH checkpoint through the cursor floor, and refuses manual refresh") {
+    val root = Files.createTempDirectory("graft-mvs-cursor-floor")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val up = sink(base)
+    up(fatBatch(1L), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    up(fatBatch(2L), 1L)
+    var folds = 0
+    MaterializedAggView.onAfterStreamFold = _ => {
+      folds += 1
+      if (folds == 1) throw new RuntimeException("injected crash mid-drain")
+    }
+    try {
+      val q = MaterializedAggView.maintainStream(spark, base, view, keys,
+        order, dims, aggs, ext, nd,
+        checkpointDir = root.resolve("ckpt-lost").toString,
+        maxBucketsPerTrigger = Some(1L))
+      intercept[Throwable] { q.awaitTermination() }
+    } finally MaterializedAggView.onAfterStreamFold = _ => ()
+    assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)))
+    // a manual whole-version refresh cannot resume a mid-version
+    // position — loud, with the ownership story in the message
+    val err = intercept[IllegalStateException] {
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims,
+        aggs, ext, nd)
+    }
+    assert(err.getMessage.contains("mid-version"))
+    // the checkpoint is LOST (deleted); a fresh stream starts from the
+    // view's mid-version watermark via the cursor-offset floor and
+    // drains exactly the remainder
+    stream(base, view, root.resolve("ckpt-new").toString,
+      maxBuckets = Some(1L))
+    assert(MaterializedAggView.watermarkFull(view) == Some((2L, 0L)))
+    assert(viewRows(view) == recompute(base))
   }
 }
