@@ -443,7 +443,8 @@ object MaterializedAggView {
 
   /** Reclamation, only ever run by a maintainer that just COMMITTED.
     * Keeps the top-2 marker-referenced directories (current watermark +
-    * reader grace), every directory whose version exceeds the watermark
+    * reader grace; plus the top-2 CLEAN versions' under sliced
+    * maintenance — see below), every directory whose version exceeds the watermark
     * (a concurrent maintainer's in-flight publish), and — while fewer
     * than 2 markers exist — the newest pre-CAS plain `v<N>` directory
     * below the watermark (grace for an upgraded legacy view). Loser
@@ -455,7 +456,16 @@ object MaterializedAggView {
     import scala.jdk.CollectionConverters._
     val ms = markers(viewPath)
     val wm = ms.lastOption.map(_._1).getOrElse(return)
-    val keepDirs: Set[String] = ms.takeRight(2).map(_._2).toSet ++
+    // keep the last 2 POSITIONS (current + grace) plus the last 2 CLEAN
+    // version boundaries: under sliced maintenance consecutive publishes
+    // are slice folds of one version, and "two publishes of grace"
+    // would shrink the reader's window from two version advances to two
+    // slices — retaining the last two clean positions restores it, at a
+    // bounded ≤ 4 retained dirs; with no slices in flight the two sets
+    // coincide and this is exactly the old top-2 rule
+    val keepMs = (ms.takeRight(2) ++
+      ms.filter(_._1._2 == 0L).takeRight(2)).distinct
+    val keepDirs: Set[String] = keepMs.map(_._2).toSet ++
       (if (ms.size < 2)
         versionsOnDisk(root).filter(_._1 < wm._1).sortBy(_._1).lastOption
           .map(_._2.getFileName.toString)
@@ -464,7 +474,8 @@ object MaterializedAggView {
     // a marker whose directory is gone is a dangling audit surface, not
     // history (the old keep-16 window left markers 3..16 pointing at
     // deleted directories)
-    ms.dropRight(2).foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
+    ms.filterNot(keepMs.contains)
+      .foreach(m => Files.deleteIfExists(markerPath(viewPath, m._1)))
     val now = System.currentTimeMillis()
     Files.list(root).iterator().asScala.toList.foreach { p =>
       val name = p.getFileName.toString
@@ -543,10 +554,14 @@ object MaterializedAggView {
 
   /** One maintenance pass: fold the weighted change feed from the
     * watermark to the base head into the view. Returns the (from, to]
-    * range applied; None when the base head equals the watermark (idle —
-    * nothing is read or written). A head BELOW the watermark is a
-    * recreated base table and fails loudly, as does a missing watermark
-    * (bootstrap first).
+    * version range applied; None when the base head equals a clean
+    * watermark (idle — nothing is read or written). A head BELOW the
+    * watermark is a recreated base table and fails loudly, as does a
+    * missing watermark (bootstrap first). From a MID-VERSION watermark
+    * (a sliced maintenance stream stopped mid-drain) the pass folds the
+    * slice remainder plus the tail and publishes clean at the head —
+    * the documented unstick; a checkpointed stream resuming AFTER that
+    * fails its next batch's straddle check and needs a fresh checkpoint.
     */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], order: Seq[Column], dims: Seq[String],
@@ -557,31 +572,62 @@ object MaterializedAggView {
       throw new IllegalStateException(
         s"$viewPath: no watermark — bootstrap the view first (a fresh " +
           "view must not silently treat the whole history as one delta)"))
-    // a MID-VERSION watermark belongs to a sliced maintenance stream
-    // mid-drain: a whole-version refresh from it would need the slice
-    // remainder plus the tail — the stream's job. Refuse rather than
-    // guess (the stream's own restart resumes the position).
-    if (fromFull._2 != 0L) throw new IllegalStateException(
-      s"$viewPath: watermark ${fmtMark(fromFull)} is mid-version — a " +
-        "sliced maintenance stream owns this view mid-drain; let it " +
-        "finish (or restart it) instead of refreshing manually")
-    val from = fromFull._1
     val versions = KeyedUpsertSink.tableVersions(basePath)
     if (versions.isEmpty) throw new IllegalStateException(
       s"$basePath has no committed versions — wrong path, or the table " +
         "was deleted/recreated since this view's watermark")
     val head = versions.max
-    if (head == from) return None
-    if (head < from) throw new IllegalStateException(
-      s"$basePath head is v$head but this view's watermark is v$from — " +
-        "the table was recreated (or its history replaced); " +
-        "re-bootstrap deliberately (force = true)")
-    val deltasRaw = KeyedUpsertSink.readChangesWeighted(
-      spark, basePath, keys, order, fromVersion = from,
-      toVersion = Some(head))
-    applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
-      extrema, distincts, (from, 0L), (head, 0L), deltasRaw)
-    Some((from, head))
+    if (fromFull._2 == 0L) {
+      val from = fromFull._1
+      if (head == from) return None
+      if (head < from) throw new IllegalStateException(
+        s"$basePath head is v$head but this view's watermark is v$from — " +
+          "the table was recreated (or its history replaced); " +
+          "re-bootstrap deliberately (force = true)")
+      val deltasRaw = KeyedUpsertSink.readChangesWeighted(
+        spark, basePath, keys, order, fromVersion = from,
+        toVersion = Some(head))
+      applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
+        extrema, distincts, fromFull, (head, 0L), deltasRaw)
+      Some((from, head))
+    } else {
+      // MID-VERSION watermark: a sliced maintenance stream stopped
+      // mid-drain — crash, operator stop, or the stuck corner where a
+      // TRAILING slice's feed was empty (offsets advanced, the
+      // watermark could not: an empty batch carries no anchor rows to
+      // publish from, and no later commit has arrived to cover the
+      // gap). This refresh is the documented unstick: fold the slice
+      // REMAINDER (the unapplied buckets of the in-flight version)
+      // plus the whole-version tail, publish clean at the head. The
+      // single-maintainer doctrine still holds — if a checkpointed
+      // maintenance stream later resumes over this advance, its next
+      // batch straddles the watermark and fails with the usual
+      // ConcurrentModificationException; restart it on a fresh
+      // checkpoint.
+      val (v, c) = fromFull
+      if (head < v + 1) throw new IllegalStateException(
+        s"$basePath head is v$head but this view's watermark is " +
+          s"${fmtMark(fromFull)} (inside v${v + 1}) — the table was " +
+          "recreated (or its history replaced); re-bootstrap " +
+          "deliberately (force = true)")
+      val touched = KeyedUpsertSink.touchedBucketsAt(basePath, v + 1)
+        .getOrElse(throw new IllegalStateException(
+          s"$basePath: watermark ${fmtMark(fromFull)} sits inside a " +
+            "layout-change version — slices are never constructed there"))
+      val remainder = KeyedUpsertSink.readChangesSlice(
+        spark, basePath, keys, order, v + 1,
+        touched.drop(c.toInt).toSet, weighted = true)
+      val deltasRaw =
+        if (head == v + 1) remainder
+        else remainder.unionByName(
+          KeyedUpsertSink.readChangesWeighted(
+            spark, basePath, keys, order, fromVersion = v + 1,
+            toVersion = Some(head)),
+          allowMissingColumns = true)
+      applyDelta(spark, basePath, viewPath, keys, order, dims, aggs,
+        extrema, distincts, fromFull, (head, 0L), deltasRaw)
+      Some((v, head))
+    }
   }
 
   /** The fold core shared by [[refresh]] (which derives the weighted
@@ -746,8 +792,14 @@ object MaterializedAggView {
     // floor is exactly "moved backward", so refuse at start. (The
     // sources/0 layout is the engine's stable per-source metadata path
     // — the same file the source itself writes.)
-    val persistedFloor = java.nio.file.Paths.get(
-      checkpointDir, "sources", "0", "graft-changes-start")
+    // resolve the checkpoint location through the source's ONE path
+    // rule: a `file:/...`-form checkpointDir (which Spark accepts, and
+    // the source itself resolves for its floor write) would otherwise
+    // make this guard probe a nonexistent relative path and silently
+    // disarm — on exactly the silent-skip hole it exists to close
+    val persistedFloor = graft.sources.ChangeFeedSource
+      .resolveLocalPath(checkpointDir)
+      .resolve("sources").resolve("0").resolve("graft-changes-start")
     if (java.nio.file.Files.exists(persistedFloor)) {
       val floor = graft.sources.ChangeFeedSource.parseOffset(
         new String(java.nio.file.Files.readAllBytes(persistedFloor),

@@ -2475,26 +2475,35 @@ object KeyedUpsertSink {
       s"$tablePath has no committed versions — nothing to retain")
     val head = versions.max
     val oldest = versions.min
-    val laggard = consumers.minByOption(_._2)
-    laggard.foreach { case (label, v) =>
+    // validate EVERY consumer, not just the laggard — a misconfigured
+    // label pointing at a different table must surface even when some
+    // other consumer happens to lag lower
+    consumers.foreach { case (label, v) =>
       require(v >= 0 && v <= head,
         s"$tablePath: consumer '$label' reports position v$v outside " +
           s"the committed range [0, $head] — is it a consumer of a " +
           "different table?")
     }
+    val laggard = consumers.minByOption(_._2)
     val need = laggard.map(_._2).getOrElse(head)
     val required = versions.count(_ > need)
     val intact = laggard.forall { case (_, v) =>
-      // v0 is the synthetic pre-first-commit state — always "readable"
-      v == 0L || (versions.contains(v) && {
-        import scala.jdk.CollectionConverters._
-        val s = Files.list(Paths.get(tablePath))
-        val gensOnDisk = try s.iterator().asScala
-          .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
-        finally s.close()
-        manifestAt(tablePath, v).values.flatMap(chainOf)
-          .forall(gensOnDisk.contains)
-      })
+      // v0 is the synthetic pre-first-commit state — always "readable".
+      // Concurrent-reclaim tolerance (the same markers() discipline as
+      // tableStats/vacuumStats): a vacuum pruning the laggard's version
+      // file between the tableVersions snapshot and this read means
+      // exactly "outran" — report intact=false, never throw from a
+      // read-only advisor
+      v == 0L || (versions.contains(v) &&
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(Paths.get(tablePath))
+          val gensOnDisk = try s.iterator().asScala
+            .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
+          finally s.close()
+          manifestAt(tablePath, v).values.flatMap(chainOf)
+            .forall(gensOnDisk.contains)
+        }.getOrElse(false))
     }
     RetentionAdvice(head, oldest, laggard, required, intact,
       laggard match {

@@ -154,10 +154,19 @@ object ChangeFeedSourceProvider {
     * persisted starting floor; None for a checkpoint no `graft-changes`
     * query ever started on. Loud on an unparseable offset log — an
     * advisor must not guess a retention bound.
+    *
+    * `sourceIndex` selects the source within a MULTI-source query (the
+    * offset log carries one line per source in query order; a
+    * two-feed join's second `graft-changes` source is index 1). The
+    * default 0 is correct for every single-source query — passing the
+    * wrong index against another graft feed is indistinguishable from
+    * the right one, so multi-source callers must supply it.
     */
-  def checkpointPosition(checkpointDir: String): Option[(Long, Long)] = {
+  def checkpointPosition(checkpointDir: String,
+      sourceIndex: Int = 0): Option[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    val dir = Paths.get(checkpointDir)
+    require(sourceIndex >= 0, s"sourceIndex must be >= 0 (got $sourceIndex)")
+    val dir = ChangeFeedSource.resolveLocalPath(checkpointDir)
     def maxBatch(sub: String): Option[Long] = {
       val d = dir.resolve(sub)
       if (!Files.isDirectory(d)) None
@@ -172,15 +181,15 @@ object ChangeFeedSourceProvider {
       case Some(b) =>
         val off = dir.resolve("offsets").resolve(b.toString)
         // OffsetSeqLog v1 layout: version header line, metadata JSON
-        // line, then ONE offset line per source (this source is always
-        // source 0 of its query)
+        // line, then ONE offset line per source in query order
         val lines = Files.readAllLines(off).asScala.filter(_.trim.nonEmpty)
-        require(lines.size >= 3,
-          s"$off: not a v1 offset log (${lines.size} lines) — was this " +
-            "checkpoint written by a streaming query?")
-        Some(ChangeFeedSource.parseOffset(lines(2).trim))
+        require(lines.size >= 3 + sourceIndex,
+          s"$off: offset log has ${lines.size - 2} source line(s) — no " +
+            s"source at index $sourceIndex; was this checkpoint written " +
+            "by the query you think it was?")
+        Some(ChangeFeedSource.parseOffset(lines(2 + sourceIndex).trim))
       case None =>
-        val floor = dir.resolve("sources").resolve("0")
+        val floor = dir.resolve("sources").resolve(sourceIndex.toString)
           .resolve("graft-changes-start")
         if (Files.exists(floor))
           Some(ChangeFeedSource.parseOffset(new String(
@@ -277,6 +286,28 @@ private[graft] object ChangeFeedSource {
   private[graft] def offsetOf(v: Long, c: Long): OffsetV1 =
     if (c == 0L) LongOffset(v) else BucketCursorOffset(v, c)
 
+  /** A checkpoint/metadata location as a local NIO path. Spark hands
+    * these around as URI strings (`file:/...`) — Paths.get on the raw
+    * string would treat that as RELATIVE and scatter literal `file:`
+    * directories under the CWD (or, for a reader, probe a path that
+    * does not exist). Detect a URI by a successful parse WITH a scheme
+    * and path — not a substring-colon test: a plain local path
+    * containing `:`, or one with spaces or brackets, must fall back to
+    * Paths.get, not throw an opaque URISyntaxException. EVERY consumer
+    * of a checkpoint location string (the source's floor writer, the
+    * view's floor guard, checkpointPosition) must resolve through this
+    * ONE rule, or a `file:`-form location silently splits them onto
+    * different directories.
+    */
+  private[graft] def resolveLocalPath(pathOrUri: String): java.nio.file.Path =
+    try {
+      val u = new java.net.URI(pathOrUri)
+      if (u.getScheme != null && u.getPath != null) Paths.get(u.getPath)
+      else Paths.get(pathOrUri)
+    } catch {
+      case _: java.net.URISyntaxException => Paths.get(pathOrUri)
+    }
+
   /** The feed's schema: the resolved table schema at the current head
     * (+ `__weight` when weighted). Loud before the first commit — an
     * empty chain has no schema to stream.
@@ -345,20 +376,9 @@ private[graft] class ChangeFeedSource(
     */
   private val startFloor: (Long, Long) = {
     // metadataPath arrives as a URI string (`file:/...`) from the
-    // checkpoint manager — Paths.get would treat it as RELATIVE and
-    // scatter `file:` directories under the CWD. Detect a URI by a
-    // successful parse WITH a scheme and path (not a substring-colon
-    // test: a plain local path containing `:`, or one with spaces or
-    // brackets, must fall back to Paths.get, not throw an opaque
-    // URISyntaxException)
-    val metaDir =
-      try {
-        val u = new java.net.URI(metadataPath)
-        if (u.getScheme != null && u.getPath != null) Paths.get(u.getPath)
-        else Paths.get(metadataPath)
-      } catch {
-        case _: java.net.URISyntaxException => Paths.get(metadataPath)
-      }
+    // checkpoint manager — resolve through the ONE shared rule (see
+    // [[ChangeFeedSource.resolveLocalPath]])
+    val metaDir = resolveLocalPath(metadataPath)
     val persisted = metaDir.resolve("graft-changes-start")
     if (Files.exists(persisted))
       parseOffset(new String(Files.readAllBytes(persisted),
@@ -393,7 +413,7 @@ private[graft] class ChangeFeedSource(
             require(c < touched.size,
               s"startingVersion cursor ($n,$c) is outside v${n + 1}'s " +
                 s"touched-bucket list (${touched.size} buckets) — a " +
-                "completed version is the plain floor ${n + 1}")
+                s"completed version is the plain floor ${n + 1}")
           }
           (n, c)
         case None => (KeyedUpsertSink.tableVersions(tablePath).max, 0L)

@@ -196,9 +196,13 @@ class StreamingViewSpec extends SparkSpec {
     MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
       aggs, ext, nd, force = true)
     up(batchDf(("w", "z", 4L, 95L)), 1L) // new history grows to v2
+    // the checkpointDir is passed in URI form here on purpose: the
+    // guard must resolve it through the source's ONE path rule (a raw
+    // Paths.get on "file:/..." probes a nonexistent relative path and
+    // silently DISARMS the guard — a review finding)
     val err = intercept[IllegalStateException] {
       MaterializedAggView.maintainStream(spark, base, view, keys, order,
-        dims, aggs, ext, nd, checkpointDir = ckpt)
+        dims, aggs, ext, nd, checkpointDir = s"file:$ckpt")
     }
     assert(err.getMessage.contains("persisted stream floor"))
     assert(err.getMessage.contains("FRESH checkpoint"))
@@ -348,7 +352,7 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view).map(_._4).min == 1L)
   }
 
-  test("a mid-version watermark recovers on a FRESH checkpoint through the cursor floor, and refuses manual refresh") {
+  test("a mid-version watermark recovers on a FRESH checkpoint through the cursor floor") {
     val root = Files.createTempDirectory("graft-mvs-cursor-floor")
     val base = root.resolve("t").toString
     val view = root.resolve("view").toString
@@ -370,19 +374,84 @@ class StreamingViewSpec extends SparkSpec {
       intercept[Throwable] { q.awaitTermination() }
     } finally MaterializedAggView.onAfterStreamFold = _ => ()
     assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)))
-    // a manual whole-version refresh cannot resume a mid-version
-    // position — loud, with the ownership story in the message
-    val err = intercept[IllegalStateException] {
-      MaterializedAggView.refresh(spark, base, view, keys, order, dims,
-        aggs, ext, nd)
-    }
-    assert(err.getMessage.contains("mid-version"))
     // the checkpoint is LOST (deleted); a fresh stream starts from the
     // view's mid-version watermark via the cursor-offset floor and
     // drains exactly the remainder
     stream(base, view, root.resolve("ckpt-new").toString,
       maxBuckets = Some(1L))
     assert(MaterializedAggView.watermarkFull(view) == Some((2L, 0L)))
+    assert(viewRows(view) == recompute(base))
+  }
+
+  test("a trailing EMPTY slice leaves a mid-version watermark; a manual refresh is the unstick") {
+    // the stuck corner: a version's last slice has an empty resolved
+    // feed (a redelivery — the chain changed, the image didn't), so the
+    // drain's offsets pass it but the watermark cannot (an empty batch
+    // carries no anchor rows to publish from). Until the next upstream
+    // commit, nothing advances the view — refresh() must fold the
+    // remainder and publish clean at the head.
+    val root = Files.createTempDirectory("graft-mvs-stuck")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    // learn two keys in distinct buckets (same probe as the mixed test)
+    val probe = root.resolve("probe").toString
+    val upProbe = sink(probe)
+    val bucketOf = (1 to 8).map { i =>
+      upProbe(batchDf((s"k$i", "g", 0L, 1L)), (i - 1).toLong)
+      s"k$i" -> KeyedUpsertSink.touchedBucketsAt(probe, i.toLong).get.head
+    }.toMap
+    val sorted = bucketOf.toSeq.sortBy(_._2)
+    val kA = sorted.head._1
+    val kB = sorted.find(_._2 > bucketOf(kA)).map(_._1).getOrElse(
+      fail("fixture needs keys in at least two distinct buckets"))
+    val up = sink(base)
+    up(batchDf((kA, "g", 5L, 10L), (kB, "g", 7L, 10L)), 0L) // v1
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    // v2: kA really changes (earlier bucket, non-empty slice); kB is a
+    // REDELIVERY (identical row — chain grows, resolved image does not,
+    // so its later slice's feed is empty)
+    up(batchDf((kA, "g", 9L, 20L), (kB, "g", 7L, 10L)), 1L)
+    assert(KeyedUpsertSink.touchedBucketsAt(base, 2L).get ==
+      Seq(bucketOf(kA), bucketOf(kB)).sorted)
+    stream(base, view, ckpt, maxBuckets = Some(1L)) // full drain, no crash
+    // ...and the drain ends STUCK mid-version: offsets at the head, the
+    // watermark one empty slice behind
+    assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)),
+      "the trailing empty slice must leave the watermark mid-version")
+    // content is nonetheless correct for the mixed position == the head
+    // state here (the empty slice changed nothing)
+    assert(viewRows(view) == recompute(base))
+    // restarting the same checkpoint cannot advance it (no new batches)
+    stream(base, view, ckpt, maxBuckets = Some(1L))
+    assert(MaterializedAggView.watermarkFull(view) == Some((1L, 1L)))
+    // the unstick: one manual refresh folds the (empty) remainder and
+    // publishes clean at the head
+    assert(MaterializedAggView.refresh(spark, base, view, keys, order,
+      dims, aggs, ext, nd).contains((1L, 2L)))
+    assert(MaterializedAggView.watermarkFull(view) == Some((2L, 0L)))
+    assert(viewRows(view) == recompute(base))
+    // the remainder+tail path: stick it again with MORE history on top
+    up(batchDf((kA, "g", 11L, 30L), (kB, "g", 7L, 10L)), 2L) // v3: same shape
+    up(batchDf((kB, "g", 1L, 40L)), 3L)                      // v4: tail
+    var folds = 0
+    MaterializedAggView.onAfterStreamFold = _ => {
+      folds += 1
+      if (folds == 1) throw new RuntimeException("injected crash mid-drain")
+    }
+    try {
+      val q = MaterializedAggView.maintainStream(spark, base, view, keys,
+        order, dims, aggs, ext, nd,
+        checkpointDir = root.resolve("ckpt2").toString,
+        maxBucketsPerTrigger = Some(1L))
+      intercept[Throwable] { q.awaitTermination() }
+    } finally MaterializedAggView.onAfterStreamFold = _ => ()
+    assert(MaterializedAggView.watermarkFull(view) == Some((2L, 1L)))
+    // refresh folds the v3 remainder PLUS the (v3, v4] tail in one pass
+    assert(MaterializedAggView.refresh(spark, base, view, keys, order,
+      dims, aggs, ext, nd).contains((2L, 4L)))
+    assert(MaterializedAggView.watermarkFull(view) == Some((4L, 0L)))
     assert(viewRows(view) == recompute(base))
   }
 }
