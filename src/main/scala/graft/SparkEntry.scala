@@ -529,6 +529,64 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // The SQL-level FACADE over the keyed table (round 17 second pass):
+    // the same delta-sink fixture read back through
+    // `spark.read.format("graft-table")` with ONLY a path — the stored
+    // spec drives the LWW resolve through the DSv1 relation, so a pure
+    // SQL user gets the identical answer. Same oracle as
+    // etl_upsert_lww: the facade must change nothing.
+    "etl_table_facade" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-table-facade-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      s.read.format("graft-table").option("path", path).load()
+        .drop("ts_us")
+    }),
+
+    // The DECLARATIVE replica pipeline (round 17 second pass):
+    // `readStream graft-changes → writeStream graft-upsert` with zero
+    // user code between them — the upsert feed of table A streams into
+    // table B, whose sink skips replays through the `stream.<id>`
+    // metadata high-water. B's resolved read must equal the LWW oracle
+    // — i.e. the mirror is exact.
+    "etl_upsert_stream_sink" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val a = scratchTable("graft-streamsink-a-q", dir)
+      val b = scratchTable("graft-streamsink-b-q", dir)
+      val ckpt = scratchTable("graft-streamsink-ckpt-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, a, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 3 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 3 === 1), 1L)
+      sink(ev.filter(col("last_event_id") % 3 === 2), 2L)
+      val q = s.readStream.format("graft-changes")
+        .option("path", a).option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft-upsert")
+        .option("path", b).option("streamId", "mirror")
+        .option("keys", "user_id").option("orderBy", "ts_us,last_event_id")
+        .option("numBuckets", "16")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sink.KeyedUpsertSink.readBucketedDelta(s, b).drop("ts_us")
+    }),
+
     // Online re-bucketing mid-stream: two delta batches land in 8
     // buckets, rebucketTable re-hashes the table into 32 in ONE
     // versioned commit (layout metadata rides the same manifest file as
@@ -1456,6 +1514,20 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     "etl_upsert_bucketed" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // the SQL facade must change nothing about the resolve
+    "etl_table_facade" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // the declarative mirror must be exact — same LWW as its upstream
+    "etl_upsert_stream_sink" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events

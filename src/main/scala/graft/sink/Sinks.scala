@@ -988,6 +988,14 @@ object KeyedUpsertSink {
     *
     * Returns None for an empty batch, else the commit stats.
     */
+  /** `extraMeta` rides the SAME manifest commit as the data (and every
+    * retry re-applies it over the fresh head's meta) — the atomicity a
+    * streaming sink's exactly-once marker needs: the Delta
+    * `txn (appId, version)` idea on this table's own `#key=value`
+    * metadata channel. Keys here OVERRIDE same-named head meta; the
+    * reserved layout/spec/schema keys are refused (they have dedicated
+    * committers and validators).
+    */
   def upsertBucketedDelta(
       spark: SparkSession,
       tablePath: String,
@@ -996,8 +1004,14 @@ object KeyedUpsertSink {
       numBuckets: Int = 64,
       maxAttempts: Int = 20,
       compactAfter: Int = 8,
-      onBeforeFirstCommit: () => Unit = () => ())(
+      onBeforeFirstCommit: () => Unit = () => (),
+      extraMeta: Map[String, String] = Map.empty)(
       batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
+    require(!extraMeta.keys.exists(k => k == "numBuckets" ||
+        k == KeySpecMeta || k == OrderSpecMeta || k == SchemaMeta),
+      s"extraMeta must not touch the reserved keys (numBuckets, " +
+        s"$KeySpecMeta, $OrderSpecMeta, $SchemaMeta) — they have " +
+        "dedicated committers and validators")
     Files.createDirectories(Paths.get(tablePath))
     // guard BEFORE bucketing: a batch missing a KEY column must surface
     // as the contract message, not as bucketOf's unresolved-column error
@@ -1033,7 +1047,8 @@ object KeyedUpsertSink {
       // loudly, not let its old-layout buckets into the new manifest
       requireLayoutUnchanged(tablePath, numBuckets, meta)
       meta = evolveSchemaMeta(spark, tablePath,
-        specMeta(spark, tablePath, meta, keys, order), batch.schema)
+        specMeta(spark, tablePath, meta, keys, order),
+        batch.schema) ++ extraMeta
       var retries = 0
       var hookPending = true
       var attempt = 0
@@ -1055,7 +1070,8 @@ object KeyedUpsertSink {
             ver = v2
             man = m2
             meta = evolveSchemaMeta(spark, tablePath,
-              specMeta(spark, tablePath, meta2, keys, order), batch.schema)
+              specMeta(spark, tablePath, meta2, keys, order),
+              batch.schema) ++ extraMeta
         }
       }
       val c = committed.getOrElse(throw new IllegalStateException(

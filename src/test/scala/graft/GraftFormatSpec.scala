@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sink.KeyedUpsertSink
+import graft.sources.GraftUpsertSinkProvider
+
+/** The SQL-level format surface over the keyed storage tier:
+  * `spark.read.format("graft-table")` (resolved LWW batch read +
+  * `versionAsOf` time travel, stored-spec default, column pruning) and
+  * `df.writeStream.format("graft-upsert")` (declarative streaming sink
+  * with exactly-once replay skip via the `stream.<id>` manifest
+  * metadata high-water). Together with the `graft-changes` source they
+  * make `readStream → writeStream` a zero-code replica pipeline.
+  */
+class GraftFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private def order = Seq(col("ts"))
+
+  private def batchDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toDF("k", "v", "ts")
+
+  private def sink(path: String) = KeyedUpsertSink.upsertBucketedDelta(
+    spark, path, keys, order, numBuckets = 4, compactAfter = 0) _
+
+  private def resolved(path: String): Set[(String, Long, Long)] =
+    KeyedUpsertSink.readBucketedDelta(spark, path, keys, order)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+
+  test("graft-table reads the resolved LWW table path-only, with versionAsOf time travel") {
+    val root = Files.createTempDirectory("graft-table-fmt")
+    val t = root.resolve("t").toString
+    val up = sink(t)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    up(batchDf(("a", 2L, 20L), ("c", 1L, 20L)), 1L) // v2: update + insert
+    // path-only: the stored spec drives the LWW resolve
+    val got = spark.read.format("graft-table").option("path", t).load()
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(got == resolved(t))
+    assert(got == Set(("a", 2L, 20L), ("b", 1L, 10L), ("c", 1L, 20L)))
+    // time travel: versionAsOf pins the manifest
+    val v1 = spark.read.format("graft-table").option("path", t)
+      .option("versionAsOf", "1").load()
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+    assert(v1 == Set(("a", 1L, 10L), ("b", 1L, 10L)))
+    // a narrow projection (PrunedScan) returns the right values, and
+    // count(*) (the zero-column scan) still resolves per key
+    assert(spark.read.format("graft-table").option("path", t).load()
+      .select("k").as[String].collect().toSet == Set("a", "b", "c"))
+    assert(spark.read.format("graft-table").option("path", t).load()
+      .count() == 3L)
+    // SQL users get the table with zero Scala
+    spark.read.format("graft-table").option("path", t).load()
+      .createOrReplaceTempView("gt")
+    assert(spark.sql("SELECT sum(v) FROM gt").head().getLong(0) == 4L)
+    // an explicit spec that mismatches the stored one is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", t)
+        .option("keys", "k").option("orderBy", "v").load()
+    }
+    assert(err.getMessage.contains("mismatched spec silently changes LWW"))
+  }
+
+  test("graft-changes into graft-upsert is a zero-code replica; a post-commit crash replay is skipped exactly-once") {
+    val root = Files.createTempDirectory("graft-upsert-fmt")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    val ckpt = root.resolve("ckpt").toString
+    val upA = sink(a)
+    upA(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    upA(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    def mirror(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", a).option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft-upsert")
+        .option("path", b).option("streamId", "mirror")
+        .option("keys", "k").option("orderBy", "ts")
+        .option("numBuckets", "4")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mirror()
+    assert(resolved(b) == resolved(a), "declarative mirror must equal upstream")
+    // the high-water rides the table's own metadata
+    val hw0 = KeyedUpsertSink.versionedHeadFull(b)._3("stream.mirror").toLong
+    val nVers0 = KeyedUpsertSink.tableVersions(b).size
+    // upstream advances; the next drain CRASHES after the first batch's
+    // table commit but before its checkpoint commits — the exactly-once
+    // window the metadata high-water absorbs
+    upA(batchDf(("b", 2L, 30L)), 2L) // v3
+    upA(batchDf(("c", 1L, 40L)), 3L) // v4
+    GraftUpsertSinkProvider.onSinkCommit = _ =>
+      throw new RuntimeException("injected crash after table commit")
+    try intercept[Throwable] { mirror() }
+    finally GraftUpsertSinkProvider.onSinkCommit = _ => ()
+    val midVers = KeyedUpsertSink.tableVersions(b).size
+    assert(midVers == nVers0 + 1, "exactly the pre-crash batch committed")
+    // restart: the engine replays the crashed batch — the sink must
+    // SKIP it (no duplicate version, no chain growth) and continue
+    mirror()
+    assert(resolved(b) == resolved(a))
+    assert(KeyedUpsertSink.tableVersions(b).size == nVers0 + 2,
+      "the replayed batch must not re-commit")
+    assert(KeyedUpsertSink.versionedHeadFull(b)._3("stream.mirror").toLong
+      > hw0)
+  }
+
+  test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {
+    val root = Files.createTempDirectory("graft-upsert-refuse")
+    val a = root.resolve("a").toString
+    sink(a)(batchDf(("a", 1L, 10L)), 0L)
+    def start(mode: String, streamId: String = "ok") = {
+      val w = spark.readStream.format("graft-changes")
+        .option("path", a).option("startingVersion", "0").load()
+        .writeStream.format("graft-upsert")
+        .option("path", root.resolve("b").toString)
+        .option("streamId", streamId)
+        .option("keys", "k").option("orderBy", "ts")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ck").toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+      w.start()
+    }
+    val e1 = intercept[Exception] { start("complete"); () }
+    assert(e1.getMessage.contains("Complete") ||
+      e1.getMessage.contains("complete"))
+    val e2 = intercept[Exception] { start("append", streamId = "a=b"); () }
+    assert(e2.getMessage.contains("streamId"))
+  }
+}
