@@ -994,7 +994,19 @@ object KeyedUpsertSink {
     * `txn (appId, version)` idea on this table's own `#key=value`
     * metadata channel. Keys here OVERRIDE same-named head meta; the
     * reserved layout/spec/schema keys are refused (they have dedicated
-    * committers and validators).
+    * committers and validators), as are keys/values that would corrupt
+    * the line-oriented manifest ('=' in a key, line breaks anywhere).
+    *
+    * `abortIf` is the transactional half: re-evaluated against the
+    * FRESH head metadata before every commit attempt (including CAS
+    * retries). True → this batch is skipped — returns None, the staged
+    * generation is deleted (never referenced) — which is what makes a
+    * metadata high-water an exactly-once marker even under a ZOMBIE
+    * writer: a stalled driver whose twin already committed this batch
+    * re-reads the advanced marker on its retry and aborts instead of
+    * re-committing the data and REGRESSING the marker. (Delta's
+    * in-transaction `txn` version check — the check-then-act outside
+    * the loop is not enough.)
     */
   def upsertBucketedDelta(
       spark: SparkSession,
@@ -1005,13 +1017,26 @@ object KeyedUpsertSink {
       maxAttempts: Int = 20,
       compactAfter: Int = 8,
       onBeforeFirstCommit: () => Unit = () => (),
-      extraMeta: Map[String, String] = Map.empty)(
+      extraMeta: Map[String, String] = Map.empty,
+      abortIf: Map[String, String] => Boolean = _ => false)(
       batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
     require(!extraMeta.keys.exists(k => k == "numBuckets" ||
         k == KeySpecMeta || k == OrderSpecMeta || k == SchemaMeta),
       s"extraMeta must not touch the reserved keys (numBuckets, " +
         s"$KeySpecMeta, $OrderSpecMeta, $SchemaMeta) — they have " +
         "dedicated committers and validators")
+    // the manifest is line-oriented (`#key=value` per line, readAllLines
+    // treats \r as a terminator too): a break in either side, or '=' in
+    // a key, would corrupt EVERY later read of the table — refuse at
+    // the API, not at the wreck
+    extraMeta.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '=' || c == '\n' || c == '\r'),
+        s"extraMeta key '$k' must be non-empty without '=', '\\n' or " +
+          "'\\r' (it becomes a manifest metadata line)")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"extraMeta value for '$k' must not contain line breaks " +
+          "(it becomes a manifest metadata line)")
+    }
     Files.createDirectories(Paths.get(tablePath))
     // guard BEFORE bucketing: a batch missing a KEY column must surface
     // as the contract message, not as bucketOf's unresolved-column error
@@ -1028,12 +1053,17 @@ object KeyedUpsertSink {
       // batch must not pay (or leak) a staged generation. The head is
       // re-read after the stage — the freshest base for the first
       // commit attempt — and the contracts re-validate on every retry.
-      locally {
+      val preAborted = {
         val preMeta = versionedHeadFull(tablePath)._3
-        requireLayoutUnchanged(tablePath, numBuckets, preMeta)
-        evolveSchemaMeta(spark, tablePath,
-          specMeta(spark, tablePath, preMeta, keys, order), batch.schema)
+        if (abortIf(preMeta)) true // before paying the stage
+        else {
+          requireLayoutUnchanged(tablePath, numBuckets, preMeta)
+          evolveSchemaMeta(spark, tablePath,
+            specMeta(spark, tablePath, preMeta, keys, order), batch.schema)
+          false
+        }
       }
+      if (preAborted) return None
       // stage against an EMPTY base: mergeLww degrades to the intra-batch
       // latestByKey compaction (one row per key per delta — two in-batch
       // duplicates must not reach read time, where they'd tie on __seq),
@@ -1042,18 +1072,27 @@ object KeyedUpsertSink {
       val (_, written) =
         stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, Map.empty)
       var (ver, man, meta) = versionedHeadFull(tablePath)
-      // first-attempt layout guard — same window as the optimistic path:
-      // a rebucket committing during the stage must fail this batch
-      // loudly, not let its old-layout buckets into the new manifest
-      requireLayoutUnchanged(tablePath, numBuckets, meta)
-      meta = evolveSchemaMeta(spark, tablePath,
-        specMeta(spark, tablePath, meta, keys, order),
-        batch.schema) ++ extraMeta
+      // the guard re-checks the head that materialized DURING the stage
+      // — and again on every retry below — so a twin writer's advance
+      // anywhere in this window aborts instead of re-committing
+      def dropStage(): Unit =
+        try deleteRecursively(Paths.get(tablePath, gen))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      var aborted = abortIf(meta)
+      if (!aborted) {
+        // first-attempt layout guard — same window as the optimistic
+        // path: a rebucket committing during the stage must fail this
+        // batch loudly, not let its old-layout buckets into the manifest
+        requireLayoutUnchanged(tablePath, numBuckets, meta)
+        meta = evolveSchemaMeta(spark, tablePath,
+          specMeta(spark, tablePath, meta, keys, order),
+          batch.schema) ++ extraMeta
+      }
       var retries = 0
       var hookPending = true
       var attempt = 0
       var committed: Option[OptimisticCommit] = None
-      while (committed.isEmpty && attempt < maxAttempts) {
+      while (!aborted && committed.isEmpty && attempt < maxAttempts) {
         attempt += 1
         if (hookPending) { hookPending = false; onBeforeFirstCommit() }
         val entries = man ++ written.map { b =>
@@ -1065,15 +1104,19 @@ object KeyedUpsertSink {
           case res =>
             retries += 1
             val (v2, m2, meta2) = versionedHeadFull(tablePath)
-            require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
-            requireLayoutUnchanged(tablePath, numBuckets, meta2)
-            ver = v2
-            man = m2
-            meta = evolveSchemaMeta(spark, tablePath,
-              specMeta(spark, tablePath, meta2, keys, order),
-              batch.schema) ++ extraMeta
+            if (abortIf(meta2)) aborted = true
+            else {
+              require(v2 > ver || ver == 0L, staleHeadMsg(tablePath, ver, v2, res))
+              requireLayoutUnchanged(tablePath, numBuckets, meta2)
+              ver = v2
+              man = m2
+              meta = evolveSchemaMeta(spark, tablePath,
+                specMeta(spark, tablePath, meta2, keys, order),
+                batch.schema) ++ extraMeta
+            }
         }
       }
+      if (aborted) { dropStage(); return None }
       val c = committed.getOrElse(throw new IllegalStateException(
         s"$tablePath: delta commit lost $maxAttempts commit attempts " +
           s"on batch $batchId — hot-table storm; replay the batch"))

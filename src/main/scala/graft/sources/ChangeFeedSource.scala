@@ -219,9 +219,14 @@ private[graft] object ChangeFeedSource {
   val FromCursorCol = "__from_cursor"
   val ToCursorCol = "__to_cursor"
 
-  def required(parameters: Map[String, String], key: String): String =
+  /** `format` names the CALLING data source in errors — these helpers
+    * are shared by graft-changes, graft-table and graft-upsert, and a
+    * user of one must not be pointed at another.
+    */
+  def required(parameters: Map[String, String], key: String,
+      format: String = "graft-changes"): String =
     parameters.getOrElse(key, throw new IllegalArgumentException(
-      s"graft-changes requires the '$key' option ('path' is mandatory; " +
+      s"$format requires the '$key' option ('path' is mandatory; " +
         "'keys'/'orderBy' default to the table's stored spec)"))
 
   def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty)
@@ -233,9 +238,10 @@ private[graft] object ChangeFeedSource {
     * table has none). Exactly one of the two options is a misuse —
     * half a spec can't be validated or defaulted coherently.
     */
-  def resolveSpec(parameters: Map[String, String])
+  def resolveSpec(parameters: Map[String, String],
+      format: String = "graft-changes")
       : (Seq[String], Seq[org.apache.spark.sql.Column]) = {
-    val path = required(parameters, "path")
+    val path = required(parameters, "path", format)
     (parameters.get("keys"), parameters.get("orderBy")) match {
       case (Some(k), Some(o)) => (csv(k), csv(o).map(col))
       case (None, None) => KeyedUpsertSink.storedSpec(path).getOrElse(
@@ -245,11 +251,22 @@ private[graft] object ChangeFeedSource {
             "'keys' and 'orderBy' options explicitly; one commit with a " +
             "current writer records the spec"))
       case _ => throw new IllegalArgumentException(
-        "graft-changes takes 'keys' and 'orderBy' together or neither " +
+        s"$format takes 'keys' and 'orderBy' together or neither " +
           "(neither = the table's stored spec) — exactly one of them " +
           "cannot be validated or defaulted coherently")
     }
   }
+
+  /** A numeric option parsed with the option name in the failure — the
+    * surface's loud-refusal style, instead of a bare
+    * NumberFormatException pointing at nothing.
+    */
+  def longOption(parameters: Map[String, String], key: String,
+      format: String): Option[Long] =
+    parameters.get(key).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$format: option '$key' must be an integer, got '$v'"))
+    }
 
   /** Sub-version stream offset: `version` versions are fully emitted,
     * PLUS the first `cursor` buckets (of the sorted touched-bucket list)

@@ -39,9 +39,9 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     import ChangeFeedSource._
-    val path = required(parameters, "path")
-    val (keys, order) = resolveSpec(parameters)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val path = required(parameters, "path", shortName())
+    val (keys, order) = resolveSpec(parameters, shortName())
+    val asOf = longOption(parameters, "versionAsOf", shortName())
     val df = KeyedUpsertSink.readBucketedDelta(
       sqlContext.sparkSession, path, keys, order, atVersion = asOf)
     val ctx = sqlContext
@@ -94,14 +94,18 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
       partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     import ChangeFeedSource._
-    val path = required(parameters, "path")
-    val streamId = required(parameters, "streamId")
-    require(streamId.nonEmpty && !streamId.exists(c => c == '=' || c == '\n'),
-      s"streamId '$streamId' must be non-empty without '=' or newlines " +
-        "(it becomes a manifest metadata key)")
-    val (keys, order) = resolveSpec(parameters)
-    val numBuckets = parameters.get("numBuckets").map(_.toInt).getOrElse(64)
-    val compactAfter = parameters.get("compactAfter").map(_.toInt).getOrElse(8)
+    val path = required(parameters, "path", shortName())
+    val streamId = required(parameters, "streamId", shortName())
+    require(streamId.nonEmpty && !streamId.exists(c =>
+        c == '=' || c == '\n' || c == '\r'),
+      s"streamId '$streamId' must be non-empty without '=' or line " +
+        "breaks (it becomes a manifest metadata key; the committer " +
+        "enforces the same rule for any extraMeta)")
+    val (keys, order) = resolveSpec(parameters, shortName())
+    val numBuckets = longOption(parameters, "numBuckets", shortName())
+      .map(_.toInt).getOrElse(64)
+    val compactAfter = longOption(parameters, "compactAfter", shortName())
+      .map(_.toInt).getOrElse(8)
     require(outputMode != OutputMode.Complete(),
       "graft-upsert: Complete mode replaces the WHOLE table every " +
         "micro-batch — not an upsert; use Append or Update (both mean " +
@@ -113,11 +117,26 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
-        // REPLAY SKIP: the recorded high-water rides the same manifest
-        // commit as its batch's data, so "recorded" == "fully applied"
-        val last = KeyedUpsertSink.versionedHeadFull(path)._3
-          .get(metaKey).map(_.toLong)
-        if (last.exists(_ >= batchId)) return
+        // __-prefixed columns are the change feed's ENGINE scratch
+        // (__weight retractions, __from/to anchors) — committing them
+        // would both store junk columns and, worse, treat a weighted
+        // feed's -1 retraction rows as upserts. Refuse with the fix.
+        val scratch = data.columns.filter(_.startsWith("__"))
+        require(scratch.isEmpty,
+          s"graft-upsert: batch carries engine columns " +
+            s"[${scratch.mkString(", ")}] — a weighted or " +
+            "versionColumns change feed is a RETRACTION stream, not an " +
+            "upsert stream; read the upstream feed plain (no " +
+            "'weighted'/'versionColumns' options), or drop/transform " +
+            "the columns before the sink")
+        // REPLAY SKIP — evaluated here for the cheap common case, and
+        // re-evaluated by the committer before EVERY commit attempt
+        // (abortIf below): a check only out here is check-then-act,
+        // and a zombie twin of this query could re-commit the batch
+        // and REGRESS the high-water between the check and the commit
+        def applied(meta: Map[String, String]): Boolean =
+          meta.get(metaKey).exists(_.toLong >= batchId)
+        if (applied(KeyedUpsertSink.versionedHeadFull(path)._3)) return
         // re-wrap as a batch-tagged leaf: the incoming frame is the
         // streaming plan's (IncrementalExecution) — committing through
         // arbitrary DataFrame ops needs a plain batch plan over the
@@ -127,7 +146,8 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
         KeyedUpsertSink.upsertBucketedDelta(
           spark, path, keys, order, numBuckets = numBuckets,
           compactAfter = compactAfter,
-          extraMeta = Map(metaKey -> batchId.toString))(batchDf, batchId)
+          extraMeta = Map(metaKey -> batchId.toString),
+          abortIf = applied)(batchDf, batchId)
         GraftUpsertSinkProvider.onSinkCommit(batchId)
         ()
       }

@@ -115,6 +115,76 @@ class GraftFormatSpec extends SparkSpec {
       > hw0)
   }
 
+  test("graft-upsert refuses a retraction (weighted) feed loudly, not as silent junk upserts") {
+    val root = Files.createTempDirectory("graft-upsert-weighted")
+    val a = root.resolve("a").toString
+    sink(a)(batchDf(("a", 1L, 10L)), 0L)
+    val q = spark.readStream.format("graft-changes")
+      .option("path", a).option("startingVersion", "0")
+      .option("weighted", "true") // the misuse under test
+      .load()
+      .writeStream.format("graft-upsert")
+      .option("path", root.resolve("b").toString)
+      .option("streamId", "w")
+      .option("keys", "k").option("orderBy", "ts")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("RETRACTION stream"))),
+      s"got: ${chain(err).map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")}")
+  }
+
+  test("the committer's txn guard aborts a zombie re-commit instead of regressing the high-water") {
+    val root = Files.createTempDirectory("graft-upsert-zombie")
+    val t = root.resolve("t").toString
+    def applied(batchId: Long)(meta: Map[String, String]): Boolean =
+      meta.get("stream.z").exists(_.toLong >= batchId)
+    def commit(batchId: Long, rows: DataFrame) =
+      KeyedUpsertSink.upsertBucketedDelta(spark, t, keys, order,
+        numBuckets = 4, compactAfter = 0,
+        extraMeta = Map("stream.z" -> batchId.toString),
+        abortIf = applied(batchId))(rows, batchId)
+    assert(commit(5L, batchDf(("a", 1L, 10L))).isDefined)
+    val vers0 = KeyedUpsertSink.tableVersions(t).size
+    import scala.jdk.CollectionConverters._
+    def gens(): Int = {
+      val s = Files.list(java.nio.file.Paths.get(t))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("gen-"))
+      finally s.close()
+    }
+    val gens0 = gens()
+    // the zombie: same batch re-submitted AFTER its marker advanced —
+    // the guard aborts (None), commits nothing, reclaims its own stage
+    assert(commit(5L, batchDf(("a", 99L, 99L))).isEmpty)
+    assert(KeyedUpsertSink.tableVersions(t).size == vers0,
+      "an aborted zombie batch must not add a version")
+    assert(gens() == gens0, "the aborted stage must be reclaimed")
+    assert(KeyedUpsertSink.versionedHeadFull(t)._3("stream.z") == "5",
+      "the high-water must not regress")
+    assert(resolved(t) == Set(("a", 1L, 10L)),
+      "the zombie's data must not land")
+    // a LATER batch still commits and advances the marker
+    assert(commit(6L, batchDf(("b", 1L, 20L))).isDefined)
+    assert(KeyedUpsertSink.versionedHeadFull(t)._3("stream.z") == "6")
+    // manifest-corrupting extraMeta refused at the API, not at the wreck
+    intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsertBucketedDelta(spark, t, keys, order,
+        numBuckets = 4, extraMeta = Map("a=b" -> "1"))(
+        batchDf(("c", 1L, 30L)), 7L)
+    }
+    intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsertBucketedDelta(spark, t, keys, order,
+        numBuckets = 4, extraMeta = Map("ok" -> "a\rb"))(
+        batchDf(("c", 1L, 30L)), 7L)
+    }
+  }
+
   test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {
     val root = Files.createTempDirectory("graft-upsert-refuse")
     val a = root.resolve("a").toString
