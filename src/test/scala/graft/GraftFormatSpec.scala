@@ -115,6 +115,56 @@ class GraftFormatSpec extends SparkSpec {
       > hw0)
   }
 
+  test("the mirror survives an UPSTREAM rebucket; a SINK-side rebucket refuses the stale layout option loudly, then resumes") {
+    val root = Files.createTempDirectory("graft-upsert-rbk")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    val ckpt = root.resolve("ckpt").toString
+    val upA = sink(a)
+    upA(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    def mirror(numBuckets: Int): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", a).option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft-upsert")
+        .option("path", b).option("streamId", "m")
+        .option("keys", "k").option("orderBy", "ts")
+        .option("numBuckets", numBuckets.toString)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mirror(4)
+    assert(resolved(b) == resolved(a))
+    // UPSTREAM resize mid-stream: the feed range spanning it serves the
+    // always-correct full diff; the mirror must stay exact
+    KeyedUpsertSink.rebucketTable(spark, a, keys, order, 8) // v2
+    KeyedUpsertSink.upsertBucketedDelta(spark, a, keys, order,
+      numBuckets = 8, compactAfter = 0)(batchDf(("a", 2L, 20L)), 1L) // v3
+    mirror(4)
+    assert(resolved(b) == resolved(a),
+      "the mirror must cross an upstream resize exactly")
+    // SINK-side resize: the replica re-buckets; a restart still passing
+    // the OLD numBuckets option must be refused with the recorded count
+    KeyedUpsertSink.rebucketTable(spark, b, keys, order, 16)
+    KeyedUpsertSink.upsertBucketedDelta(spark, a, keys, order,
+      numBuckets = 8, compactAfter = 0)(batchDf(("b", 2L, 30L)), 2L) // v4
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      mirror(4)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c => Option(c.getMessage)
+      .exists(m => m.contains("16") && m.contains("bucket"))),
+      s"got: ${chain(err).map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")}")
+    // restarting with the NEW count resumes from the checkpoint and
+    // catches up — the replica stays exact across its own resize
+    mirror(16)
+    assert(resolved(b) == resolved(a))
+  }
+
   test("graft-upsert refuses a retraction (weighted) feed loudly, not as silent junk upserts") {
     val root = Files.createTempDirectory("graft-upsert-weighted")
     val a = root.resolve("a").toString

@@ -383,6 +383,31 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view) == recompute(base))
   }
 
+  test("sliced streamed maintenance crosses an online rebucket: the resize version drains whole, slicing resumes under the new layout") {
+    val root = Files.createTempDirectory("graft-mvs-rebucket")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up4 = sink(base) // 4-bucket layout
+    up4(fatBatch(1L), 0L) // v1
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    up4(fatBatch(2L), 1L) // v2: slices under the OLD layout
+    KeyedUpsertSink.rebucketTable(spark, base, keys, order, 8) // v3
+    assert(KeyedUpsertSink.touchedBucketsAt(base, 3L).isEmpty,
+      "the resize version must report unsplittable")
+    // v4: every key rewritten under the NEW 8-bucket layout — each
+    // slice non-empty, so the drain ends on a clean boundary
+    KeyedUpsertSink.upsertBucketedDelta(spark, base, keys, order,
+      numBuckets = 8, compactAfter = 0)(fatBatch(3L), 2L) // v4
+    stream(base, view, ckpt, maxBuckets = Some(1L))
+    // the rebucket version's feed is a row-level no-op (full-diff path,
+    // empty), v4's slices fold under the new layout's touched list, and
+    // the final state equals the recompute at the head
+    assert(MaterializedAggView.watermarkFull(view) == Some((4L, 0L)))
+    assert(viewRows(view) == recompute(base))
+  }
+
   test("a trailing EMPTY slice leaves a mid-version watermark; a manual refresh is the unstick") {
     // the stuck corner: a version's last slice has an empty resolved
     // feed (a redelivery — the chain changed, the image didn't), so the
