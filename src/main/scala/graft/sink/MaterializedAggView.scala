@@ -154,6 +154,33 @@ object MaterializedAggView {
     */
   private def headFile(viewPath: String): Path = Paths.get(viewPath, "_head")
 
+  /** The view's INCARNATION: a uuid minted at bootstrap and REPLACED by
+    * every force re-bootstrap — the token that lets a maintenance
+    * stream's checkpoint detect that the view it is bound to was
+    * deliberately rebuilt. Version arithmetic alone cannot: a force
+    * onto a recreated base whose new head sits at or above the
+    * checkpoint's old floor passes every watermark comparison while the
+    * checkpoint's OFFSETS still point into the old history — resuming
+    * would silently fold only the tail of the new one. The stream
+    * persists the incarnation it first bound to under its checkpoint
+    * and refuses a mismatch at start.
+    */
+  private def incarnationFile(viewPath: String): Path =
+    Paths.get(viewPath, "_incarnation")
+
+  /** Read (minting one first for pre-incarnation views — the upgrade
+    * path) the view's incarnation token.
+    */
+  private def incarnation(viewPath: String): String = {
+    val f = incarnationFile(viewPath)
+    if (!Files.exists(f))
+      KeyedUpsertSink.putIfAbsent(f,
+        (java.util.UUID.randomUUID().toString + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+  }
+
   /** A watermark position: base version `v` fully applied PLUS the first
     * `c` buckets (of version v+1's sorted touched-bucket list) — the
     * same (version, bucketCursor) convention as the `graft-changes`
@@ -482,7 +509,8 @@ object MaterializedAggView {
       if (name.startsWith(".stage-")) {
         if (now - KeyedUpsertSink.newestMtimeMs(p) > 60000L)
           KeyedUpsertSink.deleteRecursively(p)
-      } else if (name.startsWith("._head.") &&
+      } else if ((name.startsWith("._head.") ||
+          name.startsWith("._incarnation.")) &&
           (name.contains(".put-") || name.contains(".tmp-"))) {
         // a crashed putIfAbsent / force-publish leaves its fsynced tmp
         // file in the view root (the table-side vacuum sweeps the
@@ -536,6 +564,22 @@ object MaterializedAggView {
     }
     val versions = KeyedUpsertSink.tableVersions(basePath)
     if (versions.isEmpty) return None
+    // the incarnation changes BEFORE any destructive force step: a
+    // crash after this write leaves the view's old state intact but old
+    // maintenance checkpoints already refused — the safe direction
+    // (spuriously refusing a checkpoint costs a fresh one; honoring a
+    // stale one silently under-counts)
+    Files.createDirectories(Paths.get(viewPath))
+    if (force) {
+      val f = incarnationFile(viewPath)
+      val tmp = f.resolveSibling(
+        s".${f.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      KeyedUpsertSink.writeFsynced(tmp,
+        (java.util.UUID.randomUUID().toString + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else incarnation(viewPath) // mint (or keep) the fresh view's token
     val head = versions.max
     val base = KeyedUpsertSink.readBucketedDelta(
       spark, basePath, keys, order, atVersion = Some(head))
@@ -812,6 +856,34 @@ object MaterializedAggView {
           s"silently skip (${fmtMark(wm0)}, ${fmtMark(floor)}] of the new " +
           "history. Restart the maintenance stream with a FRESH " +
           "checkpoint directory")
+    }
+    // INCARNATION guard — the floor comparison alone cannot catch a
+    // force re-bootstrap whose NEW head sits at or above the old floor
+    // (the common case: the floor is the view's original, usually low,
+    // bootstrap watermark) while the checkpoint's OFFSETS still point
+    // into the old history: resuming would fold only the new history's
+    // tail, silently. Every bootstrap mints (force: replaces) the
+    // view's incarnation token; this stream binds to it at first start
+    // and refuses any later mismatch.
+    val inc = incarnation(viewPath)
+    val persistedInc = graft.sources.ChangeFeedSource
+      .resolveLocalPath(checkpointDir)
+      .resolve("sources").resolve("0").resolve("graft-view-incarnation")
+    if (java.nio.file.Files.exists(persistedInc)) {
+      val bound = new String(
+        java.nio.file.Files.readAllBytes(persistedInc),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (bound != inc) throw new IllegalStateException(
+        s"$viewPath: the view's incarnation ($inc) differs from the one " +
+          s"this checkpoint bound to ($bound) — the view was " +
+          "re-bootstrapped (force) since this maintenance stream last " +
+          "ran, so the checkpoint's offsets index a DIFFERENT history; " +
+          "resuming would silently fold only its tail. Restart the " +
+          "maintenance stream with a FRESH checkpoint directory")
+    } else {
+      java.nio.file.Files.createDirectories(persistedInc.getParent)
+      KeyedUpsertSink.putIfAbsent(persistedInc,
+        (inc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val fromCol = graft.sources.ChangeFeedSource.FromVersionCol
     val toCol = graft.sources.ChangeFeedSource.ToVersionCol

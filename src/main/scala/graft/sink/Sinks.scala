@@ -1183,8 +1183,13 @@ object KeyedUpsertSink {
       if (targets.isEmpty) return Seq.empty
       // the fold REWRITES rows under the compactor's LWW spec — a
       // compactor with the wrong order would materialize different
-      // winners; same writer-side handshake as every committer
-      val meta = specMeta(spark, tablePath, meta0, keys, order)
+      // winners; same writer-side handshake as every committer.
+      // var: the CAS-retry branch below refreshes it from the new head —
+      // committing the OUTER read's meta would silently REVERT metadata
+      // a concurrent commit advanced (a streaming sink's `stream.<id>`
+      // high-water — whose regression re-opens the replay-duplicate
+      // window the abortIf guard closes — or an evolved schema contract)
+      var meta = specMeta(spark, tablePath, meta0, keys, order)
       // chains only exist on versioned tables (the delta writer always
       // commits through the chain protocol), so the v0 handshake can't
       // be needed here
@@ -1221,14 +1226,17 @@ object KeyedUpsertSink {
         next match {
           case None => stale = true
           case Some(entries) =>
-            // meta rides from the OUTER head read: a rebucket landing in
-            // between replaced every chain, so the prefix check above
-            // already forces the stale path before a stale meta commits
             val res = tryCommitSuccessor(tablePath, v, entries, meta)
             if (res == Published) return written
-            val (v2, m2) = versionedHead(tablePath)
+            val (v2, m2, meta2) = versionedHeadFull(tablePath)
             require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
             head = (v2, m2)
+            // refresh the metadata from the head that beat us, not just
+            // the manifest: an append-only concurrent commit passes the
+            // prefix check yet may have advanced `stream.<id>`/schema
+            // meta this retry must carry forward (a rebucket's layout
+            // change still forces the stale path via the prefix check)
+            meta = specMeta(spark, tablePath, meta2, keys, order)
         }
       }
       // stale → loop back: re-pick targets and re-stage against the head

@@ -181,12 +181,15 @@ object ChangeFeedSourceProvider {
       case Some(b) =>
         val off = dir.resolve("offsets").resolve(b.toString)
         // OffsetSeqLog v1 layout: version header line, metadata JSON
-        // line, then ONE offset line per source in query order
-        val lines = Files.readAllLines(off).asScala.filter(_.trim.nonEmpty)
+        // line, then ONE offset line per source in query order. Index
+        // the RAW lines — filtering blanks first would let an empty
+        // metadata line shift every source down one and silently hand
+        // back the WRONG source's position
+        val lines = Files.readAllLines(off).asScala
         require(lines.size >= 3 + sourceIndex,
-          s"$off: offset log has ${lines.size - 2} source line(s) — no " +
-            s"source at index $sourceIndex; was this checkpoint written " +
-            "by the query you think it was?")
+          s"$off: offset log has ${math.max(0, lines.size - 2)} source " +
+            s"line(s) — no source at index $sourceIndex; was this " +
+            "checkpoint written by the query you think it was?")
         Some(ChangeFeedSource.parseOffset(lines(2 + sourceIndex).trim))
       case None =>
         val floor = dir.resolve("sources").resolve(sourceIndex.toString)
@@ -266,6 +269,18 @@ private[graft] object ChangeFeedSource {
     parameters.get(key).map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"$format: option '$key' must be an integer, got '$v'"))
+    }
+
+  /** Int-ranged numeric option — a raw `.toInt` after a long parse
+    * silently WRAPS out-of-range values (numBuckets=4294967312 → 16),
+    * which is worse than the typo it came from.
+    */
+  def intOption(parameters: Map[String, String], key: String,
+      format: String): Option[Int] =
+    longOption(parameters, key, format).map { v =>
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$format: option '$key' is outside Int range: $v")
+      v.toInt
     }
 
   /** Sub-version stream offset: `version` versions are fully emitted,

@@ -102,10 +102,10 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
         "breaks (it becomes a manifest metadata key; the committer " +
         "enforces the same rule for any extraMeta)")
     val (keys, order) = resolveSpec(parameters, shortName())
-    val numBuckets = longOption(parameters, "numBuckets", shortName())
-      .map(_.toInt).getOrElse(64)
-    val compactAfter = longOption(parameters, "compactAfter", shortName())
-      .map(_.toInt).getOrElse(8)
+    val numBuckets = intOption(parameters, "numBuckets", shortName())
+      .getOrElse(64)
+    val compactAfter = intOption(parameters, "compactAfter", shortName())
+      .getOrElse(8)
     require(outputMode != OutputMode.Complete(),
       "graft-upsert: Complete mode replaces the WHOLE table every " +
         "micro-batch — not an upsert; use Append or Update (both mean " +
@@ -114,6 +114,31 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
       "graft-upsert: partitionBy is not supported — the table's layout " +
         "is its key-hash bucketing (numBuckets)")
     val metaKey = s"stream.$streamId"
+    // the CHECKPOINT-LIFECYCLE signature. Engine batchIds are
+    // per-checkpoint, so a bare `batchId <= high-water` comparison
+    // silently drops every batch of a query restarted on a FRESH
+    // checkpoint with the same streamId (the new run's ids restart at
+    // 0) — and the view tier's own errors tell operators to do exactly
+    // that. A uuid persisted once under the checkpoint scopes the
+    // marker: same lifecycle → replay skip as before; a different
+    // lifecycle's marker is NOT "applied" and the commit overwrites it
+    // with the new signature. Lazily bound at the first batch (the
+    // engine owns checkpoint creation). Absent a checkpointLocation
+    // option (conf-default checkpoints), markers stay unsigned with the
+    // documented pre-signature semantics.
+    val ckptLoc = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }
+    lazy val runSig: Option[String] = ckptLoc.map { c =>
+      val p = ChangeFeedSource.resolveLocalPath(c)
+        .resolve("sinks").resolve("graft-upsert-incarnation")
+      java.nio.file.Files.createDirectories(p.getParent)
+      KeyedUpsertSink.putIfAbsent(p,
+        (java.util.UUID.randomUUID().toString + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    }
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
@@ -133,9 +158,19 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
         // re-evaluated by the committer before EVERY commit attempt
         // (abortIf below): a check only out here is check-then-act,
         // and a zombie twin of this query could re-commit the batch
-        // and REGRESS the high-water between the check and the commit
+        // and REGRESS the high-water between the check and the commit.
+        // Marker format: `<batchId>` (unsigned, pre-signature) or
+        // `<batchId>@<checkpoint signature>`; a marker signed by a
+        // DIFFERENT checkpoint lifecycle is never "applied" (its batch
+        // numbering is unrelated), while an unsigned marker keeps the
+        // conservative legacy semantics.
         def applied(meta: Map[String, String]): Boolean =
-          meta.get(metaKey).exists(_.toLong >= batchId)
+          meta.get(metaKey).exists { v =>
+            val parts = v.split("@", 2)
+            val sameLifecycle =
+              parts.length < 2 || runSig.forall(_ == parts(1))
+            sameLifecycle && parts(0).toLong >= batchId
+          }
         if (applied(KeyedUpsertSink.versionedHeadFull(path)._3)) return
         // re-wrap as a batch-tagged leaf: the incoming frame is the
         // streaming plan's (IncrementalExecution) — committing through
@@ -143,10 +178,11 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
         // same rows (the ForeachBatchSink move, minus the Row codec)
         val batchDf = org.apache.spark.sql.graft.Bridge.leafDataFrame(
           spark, data.queryExecution.toRdd, data.schema)
+        val marker = runSig.fold(batchId.toString)(s => s"$batchId@$s")
         KeyedUpsertSink.upsertBucketedDelta(
           spark, path, keys, order, numBuckets = numBuckets,
           compactAfter = compactAfter,
-          extraMeta = Map(metaKey -> batchId.toString),
+          extraMeta = Map(metaKey -> marker),
           abortIf = applied)(batchDf, batchId)
         GraftUpsertSinkProvider.onSinkCommit(batchId)
         ()

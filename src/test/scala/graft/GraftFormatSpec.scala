@@ -91,8 +91,11 @@ class GraftFormatSpec extends SparkSpec {
     }
     mirror()
     assert(resolved(b) == resolved(a), "declarative mirror must equal upstream")
-    // the high-water rides the table's own metadata
-    val hw0 = KeyedUpsertSink.versionedHeadFull(b)._3("stream.mirror").toLong
+    // the high-water rides the table's own metadata, scoped by the
+    // checkpoint-lifecycle signature (`<batchId>@<sig>`)
+    def hw(): Long = KeyedUpsertSink.versionedHeadFull(b)._3("stream.mirror")
+      .split("@", 2)(0).toLong
+    val hw0 = hw()
     val nVers0 = KeyedUpsertSink.tableVersions(b).size
     // upstream advances; the next drain CRASHES after the first batch's
     // table commit but before its checkpoint commits — the exactly-once
@@ -111,8 +114,20 @@ class GraftFormatSpec extends SparkSpec {
     assert(resolved(b) == resolved(a))
     assert(KeyedUpsertSink.tableVersions(b).size == nVers0 + 2,
       "the replayed batch must not re-commit")
-    assert(KeyedUpsertSink.versionedHeadFull(b)._3("stream.mirror").toLong
-      > hw0)
+    assert(hw() > hw0)
+    // a FRESH checkpoint with the SAME streamId is a new batch-numbering
+    // lifecycle: its batch 0 must NOT be skipped against the old run's
+    // high-water (the signature scopes the marker) — without this, a
+    // checkpoint rebuild silently mirrors nothing until the new run's
+    // ids outgrow the old ones
+    upA(batchDf(("d", 1L, 50L)), 4L) // v5
+    val s = Files.walk(java.nio.file.Paths.get(ckpt))
+    try s.sorted(java.util.Comparator.reverseOrder()).iterator()
+      .forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+    mirror() // fresh checkpoint, same streamId, batchIds restart at 0
+    assert(resolved(b) == resolved(a),
+      "a fresh-checkpoint restart must not silently drop batches")
   }
 
   test("the mirror survives an UPSTREAM rebucket; a SINK-side rebucket refuses the stale layout option loudly, then resumes") {
@@ -233,6 +248,36 @@ class GraftFormatSpec extends SparkSpec {
         numBuckets = 4, extraMeta = Map("ok" -> "a\rb"))(
         batchDf(("c", 1L, 30L)), 7L)
     }
+  }
+
+  test("a compaction racing a marker-advancing commit carries the NEW metadata forward, never reverting it") {
+    // the cross-feature hazard: compactBucketChains' CAS retry used to
+    // commit the metadata it read BEFORE staging — a concurrent upsert
+    // that advanced stream.<id> (or widened the schema) in between was
+    // silently reverted, re-opening the replay-duplicate window the
+    // sink's abortIf guard closes
+    val root = Files.createTempDirectory("graft-compact-meta")
+    val t = root.resolve("t").toString
+    def commit(batchId: Long, rows: DataFrame): Unit = {
+      KeyedUpsertSink.upsertBucketedDelta(spark, t, keys, order,
+        numBuckets = 2, compactAfter = 0,
+        extraMeta = Map("stream.m" -> batchId.toString))(rows, batchId)
+      ()
+    }
+    commit(6L, batchDf(("a", 1L, 10L), ("b", 1L, 10L)))
+    commit(7L, batchDf(("a", 2L, 20L), ("b", 2L, 20L))) // chains: 2 gens
+    // the compactor stages against marker 7; the hook lands a
+    // CONCURRENT commit advancing the marker to 8 before the first
+    // commit attempt, forcing the CAS retry path
+    val compacted = KeyedUpsertSink.compactBucketChains(spark, t, keys,
+      order, minChain = 2,
+      onBeforeFirstCommit = () => commit(8L, batchDf(("c", 1L, 30L))))
+    assert(compacted.nonEmpty, "fixture must actually compact")
+    assert(KeyedUpsertSink.versionedHeadFull(t)._3("stream.m") == "8",
+      "the compaction must carry the concurrently-advanced marker " +
+        "forward, not revert it to its pre-stage read")
+    assert(resolved(t) ==
+      Set(("a", 2L, 20L), ("b", 2L, 20L), ("c", 1L, 30L)))
   }
 
   test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {

@@ -151,7 +151,10 @@ class MaterializedViewSpec extends SparkSpec {
     val names = Files.list(Paths.get(view)).iterator().asScala
       .map(_.getFileName.toString).toList.sorted
     val markers = names.filter(_.startsWith("_head.v"))
-    val dirs = names.filterNot(_.startsWith("_head"))
+    // `_incarnation` is the view's permanent force-rebootstrap token,
+    // not a data dir
+    val dirs = names.filterNot(n =>
+      n.startsWith("_head") || n == "_incarnation")
     assert(markers == List(f"_head.v$w0%020d", f"_head.v${w0 + 1}%020d"),
       s"markers: $names")
     assert(dirs.map(_.split("-")(0)).sorted == List(s"v$w0", s"v${w0 + 1}"),

@@ -211,6 +211,47 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view) == recompute(base))
   }
 
+  test("a force re-bootstrap AT-OR-ABOVE the old floor still refuses the old checkpoint (incarnation guard)") {
+    // the hole the floor comparison cannot see: the checkpoint's floor
+    // is the view's ORIGINAL (low) bootstrap watermark, so a recreated
+    // base whose new head clears it passes every version check — while
+    // the checkpoint's OFFSETS still index the OLD history. Only the
+    // incarnation token (replaced by every force) can tell them apart.
+    val root = Files.createTempDirectory("graft-mvs-incarnation")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    up(batchDf(("a", "x", 5L, 10L)), 0L) // v1
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    stream(base, view, ckpt) // binds the checkpoint: floor v1, incarnation
+    // the stream runs far ahead of the floor
+    (1 to 4).foreach(i => up(batchDf((s"k$i", "x", i.toLong, 20L + i)), i.toLong))
+    stream(base, view, ckpt) // offsets now at v5, watermark v5
+    // the base is recreated with a SHORTER history whose head (v3)
+    // still clears the checkpoint's floor (v1)
+    val s0 = Files.walk(java.nio.file.Paths.get(base))
+    try s0.sorted(java.util.Comparator.reverseOrder()).iterator()
+      .forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally s0.close()
+    up(batchDf(("z", "z", 9L, 90L)), 0L)  // new history v1
+    up(batchDf(("y", "z", 8L, 91L)), 1L)  // v2
+    up(batchDf(("w", "z", 4L, 92L)), 2L)  // v3 ≥ the old floor
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd, force = true)
+    val err = intercept[IllegalStateException] {
+      MaterializedAggView.maintainStream(spark, base, view, keys, order,
+        dims, aggs, ext, nd, checkpointDir = ckpt)
+    }
+    assert(err.getMessage.contains("incarnation"))
+    assert(err.getMessage.contains("FRESH checkpoint"))
+    // the documented recovery — a fresh checkpoint — tracks correctly
+    up(batchDf(("v", "z", 2L, 93L)), 3L) // v4
+    stream(base, view, root.resolve("ckpt2").toString)
+    assert(viewRows(view) == recompute(base))
+  }
+
   test("a manual refresh racing the maintenance stream loses loudly") {
     val root = Files.createTempDirectory("graft-mvs-race")
     val base = root.resolve("t").toString
