@@ -1239,7 +1239,13 @@ object KeyedUpsertSink {
             meta = specMeta(spark, tablePath, meta2, keys, order)
         }
       }
-      // stale → loop back: re-pick targets and re-stage against the head
+      // stale (or out of attempts) → this pass's staged fold never
+      // published, so its directory is provably unreferenced: reclaim it
+      // eagerly (the delta committer's dropStage discipline) instead of
+      // leaving a full fold copy to vacuumGenerations' grace window,
+      // then loop back: re-pick targets and re-stage against the head
+      try deleteRecursively(Paths.get(tablePath, gen))
+      catch { case _: java.nio.file.NoSuchFileException => () }
     }
     throw new IllegalStateException(
       s"$tablePath: compaction lost $maxAttempts commit attempts — " +

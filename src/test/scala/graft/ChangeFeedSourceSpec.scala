@@ -266,4 +266,26 @@ class ChangeFeedSourceSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("no committed versions"))
   }
+
+  test("resolveLocalPath: URI forms resolve by scheme, not a substring-colon test") {
+    import graft.sources.ChangeFeedSource.resolveLocalPath
+    import java.nio.file.Paths
+    // the URI string Spark hands metadata/checkpoint consumers
+    assert(resolveLocalPath("file:/tmp/ck/sources/0") ==
+      Paths.get("/tmp/ck/sources/0"))
+    assert(resolveLocalPath("file:///tmp/ck") == Paths.get("/tmp/ck"))
+    // a PLAIN local path containing a colon is a path, not a URI (the
+    // old contains-colon test misparsed it; "a:b" alone is an opaque
+    // URI with no path component and must also fall back)
+    assert(resolveLocalPath("/tmp/odd:name/ck") == Paths.get("/tmp/odd:name/ck"))
+    assert(resolveLocalPath("ck:0") == Paths.get("ck:0"))
+    // spaces and brackets are invalid in a URI — URISyntaxException must
+    // fall back to Paths.get, not escape as an opaque parse error
+    assert(resolveLocalPath("/tmp/with space/ck") ==
+      Paths.get("/tmp/with space/ck"))
+    assert(resolveLocalPath("/tmp/br[ck]et") == Paths.get("/tmp/br[ck]et"))
+    // plain absolute and relative paths pass through unchanged
+    assert(resolveLocalPath("/tmp/plain") == Paths.get("/tmp/plain"))
+    assert(resolveLocalPath("rel/ck") == Paths.get("rel/ck"))
+  }
 }

@@ -161,6 +161,56 @@ class MaterializedViewSpec extends SparkSpec {
       s"exactly one data dir per committed marker, crash leftover gone: $names")
   }
 
+  test("markers prune to the retained-data window: no marker ever dangles at a deleted directory") {
+    val base = newDir("graft-mv-markers")
+    val view = newDir("graft-mv-markers-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    // five more publishes — far past the top-2 retention window
+    (1 to 5).foreach { i =>
+      sinkTo(base)(batchDf(("a", "x", i + 1L, 10L + i)), i.toLong)
+      MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    }
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(Paths.get(view)).iterator().asScala
+      .map(_.getFileName.toString).toList
+    val markers = entries.filter(_.startsWith("_head.v"))
+    val dirs = entries.filter(n => n.startsWith("v") && !n.startsWith("_")).toSet
+    // unsliced maintenance: the top-2 positions and the top-2 clean
+    // versions coincide — exactly 2 markers, each naming a live directory
+    assert(markers.size == 2, s"marker window must match retained data, got $markers")
+    markers.foreach { m =>
+      val dir = new String(Files.readAllBytes(Paths.get(view, m)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      assert(dirs.contains(dir),
+        s"marker $m names $dir which is not on disk (dangling audit surface); dirs=$dirs")
+    }
+    assert(viewRows(view) == recomputed(base))
+  }
+
+  test("reclaim sweeps quiescent crashed-putIfAbsent tmp files from the view root; live ones survive") {
+    val base = newDir("graft-mv-tmpsweep")
+    val view = newDir("graft-mv-tmpsweep-view")
+    sinkTo(base)(batchDf(("a", "x", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims, aggs)
+    // a crashed putIfAbsent / force-publish leaves fsynced tmp files in
+    // the view root; aged ones must be swept by the next publish's
+    // reclaim, fresh ones (a concurrent maintainer mid-publish) survive
+    val aged1 = Paths.get(view, "._head.v00000000000000000099.put-dead")
+    val aged2 = Paths.get(view, "._incarnation.tmp-dead")
+    val fresh = Paths.get(view, "._head.v00000000000000000098.put-live")
+    Seq(aged1, aged2, fresh).foreach(p => Files.write(p, "x\n".getBytes))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000L)
+    Seq(aged1, aged2).foreach(p => Files.setLastModifiedTime(p, old))
+    sinkTo(base)(batchDf(("a", "x", 2L, 20L)), 1L)
+    MaterializedAggView.refresh(spark, base, view, keys, order, dims, aggs)
+    assert(!Files.exists(aged1), "aged _head put-tmp must be swept")
+    assert(!Files.exists(aged2), "aged _incarnation tmp must be swept")
+    assert(Files.exists(fresh), "a fresh tmp may belong to a live publish — keep it")
+    assert(viewRows(view) == recomputed(base))
+  }
+
   test("double bootstrap refuses without force; force rebuilds") {
     val base = newDir("graft-mv-boot")
     val view = newDir("graft-mv-boot-view")

@@ -1,6 +1,8 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -156,6 +158,49 @@ class RebucketSpec extends SparkSpec {
       sink(t, nb = 4)(batchDf(("q", 1L, 30L)), 2L)
     }
     assert(lost.getMessage.contains("numBuckets=16"))
+  }
+
+  test("a SHRINKING resize landing inside a compaction's stage-commit window forces the re-stage, not a crash") {
+    val root = Files.createTempDirectory("graft-rebkt-shrink")
+    val t = root.resolve("t").toString
+    val up = sink(t) // numBuckets = 4
+    // 16 distinct keys across two waves → chains of length 2 in (almost
+    // surely) every bucket, incl. ids the shrunk layout won't have
+    val ks = (0 until 16).map(i => s"k$i")
+    up(ks.map(k => (k, 1L, 10L)).toDF("k", "v", "ts"), 0L) // v1
+    up(ks.map(k => (k, 2L, 20L)).toDF("k", "v", "ts"), 1L) // v2
+    val chained = KeyedUpsertSink.readManifest(t).filter {
+      case (_, v) => KeyedUpsertSink.chainOf(v).length >= 2
+    }
+    assert(chained.keys.exists(_ >= 2L),
+      s"precondition: a chained bucket id outside the shrunk layout, got ${chained.keys}")
+    var raced = false
+    val compacted = KeyedUpsertSink.compactBucketChains(
+      spark, t, keys, order, minChain = 2,
+      onBeforeFirstCommit = () => {
+        raced = true
+        // the resize SHRINKS the layout between the fold's stage and its
+        // commit: old bucket ids vanish from the manifest map entirely —
+        // the retry must take the documented stale/re-stage path (the
+        // total-map access would crash with NoSuchElementException)
+        KeyedUpsertSink.rebucketTable(spark, t, keys, order, newBuckets = 2)
+      })
+    assert(raced)
+    // the rebucket folded every chain into one generation, so the
+    // re-staged pass finds nothing left to compact — and the old-layout
+    // fold must NOT have landed
+    assert(compacted.isEmpty, s"stale fold must re-stage, not commit: $compacted")
+    assert(table(t) == ks.map(k => (k, 2L, 20L)).toSet)
+    // the stale fold's staged directory was reclaimed eagerly, not left
+    // to the vacuum grace window
+    assert(!Files.list(Paths.get(t)).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("gen-compact-")),
+      "a stale compaction fold must reclaim its own staged directory")
+    // and the committed layout is the shrunk one
+    val err = intercept[IllegalArgumentException] {
+      sink(t, nb = 4)(batchDf(("q", 1L, 30L)), 2L)
+    }
+    assert(err.getMessage.contains("numBuckets=2"))
   }
 
   test("an old-layout writer whose in-flight batch loses to the resize fails loudly") {
