@@ -551,6 +551,29 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // The facade's PRUNED route (round 17 third pass): a key-equality
+    // IN list routes through lookupBucketed — only the buckets the 64
+    // pinned keys hash to are read, the LWW resolve runs per key inside
+    // them, and Spark re-applies the filter above. The oracle recomputes
+    // the same LWW subset from scratch, so a hash match proves bucket
+    // pruning loses no version-row of a pinned key.
+    "etl_table_pruned" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-table-pruned-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 0) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      s.read.format("graft-table").option("path", path).load()
+        .filter(col("user_id").isin((0L until 64L).map(x => x: Any): _*))
+        .drop("ts_us")
+    }),
+
     // The DECLARATIVE replica pipeline (round 17 second pass):
     // `readStream graft-changes → writeStream graft-upsert` with zero
     // user code between them — the upsert feed of table A streams into
@@ -1525,6 +1548,15 @@ object SparkEntry {
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // bucket pruning must lose no version-row of a pinned key: the
+    // pruned facade read equals the from-scratch LWW of the same subset
+    "etl_table_pruned" ->
+      (s"""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |WHERE user_id IN (${(0L until 64L).mkString(",")})
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""").stripMargin,
 
     // the declarative mirror must be exact — same LWW as its upstream
     "etl_upsert_stream_sink" ->

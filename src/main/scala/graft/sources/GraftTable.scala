@@ -1,12 +1,12 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, EqualTo, Filter, In, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 import graft.sink.KeyedUpsertSink
 
@@ -23,14 +23,22 @@ import graft.sink.KeyedUpsertSink
   * Until now the resolved read was Scala-API-only
   * ([[graft.sink.KeyedUpsertSink.readBucketedDelta]]); this facade
   * gives pure-SQL users the same read. Column pruning pushes through
-  * ([[PrunedScan]] — a narrow projection never deserializes the full
-  * row width), predicate pushdown deliberately does NOT: the LWW
-  * window must see every version-row of a key before a filter may
-  * drop it, so filters stay above the resolve (exactly where the
-  * library read puts them). Library callers should still prefer
-  * `readBucketedDelta` — the DSv1 relation contract routes rows
-  * through a Row-typed scan (one InternalRow↔Row round-trip this
-  * facade pays and the direct DataFrame does not).
+  * ([[PrunedFilteredScan]] — a narrow projection never deserializes
+  * the full row width). Predicates stay ABOVE the LWW resolve (the
+  * window must see every version-row of a key before a filter may drop
+  * it, so every filter is reported unhandled and Spark re-applies it),
+  * but KEY-equality filters additionally prune BUCKETS below it: a
+  * `WHERE k = 'x'` (or `k IN (...)`, conjunctions across a compound
+  * key) routes through [[KeyedUpsertSink.lookupBucketed]] and reads
+  * only the buckets the pinned keys hash to — safe because all of a
+  * key's version-rows live in its one bucket, so the per-key LWW
+  * window is complete there; rows of OTHER keys sharing the bucket are
+  * dropped by the re-applied filter. At 100 TB this makes a SQL point
+  * lookup O(requested keys), never a table scan. Library callers
+  * should still prefer `readBucketedDelta`/`lookupBucketed` — the DSv1
+  * relation contract routes rows through a Row-typed scan (one
+  * InternalRow↔Row round-trip this facade pays and the direct
+  * DataFrame does not).
   */
 class GraftTableProvider extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -44,16 +52,118 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
     val asOf = longOption(parameters, "versionAsOf", shortName())
     val df = KeyedUpsertSink.readBucketedDelta(
       sqlContext.sparkSession, path, keys, order, atVersion = asOf)
+    // the full-scan df above pinned the manifest at relation creation;
+    // pin the SAME version for the pruned route, so both routes of one
+    // relation serve one snapshot (an unpinned lookup would read the
+    // scan-time head — a different table state after concurrent commits)
+    val pinned = asOf.orElse(
+      KeyedUpsertSink.tableVersions(path).sorted.lastOption)
     val ctx = sqlContext
-    new BaseRelation with PrunedScan {
+    new BaseRelation with PrunedFilteredScan {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = df.schema
-      override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+      // key filters prune BUCKETS only — a bucket holds many keys — so
+      // every filter is re-applied by Spark above the scan
+      override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+        filters
+      override def buildScan(requiredColumns: Array[String],
+          filters: Array[Filter]): RDD[Row] = {
+        val spark = ctx.sparkSession
+        val base = GraftTableProvider
+          .keyRequest(spark, df.schema, keys, filters) match {
+          case Some(req) =>
+            GraftTableProvider.onTableRoute("pruned")
+            KeyedUpsertSink.lookupBucketed(
+              spark, path, keys, order, req, atVersion = pinned)
+          case None =>
+            GraftTableProvider.onTableRoute("full")
+            df
+        }
         // an empty projection (count(*)) selects zero columns — a valid
         // empty-Row scan; the LWW resolve still runs per key underneath
-        df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+        base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+      }
     }
   }
+}
+
+object GraftTableProvider {
+  /** Cross-product bound on the key tuples synthesized from pushed
+    * filters: beyond it most buckets are touched anyway (pruning saves
+    * nothing) and the predictable full scan wins. Well under
+    * [[KeyedUpsertSink.MaxLookupKeys]], so the pruned route can never
+    * trip the point-lookup contract's loud refusal.
+    */
+  private[graft] val MaxPrunedKeyTuples = 1000L
+
+  /** Test seam: which route a facade scan took — "pruned" (key-filter
+    * bucket pruning through lookupBucketed) or "full".
+    */
+  private[graft] var onTableRoute: String => Unit = _ => ()
+
+  /** The key tuples a pushed-filter conjunction pins, as a request
+    * frame for [[KeyedUpsertSink.lookupBucketed]] — Some only when
+    * EVERY key column is pinned to a finite literal set (`EqualTo` /
+    * `In`; several on one column intersect) whose values' external
+    * types match the schema (a mismatched class would fail row
+    * encoding mid-scan; skipping the pruning is always correct because
+    * it is pure optimization — Spark re-applies every filter above the
+    * scan). Null literals drop out (`=` and `IN` never match null), and
+    * a contradiction (`k='a' AND k='b'`) yields an EMPTY request — a
+    * valid, cheap, schema-preserving empty lookup.
+    */
+  private[graft] def keyRequest(spark: SparkSession, schema: StructType,
+      keys: Seq[String], filters: Array[Filter]): Option[DataFrame] = {
+    val resolver = spark.sessionState.conf.resolver
+    val fields = keys.map(k =>
+      schema.fields.find(f => resolver(f.name, k)).getOrElse(return None))
+    val sets: Seq[Set[Any]] = fields.map { f =>
+      val perFilter = filters.toSeq.collect {
+        case EqualTo(a, v) if resolver(a, f.name) =>
+          if (v == null) Set.empty[Any] else Set[Any](v)
+        case In(a, vs) if resolver(a, f.name) =>
+          vs.filter(_ != null).toSet[Any]
+      }
+      if (perFilter.isEmpty) return None // this key column is unpinned
+      val s = perFilter.reduce(_ intersect _)
+      if (!s.forall(v => externalTypeMatches(f.dataType, v))) return None
+      s
+    }
+    if (sets.map(_.size.toLong).product > MaxPrunedKeyTuples) return None
+    val tuples = sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
+      acc.flatMap(t => s.toSeq.map(t :+ _)) // empty set → zero tuples
+    }
+    val reqSchema = StructType(fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)))
+    Some(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(tuples.map(Row.fromSeq)).asJava), reqSchema))
+  }
+
+  /** Conservative filter-value/class admission for the pruned route:
+    * exactly the external types Spark's filter conversion emits for
+    * each Catalyst type (both datetime APIs). Binary keys are excluded
+    * (array equality through a literal set is its own trap) — the full
+    * scan handles them as before.
+    */
+  private def externalTypeMatches(dt: DataType, v: Any): Boolean =
+    (dt, v) match {
+      case (StringType, _: String) => true
+      case (IntegerType, _: java.lang.Integer) => true
+      case (LongType, _: java.lang.Long) => true
+      case (ShortType, _: java.lang.Short) => true
+      case (ByteType, _: java.lang.Byte) => true
+      case (DoubleType, _: java.lang.Double) => true
+      case (FloatType, _: java.lang.Float) => true
+      case (BooleanType, _: java.lang.Boolean) => true
+      case (DateType, _: java.sql.Date) => true
+      case (DateType, _: java.time.LocalDate) => true
+      case (TimestampType, _: java.sql.Timestamp) => true
+      case (TimestampType, _: java.time.Instant) => true
+      case (_: DecimalType, _: java.math.BigDecimal) => true
+      case (_: DecimalType, _: scala.math.BigDecimal) => true
+      case _ => false
+    }
 }
 
 /** `df.writeStream.format("graft-upsert")` — the keyed LWW table as a

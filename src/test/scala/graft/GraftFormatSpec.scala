@@ -67,6 +67,57 @@ class GraftFormatSpec extends SparkSpec {
     assert(err.getMessage.contains("mismatched spec silently changes LWW"))
   }
 
+  test("graft-table key-equality filters prune buckets through lookupBucketed; anything else keeps the full scan") {
+    val root = Files.createTempDirectory("graft-table-prune")
+    val t = root.resolve("t").toString
+    val up = sink(t)
+    up((0 until 64).map(i => (s"k$i", i.toLong, 10L))
+      .toDF("k", "v", "ts"), 0L)                        // v1
+    up(batchDf(("k3", 100L, 20L), ("k7", 200L, 20L)), 1L) // v2: updates
+    val routes = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.sources.GraftTableProvider.onTableRoute = routes += _
+    try {
+      def gt = spark.read.format("graft-table").option("path", t).load()
+      // point lookup: EqualTo on the key routes pruned and equals LWW
+      val one = gt.filter($"k" === "k3").select("k", "v", "ts")
+        .as[(String, Long, Long)].collect().toSet
+      assert(one == Set(("k3", 100L, 20L)))
+      assert(routes.last == "pruned", s"routes=$routes")
+      // IN + a residual non-key predicate: still pruned; the residual
+      // (and the key filter itself) re-apply above the scan
+      val some = gt.filter($"k".isin("k3", "k7", "k9") && $"v" > 150L)
+        .select("k", "v").as[(String, Long)].collect().toSet
+      assert(some == Set(("k7", 200L)))
+      assert(routes.last == "pruned", s"routes=$routes")
+      // a contradiction prunes to an EMPTY, schema-preserving scan (if
+      // the optimizer folds it away before the scan, that is fine too —
+      // assert only that any scan that DID run took the empty pruned
+      // route, never a full table read)
+      val before = routes.size
+      assert(gt.filter($"k" === "k3" && $"k" === "k7").count() == 0L)
+      assert(routes.drop(before).forall(_ == "pruned"), s"routes=$routes")
+      // SQL point lookup through a view takes the same route
+      gt.createOrReplaceTempView("gtp")
+      assert(spark.sql("SELECT v FROM gtp WHERE k = 'k7'")
+        .as[Long].collect().toSeq == Seq(200L))
+      assert(routes.last == "pruned", s"routes=$routes")
+      // a non-key predicate alone cannot pin keys → full scan, same rows
+      val full = gt.filter($"v" > 150L)
+        .select("k", "v").as[(String, Long)].collect().toSet
+      assert(full == Set(("k7", 200L)))
+      assert(routes.last == "full", s"routes=$routes")
+      // null-safe equality is not pinned (it can match null) → full scan
+      assert(gt.filter($"k" <=> "k3").count() == 1L)
+      assert(routes.last == "full", s"routes=$routes")
+      // versionAsOf + key filter: a PRUNED historical point read
+      val hist = spark.read.format("graft-table").option("path", t)
+        .option("versionAsOf", "1").load().filter($"k" === "k3")
+        .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+      assert(hist == Set(("k3", 3L, 10L)))
+      assert(routes.last == "pruned", s"routes=$routes")
+    } finally graft.sources.GraftTableProvider.onTableRoute = _ => ()
+  }
+
   test("graft-changes into graft-upsert is a zero-code replica; a post-commit crash replay is skipped exactly-once") {
     val root = Files.createTempDirectory("graft-upsert-fmt")
     val a = root.resolve("a").toString
