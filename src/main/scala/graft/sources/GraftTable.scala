@@ -50,14 +50,16 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
     val path = required(parameters, "path", shortName())
     val (keys, order) = resolveSpec(parameters, shortName())
     val asOf = longOption(parameters, "versionAsOf", shortName())
+    // resolve the version ONCE and feed it to BOTH routes: reading the
+    // head twice (an eager readBucketedDelta, then a second listing for
+    // the lookup pin) lets a commit land in between, and one relation
+    // would serve two table states depending on which route a filter
+    // took. On a version-less table (no committed versions, or a plain
+    // pre-versioning manifest) pruning is disabled — the full scan is
+    // the only route with a coherent snapshot to serve.
+    val pinned = asOf.orElse(KeyedUpsertSink.tableVersions(path).lastOption)
     val df = KeyedUpsertSink.readBucketedDelta(
-      sqlContext.sparkSession, path, keys, order, atVersion = asOf)
-    // the full-scan df above pinned the manifest at relation creation;
-    // pin the SAME version for the pruned route, so both routes of one
-    // relation serve one snapshot (an unpinned lookup would read the
-    // scan-time head — a different table state after concurrent commits)
-    val pinned = asOf.orElse(
-      KeyedUpsertSink.tableVersions(path).sorted.lastOption)
+      sqlContext.sparkSession, path, keys, order, atVersion = pinned)
     val ctx = sqlContext
     new BaseRelation with PrunedFilteredScan {
       override def sqlContext: SQLContext = ctx
@@ -69,8 +71,9 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
       override def buildScan(requiredColumns: Array[String],
           filters: Array[Filter]): RDD[Row] = {
         val spark = ctx.sparkSession
-        val base = GraftTableProvider
-          .keyRequest(spark, df.schema, keys, filters) match {
+        val base = (if (pinned.isEmpty) None
+          else GraftTableProvider
+            .keyRequest(spark, df.schema, keys, filters)) match {
           case Some(req) =>
             GraftTableProvider.onTableRoute("pruned")
             KeyedUpsertSink.lookupBucketed(
@@ -129,7 +132,13 @@ object GraftTableProvider {
       if (!s.forall(v => externalTypeMatches(f.dataType, v))) return None
       s
     }
-    if (sets.map(_.size.toLong).product > MaxPrunedKeyTuples) return None
+    // clamped running product: a plain Long product over compound-key
+    // IN lists can overflow negative and slip past the bound (each
+    // factor is an Int-sized set and the accumulator is clamped to
+    // bound+1, so no single step can overflow)
+    val tupleCount = sets.foldLeft(1L)((acc, s) =>
+      math.min(acc * s.size.toLong, MaxPrunedKeyTuples + 1))
+    if (tupleCount > MaxPrunedKeyTuples) return None
     val tuples = sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
       acc.flatMap(t => s.toSeq.map(t :+ _)) // empty set → zero tuples
     }
