@@ -1094,6 +1094,21 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))),
 
+    // REAL pure-JDK codec tier (round 17): the corpus encodes actual
+    // PNG (javax.imageio) and RIFF/WAVE PCM bytes whose parameters
+    // derive from doc_id in closed form, so the oracle knows the ground
+    // truth the decoder must RECOVER from the bytes — a hash match
+    // proves a real codec parse, not replayed arithmetic. Video stays
+    // on the labeled stub tier above (no JDK video codec).
+    "mm_decode_real" -> ((s, dir) =>
+      Multimodal.decodeReal(
+        Multimodal.realAssets(Tables.documents(s, dir))).toDF()),
+    // real pixel rescale (Graphics2D): output dims + channel means are
+    // read back from the RESIZED image, not replayed from the plan
+    "mm_resize_real" -> ((s, dir) =>
+      Multimodal.resizeReal(
+        Multimodal.realAssets(Tables.documents(s, dir))).toDF()),
+
     // Perceptual (block-hash) near-dup over binary payloads. The corpus
     // has no natural byte-level near-identical payloads, so the query
     // PLANTS them — every 20th document gets a copy with one character
@@ -3133,6 +3148,36 @@ object SparkEntry {
         |SELECT asset_id, frame_idx,
         |  CAST(CONCAT('0x', substr(md5(asset_id || '-' || frame_idx), 1, 15)) AS BIGINT) AS feature_seed
         |FROM f""".stripMargin,
+
+    // the REAL-codec decode: ground truth in closed form over doc_id —
+    // the Spark side must recover every value from actual PNG/WAV bytes
+    "mm_decode_real" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 32 ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 256 + doc_id % 512 END AS n_frames,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 256 ELSE 0 END AS mean_r,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 59) % 256 ELSE 0 END AS mean_g,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 83) % 256 ELSE 0 END AS mean_b,
+        |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8000 END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 500 + doc_id % 1000 END AS rms
+        |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+
+    // the real resize: fit-into-224 integer arithmetic on the closed-form
+    // source dims; constant-color means survive the rescale exactly
+    "mm_resize_real" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |    16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT asset_id,
+        |  least(224 * h, 224 * w) // h AS out_w,
+        |  least(224 * h, 224 * w) // w AS out_h,
+        |  (asset_id * 37) % 256 AS mean_r,
+        |  (asset_id * 59) % 256 AS mean_g,
+        |  (asset_id * 83) % 256 AS mean_b
+        |FROM d""".stripMargin,
 
     // Block-hash signature replayed stage by stage: proportional block
     // bounds by integer division, md5-parity bit per block, MSB-first

@@ -225,4 +225,276 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ─────────────────────────────── real pure-JDK codecs (round 17)
+  //
+  // "The sandbox ships no codecs" was true of libjpeg/ffmpeg — but the
+  // JDK itself ships javax.imageio (PNG/BMP/GIF/JPEG) and RIFF/WAVE PCM
+  // is a trivially hand-parseable container. This tier replaces the
+  // labeled decode stub with REAL codec kernels for images and audio:
+  // the corpus below encodes actual PNG and WAV bytes whose parameters
+  // derive from doc_id in closed form, so a from-scratch SQL oracle
+  // knows the ground truth the decoder must RECOVER from the bytes —
+  // a hash match proves a real parse, not replayed arithmetic. Video
+  // keeps the stub (the JDK ships no video codec; that single kernel
+  // remains the documented environmental stand-in).
+
+  /** Decoded-media row from the REAL codecs. All-numeric fields are
+    * Long so the oracle's BIGINT arithmetic compares exactly; fields of
+    * the other modality are 0 (`mean_*` for audio, `sample_rate`/`rms`
+    * for images — a PCM "frame" is one sample across channels, so
+    * `n_frames` is the sample count there).
+    */
+  case class DecodedMedia(
+      asset_id: Long, media_type: String,
+      width: Long, height: Long, n_frames: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long,
+      sample_rate: Long, rms: Long)
+
+  /** Resized-image row from the REAL pixel resize. */
+  case class ResizedImage(asset_id: Long, out_w: Long, out_h: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long)
+
+  // ImageIO defaults to a DISK-backed stream cache per encode/decode —
+  // a silent per-row tmp-file round-trip on the hot map path. In-memory
+  // only; set once per executor JVM when the object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Closed-form corpus parameters (mirrored in the DuckDB oracles —
+    * the decode queries are checkable only because these are public
+    * arithmetic over doc_id).
+    */
+  def imgW(id: Long): Int = 16 + (id % 48).toInt
+  def imgH(id: Long): Int = 16 + ((id * 7) % 32).toInt
+  def rgbOf(id: Long): (Int, Int, Int) =
+    (((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+  def wavSamples(id: Long): Int = 256 + (id % 512).toInt
+  def wavAmplitude(id: Long): Short = (500 + (id % 1000)).toShort
+  val WavRate: Int = 8000
+
+  /** An actual PNG: constant-fill `rgbOf(id)` at `imgW(id)×imgH(id)`,
+    * encoded by the JDK's ImageIO PNG writer.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val (r, g, b) = rgbOf(id)
+    val img = new java.awt.image.BufferedImage(
+      imgW(id), imgH(id), java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    pngBytes(img)
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "JDK ImageIO has no PNG writer — not a Java SE runtime?")
+    bos.toByteArray
+  }
+
+  /** An actual RIFF/WAVE file: 16-bit PCM mono at [[WavRate]], a ±A
+    * square wave (`A = wavAmplitude(id)`, alternating every sample) —
+    * chosen because its RMS is EXACTLY A (all |s| = A), so the oracle
+    * can state the decoder's output in closed form.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val a = wavAmplitude(id)
+    val samples = Array.tabulate(wavSamples(id))(i =>
+      if (i % 2 == 0) a else (-a).toShort)
+    encodeWavPcm16(samples, WavRate)
+  }
+
+  /** Minimal RIFF/WAVE writer: `RIFF(WAVE fmt data)`, PCM 16-bit mono,
+    * little-endian throughout (the format's own byte order).
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** The REAL media corpus over the documents table: image and audio
+    * rows carry actual encoded bytes; video rows keep the opaque text
+    * payload (decoded by the labeled stub — no JDK video codec).
+    */
+  def realAssets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        (id % 3) match {
+          case 0 => Asset(id, "image", encodePng(id))
+          case 1 => Asset(id, "audio", encodeWav(id))
+          case _ => Asset(id, "video",
+            Option(text).getOrElse("").getBytes("UTF-8"))
+        }
+    }
+  }
+
+  /** REAL decode kernel: ImageIO for images (any JDK-readable format,
+    * not just the corpus's PNGs), the RIFF walker for audio. Loud on an
+    * undecodable payload — a corrupt blob must surface its asset id,
+    * never a silent skip or a garbage row.
+    */
+  def decodeMedia(a: Asset): DecodedMedia = a.media_type match {
+    case "image" => decodeImage(a.asset_id, a.payload)
+    case "audio" => decodeWavPcm16(a.asset_id, a.payload)
+    case other => throw new IllegalArgumentException(
+      s"asset ${a.asset_id}: no real codec for media_type '$other' " +
+        "(video decode remains the labeled stub — use decodeStub)")
+  }
+
+  /** ImageIO with the loud-with-asset-id contract: unreadable formats
+    * return null from ImageIO and truncated/corrupt streams THROW from
+    * inside the reader — both must surface the asset, never a silent
+    * skip or an anonymous IIOException from deep in a task.
+    */
+  private def readImage(id: Long,
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"asset $id: image decode failed mid-stream (corrupt or " +
+            s"truncated payload): ${e.getMessage}", e)
+      }
+    require(img != null,
+      s"asset $id: payload is not a JDK-decodable image (unsupported " +
+        "or unrecognized format)")
+    img
+  }
+
+  private def decodeImage(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val img = readImage(id, payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    DecodedMedia(id, "image", w, h, 1L, sr / n, sg / n, sb / n, 0L, 0L)
+  }
+
+  /** Minimal RIFF walker: verify `RIFF…WAVE`, then scan chunks for
+    * `fmt ` (require PCM 16-bit) and `data`; stats stream over the
+    * sample words. Chunk-order agnostic and skips unknown chunks (the
+    * container allows both), refusing loudly on anything non-PCM16.
+    */
+  def decodeWavPcm16(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val b = new Array[Byte](n); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(payload.length >= 12 && ascii(4) == "RIFF" &&
+      { buf.getInt; ascii(4) == "WAVE" },
+      s"asset $id: payload is not a RIFF/WAVE file")
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (buf.remaining() >= 8 && (bits < 0 || dataOff < 0)) {
+      val cid = ascii(4); val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(),
+        s"asset $id: truncated WAV chunk '$cid' (len $len, " +
+          s"${buf.remaining()} remaining)")
+      if (cid == "fmt ") {
+        require(len >= 16, s"asset $id: fmt chunk too short ($len)")
+        val fmt = buf.getShort(buf.position()).toInt
+        channels = buf.getShort(buf.position() + 2).toInt
+        rate = buf.getInt(buf.position() + 4)
+        bits = buf.getShort(buf.position() + 14).toInt
+        require(fmt == 1 && bits == 16,
+          s"asset $id: only PCM 16-bit WAV is supported " +
+            s"(format=$fmt, bits=$bits)")
+      } else if (cid == "data") {
+        dataOff = buf.position(); dataLen = len
+      }
+      // chunks pad to even, but a final odd chunk may omit the pad byte
+      buf.position(math.min(buf.position() + len + (len & 1), buf.limit()))
+    }
+    require(bits == 16 && dataOff >= 0,
+      s"asset $id: WAV missing fmt or data chunk")
+    require(channels > 0, s"asset $id: WAV fmt declares $channels channels")
+    val nFrames = dataLen / 2 / channels
+    var sumSq = 0L
+    var i = 0
+    while (i < dataLen / 2) {
+      val s = buf.getShort(dataOff + i * 2).toLong
+      sumSq += s * s
+      i += 1
+    }
+    val rms =
+      if (dataLen == 0) 0L
+      else math.round(math.sqrt(sumSq.toDouble / (dataLen / 2)))
+    DecodedMedia(id, "audio", 0L, 0L, nFrames.toLong,
+      0L, 0L, 0L, rate.toLong, rms)
+  }
+
+  /** Partition-local REAL decode over image+audio assets — the same
+    * mapPartitions shape as the stub tier (one iterator per partition;
+    * payloads never shuffle: the decode runs where the scan put them).
+    */
+  def decodeReal(assets: Dataset[Asset]): Dataset[DecodedMedia] = {
+    import assets.sparkSession.implicits._
+    assets.filter(a => a.media_type == "image" || a.media_type == "audio")
+      .mapPartitions(_.map(decodeMedia))
+  }
+
+  /** REAL pixel resize: fit the image into `targetW×targetH` preserving
+    * aspect ratio with the SAME integer arithmetic as [[resizePlan]]
+    * (so the plan query and the kernel can never disagree), then
+    * actually rescale the pixels (Graphics2D) and report the output
+    * dimensions and channel means READ BACK from the resized image.
+    */
+  def resizeReal(assets: Dataset[Asset],
+      targetW: Int = 224, targetH: Int = 224): Dataset[ResizedImage] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "image").mapPartitions(_.map { a =>
+      val src = readImage(a.asset_id, a.payload)
+      val scaleNum = math.min(
+        targetW.toLong * src.getHeight, targetH.toLong * src.getWidth)
+      val outW = (scaleNum / src.getHeight).toInt
+      val outH = (scaleNum / src.getWidth).toInt
+      val dst = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = dst.createGraphics()
+      try gfx.drawImage(src, 0, 0, outW, outH, null)
+      finally gfx.dispose()
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < outH) {
+        var x = 0
+        while (x < outW) {
+          val p = dst.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = outW.toLong * outH
+      ResizedImage(a.asset_id, outW.toLong, outH.toLong,
+        sr / n, sg / n, sb / n)
+    })
+  }
 }
