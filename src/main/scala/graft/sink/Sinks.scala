@@ -2048,6 +2048,13 @@ object KeyedUpsertSink {
     */
   val MaxLookupKeys: Int = 100000
 
+  /** Bound on the per-key-column literal list [[lookupBucketed]] pushes
+    * below the LWW window (catalyst In → parquet row-group skipping).
+    * Past it the filter chain costs more than it saves; the lookup then
+    * relies on bucket pruning + the semi-join alone.
+    */
+  private[graft] val MaxPushdownLiterals: Int = 1000
+
   /** Bucket-pruned point lookup: resolve ONLY the buckets the requested
     * keys hash to — at 100 TB a point read must touch O(requested keys)
     * bucket directories, never scan the table. `keyDf` carries exactly
@@ -2115,10 +2122,32 @@ object KeyedUpsertSink {
         .SeqHasAsJava(keyRows).asJava), keyed.schema)
       .drop("__bucket")
     val manifest = fullManifest.filter { case (b, _) => buckets.contains(b) }
+    // requested-key predicate pushed BELOW the LWW window: filtering by
+    // KEY columns there is safe (all of a key's version-rows satisfy or
+    // fail it together — the same key-level argument as bucket pruning),
+    // and it reaches the parquet scan as pushed In filters, so row-group
+    // statistics skip the bucket's OTHER keys' data instead of decoding
+    // the whole bucket through the window sort. Per-column value sets
+    // are a superset of the requested tuples on compound keys — the
+    // semi-join below stays the exact gate. Null request values drop out
+    // (the equality semi-join never matches them anyway). Bounded: past
+    // [[MaxPushdownLiterals]] a literal chain costs more than it saves
+    // and the bucket-pruned scan alone is the predictable plan.
+    val keyValueSets = keys.indices.map(i =>
+      keyRows.map(_.get(i)).filter(_ != null).distinct)
+    val keyPred: Option[Column] =
+      if (keyRows.isEmpty ||
+          keyValueSets.exists(_.size > MaxPushdownLiterals)) None
+      else Some(keys.zip(keyValueSets).map { case (k, vs) =>
+        col(k).isin(vs: _*)
+      }.reduce(_ && _))
     def resolved(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
-        .map(df => resolveChainRead(df, man, keys, order)
-          .join(broadcast(requestDf), keys, "left_semi").drop("__bucket"))
+        .map { full =>
+          val df = keyPred.fold(full)(full.filter)
+          resolveChainRead(df, man, keys, order)
+            .join(broadcast(requestDf), keys, "left_semi").drop("__bucket")
+        }
     resolved(manifest).orElse {
       // every requested key hashed to an unpopulated bucket: still
       // return the TABLE's schema (footer-only read of the full

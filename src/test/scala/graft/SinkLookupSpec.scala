@@ -99,6 +99,35 @@ class SinkLookupSpec extends SparkSpec {
       "lookup must resolve the chain LWW for exactly the requested keys")
   }
 
+  test("point lookup pushes the requested keys into the parquet scan below the LWW window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = newTable("graft-lkp-push")
+    val up = delta(path) _
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L), ("c", 1L, 10L),
+      ("d", 1L, 10L)), 0L)
+    up(batchDf(("a", 2L, 20L), ("c", 2L, 20L)), 1L) // chains → window path
+    val df = KeyedUpsertSink.lookupBucketed(
+      spark, path, keys, order, keyDf("a", "c"))
+    assert(df.select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+      == Set(("a", 2L, 20L), ("c", 2L, 20L)))
+    df.write.format("noop").mode("overwrite").save()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val pushed = scans(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString("; ")
+    // the requested keys reach the scan as an In/EqualTo filter — parquet
+    // row-group stats can skip the bucket's other keys' data, and the
+    // Filter prunes rows BEFORE the LWW window sort
+    assert(pushed.contains("In(k") || pushed.contains("EqualTo(k"),
+      s"requested-key predicate must reach the scan; PushedFilters=[$pushed]")
+  }
+
   test("point lookup time-travels with atVersion") {
     val path = newTable("graft-lookup-tt")
     delta(path)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
