@@ -535,6 +535,35 @@ object SparkEntry {
     // spec drives the LWW resolve through the DSv1 relation, so a pure
     // SQL user gets the identical answer. Same oracle as
     // etl_upsert_lww: the facade must change nothing.
+    // Event-sourced DELETE (round 17): tombstones for user_id % 7 == 0
+    // commit with an order value above every event, then a REPLAYED old
+    // wave tries to resurrect them — the oracle recomputes the LWW over
+    // live keys only, so a hash match proves the tombstones both removed
+    // the keys and kept beating the replay. A compaction pass in the
+    // middle (compactAfter=3) proves folds carry tombstones.
+    "etl_upsert_delete" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-upsert-delete-q", dir)
+      val keys = Seq("user_id")
+      val order = Seq(col("ts_us"), col("last_event_id"))
+      val sink = graft.sink.KeyedUpsertSink.upsertBucketedDelta(
+        s, path, keys, order, numBuckets = 16, compactAfter = 3) _
+      sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
+      graft.sink.KeyedUpsertSink.deleteBucketedDelta(
+        s, path, keys, order, numBuckets = 16)(
+        ev.filter(col("user_id") % 7 === 0).select(col("user_id"))
+          .distinct()
+          .withColumn("ts_us", lit(4102444800000000L)) // above every event
+          .withColumn("last_event_id", lit(null).cast("long")), 2L)
+      sink(ev.filter(col("last_event_id") % 2 === 1), 3L) // replayed wave
+      graft.sink.KeyedUpsertSink.readBucketedDelta(s, path, keys, order)
+        .drop("ts_us")
+    }),
+
     "etl_table_facade" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_id").as("last_event_id"),
@@ -1562,6 +1591,15 @@ object SparkEntry {
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // deleted keys leave the resolved read and a replayed older wave
+    // cannot resurrect them: the live-keys-only LWW is the whole answer
+    "etl_upsert_delete" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |WHERE user_id % 7 <> 0
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     // bucket pruning must lose no version-row of a pinned key: the

@@ -1694,7 +1694,39 @@ object KeyedUpsertSink {
   /** Engine scratch columns the schema contract never records. */
   private def userFields(schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.types.StructField] =
-    schema.fields.toSeq.filterNot(f => f.name == "__bucket" || f.name == "__seq")
+    schema.fields.toSeq.filterNot(f =>
+      f.name == "__bucket" || f.name == "__seq" || f.name == TombstoneCol)
+
+  // ──────────────────────────────── event-sourced deletes (r17) ──
+
+  /** Engine-internal delete marker: a tombstone row competes in the
+    * LWW rank like any version-row (event-sourced deletes stay
+    * replay-deterministic — a tombstone ordered above a key's rows
+    * deletes it, a LATER upsert ordered above the tombstone re-creates
+    * it, a replayed older event still loses), and a winner flagged
+    * tombstone makes its key ABSENT from every resolved read. Physical
+    * rewrites (compaction folds, rebuckets) deliberately KEEP winning
+    * tombstone rows: dropping one would let a replayed older event
+    * silently resurrect the key.
+    */
+  private[graft] val TombstoneCol = "__tombstone"
+
+  /** Manifest metadata flag set by [[deleteBucketedDelta]]'s first
+    * commit (and carried forward by every committer): the PLAIN upsert
+    * feed cannot represent a deletion, so plain feeds refuse ranges
+    * ending at-or-after the version that first carried tombstones.
+    */
+  private[graft] val TombstoneMeta = "hasTombstones"
+
+  /** The resolved-read seam for deletes: winners flagged tombstone
+    * leave the result (the key reads as absent) and the marker column
+    * never escapes to callers. Physical paths (stage merges, compaction
+    * folds, rebucket rewrites) deliberately do NOT run this — they
+    * carry tombstone rows forward.
+    */
+  private def dropTombstones(df: DataFrame): DataFrame =
+    if (!df.columns.contains(TombstoneCol)) df
+    else df.filter(!coalesce(col(TombstoneCol), lit(false))).drop(TombstoneCol)
 
   /** The table's COMMITTED column contract (names + types), recorded at
     * the first versioned commit and widened by every column-adding
@@ -1864,7 +1896,7 @@ object KeyedUpsertSink {
       s"$tablePath has merge-on-read delta chains; " +
         "use readBucketedDelta(keys, order) or compactBucketChains first")
     readManifestBuckets(spark, tablePath, manifest) match {
-      case Some(df) => df.drop("__seq").drop("__bucket")
+      case Some(df) => dropTombstones(df).drop("__seq").drop("__bucket")
       case None => spark.emptyDataFrame
     }
   }
@@ -1903,7 +1935,9 @@ object KeyedUpsertSink {
       manifest: Map[Long, String]): DataFrame = {
     requireSpecMatches(spark, tablePath, keys, order)
     readManifestBuckets(spark, tablePath, manifest) match {
-      case Some(df) => resolveChainRead(df, manifest, keys, order).drop("__bucket")
+      case Some(df) =>
+        dropTombstones(resolveChainRead(df, manifest, keys, order))
+          .drop("__bucket")
       case None => spark.emptyDataFrame
     }
   }
@@ -2033,10 +2067,10 @@ object KeyedUpsertSink {
           wantedKeys.limit((MaxBroadcastCandidateKeys + 1).toInt).count() <=
             MaxBroadcastCandidateKeys
         // wantedKeys is already distinct — skip the helper's dedup
-        resolveChainRead(
+        dropTombstones(resolveChainRead(
           semiJoinNullSafe(all, wantedKeys, keys, hintBroadcast = hint,
             dedupRight = false),
-          manifest, keys, order).drop("__bucket")
+          manifest, keys, order)).drop("__bucket")
     }
   }
 
@@ -2145,7 +2179,7 @@ object KeyedUpsertSink {
       readManifestBuckets(spark, tablePath, man)
         .map { full =>
           val df = keyPred.fold(full)(full.filter)
-          resolveChainRead(df, man, keys, order)
+          dropTombstones(resolveChainRead(df, man, keys, order))
             .join(broadcast(requestDf), keys, "left_semi").drop("__bucket")
         }
     resolved(manifest).orElse {
@@ -2170,12 +2204,83 @@ object KeyedUpsertSink {
     lookupBucketed(spark, tablePath, keys, order, keyDf, atVersion)
   }
 
+  /** Event-sourced DELETE on the versioned keyed table: commits one
+    * generation of TOMBSTONE rows through the exact optimistic chain
+    * protocol as [[upsertBucketedDelta]] (same layout/spec handshakes,
+    * same replay semantics, None on an empty batch). Each delete row
+    * carries the key and ORDER columns and competes in the LWW rank
+    * like any version-row:
+    *
+    *  - a tombstone ordered above a key's rows deletes it — the key is
+    *    ABSENT from every resolved read at-or-after this commit (point
+    *    lookups, facades, matching reads; time travel BELOW the
+    *    delete's version still serves the key);
+    *  - a LATER upsert ordered above the tombstone re-creates the key;
+    *  - a replayed OLDER event still loses — replay determinism is
+    *    exactly the upsert path's (this is why deletes are
+    *    order-ranked, not unconditional: an unconditional delete would
+    *    make the table's state depend on delivery order).
+    *
+    * Value columns ride as typed nulls under the committed schema
+    * contract (a delete never evolves it). Tombstone rows persist
+    * through compaction folds and rebuckets — dropping a winning
+    * tombstone would let a replayed older event resurrect the key; the
+    * retention horizon for ever dropping them is the operator's replay
+    * window, the same judgment [[adviseRetention]] informs. The
+    * WEIGHTED change feed carries a deletion as the bare `__weight=-1`
+    * last image (consumers like [[MaterializedAggView]] already fold
+    * retractions); the PLAIN upsert feed cannot represent it, so plain
+    * feeds refuse tombstoned ranges loudly via [[TombstoneMeta]].
+    */
+  def deleteBucketedDelta(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      numBuckets: Int = 64,
+      maxAttempts: Int = 20,
+      compactAfter: Int = 8)(
+      delRows: DataFrame, batchId: Long): Option[OptimisticCommit] = {
+    requireKeyOrderCols(delRows, keys, order)
+    val resolver = spark.sessionState.conf.resolver
+    val carry = (keys ++ orderColNames(spark, order)).distinct
+    // one tombstone per (key, order) tuple — duplicates add nothing and
+    // the intra-batch compaction would fold them anyway
+    val base = delRows.select(carry.map(col): _*).distinct()
+    val contract = storedSchema(tablePath)
+      .orElse(Option(readBucketedDelta(spark, tablePath, keys, order).schema)
+        .filter(_.nonEmpty))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath has no committed schema to delete against — " +
+          "deleteBucketedDelta targets an existing versioned table"))
+    val widened = contract.fields.foldLeft(base)((df, f) =>
+      if (carry.exists(resolver(_, f.name))) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    upsertBucketedDelta(spark, tablePath, keys, order, numBuckets,
+      maxAttempts, compactAfter,
+      extraMeta = Map(TombstoneMeta -> "true"))(
+      widened.withColumn(TombstoneCol, lit(true)), batchId)
+  }
+
+  /** [[deleteBucketedDelta]] under the table's own STORED key/order
+    * spec — loud when the table carries no spec metadata.
+    */
+  def deleteBucketedDelta(spark: SparkSession, tablePath: String,
+      numBuckets: Int)(
+      delRows: DataFrame, batchId: Long): Option[OptimisticCommit] = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    deleteBucketedDelta(spark, tablePath, keys, order, numBuckets)(
+      delRows, batchId)
+  }
+
   /** Upsert change feed between two committed versions: every row of the
     * resolved table at `toVersion` (default: head) that is not present
     * identically in the resolved table at `fromVersion` — i.e. the keys
-    * inserted or updated in between, at their `toVersion` values. An LWW
-    * table has no deletes, so an upsert-only feed is the complete
-    * change-data capture; downstream incremental consumers (the
+    * inserted or updated in between, at their `toVersion` values. On a
+    * table WITHOUT deletes the upsert-only feed is the complete
+    * change-data capture; a table that has committed tombstones refuses
+    * the plain feed (a deletion has no representation here — use
+    * [[readChangesWeighted]]). Downstream incremental consumers (the
     * "process only documents ingested since the last training run"
     * pattern) read the feed instead of diffing 100 TB.
     *
@@ -2216,8 +2321,11 @@ object KeyedUpsertSink {
     * `agg(expr * __weight)`, and never touches the base table: the -1
     * rows subtract exactly what the key's old image contributed, the
     * +1 rows add the new image ([[MaterializedAggView]] is the built-in
-    * consumer). Freshly inserted keys have no -1 row; an LWW table has
-    * no deletes, so no key produces a -1 without a matching +1.
+    * consumer). Freshly inserted keys have no -1 row; a key DELETED in
+    * the range ([[deleteBucketedDelta]]) is the bare -1 of its last
+    * live image with no matching +1 — a retraction a distributive
+    * consumer folds like any other (this is the only feed that can
+    * represent deletes; the plain feed refuses tombstoned ranges).
     *
     * Same touched-bucket cost shape and vacuum/retention contract as
     * [[readChangesBetween]]; the symmetric difference is computed only
@@ -2267,7 +2375,10 @@ object KeyedUpsertSink {
     val oldSemi = readManifestBuckets(spark, tablePath, before)
       .map(oldRows => semiJoinNullSafe(oldRows, appended, keys))
     def img(df: DataFrame): DataFrame =
-      latestByKey(df, keys, order :+ col("__seq"))
+      // a winning tombstone makes its key ABSENT from the image, so the
+      // symmetric difference below reports a delete as the weighted
+      // feed's bare -1 (old image, no +1) — same shape as the full diff
+      dropTombstones(latestByKey(df, keys, order :+ col("__seq")))
         .drop("__seq").drop("__bucket")
     oldSemi match {
       case None => // touched buckets had no before image: inserts only
@@ -2356,6 +2467,15 @@ object KeyedUpsertSink {
       s"$tablePath: readChangesBetween range is reversed — " +
         s"fromVersion=$fromVersion > toVersion=$toV")
     val (manTo, metaTo) = manifestAndMetaAt(tablePath, toV)
+    // a deletion has no upsert-feed representation — a consumer of the
+    // plain feed would silently keep serving deleted keys. Refuse at
+    // the version granularity the metadata gives for free: ranges
+    // ending BEFORE the table's first delete keep reading plainly
+    require(weighted || !metaTo.contains(TombstoneMeta),
+      s"$tablePath carries deletes at v$toV (tombstones committed): " +
+        "the plain upsert feed cannot represent a deletion — use " +
+        "readChangesWeighted (a deleted key is the bare __weight=-1 " +
+        "last image), or the graft-changes source with weighted=true")
     // a rebucket inside the range redefines what a bucket ID means: the
     // per-bucket diff below would drop any old bucket id absent from the
     // new layout's map (silently presenting its rows as inserts), so the
@@ -2381,7 +2501,8 @@ object KeyedUpsertSink {
       else manFrom.filter { case (b, _) => touched.contains(b) }
     def resolve(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
-        .map(df => resolveChainRead(df, man, keys, order).drop("__bucket"))
+        .map(df => dropTombstones(resolveChainRead(df, man, keys, order))
+          .drop("__bucket"))
     def weigh(df: DataFrame, w: Long): DataFrame =
       if (weighted) df.withColumn("__weight", lit(w)) else df
     // APPEND FAST PATH: when every touched bucket's from-chain is a
