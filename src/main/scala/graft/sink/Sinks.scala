@@ -2239,7 +2239,9 @@ object KeyedUpsertSink {
       order: Seq[Column],
       numBuckets: Int = 64,
       maxAttempts: Int = 20,
-      compactAfter: Int = 8)(
+      compactAfter: Int = 8,
+      extraMeta: Map[String, String] = Map.empty,
+      abortIf: Map[String, String] => Boolean = _ => false)(
       delRows: DataFrame, batchId: Long): Option[OptimisticCommit] = {
     requireKeyOrderCols(delRows, keys, order)
     val resolver = spark.sessionState.conf.resolver
@@ -2258,7 +2260,8 @@ object KeyedUpsertSink {
       else df.withColumn(f.name, lit(null).cast(f.dataType)))
     upsertBucketedDelta(spark, tablePath, keys, order, numBuckets,
       maxAttempts, compactAfter,
-      extraMeta = Map(TombstoneMeta -> "true"))(
+      extraMeta = extraMeta + (TombstoneMeta -> "true"),
+      abortIf = abortIf)(
       widened.withColumn(TombstoneCol, lit(true)), batchId)
   }
 

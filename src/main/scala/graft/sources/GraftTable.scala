@@ -190,7 +190,17 @@ object GraftTableProvider {
   *    else the table's stored spec (a brand-new table needs the
   *    explicit pair once — the first commit records it);
   *  - `numBuckets` (default 64), `compactAfter` (default 8): the
-  *    [[KeyedUpsertSink.upsertBucketedDelta]] knobs.
+  *    [[KeyedUpsertSink.upsertBucketedDelta]] knobs;
+  *  - `weighted` (default false): consume a WEIGHTED change feed
+  *    (`readStream graft-changes` with `weighted=true`) — +1 rows
+  *    upsert, keys with only -1 rows DELETE
+  *    ([[KeyedUpsertSink.deleteBucketedDelta]]). This makes the
+  *    zero-code replica delete-complete: a tombstoned upstream refuses
+  *    the plain feed, and its weighted feed carries each deletion as
+  *    the bare -1 last image. A weighted mirror must begin from a
+  *    bootstrap image (`startingVersion=0` or an existing replica) —
+  *    a mid-history start whose first batch is a bare deletion has no
+  *    schema to delete against and fails loudly.
   *
   * Exactly-once: the engine re-delivers the last uncommitted batch
   * after a crash, so the sink records `stream.<streamId> = batchId` as
@@ -225,6 +235,14 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
       .getOrElse(64)
     val compactAfter = intOption(parameters, "compactAfter", shortName())
       .getOrElse(8)
+    // weighted mode: the input is a RETRACTION stream (a weighted
+    // graft-changes feed) — +1 rows upsert, keys with ONLY -1 rows
+    // delete. This is what makes the zero-code replica DELETE-complete:
+    // a tombstoned upstream refuses the plain feed, and its weighted
+    // feed carries each deletion as the bare -1 last image.
+    val weighted = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("weighted") => v.toBoolean
+    }.getOrElse(false)
     require(outputMode != OutputMode.Complete(),
       "graft-upsert: Complete mode replaces the WHOLE table every " +
         "micro-batch — not an upsert; use Append or Update (both mean " +
@@ -262,17 +280,28 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
         // __-prefixed columns are the change feed's ENGINE scratch
-        // (__weight retractions, __from/to anchors) — committing them
-        // would both store junk columns and, worse, treat a weighted
-        // feed's -1 retraction rows as upserts. Refuse with the fix.
+        // (__weight retractions, __from/to anchors). Plain mode refuses
+        // them all (treating a -1 retraction as an upsert corrupts the
+        // replica); weighted mode consumes EXACTLY __weight and still
+        // refuses the anchor columns.
+        val wCol = graft.sources.ChangeFeedSource.WeightCol
         val scratch = data.columns.filter(_.startsWith("__"))
+          .filterNot(c => weighted && c == wCol)
         require(scratch.isEmpty,
           s"graft-upsert: batch carries engine columns " +
-            s"[${scratch.mkString(", ")}] — a weighted or " +
-            "versionColumns change feed is a RETRACTION stream, not an " +
-            "upsert stream; read the upstream feed plain (no " +
-            "'weighted'/'versionColumns' options), or drop/transform " +
-            "the columns before the sink")
+            s"[${scratch.mkString(", ")}] — " + (if (weighted)
+            "weighted mode consumes only __weight; drop/transform the " +
+            "anchor columns (versionColumns) before the sink"
+          else
+            "a weighted or versionColumns change feed is a RETRACTION " +
+            "stream, not an upsert stream; read the upstream feed plain " +
+            "(no 'weighted'/'versionColumns' options), set this sink's " +
+            "weighted=true to mirror deletes, or drop/transform the " +
+            "columns before the sink"))
+        require(!weighted || data.columns.contains(wCol),
+          s"graft-upsert: weighted=true but the batch has no $wCol " +
+            "column — read the upstream with option(\"weighted\", " +
+            "\"true\") or drop this sink's weighted option")
         // REPLAY SKIP — evaluated here for the cheap common case, and
         // re-evaluated by the committer before EVERY commit attempt
         // (abortIf below): a check only out here is check-then-act,
@@ -298,11 +327,47 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
         val batchDf = org.apache.spark.sql.graft.Bridge.leafDataFrame(
           spark, data.queryExecution.toRdd, data.schema)
         val marker = runSig.fold(batchId.toString)(s => s"$batchId@$s")
-        KeyedUpsertSink.upsertBucketedDelta(
-          spark, path, keys, order, numBuckets = numBuckets,
-          compactAfter = compactAfter,
-          extraMeta = Map(metaKey -> marker),
-          abortIf = applied)(batchDf, batchId)
+        if (!weighted) {
+          KeyedUpsertSink.upsertBucketedDelta(
+            spark, path, keys, order, numBuckets = numBuckets,
+            compactAfter = compactAfter,
+            extraMeta = Map(metaKey -> marker),
+            abortIf = applied)(batchDf, batchId)
+        } else {
+          import org.apache.spark.sql.functions.{col => fcol}
+          val plus = batchDf.filter(fcol(wCol) === 1L).drop(wCol)
+          // a key with a +1 in the SAME batch is an UPDATE (its -1 is
+          // the superseded image); only bare -1 keys are deletions
+          val minus = batchDf.filter(fcol(wCol) === -1L).drop(wCol)
+            .join(plus, keys, "left_anti")
+          val hasMinus = minus.limit(1).count() > 0
+          // the replay-skip marker rides the batch's LAST commit: a
+          // crash between the upsert and the delete replays the whole
+          // batch — the duplicate upsert is content-idempotent under
+          // LWW (one extra version, same resolved rows), and the
+          // replayed delete then lands WITH the marker. The delete is
+          // ranked at the retracted image's own order values: the
+          // tombstone generation is later in the chain, so recency
+          // breaks the tie toward deletion, while any later re-insert
+          // the feed delivers outranks it again.
+          if (hasMinus) {
+            KeyedUpsertSink.upsertBucketedDelta(
+              spark, path, keys, order, numBuckets = numBuckets,
+              compactAfter = compactAfter,
+              abortIf = applied)(plus, batchId)
+            KeyedUpsertSink.deleteBucketedDelta(
+              spark, path, keys, order, numBuckets = numBuckets,
+              compactAfter = compactAfter,
+              extraMeta = Map(metaKey -> marker),
+              abortIf = applied)(minus, batchId)
+          } else {
+            KeyedUpsertSink.upsertBucketedDelta(
+              spark, path, keys, order, numBuckets = numBuckets,
+              compactAfter = compactAfter,
+              extraMeta = Map(metaKey -> marker),
+              abortIf = applied)(plus, batchId)
+          }
+        }
         GraftUpsertSinkProvider.onSinkCommit(batchId)
         ()
       }

@@ -118,6 +118,71 @@ class GraftFormatSpec extends SparkSpec {
     } finally graft.sources.GraftTableProvider.onTableRoute = _ => ()
   }
 
+  test("a WEIGHTED mirror replicates deletes: bare -1 keys delete, +1/-1 pairs update, re-inserts return") {
+    val root = Files.createTempDirectory("graft-upsert-wfmt")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    val ckpt = root.resolve("ckpt").toString
+    val upA = sink(a)
+    def delA = KeyedUpsertSink.deleteBucketedDelta(
+      spark, a, keys, order, numBuckets = 4) _
+    upA(batchDf(("a", 1L, 10L), ("b", 1L, 10L), ("c", 1L, 10L)), 0L) // v1
+    def mirror(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", a).option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .option("weighted", "true")
+        .load()
+        .writeStream.format("graft-upsert")
+        .option("path", b).option("streamId", "wmirror")
+        .option("keys", "k").option("orderBy", "ts")
+        .option("numBuckets", "4").option("weighted", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mirror()
+    assert(resolved(b) == resolved(a), "weighted bootstrap must mirror")
+    // one wave: update a (+1/-1 pair), DELETE b (bare -1), insert d
+    upA(batchDf(("a", 2L, 20L), ("d", 1L, 20L)), 1L) // v2
+    delA(Seq(("b", 20L)).toDF("k", "ts"), 2L)        // v3
+    mirror()
+    assert(resolved(a) == Set(("a", 2L, 20L), ("c", 1L, 10L), ("d", 1L, 20L)))
+    assert(resolved(b) == resolved(a),
+      "the weighted mirror must apply the deletion, not just the upserts")
+    // the deleted key is really gone from the replica's own reads
+    assert(KeyedUpsertSink.lookupBucketed(
+      spark, b, keys, order, Seq("b").toDF("k")).count() == 0L)
+    // a later re-insert upstream returns through the mirror
+    upA(batchDf(("b", 9L, 30L)), 3L) // v4
+    mirror()
+    assert(resolved(b) == resolved(a))
+    assert(resolved(b).contains(("b", 9L, 30L)))
+    // a replay at the high-water is still skipped (the marker rides the
+    // batch's LAST commit)
+    val vers = KeyedUpsertSink.tableVersions(b).size
+    mirror() // idle drain: nothing new upstream
+    assert(KeyedUpsertSink.tableVersions(b).size == vers)
+    // plain mode still refuses a weighted feed loudly, naming the fix
+    val bad = spark.readStream.format("graft-changes")
+      .option("path", a).option("startingVersion", "0")
+      .option("weighted", "true")
+      .load()
+      .writeStream.format("graft-upsert")
+      .option("path", root.resolve("b2").toString)
+      .option("streamId", "plain")
+      .option("keys", "k").option("orderBy", "ts")
+      .option("checkpointLocation", root.resolve("ckpt2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    assert(err.getMessage.contains("weighted=true") ||
+      err.getCause.getMessage.contains("weighted=true"))
+  }
+
   test("graft-changes into graft-upsert is a zero-code replica; a post-commit crash replay is skipped exactly-once") {
     val root = Files.createTempDirectory("graft-upsert-fmt")
     val a = root.resolve("a").toString
