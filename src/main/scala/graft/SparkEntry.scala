@@ -529,18 +529,13 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
-    // The SQL-level FACADE over the keyed table (round 17 second pass):
-    // the same delta-sink fixture read back through
-    // `spark.read.format("graft-table")` with ONLY a path — the stored
-    // spec drives the LWW resolve through the DSv1 relation, so a pure
-    // SQL user gets the identical answer. Same oracle as
-    // etl_upsert_lww: the facade must change nothing.
     // Event-sourced DELETE (round 17): tombstones for user_id % 7 == 0
-    // commit with an order value above every event, then a REPLAYED old
-    // wave tries to resurrect them — the oracle recomputes the LWW over
-    // live keys only, so a hash match proves the tombstones both removed
-    // the keys and kept beating the replay. A compaction pass in the
-    // middle (compactAfter=3) proves folds carry tombstones.
+    // commit with an order value above every event; the delete's own
+    // compactAfter=2 folds the whole chain IMMEDIATELY AFTER the
+    // tombstones land, and only then does a REPLAYED old wave try to
+    // resurrect the keys — so the oracle hash (live-keys-only LWW)
+    // discriminates a fold that drops winning tombstones: the replay
+    // arrives AFTER the fold and must still lose.
     "etl_upsert_delete" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_id").as("last_event_id"),
@@ -554,7 +549,7 @@ object SparkEntry {
       sink(ev.filter(col("last_event_id") % 2 === 0), 0L)
       sink(ev.filter(col("last_event_id") % 2 === 1), 1L)
       graft.sink.KeyedUpsertSink.deleteBucketedDelta(
-        s, path, keys, order, numBuckets = 16)(
+        s, path, keys, order, numBuckets = 16, compactAfter = 2)(
         ev.filter(col("user_id") % 7 === 0).select(col("user_id"))
           .distinct()
           .withColumn("ts_us", lit(4102444800000000L)) // above every event
@@ -564,6 +559,12 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // The SQL-level FACADE over the keyed table (round 17 second pass):
+    // the same delta-sink fixture read back through
+    // `spark.read.format("graft-table")` with ONLY a path — the stored
+    // spec drives the LWW resolve through the DSv1 relation, so a pure
+    // SQL user gets the identical answer. Same oracle as
+    // etl_upsert_lww: the facade must change nothing.
     "etl_table_facade" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         col("event_id").as("last_event_id"),

@@ -1018,13 +1018,16 @@ object KeyedUpsertSink {
       compactAfter: Int = 8,
       onBeforeFirstCommit: () => Unit = () => (),
       extraMeta: Map[String, String] = Map.empty,
-      abortIf: Map[String, String] => Boolean = _ => false)(
+      abortIf: Map[String, String] => Boolean = _ => false,
+      extraMetaAt: Long => Map[String, String] = _ => Map.empty)(
       batch: DataFrame, batchId: Long): Option[OptimisticCommit] = {
     require(!extraMeta.keys.exists(k => k == "numBuckets" ||
+        k == TombstoneMeta ||
         k == KeySpecMeta || k == OrderSpecMeta || k == SchemaMeta),
       s"extraMeta must not touch the reserved keys (numBuckets, " +
-        s"$KeySpecMeta, $OrderSpecMeta, $SchemaMeta) — they have " +
-        "dedicated committers and validators")
+        s"$KeySpecMeta, $OrderSpecMeta, $SchemaMeta, $TombstoneMeta) — " +
+        "they have dedicated committers and validators (deletes go " +
+        "through deleteBucketedDelta)")
     // the manifest is line-oriented (`#key=value` per line, readAllLines
     // treats \r as a terminator too): a break in either side, or '=' in
     // a key, would corrupt EVERY later read of the table — refuse at
@@ -1098,7 +1101,11 @@ object KeyedUpsertSink {
         val entries = man ++ written.map { b =>
           b -> renderChain(man.get(b).map(chainOf).getOrElse(Seq.empty) :+ gen)
         }
-        publishNext(tablePath, ver, man, entries, meta) match {
+        // extraMetaAt sees the VERSION this attempt commits at (ver+1,
+        // current per retry) — the channel deleteBucketedDelta uses to
+        // record the landed tombstone version for exact feed refusals
+        publishNext(tablePath, ver, man, entries,
+          meta ++ extraMetaAt(ver + 1)) match {
           case Published =>
             committed = Some(OptimisticCommit(ver + 1, gen, retries, 0))
           case res =>
@@ -1711,10 +1718,15 @@ object KeyedUpsertSink {
     */
   private[graft] val TombstoneCol = "__tombstone"
 
-  /** Manifest metadata flag set by [[deleteBucketedDelta]]'s first
-    * commit (and carried forward by every committer): the PLAIN upsert
-    * feed cannot represent a deletion, so plain feeds refuse ranges
-    * ending at-or-after the version that first carried tombstones.
+  /** Manifest metadata set by every [[deleteBucketedDelta]] commit (and
+    * carried forward by every committer): the VERSION of the LATEST
+    * delete. The PLAIN upsert feed cannot represent a deletion, so a
+    * plain feed refuses any range STARTING below this version (a delete
+    * could sit inside it); ranges starting at-or-after it are provably
+    * complete (every tombstone is ≤ from, so both endpoint images
+    * already exclude the deleted keys) and keep reading plainly.
+    * Legacy boolean values ("true") parse as unknown-version → refuse
+    * every range, the conservative direction.
     */
   private[graft] val TombstoneMeta = "hasTombstones"
 
@@ -2260,8 +2272,13 @@ object KeyedUpsertSink {
       else df.withColumn(f.name, lit(null).cast(f.dataType)))
     upsertBucketedDelta(spark, tablePath, keys, order, numBuckets,
       maxAttempts, compactAfter,
-      extraMeta = extraMeta + (TombstoneMeta -> "true"),
-      abortIf = abortIf)(
+      extraMeta = extraMeta,
+      abortIf = abortIf,
+      // record the version THIS delete lands at (re-evaluated per CAS
+      // retry): the latest delete overwrites, so feeds can refuse with
+      // version granularity — a plain range STARTING at-or-after the
+      // last delete is provably complete and keeps working
+      extraMetaAt = v => Map(TombstoneMeta -> v.toString))(
       widened.withColumn(TombstoneCol, lit(true)), batchId)
   }
 
@@ -2471,14 +2488,22 @@ object KeyedUpsertSink {
         s"fromVersion=$fromVersion > toVersion=$toV")
     val (manTo, metaTo) = manifestAndMetaAt(tablePath, toV)
     // a deletion has no upsert-feed representation — a consumer of the
-    // plain feed would silently keep serving deleted keys. Refuse at
-    // the version granularity the metadata gives for free: ranges
-    // ending BEFORE the table's first delete keep reading plainly
-    require(weighted || !metaTo.contains(TombstoneMeta),
-      s"$tablePath carries deletes at v$toV (tombstones committed): " +
-        "the plain upsert feed cannot represent a deletion — use " +
+    // plain feed would silently keep serving deleted keys. Refuse with
+    // version granularity: the metadata records the LATEST delete's
+    // version, so a range STARTING at-or-after it is provably complete
+    // (every tombstone ≤ from — both endpoint images already exclude
+    // the deleted keys), while a range that could contain a delete
+    // refuses loudly. One delete does not poison the table's plain
+    // consumers forever; they resume past it.
+    val lastDelete = metaTo.get(TombstoneMeta)
+      .map(v => v.toLongOption.getOrElse(Long.MaxValue)) // legacy "true"
+    require(weighted || lastDelete.forall(_ <= fromVersion),
+      s"$tablePath carries a delete at v${lastDelete.getOrElse(-1L)} " +
+        s"inside or above this range (from=v$fromVersion): the plain " +
+        "upsert feed cannot represent a deletion — use " +
         "readChangesWeighted (a deleted key is the bare __weight=-1 " +
-        "last image), or the graft-changes source with weighted=true")
+        "last image), the graft-changes source with weighted=true, or " +
+        "start the plain range at-or-after the delete version")
     // a rebucket inside the range redefines what a bucket ID means: the
     // per-bucket diff below would drop any old bucket id absent from the
     // new layout's map (silently presenting its rows as inserts), so the

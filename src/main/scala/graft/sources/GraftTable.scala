@@ -335,11 +335,25 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
             abortIf = applied)(batchDf, batchId)
         } else {
           import org.apache.spark.sql.functions.{col => fcol}
-          val plus = batchDf.filter(fcol(wCol) === 1L).drop(wCol)
+          // the split + pairing below evaluates the micro-batch plan
+          // several times (anti-join count, then each commit's own
+          // read) — persist once, the committer's own discipline
+          val cached = batchDf.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+          val plus = cached.filter(fcol(wCol) === 1L).drop(wCol)
           // a key with a +1 in the SAME batch is an UPDATE (its -1 is
-          // the superseded image); only bare -1 keys are deletions
-          val minus = batchDf.filter(fcol(wCol) === -1L).drop(wCol)
-            .join(plus, keys, "left_anti")
+          // the superseded image); only bare -1 keys are deletions.
+          // NULL-SAFE pairing: null key values are legal rows everywhere
+          // in this family — a plain equi-join would classify a
+          // null-key update's -1 as a deletion and tombstone a key
+          // that is live upstream
+          val pKeys = plus.select(keys.map(fcol): _*).distinct()
+            .select(keys.map(k => fcol(k).as(s"__p_$k")): _*)
+          val anti = keys.map(k => fcol(k) <=> fcol(s"__p_$k"))
+            .reduce(_ && _)
+          val minus = cached.filter(fcol(wCol) === -1L).drop(wCol)
+            .join(pKeys, anti, "left_anti")
           val hasMinus = minus.limit(1).count() > 0
           // the replay-skip marker rides the batch's LAST commit: a
           // crash between the upsert and the delete replays the whole
@@ -367,6 +381,7 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
               extraMeta = Map(metaKey -> marker),
               abortIf = applied)(plus, batchId)
           }
+          } finally cached.unpersist()
         }
         GraftUpsertSinkProvider.onSinkCommit(batchId)
         ()

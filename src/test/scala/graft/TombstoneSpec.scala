@@ -136,6 +136,14 @@ class TombstoneSpec extends SparkSpec {
       .select("k", "v", "ts", "__weight")
       .as[(String, Long, Long, Long)].collect().toSet
     assert(w3 == w2, "the full-diff path must agree with the append path")
+    // version granularity: one delete must not poison plain consumers
+    // forever — a range STARTING at-or-after the delete version is
+    // provably complete (every tombstone ≤ from) and reads plainly
+    assert(KeyedUpsertSink.readChangesBetween(
+      spark, t, keys, order, fromVersion = 2L)
+      .select("k", "v", "ts").as[(String, Long, Long)].collect().toSet
+      == Set(("b", 7L, 20L)),
+      "plain feeds must resume past the last delete version")
   }
 
   test("the maintained view folds a delete: groups shrink, empty, and re-derive their extrema and distincts") {
