@@ -1259,6 +1259,124 @@ object KeyedUpsertSink {
         "hot-table storm; retry when the write rate drops")
   }
 
+  /** Tombstone GC: physically remove tombstone rows whose WINNING
+    * position the operator declares past the replay horizon — the
+    * second half of a forget request (a tombstone still names the key;
+    * true removal needs the marker itself gone). `purgeIf` is a
+    * predicate over the tombstone row's columns (typically the order
+    * column: `col("ts") < lit(horizon)`); only rows that are BOTH
+    * tombstones AND match it are dropped. Superseded tombstones (a
+    * later upsert re-created the key) vanish in any full fold for free
+    * — this entry point exists for WINNING tombstones, which folds must
+    * otherwise preserve.
+    *
+    * THE CONTRACT, stated loudly: after a purge, an event for the
+    * purged key REPLAYED with an order below the old tombstone's will
+    * RESURRECT the key — the operator declares such replays impossible
+    * (the same replay-window judgment [[adviseRetention]] informs; run
+    * purges behind the retention horizon). The resolved image is
+    * UNCHANGED by the purge itself (the key already read as absent), so
+    * change feeds across the purge version report nothing. Historical
+    * manifests keep the tombstone until [[vacuumGenerations]] reclaims
+    * their generations — a complete forget is purge + vacuum past the
+    * reader grace.
+    *
+    * Mechanics: detect the buckets holding matching tombstones (one
+    * column-pruned scan of the marker column), fold each such bucket's
+    * FULL chain, drop the matching tombstone winners, and commit
+    * through the same optimistic protocol as [[compactBucketChains]] —
+    * a bucket whose fold empties entirely leaves the manifest; deltas
+    * appended during the stage are carried forward behind the fold; a
+    * changed prefix re-stages. Returns the bucket ids rewritten.
+    */
+  def purgeTombstones(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      purgeIf: Column,
+      maxAttempts: Int = 20,
+      onBeforeFirstCommit: () => Unit = () => ()): Seq[Long] = {
+    var attempt = 0
+    var hookPending = true
+    while (attempt < maxAttempts) {
+      val (ver, man, meta0) = versionedHeadFull(tablePath)
+      require(ver >= 1L,
+        s"$tablePath: purge targets a versioned table (no commits yet)")
+      // var: the CAS-retry branch refreshes from the head that beat us
+      // — committing the outer read's meta would silently REVERT
+      // concurrently-advanced metadata (the compactBucketChains rule)
+      var meta = specMeta(spark, tablePath, meta0, keys, order)
+      // detection: which buckets hold a MATCHING tombstone at this head
+      // (marker + predicate + bucket columns — parquet prunes the rest)
+      val all = readManifestBuckets(spark, tablePath, man)
+        .filter(_.columns.contains(TombstoneCol))
+      val targets: Map[Long, String] = all match {
+        case None => Map.empty
+        case Some(df) =>
+          val bs = df.filter(coalesce(col(TombstoneCol), lit(false)) &&
+              purgeIf)
+            .select("__bucket").distinct()
+            .collect().map(_.getLong(0)).toSet // bounded by numBuckets
+          man.filter { case (b, _) => bs.contains(b) }
+      }
+      if (targets.isEmpty) return Seq.empty
+      val gen = s"gen-purge-u${java.util.UUID.randomUUID().toString.take(8)}"
+      val folded = resolveChainRead(
+        readManifestBuckets(spark, tablePath, targets).get, targets,
+        keys, order)
+        .filter(!(coalesce(col(TombstoneCol), lit(false)) && purgeIf))
+      folded.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("__bucket")
+        .parquet(s"$tablePath/$gen")
+      val written = listBucketIds(Paths.get(tablePath, gen)).toSet
+      var head = (ver, man)
+      var stale = false
+      while (!stale && attempt < maxAttempts) {
+        attempt += 1
+        if (hookPending) { hookPending = false; onBeforeFirstCommit() }
+        val (v, m) = head
+        // replace each target's chain PREFIX with the purged fold; a
+        // target whose fold emptied entirely keeps only deltas appended
+        // since the stage (none → the bucket leaves the manifest)
+        val next = targets.keys.toSeq.sorted.foldLeft(Option(m)) {
+          case (None, _) => None
+          case (Some(acc), b) =>
+            val before = chainOf(targets(b))
+            m.get(b).map(chainOf) match {
+              case Some(now) if now.startsWith(before) =>
+                val suffix = now.drop(before.length)
+                val chain =
+                  (if (written.contains(b)) Seq(gen) else Seq.empty) ++ suffix
+                if (chain.isEmpty) Some(acc - b)
+                else Some(acc + (b -> renderChain(chain)))
+              case _ => None // rewritten under us (compactor/rebucket)
+            }
+        }
+        next match {
+          case None => stale = true
+          case Some(entries) =>
+            val res = tryCommitSuccessor(tablePath, v, entries, meta)
+            if (res == Published) return targets.keys.toSeq.sorted
+            val (v2, m2, meta2) = versionedHeadFull(tablePath)
+            require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
+            head = (v2, m2)
+            // refresh metadata from the head that beat us — committing
+            // the outer read's meta would silently REVERT a concurrent
+            // commit's advance (the compactBucketChains retry rule)
+            meta = specMeta(spark, tablePath, meta2, keys, order)
+        }
+      }
+      // stale (or out of attempts): the staged fold never published —
+      // reclaim it eagerly and re-stage against the new head
+      try deleteRecursively(Paths.get(tablePath, gen))
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    throw new IllegalStateException(
+      s"$tablePath: purge lost $maxAttempts commit attempts — " +
+        "hot-table storm; retry when the write rate drops")
+  }
+
   /** Online re-bucketing: re-hash the WHOLE table into `newBuckets`
     * hash partitions and swap layout + data in ONE optimistic manifest
     * commit. At 100 TB a table that outgrew its bucket count (buckets

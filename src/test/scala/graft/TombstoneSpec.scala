@@ -196,6 +196,79 @@ class TombstoneSpec extends SparkSpec {
     assert(table(t) == Set(("a", 1L, 10L)))
   }
 
+  test("purgeTombstones physically removes winning tombstones past the operator's horizon — and only those") {
+    val t = newTable("graft-del-purge")
+    sink(t)(batchDf(("a", 1L, 10L), ("b", 2L, 10L), ("c", 3L, 10L)), 0L) // v1
+    del(t)(delDf(("b", 15L)), 1L)  // old tombstone (ts=15)
+    del(t)(delDf(("c", 100L)), 2L) // recent tombstone (ts=100)
+    val before = table(t)
+    assert(before == Set(("a", 1L, 10L)))
+    // purge only tombstones below the horizon ts<50: b's goes, c's stays
+    val purged = KeyedUpsertSink.purgeTombstones(
+      spark, t, keys, order, col("ts") < 50L)
+    assert(purged.nonEmpty)
+    // the resolved image is UNCHANGED by the purge itself
+    assert(table(t) == before)
+    // ...so the change feed across the purge version reports nothing
+    assert(KeyedUpsertSink.readChangesWeighted(
+      spark, t, keys, order, fromVersion = 3L).count() == 0L)
+    // the CONTRACT, both directions: a replay below b's old tombstone
+    // now RESURRECTS b (the operator declared such replays impossible —
+    // this is what "physically removed" means)...
+    sink(t)(batchDf(("b", 9L, 12L)), 3L)
+    assert(table(t) == Set(("a", 1L, 10L), ("b", 9L, 12L)),
+      "purged tombstone must be gone: the replayed event wins now")
+    // ...while c's UNPURGED tombstone still beats its replay
+    sink(t)(batchDf(("c", 9L, 60L)), 4L)
+    assert(table(t) == Set(("a", 1L, 10L), ("b", 9L, 12L)),
+      "the above-horizon tombstone must survive the purge")
+    // a second purge with nothing to do is a no-op
+    assert(KeyedUpsertSink.purgeTombstones(
+      spark, t, keys, order, col("ts") < 50L).isEmpty)
+  }
+
+  test("a purge that empties a bucket removes it from the manifest; the table still reads") {
+    val t = newTable("graft-del-purge-empty")
+    // one lone key: its bucket's whole content is (row, tombstone)
+    sink(t)(batchDf(("solo", 1L, 10L)), 0L)
+    del(t)(delDf(("solo", 15L)), 1L)
+    assert(table(t).isEmpty)
+    val purged = KeyedUpsertSink.purgeTombstones(
+      spark, t, keys, order, lit(true))
+    assert(purged.nonEmpty)
+    assert(KeyedUpsertSink.readManifest(t).isEmpty,
+      "a fully-purged bucket must leave the manifest")
+    // an empty manifest reads as the documented zero-column empty frame
+    // (same contract as a never-committed table)
+    assert(KeyedUpsertSink.readBucketedDelta(spark, t, keys, order).isEmpty)
+    // and the table stays writable after
+    sink(t)(batchDf(("solo", 2L, 20L)), 2L)
+    assert(table(t) == Set(("solo", 2L, 20L)))
+  }
+
+  test("a commit landing inside the purge's stage-commit window is carried forward, never lost") {
+    val t = newTable("graft-del-purge-race")
+    sink(t)(batchDf(("a", 1L, 10L), ("b", 2L, 10L)), 0L)
+    del(t)(delDf(("b", 15L)), 1L)
+    var raced = false
+    // a delta commits between the purge's stage and its publish — the
+    // purge must lose its first CAS, retry against the fresh head, and
+    // carry the racing rows forward (in-target buckets ride BEHIND the
+    // fold; other buckets' entries come from the fresh manifest)
+    KeyedUpsertSink.purgeTombstones(spark, t, keys, order, lit(true),
+      onBeforeFirstCommit = () => {
+        raced = true
+        sink(t)(batchDf(("z", 7L, 20L), ("b", 8L, 20L)), 2L)
+      })
+    assert(raced)
+    assert(table(t) == Set(("a", 1L, 10L), ("z", 7L, 20L), ("b", 8L, 20L)),
+      "the racing commit must survive the purge (b re-created ABOVE the old tombstone)")
+    // and writes after the purge still land
+    sink(t)(batchDf(("q", 1L, 30L)), 3L)
+    assert(table(t) == Set(("a", 1L, 10L), ("z", 7L, 20L),
+      ("b", 8L, 20L), ("q", 1L, 30L)))
+  }
+
   test("the graft-changes source refuses a plain stream over a tombstoned table; weighted streams the retraction") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("graft-del-src")
