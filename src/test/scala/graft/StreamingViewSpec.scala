@@ -110,6 +110,38 @@ class StreamingViewSpec extends SparkSpec {
     assert(viewRows(view) == viewRows(view2))
   }
 
+  test("streamed maintenance folds DELETES: tombstoned keys leave groups, extrema re-derive, emptied groups vanish") {
+    val root = Files.createTempDirectory("graft-mvs-del")
+    val base = root.resolve("t").toString
+    val view = root.resolve("view").toString
+    val ckpt = root.resolve("ckpt").toString
+    val up = sink(base)
+    up(batchDf(("a", "x", 5L, 10L), ("b", "x", 7L, 10L),
+      ("c", "y", 1L, 10L)), 0L)
+    MaterializedAggView.bootstrap(spark, base, view, keys, order, dims,
+      aggs, ext, nd)
+    // wave 1: DELETE the MAX-holder of group x and the only key of y —
+    // the weighted stream delivers both as bare -1 retractions; the
+    // extremum re-derives through the dirty path and y vanishes
+    KeyedUpsertSink.deleteBucketedDelta(
+      spark, base, keys, order, numBuckets = 4)(
+      Seq(("b", 20L), ("c", 20L)).toDF("k", "ts"), 1L)
+    stream(base, view, ckpt)
+    assert(viewRows(view) == recompute(base))
+    assert(viewRows(view) == Set(("x", 1L, 5L, 5L, 5L, 1L)),
+      s"b's deletion must re-derive x's max and empty y: ${viewRows(view)}")
+    // wave 2: a re-insert of the deleted key into ANOTHER group plus a
+    // second delete — the SAME checkpoint resumes past both
+    up(batchDf(("b", "y", 9L, 30L)), 2L)
+    KeyedUpsertSink.deleteBucketedDelta(
+      spark, base, keys, order, numBuckets = 4)(
+      Seq(("a", 40L)).toDF("k", "ts"), 3L)
+    stream(base, view, ckpt)
+    assert(viewRows(view) == recompute(base))
+    assert(viewRows(view) == Set(("y", 1L, 9L, 9L, 9L, 1L)),
+      s"x must empty after a's deletion; b returns in y: ${viewRows(view)}")
+  }
+
   test("bounded catch-up: maxVersionsPerTrigger folds the backlog in capped anchored batches") {
     val root = Files.createTempDirectory("graft-mvs-cap")
     val base = root.resolve("t").toString
