@@ -1179,83 +1179,107 @@ object KeyedUpsertSink {
       minChain: Int = 2,
       buckets: Option[Set[Long]] = None,
       maxAttempts: Int = 20,
-      onBeforeFirstCommit: () => Unit = () => ()): Seq[Long] = {
+      onBeforeFirstCommit: () => Unit = () => ()): Seq[Long] =
+    rewriteChainPrefixes(spark, tablePath, keys, order,
+      // chains only exist on versioned tables, so the helper's v0
+      // no-op can never hide work here
+      selectTargets = man => man.filter { case (b, v) =>
+        chainOf(v).length >= math.max(minChain, 2) &&
+          buckets.forall(_.contains(b))
+      },
+      // the fold is the plain LWW resolve: one row per key per bucket,
+      // so every target bucket survives it
+      fold = identity,
+      genPrefix = "gen-compact", what = "compaction",
+      maxAttempts = maxAttempts, onBeforeFirstCommit = onBeforeFirstCommit)
+
+  /** The shared stage→CAS-commit loop behind [[compactBucketChains]]
+    * and [[purgeTombstones]]: pick target chains at the current head,
+    * stage `fold(LWW-resolve(targets))` as ONE generation, and commit
+    * entries replacing each target's chain PREFIX while carrying
+    * forward deltas appended during the stage. The concurrency rules
+    * live here ONCE:
+    *
+    *  - the fold rewrites rows under the caller's LWW spec — same
+    *    writer-side spec handshake as every committer;
+    *  - a changed prefix — or a bucket id a concurrent SHRINKING
+    *    rebucket removed from the map — is a STALE fold: re-stage
+    *    against the new head, never crash;
+    *  - CAS retries refresh metadata from the head that beat them —
+    *    committing the outer read's meta would silently REVERT a
+    *    concurrent advance (a streaming sink's `stream.<id>`
+    *    high-water, an evolved schema contract);
+    *  - a bucket whose rewrite emitted nothing (a purge emptied it)
+    *    and gained no deltas since leaves the manifest;
+    *  - a stale or attempt-exhausted fold reclaims its own staged
+    *    directory eagerly (provably unreferenced — its commit never
+    *    published; the delta committer's dropStage discipline).
+    */
+  private def rewriteChainPrefixes(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      selectTargets: Map[Long, String] => Map[Long, String],
+      fold: DataFrame => DataFrame,
+      genPrefix: String,
+      what: String,
+      maxAttempts: Int,
+      onBeforeFirstCommit: () => Unit): Seq[Long] = {
     var attempt = 0
     var hookPending = true
     while (attempt < maxAttempts) {
       val (ver, man, meta0) = versionedHeadFull(tablePath)
-      val targets = man.filter { case (b, v) =>
-        chainOf(v).length >= math.max(minChain, 2) && buckets.forall(_.contains(b))
-      }
-      if (targets.isEmpty) return Seq.empty
-      // the fold REWRITES rows under the compactor's LWW spec — a
-      // compactor with the wrong order would materialize different
-      // winners; same writer-side handshake as every committer.
-      // var: the CAS-retry branch below refreshes it from the new head —
-      // committing the OUTER read's meta would silently REVERT metadata
-      // a concurrent commit advanced (a streaming sink's `stream.<id>`
-      // high-water — whose regression re-opens the replay-duplicate
-      // window the abortIf guard closes — or an evolved schema contract)
+      // a v0/legacy table has no versioned chains to rewrite — the
+      // blanket-maintenance-sweep answer is the empty no-op
+      if (ver < 1L) return Seq.empty
       var meta = specMeta(spark, tablePath, meta0, keys, order)
-      // chains only exist on versioned tables (the delta writer always
-      // commits through the chain protocol), so the v0 handshake can't
-      // be needed here
-      require(ver >= 1L, s"$tablePath: chains on an unversioned table")
-      val gen = s"gen-compact-u${java.util.UUID.randomUUID().toString.take(8)}"
-      val folded = resolveChainRead(
-        readManifestBuckets(spark, tablePath, targets).get, targets, keys, order)
-      folded.write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
+      val targets = selectTargets(man)
+      if (targets.isEmpty) return Seq.empty
+      val gen = s"$genPrefix-u${java.util.UUID.randomUUID().toString.take(8)}"
+      fold(resolveChainRead(
+        readManifestBuckets(spark, tablePath, targets).get, targets,
+        keys, order))
+        .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
         .partitionBy("__bucket")
         .parquet(s"$tablePath/$gen")
-      // LWW keeps ≥1 row per key, so every target bucket survives the fold
-      val written = listBucketIds(Paths.get(tablePath, gen))
+      val written = listBucketIds(Paths.get(tablePath, gen)).toSet
       var head = (ver, man)
       var stale = false
       while (!stale && attempt < maxAttempts) {
         attempt += 1
         if (hookPending) { hookPending = false; onBeforeFirstCommit() }
         val (v, m) = head
-        // replace each compacted PREFIX, carrying forward any deltas
-        // appended since the stage; a changed prefix = stale fold
-        val next = written.foldLeft(Option(m)) {
+        val next = targets.keys.toSeq.sorted.foldLeft(Option(m)) {
           case (None, _) => None
           case (Some(acc), b) =>
             val before = chainOf(targets(b))
-            // a concurrent rebucketTable that SHRANK the layout removes
-            // bucket ids from the map entirely — that is a stale fold
-            // (take the documented re-stage path), not a crash
             m.get(b).map(chainOf) match {
               case Some(now) if now.startsWith(before) =>
-                Some(acc + (b -> renderChain(gen +: now.drop(before.length))))
-              case _ => None
+                val suffix = now.drop(before.length)
+                val chain =
+                  (if (written.contains(b)) Seq(gen) else Seq.empty) ++ suffix
+                if (chain.isEmpty) Some(acc - b)
+                else Some(acc + (b -> renderChain(chain)))
+              case _ => None // rewritten/removed under us → stale
             }
         }
         next match {
           case None => stale = true
           case Some(entries) =>
             val res = tryCommitSuccessor(tablePath, v, entries, meta)
-            if (res == Published) return written
+            if (res == Published) return targets.keys.toSeq.sorted
             val (v2, m2, meta2) = versionedHeadFull(tablePath)
             require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
             head = (v2, m2)
-            // refresh the metadata from the head that beat us, not just
-            // the manifest: an append-only concurrent commit passes the
-            // prefix check yet may have advanced `stream.<id>`/schema
-            // meta this retry must carry forward (a rebucket's layout
-            // change still forces the stale path via the prefix check)
             meta = specMeta(spark, tablePath, meta2, keys, order)
         }
       }
-      // stale (or out of attempts) → this pass's staged fold never
-      // published, so its directory is provably unreferenced: reclaim it
-      // eagerly (the delta committer's dropStage discipline) instead of
-      // leaving a full fold copy to vacuumGenerations' grace window,
-      // then loop back: re-pick targets and re-stage against the head
       try deleteRecursively(Paths.get(tablePath, gen))
       catch { case _: java.nio.file.NoSuchFileException => () }
     }
     throw new IllegalStateException(
-      s"$tablePath: compaction lost $maxAttempts commit attempts — " +
+      s"$tablePath: $what lost $maxAttempts commit attempts — " +
         "hot-table storm; retry when the write rate drops")
   }
 
@@ -1297,84 +1321,28 @@ object KeyedUpsertSink {
       purgeIf: Column,
       maxAttempts: Int = 20,
       onBeforeFirstCommit: () => Unit = () => ()): Seq[Long] = {
-    var attempt = 0
-    var hookPending = true
-    while (attempt < maxAttempts) {
-      val (ver, man, meta0) = versionedHeadFull(tablePath)
-      require(ver >= 1L,
-        s"$tablePath: purge targets a versioned table (no commits yet)")
-      // var: the CAS-retry branch refreshes from the head that beat us
-      // — committing the outer read's meta would silently REVERT
-      // concurrently-advanced metadata (the compactBucketChains rule)
-      var meta = specMeta(spark, tablePath, meta0, keys, order)
+    // SQL-NULL discipline: tombstone rows null-fill every non key/order
+    // column, so a predicate touching one evaluates NULL there —
+    // coalesce to false on BOTH the detection and the fold, or the
+    // fold's negation would DROP (NULL filters out) a tombstone the
+    // operator never affirmatively matched
+    val matches = coalesce(col(TombstoneCol), lit(false)) &&
+      coalesce(purgeIf, lit(false))
+    rewriteChainPrefixes(spark, tablePath, keys, order,
       // detection: which buckets hold a MATCHING tombstone at this head
       // (marker + predicate + bucket columns — parquet prunes the rest)
-      val all = readManifestBuckets(spark, tablePath, man)
-        .filter(_.columns.contains(TombstoneCol))
-      val targets: Map[Long, String] = all match {
-        case None => Map.empty
-        case Some(df) =>
-          val bs = df.filter(coalesce(col(TombstoneCol), lit(false)) &&
-              purgeIf)
-            .select("__bucket").distinct()
-            .collect().map(_.getLong(0)).toSet // bounded by numBuckets
-          man.filter { case (b, _) => bs.contains(b) }
-      }
-      if (targets.isEmpty) return Seq.empty
-      val gen = s"gen-purge-u${java.util.UUID.randomUUID().toString.take(8)}"
-      val folded = resolveChainRead(
-        readManifestBuckets(spark, tablePath, targets).get, targets,
-        keys, order)
-        .filter(!(coalesce(col(TombstoneCol), lit(false)) && purgeIf))
-      folded.write.mode(SaveMode.ErrorIfExists)
-        .partitionBy("__bucket")
-        .parquet(s"$tablePath/$gen")
-      val written = listBucketIds(Paths.get(tablePath, gen)).toSet
-      var head = (ver, man)
-      var stale = false
-      while (!stale && attempt < maxAttempts) {
-        attempt += 1
-        if (hookPending) { hookPending = false; onBeforeFirstCommit() }
-        val (v, m) = head
-        // replace each target's chain PREFIX with the purged fold; a
-        // target whose fold emptied entirely keeps only deltas appended
-        // since the stage (none → the bucket leaves the manifest)
-        val next = targets.keys.toSeq.sorted.foldLeft(Option(m)) {
-          case (None, _) => None
-          case (Some(acc), b) =>
-            val before = chainOf(targets(b))
-            m.get(b).map(chainOf) match {
-              case Some(now) if now.startsWith(before) =>
-                val suffix = now.drop(before.length)
-                val chain =
-                  (if (written.contains(b)) Seq(gen) else Seq.empty) ++ suffix
-                if (chain.isEmpty) Some(acc - b)
-                else Some(acc + (b -> renderChain(chain)))
-              case _ => None // rewritten under us (compactor/rebucket)
-            }
-        }
-        next match {
-          case None => stale = true
-          case Some(entries) =>
-            val res = tryCommitSuccessor(tablePath, v, entries, meta)
-            if (res == Published) return targets.keys.toSeq.sorted
-            val (v2, m2, meta2) = versionedHeadFull(tablePath)
-            require(v2 > v, staleHeadMsg(tablePath, v, v2, res))
-            head = (v2, m2)
-            // refresh metadata from the head that beat us — committing
-            // the outer read's meta would silently REVERT a concurrent
-            // commit's advance (the compactBucketChains retry rule)
-            meta = specMeta(spark, tablePath, meta2, keys, order)
-        }
-      }
-      // stale (or out of attempts): the staged fold never published —
-      // reclaim it eagerly and re-stage against the new head
-      try deleteRecursively(Paths.get(tablePath, gen))
-      catch { case _: java.nio.file.NoSuchFileException => () }
-    }
-    throw new IllegalStateException(
-      s"$tablePath: purge lost $maxAttempts commit attempts — " +
-        "hot-table storm; retry when the write rate drops")
+      selectTargets = man =>
+        readManifestBuckets(spark, tablePath, man)
+          .filter(_.columns.contains(TombstoneCol)) match {
+          case None => Map.empty
+          case Some(df) =>
+            val bs = df.filter(matches).select("__bucket").distinct()
+              .collect().map(_.getLong(0)).toSet // bounded by numBuckets
+            man.filter { case (b, _) => bs.contains(b) }
+        },
+      fold = _.filter(!matches),
+      genPrefix = "gen-purge", what = "purge",
+      maxAttempts = maxAttempts, onBeforeFirstCommit = onBeforeFirstCommit)
   }
 
   /** Online re-bucketing: re-hash the WHOLE table into `newBuckets`
@@ -2554,9 +2522,14 @@ object KeyedUpsertSink {
     val (manBefore, metaBefore) = manifestAndMetaAt(tablePath, v - 1)
     val (manNow, metaNow) = manifestAndMetaAt(tablePath, v)
     if (metaBefore.get("numBuckets") != metaNow.get("numBuckets")) None
-    else Some(manNow.collect {
+    else Some((manNow.collect {
       case (b, g) if !manBefore.get(b).contains(g) => b
-    }.toSeq.sorted)
+    } ++
+      // a bucket REMOVED from the manifest (a purge emptied it) is
+      // touched too: its before-image rows disappeared, and skipping it
+      // would silently drop the range's retractions
+      manBefore.keysIterator.filterNot(manNow.contains))
+      .toSeq.distinct.sorted)
   }
 
   /** Manifest + metadata of one version from ONE listing and ONE file
@@ -2642,9 +2615,19 @@ object KeyedUpsertSink {
       else manTo.filter { case (b, g) => !manFrom.get(b).contains(g) }
     val touched = bucketSubset.fold(touchedAll)(s =>
       touchedAll.filter { case (b, _) => s.contains(b) })
+    // a bucket REMOVED from the manifest inside the range (a purge
+    // emptied it) has a before-image but no to-chain: it must still
+    // diff, or the feed silently drops its retractions (a weighted
+    // consumer would keep the deleted keys' contribution forever)
+    val removed =
+      if (layoutChanged) Map.empty[Long, String]
+      else bucketSubset.fold(
+        manFrom.filter { case (b, _) => !manTo.contains(b) })(s =>
+        manFrom.filter { case (b, _) => !manTo.contains(b) && s.contains(b) })
     val before =
       if (layoutChanged) manFrom
-      else manFrom.filter { case (b, _) => touched.contains(b) }
+      else manFrom.filter { case (b, _) =>
+        touched.contains(b) || removed.contains(b) }
     def resolve(man: Map[Long, String]): Option[DataFrame] =
       readManifestBuckets(spark, tablePath, man)
         .map(df => dropTombstones(resolveChainRead(df, man, keys, order))
@@ -2662,9 +2645,12 @@ object KeyedUpsertSink {
     // of the before-image semi-joined to the appended keys — every
     // shuffle is batch-scale, where the full diff below pays two
     // table-scale window+except shuffles over the touched buckets.
-    val appendOnly = !layoutChanged && touched.forall { case (b, vTo) =>
-      chainOf(vTo).startsWith(manFrom.get(b).map(chainOf).getOrElse(Seq.empty))
-    }
+    // a removed bucket is by definition NOT an append — its rows
+    // disappeared — so the fast path is off whenever one exists
+    val appendOnly = !layoutChanged && removed.isEmpty &&
+      touched.forall { case (b, vTo) =>
+        chainOf(vTo).startsWith(manFrom.get(b).map(chainOf).getOrElse(Seq.empty))
+      }
     if (appendOnly && touched.nonEmpty) {
       val appendedTriples = touched.toSeq.flatMap { case (b, vTo) =>
         val pre = manFrom.get(b).map(chainOf(_).length).getOrElse(0)
@@ -2676,9 +2662,17 @@ object KeyedUpsertSink {
       return appendFeed(spark, tablePath, keys, order, before, appended,
         weighted)
     }
-    if (touched.nonEmpty) onChangesPath("diff")
+    if (touched.nonEmpty || removed.nonEmpty) onChangesPath("diff")
     (resolve(touched), resolve(before)) match {
-      case (None, _) =>
+      case (None, Some(from)) =>
+        // every changed bucket was REMOVED (a purge emptied them): the
+        // to-image is empty. The weighted feed retracts whatever the
+        // before-image still resolved (live rows only — a purge of
+        // already-filtered tombstones retracts nothing); the plain
+        // feed has no upserts to report (the tombstone-version guard
+        // above already refused any range where that would be lossy)
+        if (!weighted) from.limit(0) else weigh(from, -1L)
+      case (None, None) =>
         // nothing changed — the steady state a CDC poller hits on every
         // idle tick: still carry the table's schema (footer-only, limit
         // 0) so downstream select/write is version-independent

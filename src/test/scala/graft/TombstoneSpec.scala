@@ -246,6 +246,58 @@ class TombstoneSpec extends SparkSpec {
     assert(table(t) == Set(("solo", 2L, 20L)))
   }
 
+  test("feeds diff a purge-removed bucket: pre-delete ranges still see the retraction, post-delete ranges see nothing") {
+    val t = newTable("graft-del-purge-feed")
+    sink(t)(batchDf(("solo", 1L, 10L)), 0L) // v1: the bucket's only key
+    del(t)(delDf(("solo", 15L)), 1L)        // v2
+    KeyedUpsertSink.purgeTombstones(spark, t, keys, order, lit(true)) // v3
+    assert(KeyedUpsertSink.readManifest(t).isEmpty)
+    // the admission-control walk lists the removed bucket as touched
+    val stepBuckets = KeyedUpsertSink.touchedBucketsAt(t, 3L)
+    assert(stepBuckets.exists(_.nonEmpty),
+      s"the purge step must touch the removed bucket, got $stepBuckets")
+    // a weighted range spanning delete+purge carries the bare -1 — the
+    // removed bucket's before-image must still be diffed, or a
+    // downstream view keeps the deleted key's contribution forever
+    val w = KeyedUpsertSink.readChangesWeighted(
+      spark, t, keys, order, fromVersion = 1L)
+      .select("k", "v", "ts", "__weight")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(w == Set(("solo", 1L, 10L, -1L)),
+      s"the purge-removed bucket's retraction must survive, got $w")
+    // a range covering ONLY the purge reports nothing (the resolved
+    // image did not change — the key was already absent at v2)
+    assert(KeyedUpsertSink.readChangesWeighted(
+      spark, t, keys, order, fromVersion = 2L).count() == 0L)
+  }
+
+  test("purgeIf is NULL-safe: a predicate over null-filled tombstone columns never purges unmatched tombstones") {
+    val t = newTable("graft-del-purge-null")
+    sink(t)(batchDf(("a", 1L, 10L), ("b", 2L, 10L), ("c", 3L, 10L)), 0L)
+    del(t)(delDf(("b", 15L)), 1L)
+    del(t)(delDf(("c", 100L)), 2L)
+    // `v` is null-filled on tombstone rows, so the second disjunct is
+    // SQL NULL there: c's tombstone (ts=100) must evaluate
+    // false || NULL = NULL → NOT matched → NOT purged
+    KeyedUpsertSink.purgeTombstones(spark, t, keys, order,
+      col("ts") < 50L || col("v") === 999L)
+    // c's unpurged tombstone still beats a replay below it...
+    sink(t)(batchDf(("c", 9L, 60L)), 3L)
+    assert(table(t) == Set(("a", 1L, 10L)),
+      "an unmatched (NULL-predicate) tombstone must survive the purge")
+    // ...while b's matched one is really gone
+    sink(t)(batchDf(("b", 9L, 12L)), 4L)
+    assert(table(t) == Set(("a", 1L, 10L), ("b", 9L, 12L)))
+  }
+
+  test("purge is a no-op on a never-versioned table, not a refusal") {
+    val t = newTable("graft-del-purge-v0")
+    KeyedUpsertSink.upsertBucketed(
+      spark, t, keys, order, numBuckets = 4)(batchDf(("a", 1L, 10L)), 0L)
+    assert(KeyedUpsertSink.purgeTombstones(
+      spark, t, keys, order, lit(true)).isEmpty)
+  }
+
   test("a commit landing inside the purge's stage-commit window is carried forward, never lost") {
     val t = newTable("graft-del-purge-race")
     sink(t)(batchDf(("a", 1L, 10L), ("b", 2L, 10L)), 0L)
