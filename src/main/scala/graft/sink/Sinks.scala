@@ -1305,8 +1305,11 @@ object KeyedUpsertSink {
     * their generations — a complete forget is purge + vacuum past the
     * reader grace.
     *
-    * Mechanics: detect the buckets holding matching tombstones (one
-    * column-pruned scan of the marker column), fold each such bucket's
+    * Mechanics: detect the buckets holding matching WINNING tombstones
+    * (a column-pruned raw scan prunes candidates, then the candidates'
+    * resolved image confirms the tombstone wins its key — a bucket
+    * whose only matches are superseded is NOT rewritten and NOT
+    * reported), fold each confirmed bucket's
     * FULL chain, drop the matching tombstone winners, and commit
     * through the same optimistic protocol as [[compactBucketChains]] —
     * a bucket whose fold empties entirely leaves the manifest; deltas
@@ -1329,16 +1332,34 @@ object KeyedUpsertSink {
     val matches = coalesce(col(TombstoneCol), lit(false)) &&
       coalesce(purgeIf, lit(false))
     rewriteChainPrefixes(spark, tablePath, keys, order,
-      // detection: which buckets hold a MATCHING tombstone at this head
-      // (marker + predicate + bucket columns — parquet prunes the rest)
+      // detection, two stages: (1) a cheap RAW-row prune — which buckets
+      // hold any matching tombstone row at all (marker + predicate +
+      // bucket columns; parquet prunes the rest) — then (2) confirm on
+      // the candidates' RESOLVED image that a matching tombstone actually
+      // WINS its key. Raw-only detection folded — and reported in the
+      // returned bucket ids — buckets whose only matches were already
+      // superseded by a later upsert (those vanish in any fold for free;
+      // rewriting for them is pure work amplification and a misleading
+      // return value). The confirm pays one windowed read of the
+      // candidate buckets only — bounded by the raw prune, and strictly
+      // cheaper than the rewrite it avoids.
       selectTargets = man =>
         readManifestBuckets(spark, tablePath, man)
           .filter(_.columns.contains(TombstoneCol)) match {
           case None => Map.empty
           case Some(df) =>
-            val bs = df.filter(matches).select("__bucket").distinct()
+            val cand = df.filter(matches).select("__bucket").distinct()
               .collect().map(_.getLong(0)).toSet // bounded by numBuckets
-            man.filter { case (b, _) => bs.contains(b) }
+            val candMan = man.filter { case (b, _) => cand.contains(b) }
+            if (candMan.isEmpty) Map.empty
+            else {
+              val winning = resolveChainRead(
+                readManifestBuckets(spark, tablePath, candMan).get,
+                candMan, keys, order)
+                .filter(matches).select("__bucket").distinct()
+                .collect().map(_.getLong(0)).toSet
+              man.filter { case (b, _) => winning.contains(b) }
+            }
         },
       fold = _.filter(!matches),
       genPrefix = "gen-purge", what = "purge",

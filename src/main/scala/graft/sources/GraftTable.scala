@@ -200,7 +200,17 @@ object GraftTableProvider {
   *    the bare -1 last image. A weighted mirror must begin from a
   *    bootstrap image (`startingVersion=0` or an existing replica) —
   *    a mid-history start whose first batch is a bare deletion has no
-  *    schema to delete against and fails loudly.
+  *    schema to delete against and fails loudly. A weighted batch that
+  *    carries BOTH upserts and deletions lands as TWO commits (the
+  *    upserts, then the deletions — the replay-skip marker rides the
+  *    second): between them, or after a crash before the delete until
+  *    the stream restarts and replays, replica readers observe a
+  *    transient state with the batch's upserts applied but its
+  *    deletions not yet — a state the upstream never exposed. The
+  *    window is bounded (one commit, or one crash-replay cycle) and
+  *    converges to the exact upstream image; a reader that must never
+  *    observe it should read the replica with `versionAsOf` pinned to
+  *    a marker-carrying version.
   *
   * Exactly-once: the engine re-delivers the last uncommitted batch
   * after a crash, so the sink records `stream.<streamId> = batchId` as
@@ -334,13 +344,26 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
             extraMeta = Map(metaKey -> marker),
             abortIf = applied)(batchDf, batchId)
         } else {
-          import org.apache.spark.sql.functions.{col => fcol}
+          import org.apache.spark.sql.functions.{abs, coalesce, lit, col => fcol}
           // the split + pairing below evaluates the micro-batch plan
           // several times (anti-join count, then each commit's own
           // read) — persist once, the committer's own discipline
           val cached = batchDf.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+          // loud weight-domain check on the cached batch: the split
+          // below keeps ===1 and ===-1 rows, so any other value (a
+          // hand-built weighted frame, an upstream that switched to
+          // multiplicity weights) would SILENTLY drop rows — the one
+          // quiet seam in a sink family that refuses everything else
+          // loudly. NULL-safe: abs(null)=1 is null → counted as bad.
+          val badWeights = cached
+            .filter(!coalesce(abs(fcol(wCol)) === 1L, lit(false))).count()
+          require(badWeights == 0L,
+            s"graft-upsert: $badWeights row(s) in batch $batchId carry a " +
+              s"$wCol outside {1, -1} — a weighted change feed is " +
+              "strictly +1 (upsert) / -1 (retraction); transform " +
+              "multiplicity-weighted frames before the sink")
           val plus = cached.filter(fcol(wCol) === 1L).drop(wCol)
           // a key with a +1 in the SAME batch is an UPDATE (its -1 is
           // the superseded image); only bare -1 keys are deletions.

@@ -51,8 +51,12 @@ object LookupPushProbe {
         spark, t, keys, order, numBuckets = 16, compactAfter = 0) _
       up(ev, 0L)
       up(ev.limit(500), 1L) // a real chain, so the window path runs
-      val tableBytes = Files.walk(root).mapToLong(p =>
-        if (Files.isRegularFile(p)) Files.size(p) else 0L).sum()
+      val tableBytes = {
+        val w = Files.walk(root)
+        try w.mapToLong(p =>
+          if (Files.isRegularFile(p)) Files.size(p) else 0L).sum()
+        finally w.close()
+      }
       val want = ev.select("event_id").as[Long].distinct().limit(2).collect()
       def measure(tag: String)(run: => Long): Unit = {
         io.reset()
