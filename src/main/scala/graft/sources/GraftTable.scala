@@ -1,10 +1,10 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, EqualTo, Filter, In, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, In, InsertableRelation, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 
@@ -39,14 +39,69 @@ import graft.sink.KeyedUpsertSink
   * relation contract routes rows through a Row-typed scan (one
   * InternalRow↔Row round-trip this facade pays and the direct
   * DataFrame does not).
+  *
+  * WRITE side (`df.write.format("graft-table")`, and `INSERT INTO` on a
+  * `CREATE TABLE ... USING` registration): ONE optimistic LWW commit
+  * through [[KeyedUpsertSink.upsertBucketedDelta]], under the full
+  * stored-spec/schema handshake — so the zero-code replica story is
+  * pure SQL end-to-end. Options: `path` (required); `keys`/`orderBy`
+  * (together or neither — a BRAND-NEW table needs them once, the first
+  * commit records the spec; on an existing table they default to the
+  * stored spec and a mismatched explicit pair is refused);
+  * `numBuckets` (default 64) / `compactAfter` (default 8) — the
+  * merge-on-read knobs, layout-validated against an existing table.
+  *
+  * SaveMode contract, decided deliberately:
+  *  - `Append` — the ONLY accepted mode, and it means UPSERT: rows
+  *    merge under the table's LWW order, exactly the Scala API's
+  *    semantics (a keyed table has no blind append).
+  *  - `Overwrite` is REFUSED: on this table family "replace everything"
+  *    is not one operation — the versioned history, change feeds, and
+  *    replicas have no representation for "every prior key vanished"
+  *    short of tombstoning each one. A caller who means that writes the
+  *    delete explicitly ([[KeyedUpsertSink.deleteBucketedDelta]], or
+  *    the weighted stream); a caller who means "rebuild the fixture"
+  *    deletes the directory.
+  *  - `ErrorIfExists`/`Ignore` are REFUSED: both hinge on an atomic
+  *    "does the table exist" decision, but two racing writers would
+  *    each observe no table and BOTH commit (the optimistic protocol
+  *    serializes commits, not existence checks) — honoring the mode's
+  *    contract only probabilistically is worse than refusing it.
+  *    `.mode("append")` is an explicit opt-in to upsert semantics.
+  *
+  * An EMPTY batch is a no-op (no version commits — the committer's own
+  * rule), so it cannot CREATE a table: creation is the first
+  * data-carrying commit. Engine scratch columns (`__`-prefixed) are
+  * refused — a retraction/anchor-carrying frame must be transformed
+  * before a batch upsert, same rule as the streaming sink.
   */
-class GraftTableProvider extends RelationProvider with DataSourceRegister {
+class GraftTableProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** The batch write: validate mode + columns, run one upsert commit,
+    * hand back a fresh relation pinned at (at least) the new version.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    GraftTableProvider.upsertBatch(
+      sqlContext.sparkSession, mode, parameters, data, shortName())
+    // re-resolve AFTER the commit: the returned relation must serve the
+    // state this write produced, not a pre-write snapshot
+    createRelation(sqlContext, parameters - "versionAsOf")
+  }
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      rawParameters: Map[String, String]): BaseRelation = {
     import ChangeFeedSource._
+    // a catalog registration (`CREATE TABLE ... USING`) hands the path
+    // option back as a `file:` URI — normalize through the one shared
+    // rule so the sink's raw-path readers see the same directory
+    val parameters = GraftTableProvider.normalizedPath(rawParameters)
     val path = required(parameters, "path", shortName())
     val (keys, order) = resolveSpec(parameters, shortName())
     val asOf = longOption(parameters, "versionAsOf", shortName())
@@ -61,9 +116,23 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
     val df = KeyedUpsertSink.readBucketedDelta(
       sqlContext.sparkSession, path, keys, order, atVersion = pinned)
     val ctx = sqlContext
-    new BaseRelation with PrunedFilteredScan {
+    new BaseRelation with PrunedFilteredScan with InsertableRelation {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = df.schema
+      // `INSERT INTO` on a catalog registration of this table
+      // (`CREATE TABLE t USING graft-table OPTIONS (path ...)`): the
+      // same one-commit upsert as df.write. INSERT OVERWRITE is refused
+      // for the Overwrite reasons on the provider scaladoc. NOTE the
+      // DSv1 snapshot contract: a relation instance serves the version
+      // pinned at its creation, and the session catalog CACHES the
+      // instance it resolved at CREATE TABLE — so an in-session SELECT
+      // after INSERT INTO needs `REFRESH TABLE t` (the standard DSv1
+      // external-table discipline) to see the new version; fresh
+      // sessions resolve the head.
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        GraftTableProvider.upsertBatch(ctx.sparkSession,
+          if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+          parameters, data, "graft-table")
       // key filters prune BUCKETS only — a bucket holds many keys — so
       // every filter is re-applied by Spark above the scan
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
@@ -91,6 +160,66 @@ class GraftTableProvider extends RelationProvider with DataSourceRegister {
 }
 
 object GraftTableProvider {
+  /** The shared one-commit batch upsert behind `df.write` and
+    * `INSERT INTO` — mode/column validation, then
+    * [[KeyedUpsertSink.upsertBucketedDelta]] with the stored-spec and
+    * schema handshakes (an explicit spec mismatching the stored one, a
+    * layout mismatch, or an incompatible schema all refuse loudly in
+    * the committer). batchId is not meaningful for a one-shot batch
+    * write; the generation name's uuid suffix keeps commits distinct.
+    */
+  /** Normalize the `path` option through [[ChangeFeedSource.resolveLocalPath]]
+    * (catalog registrations hand it back as a `file:` URI; the sink's
+    * raw-path readers need the filesystem path).
+    */
+  private[graft] def normalizedPath(
+      parameters: Map[String, String]): Map[String, String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") =>
+      parameters.updated(k, ChangeFeedSource.resolveLocalPath(v).toString)
+    }.getOrElse(parameters)
+
+  private[graft] def upsertBatch(spark: SparkSession, mode: SaveMode,
+      rawParameters: Map[String, String], data: DataFrame,
+      format: String): Unit = {
+    import ChangeFeedSource._
+    val parameters = normalizedPath(rawParameters)
+    val path = required(parameters, "path", format)
+    mode match {
+      case SaveMode.Append => ()
+      case SaveMode.Overwrite => throw new IllegalArgumentException(
+        s"$format: Overwrite would replace the WHOLE keyed table — not " +
+          "one operation on a versioned LWW table (history, change " +
+          "feeds and replicas have no representation for it short of " +
+          "tombstoning every key). Upsert with mode(\"append\"); delete " +
+          "explicitly via deleteBucketedDelta or the weighted stream; " +
+          "or delete the table directory to rebuild a fixture")
+      case m => throw new IllegalArgumentException(
+        s"$format: SaveMode $m hinges on an atomic does-the-table-exist " +
+          "decision the optimistic commit protocol cannot serialize " +
+          "(two racing writers would both observe no table and both " +
+          "commit) — use mode(\"append\"), the explicit opt-in to " +
+          "upsert semantics")
+    }
+    val scratch = data.columns.filter(_.startsWith("__"))
+    require(scratch.isEmpty,
+      s"$format: batch carries engine columns [${scratch.mkString(", ")}] " +
+        "— a weighted or versionColumns change feed is a RETRACTION " +
+        "stream, not a batch upsert; drop/transform the columns first " +
+        "(the streaming graft-upsert sink consumes weighted feeds)")
+    val (keys, order) = resolveSpec(parameters, format)
+    // layout default is SELF-DESCRIBING like the spec: an existing
+    // table's recorded bucket count wins (a hard 64 default would
+    // refuse every path-only append to a table laid out otherwise);
+    // an explicit option still validates against it in the committer
+    val numBuckets = intOption(parameters, "numBuckets", format)
+      .orElse(KeyedUpsertSink.effectiveNumBuckets(path)).getOrElse(64)
+    val compactAfter = intOption(parameters, "compactAfter", format)
+      .getOrElse(8)
+    KeyedUpsertSink.upsertBucketedDelta(spark, path, keys, order,
+      numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+    ()
+  }
+
   /** Cross-product bound on the key tuples synthesized from pushed
     * filters: beyond it most buckets are touched anyway (pruning saves
     * nothing) and the predictable full scan wins. Well under

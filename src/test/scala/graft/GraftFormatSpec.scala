@@ -396,6 +396,86 @@ class GraftFormatSpec extends SparkSpec {
       Set(("a", 2L, 20L), ("b", 2L, 20L), ("c", 1L, 30L)))
   }
 
+  test("df.write.format(graft-table) creates then upserts; INSERT INTO works; Overwrite/ErrorIfExists/Ignore and scratch columns refuse") {
+    val root = Files.createTempDirectory("graft-table-write")
+    val t = root.resolve("t").toString
+    // first commit CREATES the table: options record the spec + layout
+    batchDf(("a", 1L, 10L), ("b", 1L, 10L))
+      .write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 10L), ("b", 1L, 10L)))
+    // second commit: stored spec, path-only — and append means UPSERT
+    batchDf(("a", 2L, 20L), ("c", 1L, 20L))
+      .write.format("graft-table").option("path", t)
+      .mode("append").save()
+    assert(resolved(t) == Set(("a", 2L, 20L), ("b", 1L, 10L), ("c", 1L, 20L)))
+    // an order-TIE resolves to the later COMMIT (LWW batch-beats-existing)
+    batchDf(("a", 3L, 20L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t).contains(("a", 3L, 20L)))
+    // the write facade went through the versioned committer: time travel
+    // sees each commit
+    assert(KeyedUpsertSink.tableVersions(t).size == 3)
+    // pure-SQL end to end: catalog registration + INSERT INTO + SELECT
+    spark.sql("DROP TABLE IF EXISTS gtw")
+    spark.sql(s"CREATE TABLE gtw USING `graft-table` OPTIONS (path '$t')")
+    try {
+      spark.sql("INSERT INTO gtw VALUES ('d', 1, 30)")
+      // DSv1 snapshot contract: the catalog caches the relation pinned
+      // at CREATE TABLE; REFRESH re-resolves the head (fresh sessions
+      // need no refresh)
+      spark.sql("REFRESH TABLE gtw")
+      assert(spark.sql("SELECT v FROM gtw WHERE k = 'd'")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(resolved(t).contains(("d", 1L, 30L)))
+      // INSERT OVERWRITE is the Overwrite refusal through the SQL door
+      val eo = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE TABLE gtw VALUES ('e', 1, 40)")
+      }
+      assert(eo.getMessage.contains("Overwrite"))
+    } finally spark.sql("DROP TABLE IF EXISTS gtw")
+    // Overwrite / default ErrorIfExists / Ignore refuse loudly
+    val e1 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", t).mode("overwrite").save()
+    }
+    assert(e1.getMessage.contains("Overwrite"))
+    val e2 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", t).save() // default ErrorIfExists
+    }
+    assert(e2.getMessage.contains("append"))
+    val e3 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", t).mode("ignore").save()
+    }
+    assert(e3.getMessage.contains("append"))
+    // a mismatched explicit spec refuses through the committer handshake
+    val e4 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", t).option("keys", "k").option("orderBy", "v")
+        .mode("append").save()
+    }
+    assert(e4.getMessage.contains("spec"))
+    // engine scratch columns refuse (a weighted feed is not a batch)
+    val e5 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).withColumn("__weight", lit(1L))
+        .write.format("graft-table").option("path", t)
+        .mode("append").save()
+    }
+    assert(e5.getMessage.contains("__weight"))
+    // a brand-new table without the spec options names the fix
+    val e6 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", root.resolve("t2").toString).mode("append").save()
+    }
+    assert(e6.getMessage.contains("keys"))
+    // nothing above corrupted the table
+    assert(resolved(t) == Set(("a", 3L, 20L), ("b", 1L, 10L),
+      ("c", 1L, 20L), ("d", 1L, 30L)))
+  }
+
   test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {
     val root = Files.createTempDirectory("graft-upsert-refuse")
     val a = root.resolve("a").toString
