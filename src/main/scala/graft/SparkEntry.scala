@@ -581,6 +581,30 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // The SQL BATCH WRITE (round 18): the whole keyed-table round trip
+    // through the format surface alone — `df.write.format("graft-table")
+    // .mode("append")` creates the table on its first commit (the
+    // options record the spec) and UPSERTS on the second (stored spec,
+    // no options), then the facade reads the LWW back. Same oracle as
+    // etl_upsert_lww: the write facade must change nothing either.
+    "etl_table_write" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-table-write-q", dir)
+      ev.filter(col("last_event_id") % 2 === 0)
+        .write.format("graft-table").option("path", path)
+        .option("keys", "user_id").option("orderBy", "ts_us,last_event_id")
+        .option("numBuckets", "16")
+        .mode("append").save()
+      ev.filter(col("last_event_id") % 2 === 1)
+        .write.format("graft-table").option("path", path)
+        .mode("append").save() // stored spec drives the second commit
+      s.read.format("graft-table").option("path", path).load()
+        .drop("ts_us")
+    }),
+
     // The facade's PRUNED route (round 17 third pass): a key-equality
     // IN list routes through lookupBucketed — only the buckets the 64
     // pinned keys hash to are read, the LWW resolve runs per key inside
@@ -1116,13 +1140,18 @@ object SparkEntry {
     // ──────────────────────────────────────── multimodal columns ──
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))),
+    // frame sampling runs on RECOVERED frame counts (round 18): the
+    // n_frames driving the explode is read back from actual GIF bytes
+    // by the real decoder, not derived by id arithmetic
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(
-      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
+      Multimodal.decodeReal(
+        Multimodal.realAssets(Tables.documents(s, dir))).toDF(), step = 4)),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(
       Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir))))),
-    // md5-derived feature seeds → oracle-checked.
+    // md5-derived feature seeds over the RECOVERED frames → oracle-checked.
     "mm_features" -> ((s, dir) => Multimodal.frameFeatures(Multimodal.sampleFrames(
-      Multimodal.decodeExpr(Multimodal.syntheticAssets(Tables.documents(s, dir)))))),
+      Multimodal.decodeReal(
+        Multimodal.realAssets(Tables.documents(s, dir))).toDF(), step = 4))),
 
     // REAL pure-JDK codec tier (round 17): the corpus encodes actual
     // PNG (javax.imageio) and RIFF/WAVE PCM bytes whose parameters
@@ -1137,6 +1166,13 @@ object SparkEntry {
     // read back from the RESIZED image, not replayed from the plan
     "mm_resize_real" -> ((s, dir) =>
       Multimodal.resizeReal(
+        Multimodal.realAssets(Tables.documents(s, dir))).toDF()),
+    // REAL video (round 18): one row per frame RECOVERED from actual
+    // animated-GIF bytes — dims and channel means are read from decoded
+    // pixels; the oracle states the planted per-frame truth in closed
+    // form, so the hash match proves a real frame-by-frame parse
+    "mm_video_real" -> ((s, dir) =>
+      Multimodal.decodeVideoReal(
         Multimodal.realAssets(Tables.documents(s, dir))).toDF()),
 
     // Perceptual (block-hash) near-dup over binary payloads. The corpus
@@ -1601,6 +1637,13 @@ object SparkEntry {
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
         |WHERE user_id % 7 <> 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // the write facade must change nothing about the resolve either
+    "etl_table_write" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     // bucket pruning must lose no version-row of a pinned key: the
@@ -3164,44 +3207,77 @@ object SparkEntry {
         |  least(224 * height, 224 * width) // width AS out_h
         |FROM d""".stripMargin,
 
+    // frame sampling over frame counts the decoder RECOVERED from GIF
+    // bytes — the oracle states the planted counts in closed form
     "mm_frames" ->
-      """WITH a AS (
-        |  SELECT doc_id AS asset_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |  FROM documents),
-        |d AS (
-        |  SELECT asset_id, n_bytes % 120 + 1 AS n_frames FROM a WHERE media_type = 'video')
-        |SELECT asset_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx FROM d""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, CAST(4 + doc_id % 28 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx FROM d""".stripMargin,
 
     "mm_features" ->
-      """WITH a AS (
-        |  SELECT doc_id AS asset_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |  FROM documents),
-        |d AS (
-        |  SELECT asset_id, n_bytes % 120 + 1 AS n_frames FROM a WHERE media_type = 'video'),
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, CAST(4 + doc_id % 28 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (
-        |  SELECT asset_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM d)
+        |  SELECT asset_id, unnest(range(0, n_frames, 4)) AS frame_idx FROM d)
         |SELECT asset_id, frame_idx,
         |  CAST(CONCAT('0x', substr(md5(asset_id || '-' || frame_idx), 1, 15)) AS BIGINT) AS feature_seed
         |FROM f""".stripMargin,
 
     // the REAL-codec decode: ground truth in closed form over doc_id —
-    // the Spark side must recover every value from actual PNG/WAV bytes
+    // the Spark side must recover every value from actual PNG/WAV/GIF
+    // bytes. Video means are floor(Σ frame-color / n_frames) (uniform
+    // frame dims make the decoder's total-pixel mean reduce to that).
     "mm_decode_real" ->
-      """SELECT doc_id AS asset_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48 ELSE 0 END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 32 ELSE 0 END AS height,
-        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 256 + doc_id % 512 END AS n_frames,
-        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 256 ELSE 0 END AS mean_r,
-        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 59) % 256 ELSE 0 END AS mean_g,
-        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 83) % 256 ELSE 0 END AS mean_b,
-        |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8000 END AS sample_rate,
-        |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 500 + doc_id % 1000 END AS rms
-        |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+      """WITH ia AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48 ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 32 ELSE 0 END AS height,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 256 + doc_id % 512 END AS n_frames,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 37) % 256 ELSE 0 END AS mean_r,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 59) % 256 ELSE 0 END AS mean_g,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 83) % 256 ELSE 0 END AS mean_b,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8000 END AS sample_rate,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 500 + doc_id % 1000 END AS rms
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |v AS (
+        |  SELECT doc_id AS asset_id, 16 + doc_id % 32 AS width,
+        |    16 + (doc_id * 5) % 24 AS height,
+        |    CAST(4 + doc_id % 28 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (
+        |  SELECT asset_id, n_frames, unnest(range(0, n_frames)) AS f FROM v),
+        |vm AS (
+        |  -- sum() is HUGEINT in DuckDB; cast back so the unioned column
+        |  -- stays BIGINT like the Spark side
+        |  SELECT asset_id,
+        |    CAST(sum((asset_id * 37 + f * 11) % 256) // max(n_frames) AS BIGINT) AS mean_r,
+        |    CAST(sum((asset_id * 59 + f * 23) % 256) // max(n_frames) AS BIGINT) AS mean_g,
+        |    CAST(sum((asset_id * 83 + f * 31) % 256) // max(n_frames) AS BIGINT) AS mean_b
+        |  FROM vf GROUP BY asset_id)
+        |SELECT * FROM ia
+        |UNION ALL
+        |SELECT v.asset_id, 'video' AS media_type, v.width, v.height,
+        |  v.n_frames, vm.mean_r, vm.mean_g, vm.mean_b,
+        |  0 AS sample_rate, 0 AS rms
+        |FROM v JOIN vm USING (asset_id)""".stripMargin,
+
+    // per-frame video recovery: every frame's planted dims and colors
+    "mm_video_real" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, 16 + doc_id % 32 AS width,
+        |    16 + (doc_id * 5) % 24 AS height,
+        |    CAST(4 + doc_id % 28 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (
+        |  SELECT asset_id, width, height, unnest(range(0, n_frames)) AS frame_idx FROM v)
+        |SELECT asset_id, frame_idx, width, height,
+        |  (asset_id * 37 + frame_idx * 11) % 256 AS mean_r,
+        |  (asset_id * 59 + frame_idx * 23) % 256 AS mean_g,
+        |  (asset_id * 83 + frame_idx * 31) % 256 AS mean_b
+        |FROM vf""".stripMargin,
 
     // the real resize: fit-into-224 integer arithmetic on the closed-form
     // source dims; constant-color means survive the rescale exactly

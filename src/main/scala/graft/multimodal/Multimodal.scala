@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The container has no codec libraries, so the *decode* kernel is a
-  * clearly-marked deterministic stub — but everything around it is the
-  * real distributed design:
+  * Two tiers. The SYNTHETIC-ARITHMETIC tier ([[decodeExpr]] and
+  * friends) derives metadata from opaque payloads as pure column
+  * expressions — the plan shape without a codec. The REAL tier
+  * (rounds 17-18) parses actual bytes with pure-JDK codecs: ImageIO
+  * PNG for images, a hand-written RIFF/WAVE PCM16 walker for audio,
+  * and ImageIO's animated-GIF reader/writer for video — every
+  * modality decodes for real now; no stub remains in main. Around
+  * both tiers the distributed design is the same:
   *  - schema: `(asset_id, media_type, payload: binary, meta: struct)`;
   *  - partition-local batch processing via `mapPartitions` over a typed
   *    Dataset (the Scala analogue of `mapInPandas`: one iterator per
@@ -45,37 +50,14 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode kernel — deterministic fake in place of a real codec
-    * (libjpeg/ffmpeg absent in this environment). Real deployments swap
-    * `decodeStub` for the codec call; the partitioning, batching and
-    * schema contract around it do not change.
-    */
-  def decodeStub(a: Asset): Decoded = {
-    val n = a.payload.length.toLong
-    Decoded(
-      asset_id = a.asset_id,
-      media_type = a.media_type,
-      n_bytes = n,
-      width = (n % 640).toInt + 16,
-      height = ((n * 7) % 480).toInt + 16,
-      n_frames = if (a.media_type == "video") (n % 120).toInt + 1 else 1)
-  }
-
-  /** Partition-local decode: the `mapInPandas` analogue. One iterator per
-    * partition — codec contexts initialize once per partition, rows stream
-    * through without materializing the partition in memory.
-    */
-  def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions { iter =>
-      // per-partition setup happens here (codec init in a real kernel)
-      iter.map(decodeStub)
-    }
-  }
-
-  /** Same decode expressed as pure column expressions — the preferred
-    * fast path when the kernel is arithmetic (stays in whole-stage
-    * codegen, and is DuckDB-expressible for the oracle).
+  /** SYNTHETIC-ARITHMETIC decode over the opaque text-payload corpus —
+    * pure column expressions (whole-stage codegen, DuckDB-expressible).
+    * Not a codec: it demonstrates the metadata-derivation plan shape
+    * on payloads that aren't real media. The REAL codec tier below
+    * (PNG/WAV/GIF, round 17-18) is where bytes are actually parsed;
+    * the old `decodeStub` mapPartitions twin was demoted to a test
+    * fixture once every modality gained a real kernel
+    * (MultimodalSpec pins this expression's parity against it).
     */
   def decodeExpr(assets: DataFrame): DataFrame =
     assets.select(
@@ -232,12 +214,13 @@ object Multimodal {
   // JDK itself ships javax.imageio (PNG/BMP/GIF/JPEG) and RIFF/WAVE PCM
   // is a trivially hand-parseable container. This tier replaces the
   // labeled decode stub with REAL codec kernels for images and audio:
-  // the corpus below encodes actual PNG and WAV bytes whose parameters
-  // derive from doc_id in closed form, so a from-scratch SQL oracle
-  // knows the ground truth the decoder must RECOVER from the bytes —
-  // a hash match proves a real parse, not replayed arithmetic. Video
-  // keeps the stub (the JDK ships no video codec; that single kernel
-  // remains the documented environmental stand-in).
+  // the corpus below encodes actual PNG, WAV and (round 18) animated
+  // GIF bytes whose parameters derive from doc_id in closed form, so a
+  // from-scratch SQL oracle knows the ground truth the decoder must
+  // RECOVER from the bytes — a hash match proves a real parse, not
+  // replayed arithmetic. Video rides the GIF container (the one video
+  // format the JDK can both write and read frame-by-frame): per-frame
+  // dims and channel means are read back from DECODED frames.
 
   /** Decoded-media row from the REAL codecs. All-numeric fields are
     * Long so the oracle's BIGINT arithmetic compares exactly; fields of
@@ -271,6 +254,13 @@ object Multimodal {
   def wavSamples(id: Long): Int = 256 + (id % 512).toInt
   def wavAmplitude(id: Long): Short = (500 + (id % 1000)).toShort
   val WavRate: Int = 8000
+  def vidW(id: Long): Int = 16 + (id % 32).toInt
+  def vidH(id: Long): Int = 16 + ((id * 5) % 24).toInt
+  def vidFrames(id: Long): Int = 4 + (id % 28).toInt
+  def vidRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 37 + f * 11) % 256).toInt,
+      ((id * 59 + f * 23) % 256).toInt,
+      ((id * 83 + f * 31) % 256).toInt)
 
   /** An actual PNG: constant-fill `rgbOf(id)` at `imgW(id)×imgH(id)`,
     * encoded by the JDK's ImageIO PNG writer.
@@ -329,34 +319,82 @@ object Multimodal {
     buf.array()
   }
 
-  /** The REAL media corpus over the documents table: image and audio
-    * rows carry actual encoded bytes; video rows keep the opaque text
-    * payload (decoded by the labeled stub — no JDK video codec).
+  /** An actual animated GIF: `vidFrames(id)` frames of constant fill
+    * `vidRgb(id, f)` at `vidW(id)×vidH(id)`, written by the JDK's
+    * ImageIO GIF sequence writer. GIF palettes are exact 24-bit colors
+    * (no chroma subsampling), so constant-fill frames round-trip
+    * bit-exactly — which is what lets the DuckDB oracle state every
+    * recovered frame's ground truth in closed form over doc_id.
+    */
+  def encodeGif(id: Long): Array[Byte] = {
+    val frames = (0 until vidFrames(id)).map { f =>
+      val (r, g, b) = vidRgb(id, f)
+      val img = new java.awt.image.BufferedImage(
+        vidW(id), vidH(id), java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
+    }
+    gifBytes(frames)
+  }
+
+  /** Multi-frame GIF container write (`prepareWriteSequence` →
+    * `writeToSequence` per frame) — each frame lands as a full image
+    * with its own palette, no inter-frame delta encoding.
+    */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext,
+      "JDK ImageIO has no GIF writer — not a Java SE runtime?")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img => writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** The REAL media corpus over the documents table — every modality
+    * carries actual encoded bytes now: PNG (ids ≡ 0 mod 3), RIFF/WAVE
+    * PCM16 (≡ 1), animated GIF (≡ 2).
     */
   def realAssets(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
-        (id % 3) match {
-          case 0 => Asset(id, "image", encodePng(id))
-          case 1 => Asset(id, "audio", encodeWav(id))
-          case _ => Asset(id, "video",
-            Option(text).getOrElse("").getBytes("UTF-8"))
-        }
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => Asset(id, "image", encodePng(id))
+        case 1 => Asset(id, "audio", encodeWav(id))
+        case _ => Asset(id, "video", encodeGif(id))
+      }
     }
   }
 
   /** REAL decode kernel: ImageIO for images (any JDK-readable format,
-    * not just the corpus's PNGs), the RIFF walker for audio. Loud on an
-    * undecodable payload — a corrupt blob must surface its asset id,
-    * never a silent skip or a garbage row.
+    * not just the corpus's PNGs), the RIFF walker for audio, the GIF
+    * frame reader for video. Loud on an undecodable payload — a
+    * corrupt blob must surface its asset id, never a silent skip or a
+    * garbage row.
     */
   def decodeMedia(a: Asset): DecodedMedia = a.media_type match {
     case "image" => decodeImage(a.asset_id, a.payload)
     case "audio" => decodeWavPcm16(a.asset_id, a.payload)
+    case "video" => decodeVideoSummary(a.asset_id, a.payload)
     case other => throw new IllegalArgumentException(
-      s"asset ${a.asset_id}: no real codec for media_type '$other' " +
-        "(video decode remains the labeled stub — use decodeStub)")
+      s"asset ${a.asset_id}: no codec for media_type '$other' " +
+        "(this tier decodes image, audio and video)")
   }
 
   /** ImageIO with the loud-with-asset-id contract: unreadable formats
@@ -379,22 +417,126 @@ object Multimodal {
     img
   }
 
-  private def decodeImage(id: Long, payload: Array[Byte]): DecodedMedia = {
-    val img = readImage(id, payload)
-    val (w, h) = (img.getWidth, img.getHeight)
+  /** Channel SUMS over every pixel (not means — callers divide by
+    * their own pixel total, which is what lets the video summary take
+    * an exact mean across frames).
+    */
+  private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
-    while (y < h) {
+    while (y < img.getHeight) {
       var x = 0
-      while (x < w) {
+      while (x < img.getWidth) {
         val p = img.getRGB(x, y)
         sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
         x += 1
       }
       y += 1
     }
+    (sr, sg, sb)
+  }
+
+  private def decodeImage(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val img = readImage(id, payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sr, sg, sb) = rgbSums(img)
     val n = w.toLong * h
     DecodedMedia(id, "image", w, h, 1L, sr / n, sg / n, sb / n, 0L, 0L)
+  }
+
+  /** One decoded video frame, everything read back from the bytes. */
+  case class VideoFrame(asset_id: Long, frame_idx: Long,
+      width: Long, height: Long, mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** Frame-by-frame GIF decode with the loud-with-asset-id contract:
+    * no registered reader, zero frames, or a mid-stream IOException
+    * (truncated/corrupt container) all surface the asset. Frames
+    * decode as full images (the writer emits no inter-frame deltas;
+    * a reader composing deltas would still return full rasters).
+    */
+  def decodeVideoFrames(id: Long, payload: Array[Byte]): Seq[VideoFrame] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"asset $id: payload is not a JDK-decodable image sequence " +
+          "(unsupported or unrecognized format)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n =
+          try reader.getNumImages(true)
+          catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"asset $id: video frame count failed (corrupt or " +
+                s"truncated payload): ${e.getMessage}", e)
+          }
+        require(n > 0, s"asset $id: video payload decodes to zero frames")
+        (0 until n).map { f =>
+          val img =
+            try reader.read(f)
+            catch {
+              case e: java.io.IOException => throw new IllegalArgumentException(
+                s"asset $id: video frame $f decode failed mid-stream " +
+                  s"(corrupt or truncated payload): ${e.getMessage}", e)
+            }
+          val (sr, sg, sb) = rgbSums(img)
+          val npx = img.getWidth.toLong * img.getHeight
+          VideoFrame(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+            sr / npx, sg / npx, sb / npx)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** The per-asset summary row of a decoded video: first frame's dims
+    * (the corpus is constant-dim; a mixed-dim container would still
+    * report its first frame), frame count, channel means over ALL
+    * pixels of ALL frames — exact long arithmetic, so with uniform
+    * frame dims it equals floor(Σ frame-mean / n_frames), the form the
+    * oracle states in closed form.
+    */
+  private def decodeVideoSummary(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"asset $id: payload is not a JDK-decodable image sequence " +
+          "(unsupported or unrecognized format)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n =
+          try reader.getNumImages(true)
+          catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"asset $id: video frame count failed (corrupt or " +
+                s"truncated payload): ${e.getMessage}", e)
+          }
+        require(n > 0, s"asset $id: video payload decodes to zero frames")
+        var (tr, tg, tb, tpx) = (0L, 0L, 0L, 0L)
+        var (w0, h0) = (0L, 0L)
+        var f = 0
+        while (f < n) {
+          val img =
+            try reader.read(f)
+            catch {
+              case e: java.io.IOException => throw new IllegalArgumentException(
+                s"asset $id: video frame $f decode failed mid-stream " +
+                  s"(corrupt or truncated payload): ${e.getMessage}", e)
+            }
+          if (f == 0) { w0 = img.getWidth.toLong; h0 = img.getHeight.toLong }
+          val (sr, sg, sb) = rgbSums(img)
+          tr += sr; tg += sg; tb += sb
+          tpx += img.getWidth.toLong * img.getHeight
+          f += 1
+        }
+        DecodedMedia(id, "video", w0, h0, n.toLong,
+          tr / tpx, tg / tpx, tb / tpx, 0L, 0L)
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Minimal RIFF walker: verify `RIFF…WAVE`, then scan chunks for
@@ -451,14 +593,25 @@ object Multimodal {
       0L, 0L, 0L, rate.toLong, rms)
   }
 
-  /** Partition-local REAL decode over image+audio assets — the same
-    * mapPartitions shape as the stub tier (one iterator per partition;
-    * payloads never shuffle: the decode runs where the scan put them).
+  /** Partition-local REAL decode over ALL modalities — one iterator
+    * per partition; payloads never shuffle: the decode runs where the
+    * scan put them.
     */
   def decodeReal(assets: Dataset[Asset]): Dataset[DecodedMedia] = {
     import assets.sparkSession.implicits._
-    assets.filter(a => a.media_type == "image" || a.media_type == "audio")
-      .mapPartitions(_.map(decodeMedia))
+    assets.mapPartitions(_.map(decodeMedia))
+  }
+
+  /** Partition-local per-frame video decode: one row per RECOVERED
+    * frame (dims + channel means read back from the pixels). The
+    * frame fan-out happens inside the partition — payloads never
+    * shuffle, and downstream per-frame work starts from rows, not
+    * blobs.
+    */
+  def decodeVideoReal(assets: Dataset[Asset]): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video")
+      .mapPartitions(_.flatMap(a => decodeVideoFrames(a.asset_id, a.payload)))
   }
 
   /** REAL pixel resize: fit the image into `targetW×targetH` preserving

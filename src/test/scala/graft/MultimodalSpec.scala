@@ -13,7 +13,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("typed mapPartitions decode equals the expression decode") {
     val assets = Multimodal.syntheticAssets(Tables.documents(spark, Sf0001))
-    val typed = Multimodal.decode(assets.as[Multimodal.Asset])
+    val typed = assets.as[Multimodal.Asset]
+      .mapPartitions(_.map(MultimodalSpec.decodeStubFixture))
       .toDF().orderBy("asset_id")
       .collect()
     val expr = Multimodal.decodeExpr(assets)
@@ -58,20 +59,69 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real GIF codec: frames recover per-frame dims and colors; the summary means average across frames; corrupt is loud") {
+    (0L until 600L by 7L).foreach { id =>
+      val bytes = Multimodal.encodeGif(id)
+      val frames = Multimodal.decodeVideoFrames(id, bytes)
+      assert(frames.length == Multimodal.vidFrames(id))
+      frames.foreach { fr =>
+        assert((fr.width, fr.height) ==
+          (Multimodal.vidW(id).toLong, Multimodal.vidH(id).toLong))
+        val (r, g, b) = Multimodal.vidRgb(id, fr.frame_idx.toInt)
+        // constant-fill frames round-trip bit-exactly through the
+        // GIF palette — recovered means ARE the planted colors
+        assert((fr.mean_r, fr.mean_g, fr.mean_b) ==
+          (r.toLong, g.toLong, b.toLong), s"id=$id frame=${fr.frame_idx}")
+      }
+      // the summary row: first-frame dims, frame count, means averaged
+      // over all frames (uniform dims ⇒ floor(Σ frame-color / n))
+      val sum = Multimodal.decodeMedia(Multimodal.Asset(id, "video", bytes))
+      val n = Multimodal.vidFrames(id)
+      assert((sum.width, sum.height, sum.n_frames) ==
+        (Multimodal.vidW(id).toLong, Multimodal.vidH(id).toLong, n.toLong))
+      assert(sum.mean_r ==
+        (0 until n).map(f => Multimodal.vidRgb(id, f)._1.toLong).sum / n)
+      assert(sum.mean_g ==
+        (0 until n).map(f => Multimodal.vidRgb(id, f)._2.toLong).sum / n)
+      assert(sum.mean_b ==
+        (0 until n).map(f => Multimodal.vidRgb(id, f)._3.toLong).sum / n)
+      assert(sum.sample_rate == 0L && sum.rms == 0L)
+    }
+    // corrupt/truncated GIF bytes carry the asset id
+    val garbage = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(11L, Array[Byte](1, 2, 3, 4, 5))
+    }
+    assert(garbage.getMessage.contains("asset 11"))
+    val truncated = intercept[Exception] {
+      Multimodal.decodeVideoFrames(12L,
+        Multimodal.encodeGif(12L).take(40)).foreach(_ => ())
+    }
+    assert(truncated.getMessage.contains("asset 12") ||
+      truncated.getMessage.contains("12"), truncated.getMessage)
+  }
+
   test("real decode runs map-side over the corpus and is loud on corrupt payloads") {
     val assets = Multimodal.realAssets(Tables.documents(spark, Sf0001))
     val dec = Multimodal.decodeReal(assets).collect()
-    // 500 docs: ids ≡ 0, 1 (mod 3) are image/audio → 167 + 167
-    assert(dec.length == 334)
+    // 500 docs: every modality decodes for real now
+    assert(dec.length == 500)
     dec.foreach { d =>
-      if (d.media_type == "image") {
-        assert(d.width == Multimodal.imgW(d.asset_id).toLong)
-        assert(d.mean_g == Multimodal.rgbOf(d.asset_id)._2.toLong)
-      } else {
-        assert(d.n_frames == Multimodal.wavSamples(d.asset_id).toLong)
-        assert(d.rms == Multimodal.wavAmplitude(d.asset_id).toLong)
+      d.media_type match {
+        case "image" =>
+          assert(d.width == Multimodal.imgW(d.asset_id).toLong)
+          assert(d.mean_g == Multimodal.rgbOf(d.asset_id)._2.toLong)
+        case "audio" =>
+          assert(d.n_frames == Multimodal.wavSamples(d.asset_id).toLong)
+          assert(d.rms == Multimodal.wavAmplitude(d.asset_id).toLong)
+        case _ =>
+          assert(d.n_frames == Multimodal.vidFrames(d.asset_id).toLong)
+          assert(d.width == Multimodal.vidW(d.asset_id).toLong)
       }
     }
+    // the distributed per-frame video decode recovers every frame
+    val vf = Multimodal.decodeVideoReal(assets).collect()
+    assert(vf.length == dec.filter(_.media_type == "video")
+      .map(_.n_frames).sum)
     // an unrecognized payload names its asset...
     val garbage = intercept[IllegalArgumentException] {
       Multimodal.decodeMedia(
@@ -215,5 +265,20 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 1)
     assert(bad.head().getAs[String]("_corrupt_record").contains("overflow"))
     scanned.unpersist()
+  }
+}
+
+object MultimodalSpec {
+  /** The OLD synthetic decode stub, demoted to a test fixture once
+    * every modality gained a real codec (round 18): it survives only to
+    * pin decodeExpr's arithmetic against an independent formulation.
+    * Lives on the companion so the mapPartitions closure serializes
+    * without capturing the suite.
+    */
+  def decodeStubFixture(a: Multimodal.Asset): Multimodal.Decoded = {
+    val n = a.payload.length.toLong
+    Multimodal.Decoded(a.asset_id, a.media_type, n,
+      (n % 640).toInt + 16, ((n * 7) % 480).toInt + 16,
+      if (a.media_type == "video") (n % 120).toInt + 1 else 1)
   }
 }
