@@ -963,6 +963,23 @@ object SparkEntry {
     // hashed-linear quality classifier (md5 stand-in weights).
     "text_quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Tables.documents(s, dir))),
+    // the TRAINED variant (round 18): weights learned on this corpus by
+    // two fixed rounds of exact fixed-point gradient descent (damped
+    // Jacobi on the normal equations), target = stopword count. The
+    // oracle unrolls both training rounds as CTEs — a hash match proves
+    // the full distributed train+score pipeline is bit-replayable.
+    "text_quality_classifier_trained" -> ((s, dir) =>
+      TextAnalysis.trainedClassifierScore(Tables.documents(s, dir))),
+    // BPE merge-table trainer (round 18): 8 fixed rounds of the
+    // canonical map-reduce pair-count loop over the weighted distinct
+    // vocabulary; exact counts + lexicographic tie-breaks, so the
+    // oracle replays every round. The encoder below applies the table.
+    "text_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(Tables.documents(s, dir))),
+    // per-document subword budget under the trained merges — the real
+    // operator the subwordCount run-length proxy stood in for
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir))),
     // deterministic count-min sketch (4×1024, md5 cells): the
     // approx-frequency sketch that — unlike HLL/KLL — IS fully
     // oracle-checkable, because fixed hashing makes it a pure function
@@ -1207,6 +1224,116 @@ object SparkEntry {
   // matches Spark/Java BigDecimal.doubleValue. Verified against DuckDB
   // locally; regression pinned in tools/check_oracle.py selftest.
   private val toksSql = "list_filter(string_split_regex(text, ' +'), t -> len(t) > 0)"
+
+  /** The BPE training rounds as CTE stages (shared by the vocab and
+    * encode oracles): round r's CTEs are the pair enumeration over the
+    * previous round's symbol strings, the (count desc, lhs, rhs)
+    * argmax, and the wire-form `replace` merge — mirroring
+    * TextAnalysis.bpeMergeRounds one CTE per stage. The LEFT JOIN ON
+    * TRUE makes a pairless round a no-op exactly like the Scala
+    * loop's early stop.
+    */
+  private def bpeRoundsCte(merges: Int): String = {
+    val round = (r: Int) => s"""pa$r AS (
+      |  SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||') AS a
+      |  FROM s${r - 1}),
+      |pi$r AS (SELECT cnt, a, unnest(range(1, len(a))) AS i FROM pa$r),
+      |b$r AS (
+      |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+      |    SELECT list_extract(a, i) AS l, list_extract(a, i + 1) AS r, cnt
+      |    FROM pi$r)
+      |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+      |s$r AS (
+      |  SELECT w.word, w.cnt,
+      |    CASE WHEN b.l IS NULL THEN w.s
+      |    ELSE replace(w.s, '|' || b.l || '||' || b.r || '|',
+      |                 '|' || b.l || b.r || '|') END AS s
+      |  FROM s${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      |w AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+      |s0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS s FROM w),
+      |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeVocabOracle(merges: Int): String =
+    s"""WITH ${bpeRoundsCte(merges)}
+      |${(1 to merges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs, " +
+          s"l || r AS merged, c AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private def bpeEncodeOracle(merges: Int): String =
+    s"""WITH ${bpeRoundsCte(merges)},
+      |enc AS (
+      |  SELECT word,
+      |    CAST(len(string_split(substr(s, 2, length(s) - 2), '||')) AS BIGINT) AS n_p
+      |  FROM s$merges)
+      |SELECT d.doc_id, COALESCE(x.n_tokens, 0) AS n_tokens,
+      |  COALESCE(x.n_pieces, 0) AS n_pieces
+      |FROM documents d LEFT JOIN (
+      |  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(enc.n_p) AS BIGINT) AS n_pieces
+      |  FROM tok JOIN enc ON tok.t = enc.word GROUP BY tok.doc_id) x
+      |USING (doc_id)""".stripMargin
+
+  /** The trained-classifier oracle: `rounds` steepest-descent rounds
+    * (exact line search — see TextAnalysis.trainedClassifierScore)
+    * unrolled mechanically as CTE stages, mirroring the Scala fold one
+    * stage per round. d=256 buckets, scale=U=1e6, threshold 0.08 —
+    * the operator's defaults.
+    */
+  private def trainedClassifierOracle(rounds: Int): String = {
+    val round = (r: Int) => s"""res$r AS (
+      |  SELECT f.doc_id,
+      |    CAST(1000000 * any_value(l.t) - sum(f.c * w.w) AS BIGINT) AS r
+      |  FROM feat f JOIN w${r - 1} w USING (b) JOIN lab l USING (doc_id)
+      |  GROUP BY f.doc_id),
+      |g$r AS (
+      |  SELECT f.b, sum(CAST(res.r AS HUGEINT) * f.c) AS g
+      |  FROM feat f JOIN res$r res USING (doc_id) GROUP BY f.b),
+      |gm$r AS (SELECT max(abs(g)) AS gmax FROM g$r),
+      |u$r AS (
+      |  SELECT b, CAST(COALESCE((g * 1000000) // nullif(gmax, 0), 0) AS BIGINT) AS u
+      |  FROM g$r, gm$r),
+      |xu$r AS (
+      |  SELECT f.doc_id, CAST(sum(f.c * u.u) AS BIGINT) AS xu
+      |  FROM feat f JOIN u$r u USING (b) GROUP BY f.doc_id),
+      |ab$r AS (
+      |  SELECT CAST(COALESCE(
+      |    (sum(CAST(res.r AS HUGEINT) * xu.xu) * 1000000)
+      |      // nullif(sum(CAST(xu.xu AS HUGEINT) * xu.xu), 0), 0) AS BIGINT) AS a
+      |  FROM xu$r xu JOIN res$r res USING (doc_id)),
+      |w$r AS (
+      |  SELECT w.b, w.w + CAST((ab.a * CAST(u.u AS HUGEINT)) // 1000000 AS BIGINT) AS w
+      |  FROM w${r - 1} w JOIN u$r u USING (b), ab$r ab)""".stripMargin
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CAST(CONCAT('0x', substr(md5('qcls-' || t), 1, 15)) AS BIGINT) % 256 AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, b),
+      |lab AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN list_contains(['the','a','of','and','to','in','is','it'], t) THEN 1 ELSE 0 END) AS BIGINT) AS t
+      |  FROM tok GROUP BY doc_id),
+      |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM feat),
+      |${(1 to rounds).map(round).mkString(",\n")},
+      |predT AS (
+      |  SELECT f.doc_id, CAST(sum(f.c * w.w) AS BIGINT) AS p
+      |  FROM feat f JOIN w$rounds w USING (b) GROUP BY f.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(l.n, 0) AS n_tokens,
+      |  CAST(CAST(CASE WHEN l.n > 0
+      |    THEN CAST(p.p AS DOUBLE) / CAST(l.n * 1000000 AS DOUBLE) END
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS score,
+      |  COALESCE(CAST(CAST(CASE WHEN l.n > 0
+      |    THEN CAST(p.p AS DOUBLE) / CAST(l.n * 1000000 AS DOUBLE) END
+      |    AS DECIMAL(18,6)) AS DOUBLE) > 0.08, FALSE) AS keep
+      |FROM documents d
+      |LEFT JOIN lab l USING (doc_id)
+      |LEFT JOIN predT p USING (doc_id)""".stripMargin
+  }
 
   /** Distinct word-bigram shingles per document — the DuckDB twin of
     * `Dedup.shingles(text, 2)` (VecText.WordShingles semantics, including
@@ -2696,6 +2823,17 @@ object SparkEntry {
          |SELECT doc_id, w_sum, n_tokens, score,
          |  COALESCE(score > 0.05, FALSE) AS keep
          |FROM r""".stripMargin,
+
+    // BPE: every merge round replayed from scratch — same pair counts,
+    // same (count, lhs, rhs) argmax, same greedy wire-form replace
+    "text_bpe_vocab" -> bpeVocabOracle(merges = 8),
+    "text_bpe_encode" -> bpeEncodeOracle(merges = 8),
+
+    // the TRAINED classifier: all GD rounds unrolled as CTE stages —
+    // exact sums (HUGEINT = the Spark side's decimal(38,0)),
+    // truncating // (= Spark div, toward zero incl. negatives), so
+    // weights, scores and keep decisions replay bit-identically
+    "text_quality_classifier_trained" -> trainedClassifierOracle(rounds = 3),
 
     // the whole curation pipeline, stage by stage: quality/lang gates
     // (clean_corpus recipe) + repetition gate + fingerprint dedup +

@@ -178,6 +178,126 @@ object TextAnalysis {
       .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
   }
 
+  /** A TRAINED hashed-feature quality classifier (round 18): the
+    * [[classifierScore]] execution shape with the md5 stand-in weights
+    * replaced by weights LEARNED on this corpus by fixed-iteration
+    * distributed gradient descent — the fasttext-style linear
+    * classifier pipeline end to end (hash features → train → score →
+    * gate), under the Lloyd discipline that makes the k-means tiers
+    * oracle-checkable: exact integer partial sums, a FIXED number of
+    * rounds, and truncating fixed-point division (Spark `div` and
+    * DuckDB `//` both truncate toward zero), so every round — and
+    * therefore the final weights, scores, and keep decisions — is
+    * bit-replayable cross-engine.
+    *
+    * Model: per-token hash features c_ij = count of doc i's tokens in
+    * bucket j (j = md5("qcls-"‖token) mod `d`); the regression target
+    * is the doc's STOPWORD COUNT t_i — a quantity that IS a linear
+    * function of the bucket counts (the stopword-indicator vector),
+    * so the trainer has a planted ground truth to recover through
+    * hash collisions. Each round is one step of steepest descent with
+    * an EXACT LINE SEARCH on the squared loss — the textbook
+    * no-tuning-parameter GD, chosen over a fixed learning rate because
+    * the line-search step is itself exact integer arithmetic (so it
+    * replays) and converges in a few rounds where fixed-η GD needs
+    * tens (measured: corr 0.78 vs the 0.87 OLS ceiling at 2 rounds;
+    * 0.31 for fixed-η at 4). Per round, with residual
+    * r_i = scale·t_i − pred_i:
+    *
+    *   g_j   = Σ_i r_i·c_ij              (the ascent direction, XᵀR)
+    *   u_j   = (g_j·U) div max_k |g_k|   (U-fixed-point unit direction)
+    *   xu_i  = Σ_j c_ij·u_j              (X·u, per doc)
+    *   a     = (Σ_i r_i·xu_i)·U div Σ_i xu_i²   (exact line search)
+    *   w_j  += (a·u_j) div U
+    *
+    * Every division is truncating (Spark `div` = DuckDB `//`, both
+    * toward zero — verified including negatives and HUGEINT), every
+    * cross-doc sum is exact decimal(38,0), so the weights, scores and
+    * keep decisions are bit-replayable; the DuckDB oracle unrolls the
+    * rounds as CTE stages (the k-means precedent). A zero gradient or
+    * zero step denominator (perfect fit) degrades to a no-op round via
+    * the NULLIF guard. The reported score = pred_i/(scale·n_i) is the
+    * predicted stopword RATIO; `keep` gates on the decimal(18,6)-
+    * rounded score like every other boundary decision here. Zero-token
+    * docs: NULL score, keep=false.
+    *
+    * Scale shape — canonical distributed GD: the corpus explodes to
+    * (doc, bucket) counts ONCE (pinned, like the k-means assignment);
+    * each round is three partial-agged shuffles of (doc)- or d-sized
+    * rows (pred, gradient, X·u) with the d-row direction/weight tables
+    * and the two line-search scalars riding as broadcasts; nothing
+    * corpus-sized moves per round, and per-doc residuals pin per round
+    * so the double use (gradient + step numerator) costs one
+    * materialization, not two recomputes. Envelope: per-doc products
+    * r·xu stay < 2^63 while scale·t·n·U < 9e18 (the decimal(38,0)
+    * sums absorb corpus size); ANSI overflow is the loud guard.
+    */
+  def trainedClassifierScore(docs: DataFrame, d: Int = 256, rounds: Int = 3,
+      scale: Long = 1000000L, threshold: Double = 0.08): DataFrame = {
+    require(d >= 2 && rounds >= 1, s"need d >= 2, rounds >= 1; got $d, $rounds")
+    val spark = docs.sparkSession
+    val u0 = 1000000L // direction fixed-point scale U
+    def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val para = spark.sparkContext.defaultParallelism
+    val tok = docs.repartition(para)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // per-(doc, bucket) counts — the hashed feature matrix, built once
+    val feat = pin(tok
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("qcls-"), col("t"))), 1, 15), 16, 10)
+          .cast("long") % d).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
+    // per-doc label row: token count + stopword count (the target)
+    val lab = pin(tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("t").isin(stopwords.map(lit): _*), 1L).otherwise(0L))
+        .as("t")))
+    val w0 = pin(feat.select("b").distinct().select(col("b"), lit(0L).as("w")))
+    val wT = (1 to rounds).foldLeft(w0) { (w, _) =>
+      // residual r_i = scale·t_i − Σ c·w, pinned: used by both the
+      // gradient and the line-search numerator
+      val res = pin(feat.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id").agg(sum(col("c") * col("w")).as("p"))
+        .join(lab, Seq("doc_id"))
+        .select(col("doc_id"), (lit(scale) * col("t") - col("p")).as("r")))
+      // ascent direction g = XᵀR (exact decimal sums), normalized to a
+      // U-fixed-point unit-ish direction by the max |g| component
+      val g = feat.join(res, Seq("doc_id"))
+        .groupBy("b").agg(sum(dec(col("r") * col("c"))).as("g"))
+      val gmax = g.agg(max(abs(col("g"))).as("gmax"))
+      val u = pin(g.crossJoin(broadcast(gmax))
+        .select(col("b"),
+          coalesce(expr("(g * 1000000) div nullif(gmax, 0)"), lit(0L))
+            .as("u")))
+      // exact line search along u: a = (RᵀXu · U) div ‖Xu‖²
+      val xu = feat.join(broadcast(u), Seq("b"))
+        .groupBy("doc_id").agg(sum(col("c") * col("u")).as("xu"))
+      val ab = xu.join(res, Seq("doc_id"))
+        .agg(sum(dec(col("r")) * dec(col("xu"))).as("num"),
+          sum(dec(col("xu")) * dec(col("xu"))).as("den"))
+        .select(coalesce(
+          expr(s"(num * $u0) div nullif(den, 0)"), lit(0L)).as("a"))
+      val next = pin(w.join(u, Seq("b")).crossJoin(broadcast(ab))
+        .select(col("b"), (col("w") + expr(s"(a * u) div $u0")).as("w")))
+      graft.Staging.unpin(w)
+      graft.Staging.unpin(res)
+      graft.Staging.unpin(u)
+      next
+    }
+    val pred = feat.join(broadcast(wT), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("c") * col("w")).as("p"))
+    docs.select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        when(col("n") > 0,
+          col("p").cast("double") / (col("n") * scale).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("score"))
+      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+  }
+
   /** Language ID, n-gram/marker-word heuristic: score each candidate
     * language by its marker-token hits, pick the argmax (ties broken by
     * language code order). Real corpora would use character n-gram
@@ -711,5 +831,131 @@ object TextAnalysis {
         array_join(kept, sep).as("clean_text"),
         size(paras).cast("long").as("n_paras"),
         (size(paras) - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  // ─────────────────────────────── BPE trainer + encoder (round 18)
+
+  /** Symbol-sequence wire form shared by the BPE trainer and both
+    * engines' oracles: each symbol wrapped in its own delimiters,
+    * `"abc" → "|a||b||c|"`. Why this exact form: applying one merge
+    * `(l, r) → lr` is then a plain left-to-right non-overlapping
+    * string `replace(s, "|l||r|", "|lr|")` — and because every symbol
+    * carries BOTH its delimiters, adjacent merge sites share no
+    * characters, so `replace`'s greedy scan IS the canonical BPE merge
+    * pass (`"a a a"`: first pair merges, third symbol survives) and it
+    * replays identically in Spark and DuckDB. Assumes tokens do not
+    * contain `'|'` (true of the corpus; a deployment picks any byte
+    * outside its alphabet).
+    */
+  private def bpeWrap(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** The symbol ARRAY of a wire-form string (strip the outer bars,
+    * split on the doubled delimiter).
+    */
+  private def bpeSymbols(s: Column): Column =
+    split(s.substr(lit(2), length(s) - 2), "\\|\\|")
+
+  /** Train a BPE merge table: `merges` fixed rounds of the canonical
+    * map-reduce pair-count loop over the corpus's DISTINCT words
+    * (weighted by word frequency — the standard corpus-BPE setup).
+    * Each round: one `groupBy(l, r)` over adjacent-symbol pairs (with
+    * multiplicity: a pair occurring twice in one word counts twice per
+    * word occurrence), argmax by (count, then lexicographic (l, r) —
+    * the deterministic tie-break), then a MAP-SIDE merge of the
+    * winning pair in every word via the wire-form `replace`. Returns
+    * `(round, lhs, rhs, merged, pair_count)` — one row per landed
+    * merge; training stops early when no pair remains.
+    *
+    * Scale shape — what makes distributed BPE viable at 100 TB: the
+    * CORPUS is touched once (the word-frequency groupBy every text
+    * operator here already pays); all `merges` rounds then run over
+    * the VOCABULARY (distinct words — millions of rows, not billions),
+    * shuffling only pair-count partials per round, with the single
+    * winning pair crossing to the driver (one Row per round — the
+    * Lloyd-discipline coordination cost, same as a k-means centroid
+    * pin). Exact long counts + lexicographic ties ⇒ every round is
+    * bit-replayable; the DuckDB oracle unrolls the rounds as CTEs.
+    */
+  def bpeVocab(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val (table, syms) = bpeMergeRounds(docs, merges)
+    graft.Staging.unpin(syms)
+    import spark.implicits._
+    table.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Encode the corpus with a freshly-trained `merges`-round merge
+    * table: per document, `n_pieces` = Σ over its tokens of the
+    * token's post-merge symbol count (the real subword budget the
+    * [[subwordCount]] run-length proxy stood in for). Encoding is a
+    * keyed join of exploded tokens against the |vocab|-sized encoded
+    * word table plus one per-doc sum — the merge table itself never
+    * touches the corpus rows. Zero-token docs: n_pieces 0.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = 8): DataFrame = {
+    val (_, syms) = bpeMergeRounds(docs, merges)
+    val enc = syms.select(col("word"),
+      size(bpeSymbols(col("s"))).cast("long").as("n_p"))
+    val out = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_p")).as("n_pieces"))
+    // NOTE: `syms` stays pinned — the returned (lazy) plan reads it;
+    // unpinning here would drop the checkpoint blocks before the
+    // caller materializes (the trainCentroids rule: intermediates
+    // unpin, the returned state does not)
+    docs.select(col("doc_id")).join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** The shared training loop: returns the merge table rows and the
+    * PINNED final (word, cnt, s) vocabulary state (caller unpins).
+    */
+  private def bpeMergeRounds(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    val spark = docs.sparkSession
+    def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
+    val para = spark.sparkContext.defaultParallelism
+    var syms = pin(docs.repartition(para)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), bpeWrap(col("word")).as("s")))
+    val table = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= merges && !done) {
+      val arr = bpeSymbols(col("s"))
+      // guarded: sequence(1, 0) DESCENDS in Spark, so a single-symbol
+      // word would index past the array (same guard as bigramPairs)
+      val pairs = syms
+        .select(col("cnt"), explode(
+          when(size(arr) >= 2,
+            transform(sequence(lit(1), size(arr) - 1),
+              i => struct(element_at(arr, i).as("l"),
+                element_at(arr, i + 1).as("r"))))
+            .otherwise(array())).as("p"))
+        .select(col("cnt"), col("p.l").as("l"), col("p.r").as("r"))
+      // the argmax pair: exact counts, lexicographic tie-break — ONE
+      // row to the driver per round (TakeOrdered, never a full sort)
+      val best = pairs.groupBy("l", "r").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        table += ((round.toLong, l, r, l + r, c))
+        val next = pin(syms.select(col("word"), col("cnt"),
+          replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s")))
+        graft.Staging.unpin(syms)
+        syms = next
+      }
+      round += 1
+    }
+    (table.toSeq, syms)
   }
 }

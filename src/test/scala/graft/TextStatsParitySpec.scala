@@ -46,4 +46,36 @@ class TextStatsParitySpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("score")))
     assert(!rows(2).isNullAt(rows(2).fieldIndex("score")))
   }
+
+  test("trainedClassifierScore: learns the planted stopword signal, is run-deterministic, gates both classes") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = TextAnalysis.trainedClassifierScore(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.trainedClassifierScore(docs).orderBy("doc_id").collect()
+    // bit-replayable: two independent trainings agree exactly (exact
+    // decimal sums + truncating div — no float merge-order dependence)
+    assert(a.length == b.length && a.length == 500)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // the trainer actually LEARNED the target: predicted stopword
+    // ratio correlates strongly with the true ratio (the md5 stand-in
+    // classifier has no such relationship by construction)
+    val joined = TextAnalysis.trainedClassifierScore(docs)
+      .join(TextAnalysis.qualitySignals(docs)
+        .select(col("doc_id"), col("stopword_ratio")), "doc_id")
+      .select(corr(col("score"), col("stopword_ratio")).as("c"))
+      .head().getDouble(0)
+    assert(joined > 0.6, s"trained score should track the target, corr=$joined")
+    // both keep and cut classes populated (threshold isn't degenerate)
+    val kept = TextAnalysis.trainedClassifierScore(docs)
+      .filter(col("keep")).count()
+    assert(kept > 0 && kept < 500, s"kept=$kept")
+  }
+
+  test("trainedClassifierScore: zero-token docs get NULL score and keep=false") {
+    val docs = Seq((1L, ""), (2L, "the the the of of and"), (3L, "qq zz xx")).toDF("doc_id", "text")
+    val rows = TextAnalysis.trainedClassifierScore(docs, d = 16, rounds = 2)
+      .orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(!rows(0).getBoolean(rows(0).fieldIndex("keep")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("score")))
+  }
 }
