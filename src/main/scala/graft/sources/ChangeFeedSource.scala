@@ -616,6 +616,19 @@ private[graft] class ChangeFeedSource(
           (startFloor._1 == toV && startFloor._2 <= toC)) startFloor
         else (toV, toC)
       }
+    // LAZY leaf (round 18): everything below — the feed construction
+    // AND its AQE-eager toRdd — defers until the engine actually
+    // computes the returned frame. The engine's restart recovery calls
+    // getBatch on the last COMMITTED range and discards the result;
+    // with an eager leaf that re-planned (and re-shuffled) the whole
+    // last batch per restart (measured in tools/DeleteScale: a
+    // half-table bootstrap batch re-paid on every restart until the
+    // next commit moved the basis; flat after this change). A real
+    // batch forces the thunk exactly once, at execution; the
+    // constructible-range requires below fire there with the same
+    // messages.
+    org.apache.spark.sql.graft.Bridge.lazyStreamingLeafDataFrame(
+      sqlContext.sparkSession, schema) {
     // engine contract: a constructed batch always has from < to, but a
     // degenerate range must still return the declared schema
     val feed =
@@ -668,9 +681,8 @@ private[graft] class ChangeFeedSource(
       else df.withColumn(f.name,
         org.apache.spark.sql.functions.lit(null).cast(f.dataType))
     }
-    org.apache.spark.sql.graft.Bridge.streamingLeafDataFrame(
-      sqlContext.sparkSession,
-      aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 
   override def stop(): Unit = ()

@@ -52,6 +52,62 @@ object Bridge {
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = true)
 
+  /** [[streamingLeafDataFrame]] with DEFERRED planning: the inner
+    * DataFrame (and its `toRdd` — which under AQE executes the plan's
+    * shuffle stages eagerly) is not built until the engine actually
+    * computes the returned leaf. Why this exists: on every restart,
+    * MicroBatchExecution's offset recovery calls `Source.getBatch` on
+    * the last COMMITTED range and DISCARDS the result — with an eager
+    * leaf that discarded frame still pays the full feed re-plan
+    * (measured: a half-table bootstrap batch re-shuffled per restart
+    * in tools/DeleteScale until the next commit moved the basis). The
+    * lazy leaf makes the recovery call construction-only: dependencies,
+    * partitions and compute all force the inner build on first touch,
+    * which for a real batch happens exactly once at execution.
+    */
+  def lazyStreamingLeafDataFrame(spark: SparkSession, schema: StructType)(
+      build: => DataFrame): DataFrame = {
+    val thunk: () => RDD[InternalRow] = () => {
+      val df = build
+      // names + types must line up with the declared leaf schema
+      // (nullability may legitimately differ — e.g. padded columns)
+      require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"lazy streaming leaf: built schema ${df.schema.catalogString} " +
+          s"!= declared ${schema.catalogString}")
+      df.queryExecution.toRdd
+    }
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        new LazyLeafRdd(spark.sparkContext, thunk), schema,
+        isStreaming = true)
+  }
+
+  /** The deferred leaf behind [[lazyStreamingLeafDataFrame]]. The thunk
+    * (which closes over non-serializable source state) is @transient
+    * AND nulled at first force — the driver always forces before any
+    * task serializes (DAGScheduler reads partitions first), so
+    * executors deserialize the resolved `inner` field and never touch
+    * the thunk.
+    */
+  private class LazyLeafRdd(
+      @transient private val sc0: org.apache.spark.SparkContext,
+      @transient private var build0: () => RDD[InternalRow])
+    extends RDD[InternalRow](sc0, Nil) {
+    private var inner: RDD[InternalRow] = null
+    private def force(): RDD[InternalRow] = synchronized {
+      if (inner == null) { inner = build0(); build0 = null }
+      inner
+    }
+    override def getDependencies: Seq[org.apache.spark.Dependency[_]] =
+      Seq(new org.apache.spark.OneToOneDependency(force()))
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      force().partitions
+    override def compute(split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext): Iterator[InternalRow] =
+      force().iterator(split, context)
+  }
+
   /** The checkpointed RDD behind a `localCheckpoint(true)` frame, if its
     * optimized plan is the expected LogicalRDD leaf — lets graft.Staging
     * release the checkpoint blocks PROMPTLY on unpin (Dataset.unpersist

@@ -288,4 +288,48 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(resolveLocalPath("/tmp/plain") == Paths.get("/tmp/plain"))
     assert(resolveLocalPath("rel/ck") == Paths.get("rel/ck"))
   }
+
+  test("restart recovery never re-plans the last committed batch (lazy leaf)") {
+    // the engine's populate-start-offsets calls getBatch on the last
+    // COMMITTED range and discards the result; the feed leaf defers
+    // its whole construction (and the AQE-eager toRdd) into a thunk,
+    // so the discarded recovery frame must not even CONSTRUCT a feed —
+    // pinned via the onChangesPath construction hook. Before the lazy
+    // leaf this replayed a whole batch's shuffles per restart
+    // (measured table-scale after a bootstrap batch in
+    // tools/DeleteScale).
+    val root = Files.createTempDirectory("graft-feed-lazy")
+    val t = root.resolve("t").toString
+    val ckpt = root.resolve("ck").toString
+    val up = sink(t)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    up(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    var drained = 0L
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", t).option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) => drained += df.count() }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(drained >= 2L) // both versions served
+    val constructed = new java.util.concurrent.atomic.AtomicInteger
+    KeyedUpsertSink.onChangesPath = _ => { constructed.incrementAndGet(); () }
+    try {
+      drain() // idle restart: recovery getBatch only
+      assert(constructed.get() == 0,
+        s"idle restart constructed ${constructed.get()} feed plan(s) - " +
+          "the recovery frame must stay a deferred thunk")
+    } finally KeyedUpsertSink.onChangesPath = _ => ()
+    // and a REAL new batch after restart still serves correctly
+    up(batchDf(("c", 1L, 30L)), 2L) // v3
+    val before = drained
+    drain()
+    assert(drained == before + 1L)
+  }
 }
