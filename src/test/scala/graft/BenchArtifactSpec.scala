@@ -35,7 +35,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       .sortBy(-_.length).take(2).map("\"" + _ + "\"") :+ "\"+99\"")
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","n_passed":999,"queries":$qs,"failed":$worstFailed,"sf":"sf0.001"}"""
+      s"""{"metric":"total","value":99999.999,"unit":"sec","old_total":99999.999,"n_passed":999,"queries":$qs,"failed":$worstFailed,"sf":"sf0.001"}"""
     assert(line.length <= 1900,
       s"artifact line ${line.length} chars — exceeds the 1900-char safety budget " +
         "(2000-char driver tail minus sbt's [success] line); shorten keys")
