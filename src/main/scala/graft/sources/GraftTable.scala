@@ -34,11 +34,15 @@ import graft.sink.KeyedUpsertSink
   * key's version-rows live in its one bucket, so the per-key LWW
   * window is complete there; rows of OTHER keys sharing the bucket are
   * dropped by the re-applied filter. At 100 TB this makes a SQL point
-  * lookup O(requested keys), never a table scan. Library callers
-  * should still prefer `readBucketedDelta`/`lookupBucketed` — the DSv1
-  * relation contract routes rows through a Row-typed scan (one
-  * InternalRow↔Row round-trip this facade pays and the direct
-  * DataFrame does not).
+  * lookup O(requested keys), never a table scan. The DSv1 relation
+  * contract routes rows through a Row-typed scan (one InternalRow↔Row
+  * round-trip the direct DataFrame does not pay) — MEASURED at
+  * ×1/×10/×100 (tools/FacadeCostProbe, round 18): full-width resolve
+  * wall ratio facade/direct = 0.96/0.96/1.05, i.e. inside noise — the
+  * resolve's window dominates and the Row codec never shows, so the
+  * facade stays DSv1 deliberately (a DSv2 port would buy nothing
+  * measurable here; `readBucketedDelta`/`lookupBucketed` remain the
+  * library-callers' direct path).
   *
   * WRITE side (`df.write.format("graft-table")`, and `INSERT INTO` on a
   * `CREATE TABLE ... USING` registration): ONE optimistic LWW commit
