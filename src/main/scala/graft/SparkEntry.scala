@@ -97,9 +97,11 @@ object SparkEntry {
     import s.implicits._
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-mm-assets-${java.nio.file.Paths.get(dir).getFileName}")
-    if (!java.nio.file.Files.exists(base))
+    // gate on _SUCCESS, not the directory: a process killed mid-write
+    // leaves a partial dir that mode("ignore") would trust forever
+    if (!java.nio.file.Files.exists(base.resolve("_SUCCESS")))
       Multimodal.realAssets(Tables.documents(s, dir))
-        .write.mode("ignore").parquet(base.toString)
+        .write.mode("overwrite").parquet(base.toString)
     s.read.parquet(base.toString).as[Multimodal.Asset]
   }
 

@@ -233,7 +233,56 @@ object TextAnalysis {
     * sums absorb corpus size); ANSI overflow is the loud guard.
     */
   def trainedClassifierScore(docs: DataFrame, d: Int = 256, rounds: Int = 3,
-      scale: Long = 1000000L, threshold: Double = 0.08): DataFrame = {
+      scale: Long = 1000000L, threshold: Double = 0.08): DataFrame =
+    classifierScoreWith(docs,
+      trainClassifierWeights(docs, d, rounds, scale), d, scale, threshold)
+
+  /** The hashed-feature bucket of a token — ONE definition shared by
+    * the trainer and every scorer (drift here would silently score
+    * with the wrong feature space).
+    */
+  private def qclsBucket(t: Column, d: Int): Column =
+    conv(substring(md5(concat(lit("qcls-"), t)), 1, 15), 16, 10)
+      .cast("long") % d
+
+  /** Score a corpus with FROZEN classifier weights — the deployment
+    * shape: train once ([[trainClassifierWeights]]), ship the d-row
+    * weight table, score any corpus (batch or stream) map-side with
+    * one broadcast join + one per-doc aggregate. No training rounds,
+    * no labels.
+    */
+  def classifierScoreWith(docs: DataFrame, weights: DataFrame,
+      d: Int = 256, scale: Long = 1000000L,
+      threshold: Double = 0.08): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val scored = tok
+      .select(col("doc_id"), qclsBucket(col("t"), d).as("b"))
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("w"), lit(0L))).as("p"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        when(col("n") > 0,
+          col("p").cast("double") / (col("n") * scale).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("score"))
+      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+  }
+
+  /** The training loop alone: returns the PINNED d-row (b, w) weight
+    * table (caller unpins when done, or lets the session carry it —
+    * it is the model artifact a deployment persists).
+    *
+    * NOTE on scoring parity: this trainer's per-doc prediction is
+    * Σ_j c_ij·w_j; [[classifierScoreWith]] computes the same sum as
+    * Σ_tokens w_{bucket(t)} (one row per token, weights joined then
+    * summed) — identical by regrouping, exact in integers.
+    */
+  def trainClassifierWeights(docs: DataFrame, d: Int = 256,
+      rounds: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(d >= 2 && rounds >= 1, s"need d >= 2, rounds >= 1; got $d, $rounds")
     val spark = docs.sparkSession
     val u0 = 1000000L // direction fixed-point scale U
@@ -244,9 +293,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     // per-(doc, bucket) counts — the hashed feature matrix, built once
     val feat = pin(tok
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("qcls-"), col("t"))), 1, 15), 16, 10)
-          .cast("long") % d).as("b"))
+      .select(col("doc_id"), qclsBucket(col("t"), d).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
     // per-doc label row: token count + stopword count (the target)
     val lab = pin(tok.groupBy("doc_id").agg(
@@ -285,17 +332,9 @@ object TextAnalysis {
       graft.Staging.unpin(u)
       next
     }
-    val pred = feat.join(broadcast(wT), Seq("b"))
-      .groupBy("doc_id").agg(sum(col("c") * col("w")).as("p"))
-    docs.select(col("doc_id"))
-      .join(lab, Seq("doc_id"), "left")
-      .join(pred, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n"), lit(0L)).as("n_tokens"),
-        when(col("n") > 0,
-          col("p").cast("double") / (col("n") * scale).cast("double"))
-          .cast("decimal(18,6)").cast("double").as("score"))
-      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+    graft.Staging.unpin(feat)
+    graft.Staging.unpin(lab)
+    wT
   }
 
   /** Language ID, n-gram/marker-word heuristic: score each candidate
@@ -910,6 +949,41 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
+
+  /** Encode with an EXISTING merge table — the deployment shape: train
+    * once ([[bpeVocab]]), persist the table, encode any corpus by
+    * applying the merges IN ROUND ORDER to its distinct words
+    * (map-side `replace` chain over the wire form — a merge table is
+    * tens-to-thousands of rows, compiled into the projection), then
+    * one keyed join + per-doc sum. No retraining, no pair counts.
+    * `merges` is (lhs, rhs) in application order — pass
+    * `bpeVocab(...)` output ordered by `round` through
+    * [[bpeMergesOf]], or any externally-trained table.
+    */
+  def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("word")).distinct()
+    val encoded = merges.foldLeft(
+      words.select(col("word"), bpeWrap(col("word")).as("s"))) {
+      case (df, (l, r)) =>
+        df.select(col("word"),
+          replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"))
+    }
+    val enc = encoded.select(col("word"),
+      size(bpeSymbols(col("s"))).cast("long").as("n_p"))
+    val out = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_p")).as("n_pieces"))
+    docs.select(col("doc_id")).join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** The (lhs, rhs) application-order pairs of a [[bpeVocab]] table. */
+  def bpeMergesOf(vocab: DataFrame): Seq[(String, String)] =
+    vocab.orderBy("round").select("lhs", "rhs")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 
   /** The shared training loop: returns the merge table rows and the
     * PINNED final (word, cnt, s) vocabulary state (caller unpins).

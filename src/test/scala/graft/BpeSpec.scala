@@ -65,4 +65,23 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 0L, 0L), (2L, 2L, 2L)))
   }
+
+  test("bpeEncodeWith applies a frozen merge table identically to the coupled encoder, and transfers to unseen text") {
+    val train = Tables.documents(spark, Sf0001)
+    val table = TextAnalysis.bpeMergesOf(TextAnalysis.bpeVocab(train))
+    assert(table.length == 8)
+    // frozen apply == coupled train+encode on the training corpus
+    val coupled = TextAnalysis.bpeEncode(train).orderBy("doc_id").collect()
+    val frozen = TextAnalysis.bpeEncodeWith(train, table)
+      .orderBy("doc_id").collect()
+    assert(coupled.sameElements(frozen))
+    // the table transfers: encoding a DIFFERENT corpus needs no
+    // retraining and still bounds pieces by chars
+    val other = Seq((1L, "the cat sat on the mat"), (2L, "zzzz qqqq"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeEncodeWith(other, table)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq(6L, 2L))
+    assert(rows.forall(r => r._3 >= r._2))
+  }
 }

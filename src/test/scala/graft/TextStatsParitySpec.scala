@@ -78,4 +78,23 @@ class TextStatsParitySpec extends SparkSpec {
     assert(!rows(0).getBoolean(rows(0).fieldIndex("keep")))
     assert(!rows(1).isNullAt(rows(1).fieldIndex("score")))
   }
+
+  test("classifierScoreWith scores any corpus with frozen weights, matching the coupled trainer on its own corpus") {
+    val train = Tables.documents(spark, Sf0001)
+    val w = TextAnalysis.trainClassifierWeights(train)
+    val coupled = TextAnalysis.trainedClassifierScore(train)
+      .orderBy("doc_id").collect()
+    val frozen = TextAnalysis.classifierScoreWith(train, w)
+      .orderBy("doc_id").collect()
+    assert(coupled.sameElements(frozen))
+    // frozen weights score UNSEEN text map-side (tokens hashing into
+    // untrained buckets contribute 0 — the left-join coalesce)
+    val other = Seq((1L, "the of and to in"), (2L, "zzzz qqqq xxxx")).toDF("doc_id", "text")
+    val rows = TextAnalysis.classifierScoreWith(other, w)
+      .orderBy("doc_id").collect()
+    val s1 = rows(0).getDouble(rows(0).fieldIndex("score"))
+    val s2 = rows(1).getDouble(rows(1).fieldIndex("score"))
+    assert(s1 > s2, s"all-stopword text must outscore junk: $s1 vs $s2")
+    graft.Staging.unpin(w)
+  }
 }
