@@ -314,4 +314,50 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val want = Similarity.ivfServe(lists, cents, queries, k = 5).collect().toSet
     assert(served.collect().toSet == want)
   }
+
+  test("mm_video_real: payloads never shuffle - the frame decode plan has zero exchanges") {
+    val plan = executed(SparkEntry.queries("mm_video_real")(spark, Sf0001))
+    val ex = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty,
+      s"per-frame decode must run where the scan put the payloads, got ${ex.size} exchange(s)")
+  }
+
+  test("classifierScoreWith: frozen weights broadcast - scoring never sort-merges the corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val w = graft.text.TextAnalysis.trainClassifierWeights(docs, d = 16, rounds = 1)
+    val plan = executed(graft.text.TextAnalysis.classifierScoreWith(docs, w, d = 16))
+    val bcasts = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, "the weight table must join broadcast")
+    // the doc_id left-join restoring zero-token docs may legitimately
+    // sort-merge (both sides doc-scale); the WEIGHT join must not
+    val smjOnBucket = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("b#")) => j
+    }
+    assert(smjOnBucket.isEmpty, "the weight-table join must not sort-merge")
+    graft.Staging.unpin(w)
+  }
+
+  test("bpe argmax plans as a bounded TakeOrdered, never a global sort") {
+    // the per-round argmax inside the trainer is orderBy().limit(1) -
+    // assert the plan property on the same construction over the real
+    // pair-count aggregate shape
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val docs = Tables.documents(spark, Sf0001)
+    val pairs = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1)
+    val plan = executed(pairs)
+    val take = collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(take.nonEmpty, "argmax must plan as TakeOrderedAndProject")
+    val sorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, "argmax must not plan a global sort")
+  }
 }
