@@ -272,6 +272,37 @@ object TextAnalysis {
       .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
   }
 
+  /** ROW-LOCAL frozen scoring — the STREAMING shape: the weight table
+    * collapses to a one-row broadcast map frame (the stripParagraphs /
+    * PQ-codebook param-frame idiom) and the whole score computes per
+    * row as a token-array fold — no explode, no per-doc groupBy — so
+    * it runs inside an append-mode streaming query (a streamed corpus
+    * gate needs no shuffle and no state) and emits the same schema and
+    * values as [[classifierScoreWith]] (exact integer sum, regrouped).
+    * The per-token fold is the interpreted HOF form (one md5 per
+    * token); at batch scale prefer [[classifierScoreWith]]'s joined
+    * plan — this variant exists for streams and is value-pinned to the
+    * batch scorer by spec.
+    */
+  def classifierScoreRowLocal(docs: DataFrame, weights: DataFrame,
+      d: Int = 256, scale: Long = 1000000L,
+      threshold: Double = 0.08): DataFrame = {
+    val wm = weights.agg(
+      map_from_entries(collect_list(struct(col("b"), col("w")))).as("wm"))
+    val toks = tokens(col("text"))
+    docs.crossJoin(broadcast(wm))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + coalesce(element_at(col("wm"), qclsBucket(t, d)), lit(0L)))
+          .as("p"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("p").cast("double") / (col("n_tokens") * scale).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("score"))
+      .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+  }
+
   /** The training loop alone: returns the PINNED d-row (b, w) weight
     * table (caller unpins when done, or lets the session carry it —
     * it is the model artifact a deployment persists).

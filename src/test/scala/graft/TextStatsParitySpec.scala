@@ -97,4 +97,34 @@ class TextStatsParitySpec extends SparkSpec {
     assert(s1 > s2, s"all-stopword text must outscore junk: $s1 vs $s2")
     graft.Staging.unpin(w)
   }
+
+  test("classifierScoreRowLocal streams in append mode and matches the batch scorer exactly") {
+    val train = Tables.documents(spark, Sf0001)
+    val w = TextAnalysis.trainClassifierWeights(train)
+    // value parity on the batch corpus first (exact integer regrouping)
+    val batch = TextAnalysis.classifierScoreWith(train, w)
+      .orderBy("doc_id").collect()
+    val rowLocal = TextAnalysis.classifierScoreRowLocal(train, w)
+      .orderBy("doc_id").collect()
+    assert(batch.sameElements(rowLocal))
+    // and the same operator runs INSIDE an append-mode streaming query
+    // (row-local: no shuffle, no state) over file-arrival waves
+    val root = java.nio.file.Files.createTempDirectory("graft-clf-stream")
+    val landing = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    train.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/w0")
+    train.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/w1")
+    val stream = spark.readStream.schema(train.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = TextAnalysis.classifierScoreRowLocal(stream, w)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("clf_stream").orderBy("doc_id").collect()
+    assert(streamed.sameElements(batch),
+      "streamed frozen scoring must equal the batch scorer row-for-row")
+    graft.Staging.unpin(w)
+  }
 }
