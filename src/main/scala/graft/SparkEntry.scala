@@ -97,11 +97,33 @@ object SparkEntry {
     import s.implicits._
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-mm-assets-${java.nio.file.Paths.get(dir).getFileName}")
-    // gate on _SUCCESS, not the directory: a process killed mid-write
-    // leaves a partial dir that mode("ignore") would trust forever
-    if (!java.nio.file.Files.exists(base.resolve("_SUCCESS")))
+    // gate on _SUCCESS, not the directory (a killed writer must not
+    // poison the cache), and publish via write-aside + atomic rename so
+    // two concurrent JVMs (driver Verify vs a dev Bench) can't corrupt
+    // each other — the loser of the rename race just deletes its copy
+    if (!java.nio.file.Files.exists(base.resolve("_SUCCESS"))) {
+      val tmp = base.resolveSibling(
+        base.getFileName.toString + ".tmp." +
+          java.util.UUID.randomUUID().toString.take(8))
       Multimodal.realAssets(Tables.documents(s, dir))
-        .write.mode("overwrite").parquet(base.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, base,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // a racer published first (or a stale partial dir blocks the
+          // move): serve theirs if complete, else fail loudly below
+          val st = java.nio.file.Files.walk(tmp)
+          try st.sorted(java.util.Comparator.reverseOrder()).iterator()
+            .forEachRemaining(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally st.close()
+      }
+      require(java.nio.file.Files.exists(base.resolve("_SUCCESS")),
+        s"$base exists without _SUCCESS — a partial media-corpus cache " +
+          "from a killed writer; delete the directory and retry")
+    }
     s.read.parquet(base.toString).as[Multimodal.Asset]
   }
 

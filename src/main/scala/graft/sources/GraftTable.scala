@@ -133,10 +133,18 @@ class GraftTableProvider extends RelationProvider
       // after INSERT INTO needs `REFRESH TABLE t` (the standard DSv1
       // external-table discipline) to see the new version; fresh
       // sessions resolve the head.
-      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        // a versionAsOf registration is a read-only HISTORICAL view:
+        // an INSERT would silently commit to the head while this
+        // relation keeps serving the pinned old version — refuse
+        require(asOf.isEmpty,
+          "graft-table: INSERT INTO a versionAsOf registration is " +
+            "refused — the relation serves a pinned historical " +
+            "version; register the table without versionAsOf to write")
         GraftTableProvider.upsertBatch(ctx.sparkSession,
           if (overwrite) SaveMode.Overwrite else SaveMode.Append,
           parameters, data, "graft-table")
+      }
       // key filters prune BUCKETS only — a bucket holds many keys — so
       // every filter is re-applied by Spark above the scan
       override def unhandledFilters(filters: Array[Filter]): Array[Filter] =

@@ -474,6 +474,18 @@ class GraftFormatSpec extends SparkSpec {
     // nothing above corrupted the table
     assert(resolved(t) == Set(("a", 3L, 20L), ("b", 1L, 10L),
       ("c", 1L, 20L), ("d", 1L, 30L)))
+    // a versionAsOf registration is a read-only historical view: INSERT
+    // refuses instead of silently committing to the head
+    spark.sql("DROP TABLE IF EXISTS gtw_hist")
+    spark.sql(s"CREATE TABLE gtw_hist USING `graft-table` " +
+      s"OPTIONS (path '$t', versionAsOf '1')")
+    try {
+      val eh = intercept[Exception] {
+        spark.sql("INSERT INTO gtw_hist VALUES ('z', 1, 99)")
+      }
+      assert(eh.getMessage.contains("versionAsOf"))
+      assert(!resolved(t).contains(("z", 1L, 99L)))
+    } finally spark.sql("DROP TABLE IF EXISTS gtw_hist")
   }
 
   test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {
