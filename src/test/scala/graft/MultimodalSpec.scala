@@ -266,6 +266,36 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.head().getAs[String]("_corrupt_record").contains("overflow"))
     scanned.unpersist()
   }
+
+  test("the real decoders run inside an append-mode streaming query (map-side, no state)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val assets = Multimodal.realAssets(Tables.documents(spark, Sf0001))
+    val batchWant = Multimodal.decodeReal(assets).collect().toSet
+    val frameWant = Multimodal.decodeVideoReal(assets).collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("graft-mm-stream")
+    val landing = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    assets.filter(_.asset_id % 2 == 0).toDF().write.parquet(s"$landing/w0")
+    assets.filter(_.asset_id % 2 == 1).toDF().write.parquet(s"$landing/w1")
+    def stream = spark.readStream.schema(assets.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+      .as[Multimodal.Asset]
+    val q1 = Multimodal.decodeReal(stream).toDF()
+      .writeStream.format("memory").queryName("mm_dec_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck1").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.table("mm_dec_stream").as[Multimodal.DecodedMedia]
+      .collect().toSet == batchWant)
+    val q2 = Multimodal.decodeVideoReal(stream).toDF()
+      .writeStream.format("memory").queryName("mm_vid_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("mm_vid_stream").as[Multimodal.VideoFrame]
+      .collect().toSet == frameWant)
+  }
 }
 
 object MultimodalSpec {
