@@ -982,6 +982,20 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).as("n_tok")),
       col("source"), col("doc_id"), col("n_tok"), budget = 2048L).drop("n_tok")),
+    // the same packer under the REAL tokenizer (round 18): budgets are
+    // BPE piece counts from the trained merge table, not whitespace
+    // tokens — the composition a pretraining pipeline actually runs.
+    // (Verify-only: its wall is the bpe_vocab+bpe_encode pair already
+    // measured in the headline, plus one window.)
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.packSequences(
+        docs.select(col("doc_id"), col("source"))
+          .join(TextAnalysis.bpeEncode(docs).select("doc_id", "n_pieces"),
+            Seq("doc_id")),
+        col("source"), col("doc_id"), col("n_pieces"), budget = 2048L)
+        .drop("n_pieces")
+    }),
     // deterministic epoch-1 shuffle into 8 training shards.
     "sample_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(
       Tables.documents(s, dir).select("doc_id"),
@@ -2866,6 +2880,30 @@ object SparkEntry {
     // same (count, lhs, rhs) argmax, same greedy wire-form replace
     "text_bpe_vocab" -> bpeVocabOracle(merges = 8),
     "text_bpe_encode" -> bpeEncodeOracle(merges = 8),
+
+    // packing under the replayed BPE budgets: the encode oracle's CTEs
+    // feed the same cumulative-sum window as pack_sequences
+    "pack_sequences_bpe" ->
+      s"""WITH ${bpeRoundsCte(8)},
+        |enc AS (
+        |  SELECT word,
+        |    CAST(len(string_split(substr(s, 2, length(s) - 2), '||')) AS BIGINT) AS n_p
+        |  FROM s8),
+        |t AS (
+        |  SELECT d.doc_id, d.source, COALESCE(x.n_p, 0) AS n_tokens
+        |  FROM documents d LEFT JOIN (
+        |    SELECT tok.doc_id, CAST(sum(enc.n_p) AS BIGINT) AS n_p
+        |    FROM tok JOIN enc ON tok.t = enc.word GROUP BY tok.doc_id) x
+        |  USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before,
+        |  cum_before // 2048 AS seq_idx, cum_before % 2048 AS seq_offset
+        |FROM c""".stripMargin,
 
     // the TRAINED classifier: all GD rounds unrolled as CTE stages —
     // exact sums (HUGEINT = the Spark side's decimal(38,0)),
