@@ -84,4 +84,17 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_._2) == Seq(6L, 2L))
     assert(rows.forall(r => r._3 >= r._2))
   }
+
+  test("a pairless corpus (all single-char words) trains an empty table; encode degrades to token counts") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeVocab(docs, merges = 4)
+    assert(vocab.count() == 0L)
+    val enc = TextAnalysis.bpeEncode(docs, merges = 4)
+      .as[(Long, Long, Long)].head()
+    assert(enc == ((1L, 4L, 4L)))
+    // the frozen apply with an EMPTY table is the identity encoding
+    val rows = TextAnalysis.bpeEncodeWith(docs, Seq.empty)
+      .as[(Long, Long, Long)].head()
+    assert(rows == ((1L, 4L, 4L)))
+  }
 }

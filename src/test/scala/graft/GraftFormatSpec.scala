@@ -488,6 +488,20 @@ class GraftFormatSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gtw_hist")
   }
 
+
+  test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {
+    val root = Files.createTempDirectory("graft-table-empty")
+    val t = root.resolve("t").toString
+    batchDf().write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").mode("append").save()
+    assert(KeyedUpsertSink.tableVersions(t).isEmpty,
+      "an empty batch must not commit a version")
+    // the first DATA-carrying commit still creates it normally
+    batchDf(("a", 1L, 10L)).write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 10L)))
+  }
+
   test("graft-upsert refuses Complete mode, partitionBy, and a malformed streamId") {
     val root = Files.createTempDirectory("graft-upsert-refuse")
     val a = root.resolve("a").toString
