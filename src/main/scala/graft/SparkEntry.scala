@@ -1021,12 +1021,23 @@ object SparkEntry {
     "text_quality_classifier" -> ((s, dir) =>
       TextAnalysis.classifierScore(Tables.documents(s, dir))),
     // the TRAINED variant (round 18): weights learned on this corpus by
-    // two fixed rounds of exact fixed-point gradient descent (damped
-    // Jacobi on the normal equations), target = stopword count. The
-    // oracle unrolls both training rounds as CTEs — a hash match proves
-    // the full distributed train+score pipeline is bit-replayable.
+    // three fixed rounds of steepest descent with an exact integer line
+    // search, target = stopword count. The oracle unrolls the training
+    // rounds as CTEs — a hash match proves the full distributed
+    // train+score pipeline is bit-replayable.
     "text_quality_classifier_trained" -> ((s, dir) =>
       TextAnalysis.trainedClassifierScore(Tables.documents(s, dir))),
+    // the curation pipeline gated by the TRAINED model (round 18): train
+    // on the corpus, freeze, gate row-locally inside the same composed
+    // plan — the oracle nests the full training replay, so one hash
+    // covers train + gate + dedup + decontaminate + mixture + packing.
+    "text_curation_trained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.curate(docs, col("doc_id") % 37 === 0,
+        minShared = 40L,
+        extraGate = TextAnalysis.frozenClassifierGate(
+          TextAnalysis.trainClassifierWeights(docs)))
+    }),
     // BPE merge-table trainer (round 18): 8 fixed rounds of the
     // canonical map-reduce pair-count loop over the weighted distinct
     // vocabulary; exact counts + lexicographic tie-breaks, so the
@@ -1327,6 +1338,81 @@ object SparkEntry {
       |    CAST(sum(enc.n_p) AS BIGINT) AS n_pieces
       |  FROM tok JOIN enc ON tok.t = enc.word GROUP BY tok.doc_id) x
       |USING (doc_id)""".stripMargin
+
+  /** The composed curation oracle, parameterized by an extra SQL
+    * predicate spliced into the gated CTE — "" for the heuristic
+    * pipeline, the nested trained-classifier keep subquery for the
+    * trained variant (one definition, so the two entries cannot
+    * drift).
+    */
+  private def curationOracle(extraGateSql: String): String =
+    s"""WITH $bigramShingleCte,
+         |t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
+         |  ${langScoreSql(Seq("der", "und", "nicht", "das"))} AS s_de,
+         |  ${langScoreSql(Seq("the", "and", "not", "this"))} AS s_en,
+         |  ${langScoreSql(Seq("el", "los", "que", "este"))} AS s_es,
+         |  ${langScoreSql(Seq("le", "les", "que", "ce"))} AS s_fr,
+         |  ${langScoreSql(Seq("de", "shi", "bu", "zhe"))} AS s_zh
+         | FROM t),
+         |rep AS (
+         |  SELECT doc_id, max(c) AS top_bi
+         |  FROM (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+         |              FROM t WHERE len(toks) >= 2)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |g AS (SELECT s.doc_id, source, text, n_tokens, stopword_ratio,
+         |  CAST(CASE WHEN n_tokens > 1
+         |    THEN CAST(coalesce(rep.top_bi, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+         |    ELSE 0 END AS DECIMAL(18,6)) AS top_bigram_frac,
+         |  CASE
+         |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |    ELSE 'zh' END AS lang_pred
+         | FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id),
+         |gated AS (
+         |  SELECT * FROM g
+         |  WHERE n_tokens >= 10 AND stopword_ratio <= 0.5
+         |    AND top_bigram_frac <= 0.1 AND lang_pred != 'und'
+         |    AND doc_id % 37 != 0$extraGateSql),
+         |surv AS (
+         |  SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio, top_bigram_frac
+         |  FROM gated
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
+         |    ORDER BY doc_id) = 1),
+         |ngx AS (SELECT doc_id, doc_id % 37 = 0 AS is_bench, unnest(sh) AS ng FROM sh),
+         |bench AS (SELECT DISTINCT ng FROM ngx WHERE is_bench),
+         |flagged AS (
+         |  SELECT doc_id FROM ngx JOIN bench USING (ng)
+         |  WHERE NOT is_bench GROUP BY doc_id HAVING count(DISTINCT ng) >= 40),
+         |clean AS (
+         |  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |cnt AS (SELECT lang_pred AS mix_g, count(*) AS n_g FROM clean GROUP BY lang_pred),
+         |r AS (SELECT mix_g, sqrt(CAST((SELECT min(n_g) FROM cnt) AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate FROM cnt),
+         |mixed AS (
+         |  SELECT clean.*, rate FROM clean JOIN r ON clean.lang_pred = r.mix_g
+         |  WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 < rate),
+         |packed AS (
+         |  SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio, top_bigram_frac, rate,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM mixed)
+         |SELECT doc_id, source, lang_pred, n_tokens,
+         |  CAST(CAST(stopword_ratio AS VARCHAR) AS DOUBLE) AS stopword_ratio,
+         |  CAST(CAST(top_bigram_frac AS VARCHAR) AS DOUBLE) AS top_bigram_frac,
+         |  CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sample_rate,
+         |  cum_before, cum_before // 2048 AS seq_idx, cum_before % 2048 AS seq_offset
+         |FROM packed""".stripMargin
 
   /** The trained-classifier oracle: `rounds` steepest-descent rounds
     * (exact line search — see TextAnalysis.trainedClassifierScore)
@@ -2914,74 +3000,13 @@ object SparkEntry {
     // the whole curation pipeline, stage by stage: quality/lang gates
     // (clean_corpus recipe) + repetition gate + fingerprint dedup +
     // decontamination anti-join + sqrt-mixture + per-source packing.
-    "text_curation_pipeline" ->
-      s"""WITH $bigramShingleCte,
-         |t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-         |    / CAST(len(toks) AS DOUBLE) AS DECIMAL(18,6)) AS stopword_ratio,
-         |  ${langScoreSql(Seq("der", "und", "nicht", "das"))} AS s_de,
-         |  ${langScoreSql(Seq("the", "and", "not", "this"))} AS s_en,
-         |  ${langScoreSql(Seq("el", "los", "que", "este"))} AS s_es,
-         |  ${langScoreSql(Seq("le", "les", "que", "ce"))} AS s_fr,
-         |  ${langScoreSql(Seq("de", "shi", "bu", "zhe"))} AS s_zh
-         | FROM t),
-         |rep AS (
-         |  SELECT doc_id, max(c) AS top_bi
-         |  FROM (SELECT doc_id, g, count(*) AS c
-         |        FROM (SELECT doc_id,
-         |                unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
-         |              FROM t WHERE len(toks) >= 2)
-         |        GROUP BY doc_id, g)
-         |  GROUP BY doc_id),
-         |g AS (SELECT s.doc_id, source, text, n_tokens, stopword_ratio,
-         |  CAST(CASE WHEN n_tokens > 1
-         |    THEN CAST(coalesce(rep.top_bi, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
-         |    ELSE 0 END AS DECIMAL(18,6)) AS top_bigram_frac,
-         |  CASE
-         |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-         |    ELSE 'zh' END AS lang_pred
-         | FROM s LEFT JOIN rep ON s.doc_id = rep.doc_id),
-         |gated AS (
-         |  SELECT * FROM g
-         |  WHERE n_tokens >= 10 AND stopword_ratio <= 0.5
-         |    AND top_bigram_frac <= 0.1 AND lang_pred != 'und'
-         |    AND doc_id % 37 != 0),
-         |surv AS (
-         |  SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio, top_bigram_frac
-         |  FROM gated
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY md5(regexp_replace(lower(text), ' +', ' ', 'g'))
-         |    ORDER BY doc_id) = 1),
-         |ngx AS (SELECT doc_id, doc_id % 37 = 0 AS is_bench, unnest(sh) AS ng FROM sh),
-         |bench AS (SELECT DISTINCT ng FROM ngx WHERE is_bench),
-         |flagged AS (
-         |  SELECT doc_id FROM ngx JOIN bench USING (ng)
-         |  WHERE NOT is_bench GROUP BY doc_id HAVING count(DISTINCT ng) >= 40),
-         |clean AS (
-         |  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-         |cnt AS (SELECT lang_pred AS mix_g, count(*) AS n_g FROM clean GROUP BY lang_pred),
-         |r AS (SELECT mix_g, sqrt(CAST((SELECT min(n_g) FROM cnt) AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate FROM cnt),
-         |mixed AS (
-         |  SELECT clean.*, rate FROM clean JOIN r ON clean.lang_pred = r.mix_g
-         |  WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |    / 4294967296.0 < rate),
-         |packed AS (
-         |  SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio, top_bigram_frac, rate,
-         |    CAST(coalesce(sum(n_tokens) OVER (
-         |      PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM mixed)
-         |SELECT doc_id, source, lang_pred, n_tokens,
-         |  CAST(CAST(stopword_ratio AS VARCHAR) AS DOUBLE) AS stopword_ratio,
-         |  CAST(CAST(top_bigram_frac AS VARCHAR) AS DOUBLE) AS top_bigram_frac,
-         |  CAST(CAST(CAST(rate AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sample_rate,
-         |  cum_before, cum_before // 2048 AS seq_idx, cum_before % 2048 AS seq_offset
-         |FROM packed""".stripMargin,
+    "text_curation_pipeline" -> curationOracle(extraGateSql = ""),
+
+    // the same pipeline with the TRAINED gate: the classifier's full
+    // 3-round training replay nests as a derived-table subquery inside
+    // the gated CTE — one oracle hash covers train + gate + curate
+    "text_curation_trained" -> curationOracle(extraGateSql =
+      s"""\n         |    AND doc_id IN (SELECT doc_id FROM (\n         |${trainedClassifierOracle(rounds = 3)}\n         |    ) WHERE keep)""".stripMargin),
 
     // exact per-group percentiles (quantile_cont = Spark `percentile`,
     // linear interpolation); bounds rounded to decimal(18,6) both sides.

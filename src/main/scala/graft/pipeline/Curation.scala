@@ -76,6 +76,13 @@ object Curation {
       .drop("st", "rp")
   }
 
+  /** @param extraGate an additional row-local gate stage applied after
+    *                   the heuristic gates — the seam a TRAINED model
+    *                   plugs into ([[TextAnalysis.frozenClassifierGate]]);
+    *                   must be a pure projection + filter so the
+    *                   streamed twin stays batch-equal (identity by
+    *                   default).
+    */
   def curate(
       docs: DataFrame,
       isBenchmark: Column,
@@ -83,8 +90,10 @@ object Curation {
       maxStopwordRatio: Double = 0.5,
       maxTopBigramFrac: Double = 0.1,
       minShared: Long = 3,
-      budget: Long = 2048L): DataFrame = {
-    val gated = gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac)
+      budget: Long = 2048L,
+      extraGate: DataFrame => DataFrame = identity): DataFrame = {
+    val gated = extraGate(
+      gates(docs, isBenchmark, minTokens, maxStopwordRatio, maxTopBigramFrac))
     // Materialize the dedup survivors ONCE: three branches consume them
     // (decontamination probe, mixture counts, the final anti-join side),
     // and because each branch prunes different columns their exchange

@@ -81,10 +81,14 @@ object StreamingCuration {
       maxStopwordRatio: Double = 0.5,
       maxTopBigramFrac: Double = 0.1,
       minShared: Long = 3,
-      numBuckets: Int = 64): StreamingQuery = {
+      numBuckets: Int = 64,
+      extraGate: DataFrame => DataFrame = identity): StreamingQuery = {
     val spark = docs.sparkSession
-    val gated = Curation.gates(docs, isBenchmark, minTokens,
-      maxStopwordRatio, maxTopBigramFrac)
+    // the extraGate seam mirrors Curation.curate's: a row-local stage
+    // (e.g. the frozen trained classifier) composes INSIDE the stream —
+    // same model, same gate, so streamed == batch by construction
+    val gated = extraGate(Curation.gates(docs, isBenchmark, minTokens,
+      maxStopwordRatio, maxTopBigramFrac))
     // static benchmark ⇒ static index: materialize once, reuse every
     // trigger (the count() is the eager build — without it the first
     // trigger would pay it lazily and a zero-trigger run would leak a

@@ -286,21 +286,49 @@ object TextAnalysis {
     */
   def classifierScoreRowLocal(docs: DataFrame, weights: DataFrame,
       d: Int = 256, scale: Long = 1000000L,
-      threshold: Double = 0.08): DataFrame = {
-    val wm = weights.agg(
-      map_from_entries(collect_list(struct(col("b"), col("w")))).as("wm"))
-    val toks = tokens(col("text"))
-    docs.crossJoin(broadcast(wm))
+      threshold: Double = 0.08): DataFrame =
+    docs.crossJoin(broadcast(weightsMapFrame(weights)))
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + coalesce(element_at(col("wm"), qclsBucket(t, d)), lit(0L)))
-          .as("p"))
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("n_tokens") > 0,
-          col("p").cast("double") / (col("n_tokens") * scale).cast("double"))
-          .cast("decimal(18,6)").cast("double").as("score"))
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        rowLocalScore(col("__wm"), col("text"), d, scale).as("score"))
       .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false)))
+
+  /** The weight table as a one-row broadcastable map frame (column
+    * `__wm`) — shared by the row-local scorer and the curation gate.
+    */
+  private[graft] def weightsMapFrame(weights: DataFrame): DataFrame =
+    weights.agg(
+      map_from_entries(collect_list(struct(col("b"), col("w")))).as("__wm"))
+
+  /** The row-local score expression over a weights-map column: exact
+    * integer token fold, decimal(18,6)-rounded double out (NULL for
+    * zero-token text) — value-identical to the joined batch scorer.
+    */
+  private[graft] def rowLocalScore(wm: Column, text: Column, d: Int,
+      scale: Long): Column = {
+    val toks = tokens(text)
+    val p = aggregate(toks, lit(0L), (acc, t) =>
+      acc + coalesce(element_at(wm, qclsBucket(t, d)), lit(0L)))
+    when(size(toks) > 0,
+      p.cast("double") / (size(toks).cast("long") * scale).cast("double"))
+      .cast("decimal(18,6)").cast("double")
+  }
+
+  /** A FROZEN-classifier keep gate as a composable stage (the
+    * [[graft.pipeline.Curation]] `extraGate` seam): filters to rows
+    * whose row-local score clears `threshold`. Pure projection +
+    * filter over a broadcast one-row map frame — runs unchanged inside
+    * an append-mode stream, so the batch and streamed curation
+    * pipelines gate with the SAME trained model.
+    */
+  def frozenClassifierGate(weights: DataFrame, d: Int = 256,
+      scale: Long = 1000000L, threshold: Double = 0.08)
+      : DataFrame => DataFrame = { df =>
+    df.crossJoin(broadcast(weightsMapFrame(weights)))
+      .filter(coalesce(
+        rowLocalScore(col("__wm"), col("text"), d, scale) > lit(threshold),
+        lit(false)))
+      .drop("__wm")
   }
 
   /** The training loop alone: returns the PINNED d-row (b, w) weight

@@ -135,4 +135,33 @@ class StreamingCurationSpec extends SparkSpec {
     val batchSurvivors = batchWant.size
     assert(st.filter(!col("contaminated")).count() == batchSurvivors)
   }
+
+  test("the streamed pipeline gates with the same FROZEN trained model as the batch twin") {
+    import graft.text.TextAnalysis
+    // train once on the full corpus, freeze — both twins gate with it
+    val w = TextAnalysis.trainClassifierWeights(docs)
+    val gate = TextAnalysis.frozenClassifierGate(w)
+    val want = Curation.curate(docs, isBench, minShared = MinShared,
+      extraGate = gate).collect().toSet
+    assert(want.nonEmpty && want.size < batchWant.size,
+      "the trained gate must actually cut (and not empty) the corpus")
+    val root = Files.createTempDirectory("graft-scur-trained")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)).zipWithIndex.foreach {
+      case (wv, i) =>
+        wv.write.parquet(s"$landing/w$i")
+        val stream = spark.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(landing)
+        StreamingCuration.start(stream, benchmark, isBench, state, ckpt,
+          minShared = MinShared, numBuckets = 8, extraGate = gate)
+          .awaitTermination()
+    }
+    val got = StreamingCuration.corpusView(spark, state).collect().toSet
+    assert(got == want,
+      "streamed curation under the frozen model must equal the batch twin")
+    graft.Staging.unpin(w)
+  }
 }
