@@ -648,6 +648,43 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // The SQL DELETE verb (round 18): the etl_upsert_delete scenario
+    // driven entirely through the format surface — two upsert commits
+    // via df.write, then a `option("delete", "true")` write tombstones
+    // user_id % 7 == 0 above every event (its compactAfter=2 folds the
+    // chain IMMEDIATELY after the tombstones land), and a replayed old
+    // wave arriving AFTER the fold must still lose. Same oracle as
+    // etl_upsert_delete: the live-keys-only LWW, so the hash
+    // discriminates both a fold that drops winning tombstones and any
+    // drift between the SQL verb and the Scala API.
+    "etl_table_delete" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-table-delete-q", dir)
+      ev.filter(col("last_event_id") % 2 === 0)
+        .write.format("graft-table").option("path", path)
+        .option("keys", "user_id").option("orderBy", "ts_us,last_event_id")
+        .option("numBuckets", "16")
+        .mode("append").save()
+      ev.filter(col("last_event_id") % 2 === 1)
+        .write.format("graft-table").option("path", path)
+        .mode("append").save()
+      ev.filter(col("user_id") % 7 === 0).select(col("user_id"))
+        .distinct()
+        .withColumn("ts_us", lit(4102444800000000L)) // above every event
+        .withColumn("last_event_id", lit(null).cast("long"))
+        .write.format("graft-table").option("path", path)
+        .option("delete", "true").option("compactAfter", "2")
+        .mode("append").save()
+      ev.filter(col("last_event_id") % 2 === 1) // replayed wave
+        .write.format("graft-table").option("path", path)
+        .mode("append").save()
+      s.read.format("graft-table").option("path", path).load()
+        .drop("ts_us")
+    }),
+
     // The facade's PRUNED route (round 17 third pass): a key-equality
     // IN list routes through lookupBucketed — only the buckets the 64
     // pinned keys hash to are read, the LWW resolve runs per key inside
@@ -1909,6 +1946,15 @@ object SparkEntry {
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         | epoch_us(ts)//1000 AS last_ts_ms
         |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    // the SQL delete verb must agree with the Scala delete API: deleted
+    // keys leave the resolve, the replayed wave cannot resurrect them
+    "etl_table_delete" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | epoch_us(ts)//1000 AS last_ts_ms
+        |FROM events
+        |WHERE user_id % 7 <> 0
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
 
     // bucket pruning must lose no version-row of a pinned key: the

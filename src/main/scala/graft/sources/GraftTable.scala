@@ -63,9 +63,9 @@ import graft.sink.KeyedUpsertSink
   *    is not one operation — the versioned history, change feeds, and
   *    replicas have no representation for "every prior key vanished"
   *    short of tombstoning each one. A caller who means that writes the
-  *    delete explicitly ([[KeyedUpsertSink.deleteBucketedDelta]], or
-  *    the weighted stream); a caller who means "rebuild the fixture"
-  *    deletes the directory.
+  *    delete explicitly (`option("delete", "true")` below,
+  *    [[KeyedUpsertSink.deleteBucketedDelta]], or the weighted stream);
+  *    a caller who means "rebuild the fixture" deletes the directory.
   *  - `ErrorIfExists`/`Ignore` are REFUSED: both hinge on an atomic
   *    "does the table exist" decision, but two racing writers would
   *    each observe no table and BOTH commit (the optimistic protocol
@@ -78,6 +78,21 @@ import graft.sink.KeyedUpsertSink
   * data-carrying commit. Engine scratch columns (`__`-prefixed) are
   * refused — a retraction/anchor-carrying frame must be transformed
   * before a batch upsert, same rule as the streaming sink.
+  *
+  * DELETE verb (`option("delete", "true")`, still `mode("append")`):
+  * the batch is a DELETION REQUEST — one tombstone per distinct
+  * (key, order) tuple, committed through
+  * [[KeyedUpsertSink.deleteBucketedDelta]] with the same stored-spec
+  * handshake. The order values rank the tombstone in the LWW chain
+  * exactly like the Scala API: a replayed OLDER event still loses, a
+  * LATER upsert re-creates the key. SQL itself has no DELETE statement
+  * for a DSv1 external relation, so a catalog registration created
+  * with `OPTIONS (delete 'true')` IS the SQL delete door — `INSERT
+  * INTO that_registration SELECT key, order...` tombstones the
+  * selected tuples (reads through it stay plain resolved reads; the
+  * option only routes writes). A delete targets an EXISTING table
+  * (there is no schema to delete against otherwise — the committer
+  * refuses loudly), so it can never create one.
   */
 class GraftTableProvider extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -203,7 +218,8 @@ object GraftTableProvider {
           "one operation on a versioned LWW table (history, change " +
           "feeds and replicas have no representation for it short of " +
           "tombstoning every key). Upsert with mode(\"append\"); delete " +
-          "explicitly via deleteBucketedDelta or the weighted stream; " +
+          "explicitly via option(\"delete\", \"true\"), " +
+          "deleteBucketedDelta or the weighted stream; " +
           "or delete the table directory to rebuild a fixture")
       case m => throw new IllegalArgumentException(
         s"$format: SaveMode $m hinges on an atomic does-the-table-exist " +
@@ -227,8 +243,15 @@ object GraftTableProvider {
       .orElse(KeyedUpsertSink.effectiveNumBuckets(path)).getOrElse(64)
     val compactAfter = intOption(parameters, "compactAfter", format)
       .getOrElse(8)
-    KeyedUpsertSink.upsertBucketedDelta(spark, path, keys, order,
-      numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+    val delete = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("delete") => v.toBoolean
+    }.getOrElse(false)
+    if (delete)
+      KeyedUpsertSink.deleteBucketedDelta(spark, path, keys, order,
+        numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+    else
+      KeyedUpsertSink.upsertBucketedDelta(spark, path, keys, order,
+        numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
     ()
   }
 

@@ -489,6 +489,65 @@ class GraftFormatSpec extends SparkSpec {
   }
 
 
+  test("option(delete) tombstones through df.write and the INSERT INTO door; a delete cannot create a table") {
+    val root = Files.createTempDirectory("graft-table-delete")
+    val t = root.resolve("t").toString
+    batchDf(("a", 1L, 10L), ("b", 1L, 10L), ("c", 1L, 10L))
+      .write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    // the SQL delete verb: one tombstone per (key, order) tuple, ranked
+    // above b's row — b leaves every resolved read
+    Seq(("b", 20L)).toDF("k", "ts")
+      .write.format("graft-table").option("path", t)
+      .option("delete", "true").mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 10L), ("c", 1L, 10L)))
+    assert(spark.read.format("graft-table").option("path", t).load()
+      .filter($"k" === "b").count() == 0L)
+    // a replayed OLDER event still loses to the tombstone
+    batchDf(("b", 7L, 15L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 10L), ("c", 1L, 10L)))
+    // a LATER upsert re-creates the key
+    batchDf(("b", 9L, 30L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 10L), ("b", 9L, 30L), ("c", 1L, 10L)))
+    // time travel below the delete still serves the key
+    assert(spark.read.format("graft-table").option("path", t)
+      .option("versionAsOf", "1").load().filter($"k" === "b").count() == 1L)
+    // the DELETE DOOR registration: INSERT INTO tombstones via pure SQL
+    spark.sql("DROP TABLE IF EXISTS gtd")
+    spark.sql(s"CREATE TABLE gtd USING `graft-table` " +
+      s"OPTIONS (path '$t', delete 'true')")
+    try {
+      spark.sql("INSERT INTO gtd SELECT 'c', 0, 40")
+      assert(resolved(t) == Set(("a", 1L, 10L), ("b", 9L, 30L)))
+    } finally spark.sql("DROP TABLE IF EXISTS gtd")
+    // reads through a delete-door registration stay plain resolved reads
+    spark.sql(s"CREATE TABLE gtd2 USING `graft-table` " +
+      s"OPTIONS (path '$t', delete 'true')")
+    try assert(spark.sql("SELECT count(*) FROM gtd2").head().getLong(0) == 2L)
+    finally spark.sql("DROP TABLE IF EXISTS gtd2")
+    // a delete against a table that does not exist refuses loudly — it
+    // can never CREATE one (there is no schema to delete against)
+    val e = intercept[Exception] {
+      Seq(("x", 1L)).toDF("k", "ts").write.format("graft-table")
+        .option("path", root.resolve("t2").toString)
+        .option("keys", "k").option("orderBy", "ts")
+        .option("delete", "true").mode("append").save()
+    }
+    assert(e.getMessage.contains("delete"))
+    // Overwrite + delete is still the Overwrite refusal (mode checked first)
+    val e2 = intercept[Exception] {
+      Seq(("a", 99L)).toDF("k", "ts").write.format("graft-table")
+        .option("path", t).option("delete", "true")
+        .mode("overwrite").save()
+    }
+    assert(e2.getMessage.contains("Overwrite"))
+    assert(resolved(t) == Set(("a", 1L, 10L), ("b", 9L, 30L)),
+      "the refused writes must not have landed")
+  }
+
   test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {
     val root = Files.createTempDirectory("graft-table-empty")
     val t = root.resolve("t").toString
