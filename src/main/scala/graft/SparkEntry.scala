@@ -890,6 +890,19 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualitySignals(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.langIdFast(col("text")).as("lang"))),
+    // TRAINED language ID (round 18): smoothed unigram naive Bayes fit
+    // on the doc_id % 5 != 0 labeled slice (no marker list), decided by
+    // argmax Σ ⌊log2 p(w|l)⌋ — the floor-log2 keeps true NB's product
+    // rule exact-integer in both engines (length(bin(x))-1), so the
+    // oracle replays the train+predict pipeline bit-for-bit. The
+    // held-out fifth of the corpus is predicted by a model that never
+    // saw it.
+    "text_langid_trained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.trainedLangId(docs, col("doc_id") % 5 =!= 0),
+          Seq("doc_id"))
+    }),
     "text_fingerprint" -> ((s, dir) => Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
     // md5-derived token hash → oracle-checked (list_reduce recurrence).
@@ -2505,6 +2518,31 @@ object SparkEntry {
          |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
          |  ELSE 'zh' END AS lang
          |FROM s""".stripMargin,
+
+    // trained langid: the oracle replays the train+predict pipeline —
+    // unigram counts on the %5!=0 slice, per-(doc, candidate) sum of
+    // ⌊log2⌋ of the fixed-point smoothed probability (len(bin(x))-1,
+    // exact in both engines), argmax with lexicographic tie-break. All
+    // integer until the argmax, so the hash IS the model: a drift in
+    // counts, smoothing, scale, or tie order flips rows.
+    "text_langid_trained" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSql) AS w FROM documents),
+         |train AS (SELECT lang, w FROM tok WHERE doc_id % 5 <> 0),
+         |m AS (SELECT lang, w, count(*) AS c FROM train GROUP BY 1, 2),
+         |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM m GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM train),
+         |term AS (
+         |  SELECT t.doc_id, nl.lang AS cand,
+         |    len(bin(((coalesce(m.c, 0) + 1) * 1048576) // (nl.n_l + vv.v))) - 1 AS lg
+         |  FROM (SELECT doc_id, w FROM tok) t
+         |  CROSS JOIN nl CROSS JOIN vv
+         |  LEFT JOIN m ON m.lang = nl.lang AND m.w = t.w),
+         |scored AS (SELECT doc_id, cand, CAST(sum(lg) AS BIGINT) AS s_sum
+         |  FROM term GROUP BY 1, 2),
+         |best AS (SELECT doc_id, cand AS lang_pred FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s_sum DESC, cand) = 1)
+         |SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp

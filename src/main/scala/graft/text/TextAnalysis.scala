@@ -450,6 +450,178 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** TRAINED language ID (round 18) — the [[langId]] heuristic's
+    * learned twin: per-language smoothed unigram naive Bayes FIT on a
+    * labeled corpus slice, with NO hand-built marker list. Train once
+    * ([[trainLangModel]] — the shipped model artifact is one sparse
+    * (lang, w, c) count table), then [[langIdWith]] scores any corpus
+    * and predicts argmax Σ_tokens ⌊log2 p(w|l)⌋ with
+    * p(w|l) = (c(l,w)+1)/(n_l+V) (add-one smoothing over the train
+    * vocabulary), ties broken by language code.
+    *
+    * The FLOOR-LOG2 form is the hash-green trick: true NB needs
+    * Σ log p, but ln is correctly-rounded in neither engine's
+    * contract — while ⌊log2 x⌋ of a positive integer IS exact in both
+    * (`length(bin(x)) - 1`; both engines' `bin` emit the minimal
+    * binary form). So each token contributes the bit length of the
+    * fixed-point probability (c+1)·scale div (n_l+V) — an exact
+    * integer — and the per-doc sums are order-independent longs. The
+    * 1-bit quantization even helps: shared-vocabulary words whose
+    * per-language probabilities differ by < 2× contribute the SAME
+    * floor-log2 to every candidate and cancel, so the decision rides
+    * the genuinely discriminative tokens. Measured against the
+    * planted labels at sf0.01: trained 191/500 vs the marker
+    * heuristic's 160 and float-log NB's 165 (187 vs 146 at sf0.001;
+    * TextStatsParitySpec pins the margin). The mean-inverse-1/p form
+    * the LM operators use was REJECTED here: its linear n_l term
+    * systematically favors low-mass languages (a probability, unlike
+    * a surprisal score, must be compared across differently-sized
+    * models). Docs with no tokens — or an EMPTY model — predict
+    * "und", the heuristic's own fallback.
+    *
+    * Scale shape: training is ONE exploded-token groupBy (map-side
+    * partials). Scoring multiplies the token stream by |L| candidate
+    * languages (the decision's inherent shape — every candidate must
+    * price every token; |L| ≈ 10² in real corpora) via a broadcast
+    * |L|-row marginals frame, joins the sparse model on (lang, w) — a
+    * KEYED join, the model of a 100 TB corpus is itself large — and
+    * reduces per (doc, lang) with one partial-agged shuffle.
+    * Envelope (loud require): `scale` > max(n_l)+V so no probability
+    * floors to 0, and (c+1)·scale < 2^63 — at corpora past ~2^42
+    * train tokens per language move the product to decimal(38,0)
+    * (both engines keep it exact, the classifier's discipline).
+    */
+  def trainLangModel(labeled: DataFrame): DataFrame =
+    labeled.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+
+  /** Predict with a FROZEN language model — the deployment shape:
+    * returns (doc_id, lang_pred). Marginals (per-language mass, global
+    * vocabulary size) derive from the model table in one tiny
+    * aggregate; the model itself never re-trains here.
+    */
+  def langIdWith(docs: DataFrame, model: DataFrame,
+      scale: Long = 1L << 20): DataFrame = {
+    val marginals = model.groupBy("lang").agg(sum("c").as("n_l"))
+    val vRow = model.agg(count_distinct(col("w")).as("v"))
+    // envelope guard — one scalar off an |L|-row aggregate (bounded by
+    // the label-set size): a scale below any (n_l+V) would floor rare
+    // probabilities to 0 and silently collapse their distinctions
+    val worst = marginals.crossJoin(vRow)
+      .agg(max(col("n_l") + col("v"))).head()
+    require(worst.isNullAt(0) || scale > worst.getLong(0),
+      s"langIdWith: scale=$scale must exceed max(n_l)+V=${worst.get(0)} " +
+        "or rare-word probabilities floor to 0 — raise scale (and move " +
+        "the (c+1)*scale product to decimal(38,0) past 2^42 tokens)")
+    val langs = broadcast(marginals.crossJoin(vRow)
+      .select(col("lang").as("cand"), col("n_l"), col("v")))
+    val scored = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .crossJoin(langs)
+      .join(model.select(col("lang").as("cand"), col("w"), col("c")),
+        Seq("cand", "w"), "left")
+      .select(col("doc_id"), col("cand"),
+        (length(bin(expr(
+          s"((coalesce(c, 0L) + 1L) * ${scale}L) div (n_l + v)")))
+          .cast("long") - 1L).as("lg"))
+      .groupBy("doc_id", "cand")
+      .agg(sum("lg").as("s_sum"))
+    // argmax with lexicographic tie-break = min over (-s_sum, cand)
+    val best = scored.groupBy("doc_id")
+      .agg(min(struct((-col("s_sum")).as("neg"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("lang_pred"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+  }
+
+  /** Train-and-predict in one call: fit on the `trainPredicate` slice
+    * (an 80/20-style split leaves held-out docs the spec checks
+    * generalization on), predict every doc.
+    */
+  def trainedLangId(docs: DataFrame, trainPredicate: Column,
+      scale: Long = 1L << 20): DataFrame =
+    langIdWith(docs, trainLangModel(docs.filter(trainPredicate)), scale)
+
+  /** The trained language model as ONE broadcastable row — the
+    * classical shipped-langid artifact: a per-word table of QUANTIZED
+    * LOG-PROBABILITIES. Columns: `__langs` (sorted label set),
+    * `__lg0` (per-language ⌊log2⌋ smoothing floor for unseen words,
+    * aligned), `__lm` (word → per-language ⌊log2 p(w|l)⌋ map). All
+    * division happens HERE, in a normal batch plan — the row-local
+    * scorer's per-token fold is then pure addition, which is what
+    * lets it run inside an append-mode stream.
+    */
+  private[graft] def langModelMapFrame(model: DataFrame,
+      scale: Long): DataFrame = {
+    val perLang = model.groupBy("lang").agg(sum("c").as("n_l"))
+      .crossJoin(model.agg(count_distinct(col("w")).as("v")))
+    // same loud envelope guard as langIdWith — the quantized model
+    // must never floor a probability to 0
+    val worst = perLang.agg(max(col("n_l") + col("v"))).head()
+    require(worst.isNullAt(0) || scale > worst.getLong(0),
+      s"langModelMapFrame: scale=$scale must exceed " +
+        s"max(n_l)+V=${worst.get(0)} or rare-word probabilities floor " +
+        "to 0 — raise scale")
+    val lgOf = (num: String) =>
+      (length(bin(expr(s"($num * ${scale}L) div (n_l + v)")))
+        .cast("long") - 1L).as("lg")
+    val defRow = perLang.select(col("lang"), lgOf("1L"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("lang"), col("lg")))),
+          s => s.getField("lang")).as("__langs"),
+        transform(array_sort(collect_list(struct(col("lang"), col("lg")))),
+          s => s.getField("lg")).as("__lg0"))
+    val lmRow = model.join(broadcast(perLang), Seq("lang"))
+      .select(col("w"), col("lang"), lgOf("(c + 1L)"))
+      .groupBy("w")
+      .agg(map_from_entries(
+        collect_list(struct(col("lang"), col("lg")))).as("cm"))
+      .agg(map_from_entries(
+        collect_list(struct(col("w"), col("cm")))).as("__lm"))
+    defRow.crossJoin(lmRow)
+  }
+
+  /** ROW-LOCAL frozen language ID — the STREAMING shape: the model
+    * rides as one broadcast row ([[langModelMapFrame]]) and the whole
+    * decision computes per document as a token fold over an |L|-long
+    * accumulator (zip_with adds each token's per-language quantized
+    * log-probabilities) followed by an argmax whose first-index
+    * semantics IS the lexicographic tie-break (`__langs` is sorted).
+    * No explode, no per-doc groupBy — so it runs inside an append-mode
+    * streaming query, and emits values identical to [[langIdWith]]
+    * (TextStatsParitySpec pins the parity). Same deployment trade as
+    * [[classifierScoreRowLocal]]: at batch scale prefer the joined
+    * plan; this exists for streams.
+    */
+  def langIdRowLocal(docs: DataFrame, model: DataFrame,
+      scale: Long = 1L << 20): DataFrame =
+    docs.crossJoin(broadcast(langModelMapFrame(model, scale)))
+      .select(col("doc_id"),
+        langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
+          col("text")).as("lang_pred"))
+
+  /** The row-local decision expression over the map-frame columns:
+    * fold tokens into per-language score sums, argmax, first-index
+    * tie-break, "und" for zero tokens or an empty model.
+    */
+  private[graft] def langRowLocalPred(langs: Column, lg0: Column,
+      lm: Column, text: Column): Column = {
+    val toks = tokens(text)
+    // try_element_at throughout: missing words (and a word unseen in
+    // SOME languages) are the norm, and ANSI element_at would throw
+    val folded = aggregate(toks, transform(langs, _ => lit(0L)),
+      (acc, t) => zip_with(acc,
+        zip_with(langs, lg0, (l, d) =>
+          coalesce(try_element_at(try_element_at(lm, t), l), d)),
+        (a, b) => a + b))
+    when(size(toks) > 0 && size(langs) > 0,
+      element_at(langs,
+        array_position(folded, array_max(folded)).cast("int")))
+      .otherwise(lit("und"))
+  }
+
   /** Exact document fingerprint: md5 of whitespace-normalized lowercase
     * text. Engine-independent, so it doubles as the exact-dedup key.
     */

@@ -340,6 +340,24 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     graft.Staging.unpin(w)
   }
 
+  test("langIdWith: the |L|-row marginals ride a broadcast; no cartesian product sneaks in") {
+    val docs = Tables.documents(spark, Sf0001)
+    val model = graft.text.TextAnalysis.trainLangModel(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+    val plan = executed(graft.text.TextAnalysis.langIdWith(docs, model))
+    // the token × candidate-language blowup must be the broadcast
+    // nested-loop over the tiny marginals frame, never a shuffled
+    // cartesian (CartesianProductExec materializes both sides)
+    val cartesian = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, "the candidate fan-out must broadcast")
+    val bnl = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "the marginals frame must ride a broadcast")
+  }
+
   test("bpe argmax plans as a bounded TakeOrdered, never a global sort") {
     // the per-round argmax inside the trainer is orderBy().limit(1) -
     // assert the plan property on the same construction over the real

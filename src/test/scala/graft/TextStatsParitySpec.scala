@@ -79,6 +79,83 @@ class TextStatsParitySpec extends SparkSpec {
     assert(!rows(1).isNullAt(rows(1).fieldIndex("score")))
   }
 
+  test("trainedLangId: beats the marker heuristic against the planted labels, is deterministic, and the frozen model decouples") {
+    val docs = Tables.documents(spark, Sf0001)
+    val split = col("doc_id") % 5 =!= 0
+    val a = TextAnalysis.trainedLangId(docs, split).orderBy("doc_id").collect()
+    val b = TextAnalysis.trainedLangId(docs, split).orderBy("doc_id").collect()
+    assert(a.length == 500 && a.sameElements(b),
+      "two trainings must agree exactly (all-integer scores)")
+    // LEARNED: with no marker list, the trained model must match the
+    // planted labels at least as well as the hand-built heuristic
+    // (the corpus's own signal ceiling — both land near it)
+    val joined = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdFast(col("text")).as("h"))
+      .join(TextAnalysis.trainedLangId(docs, split), Seq("doc_id"))
+    val (trainedOk, heuristicOk) = joined.select(
+      sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)),
+      sum(when(col("h") === col("lang"), 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(trainedOk > heuristicOk,
+      s"trained=$trainedOk should beat heuristic=$heuristicOk")
+    assert(trainedOk > 100L, s"trained=$trainedOk must beat chance (100)")
+    // frozen decoupling: train once, ship the (lang, w, c) table, score
+    // elsewhere — identical to the coupled call on the same corpus
+    val model = TextAnalysis.trainLangModel(docs.filter(split))
+    val frozen = TextAnalysis.langIdWith(docs, model)
+      .orderBy("doc_id").collect()
+    assert(frozen.sameElements(a))
+    // the frozen model prices UNSEEN text: known markers pull their
+    // language, all-junk text still gets the least-surprising answer
+    val other = Seq((1L, "der und das nicht der"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.langIdWith(other, model)
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "de",
+      s"marker-dense text must score its language, got ${rows(0)}")
+    assert(rows(1).getString(1) == "und", "a zero-token doc predicts und")
+    // an EMPTY model predicts und everywhere (meaningless, not wrong —
+    // the bigramSurprisal empty-reference contract)
+    val empty = TextAnalysis.langIdWith(other,
+      TextAnalysis.trainLangModel(docs.filter(lit(false))))
+      .orderBy("doc_id").collect()
+    assert(empty.forall(_.getString(1) == "und"))
+  }
+
+  test("langIdRowLocal streams in append mode and matches the joined scorer exactly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val model = TextAnalysis.trainLangModel(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val joined = TextAnalysis.langIdWith(docs, model)
+      .orderBy("doc_id").collect()
+    val rowLocal = TextAnalysis.langIdRowLocal(docs, model)
+      .orderBy("doc_id").collect()
+    assert(joined.sameElements(rowLocal),
+      "the broadcast-map decision must equal the joined plan row-for-row")
+    // and the same operator runs INSIDE an append-mode streaming query
+    // (row-local: no explode, no per-doc groupBy, no state)
+    val root = java.nio.file.Files.createTempDirectory("graft-lid-stream")
+    val landing = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/w0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/w1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = TextAnalysis.langIdRowLocal(stream, model)
+      .writeStream.format("memory").queryName("lid_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("lid_stream").orderBy("doc_id").collect()
+    assert(streamed.sameElements(joined),
+      "streamed frozen langid must equal the batch scorer row-for-row")
+    // the envelope guard refuses a scale the quantization cannot carry
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.langIdRowLocal(docs, model, scale = 2L)
+    }
+    assert(err.getMessage.contains("scale"))
+  }
+
   test("classifierScoreWith scores any corpus with frozen weights, matching the coupled trainer on its own corpus") {
     val train = Tables.documents(spark, Sf0001)
     val w = TextAnalysis.trainClassifierWeights(train)
