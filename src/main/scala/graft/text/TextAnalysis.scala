@@ -602,6 +602,25 @@ object TextAnalysis {
         langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
           col("text")).as("lang_pred"))
 
+  /** A FROZEN-langid keep gate as a composable stage (the
+    * [[graft.pipeline.Curation]] `extraGate` seam, like
+    * [[frozenClassifierGate]]): filters to rows whose predicted
+    * language is in `keep` — the [[langIdRowLocal]] decision verbatim,
+    * so it is a pure projection + filter over one broadcast model row
+    * and the batch and streamed pipelines gate with the SAME trained
+    * model. A doc with no tokens predicts "und" and passes only if
+    * "und" ∈ keep.
+    */
+  def frozenLangGate(model: DataFrame, keep: Set[String],
+      scale: Long = 1L << 20): DataFrame => DataFrame = { df =>
+    require(keep.nonEmpty, "frozenLangGate: empty keep set gates out " +
+      "every document — pass the language codes to retain")
+    df.crossJoin(broadcast(langModelMapFrame(model, scale)))
+      .filter(langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
+        col("text")).isin(keep.toSeq.sorted: _*))
+      .drop("__langs", "__lg0", "__lm")
+  }
+
   /** The row-local decision expression over the map-frame columns:
     * fold tokens into per-language score sums, argmax, first-index
     * tie-break, "und" for zero tokens or an empty model.
@@ -1215,6 +1234,36 @@ object TextAnalysis {
   def bpeMergesOf(vocab: DataFrame): Seq[(String, String)] =
     vocab.orderBy("round").select("lhs", "rhs")
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  /** ROW-LOCAL frozen BPE encode — the STREAMING shape completing the
+    * trained trio ([[classifierScoreRowLocal]], [[langIdRowLocal]]):
+    * the merge table is a driver-side constant already, so the whole
+    * per-doc piece count compiles into ONE projection — a token fold
+    * applying the merge chain per token (the identical `replace`
+    * cascade [[bpeEncodeWith]] runs per distinct word) and summing
+    * symbol counts. No explode, no distinct, no join, no per-doc
+    * groupBy — runs inside an append-mode stream; value-pinned to the
+    * batch encoder by BpeSpec. The batch trade is real and the
+    * OPPOSITE of the classifier's: this form re-encodes every token
+    * OCCURRENCE (duplicates included) while [[bpeEncodeWith]] encodes
+    * each distinct word once and joins — prefer the joined plan at
+    * corpus scale, this one on streams.
+    */
+  def bpeEncodeRowLocal(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nPieces = aggregate(toks, lit(0L), (acc, t) => {
+      val enc = merges.foldLeft(bpeWrap(t)) { case (s, (l, r)) =>
+        replace(s, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      acc + size(bpeSymbols(enc)).cast("long")
+    })
+    // null text degrades like the joined encoder's left-join coalesce:
+    // (0, 0), never null
+    docs.select(col("doc_id"),
+      coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"),
+      coalesce(when(size(toks) > 0, nPieces), lit(0L)).as("n_pieces"))
+  }
 
   /** The shared training loop: returns the merge table rows and the
     * PINNED final (word, cnt, s) vocabulary state (caller unpins).

@@ -71,6 +71,27 @@ object TrainScale {
         TextAnalysis.trainedClassifierScore(docs)
           .agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
       }
+      // trained langid (round-18 third pass): train = ONE exploded-token
+      // groupBy (shuffle linear in corpus); score = token × |L| fan-out
+      // over a broadcast marginals frame + a KEYED model join + one
+      // partial-agged (doc, lang) reduce — also corpus-linear, with the
+      // |L| multiplier map-side only
+      measure(scale, "lid_train") {
+        TextAnalysis.trainLangModel(docs.filter(col("doc_id") % 5 =!= 0))
+          .count()
+      }
+      val model = TextAnalysis
+        .trainLangModel(docs.filter(col("doc_id") % 5 =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      model.count() // materialize OUTSIDE the scoring measurement
+      measure(scale, "lid_score") {
+        // filter on the PREDICTION: a bare count() lets the optimizer
+        // eliminate the left join + aggregation via distinct-keys
+        // propagation and measures only the doc scan
+        TextAnalysis.langIdWith(docs, model)
+          .filter(col("lang_pred") =!= "und").count()
+      }
+      model.unpersist()
     }
     spark.stop()
   }

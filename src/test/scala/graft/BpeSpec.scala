@@ -85,6 +85,40 @@ class BpeSpec extends SparkSpec {
     assert(rows.forall(r => r._3 >= r._2))
   }
 
+  test("bpeEncodeRowLocal streams in append mode and matches the joined encoder exactly") {
+    val train = Tables.documents(spark, Sf0001)
+    val table = TextAnalysis.bpeMergesOf(TextAnalysis.bpeVocab(train))
+    val joined = TextAnalysis.bpeEncodeWith(train, table)
+      .orderBy("doc_id").collect()
+    val rowLocal = TextAnalysis.bpeEncodeRowLocal(train, table)
+      .orderBy("doc_id").collect()
+    assert(joined.sameElements(rowLocal),
+      "the per-token fold must equal the joined distinct-word plan")
+    // degenerate edges match the joined encoder's contract
+    val edges = Seq((1L, ""), (2L, "a b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeEncodeRowLocal(edges, Seq.empty)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      == Seq((1L, 0L, 0L), (2L, 4L, 4L)))
+    // and the same frozen table encodes INSIDE an append-mode stream
+    // (no explode, no join, no per-doc groupBy, no state)
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-stream")
+    val landing = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    train.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/w0")
+    train.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/w1")
+    val stream = spark.readStream.schema(train.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = TextAnalysis.bpeEncodeRowLocal(stream, table)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bpe_stream").orderBy("doc_id").collect()
+    assert(streamed.sameElements(joined),
+      "streamed frozen encoding must equal the batch encoder row-for-row")
+  }
+
   test("a pairless corpus (all single-char words) trains an empty table; encode degrades to token counts") {
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     val vocab = TextAnalysis.bpeVocab(docs, merges = 4)

@@ -156,6 +156,27 @@ class TextStatsParitySpec extends SparkSpec {
     assert(err.getMessage.contains("scale"))
   }
 
+  test("frozenLangGate keeps exactly the docs whose trained prediction is in the keep set") {
+    val docs = Tables.documents(spark, Sf0001)
+    val model = TextAnalysis.trainLangModel(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val keep = Set("en", "de")
+    val gated = TextAnalysis.frozenLangGate(model, keep)(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = TextAnalysis.langIdWith(docs, model)
+      .filter(col("lang_pred").isin(keep.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == expected)
+    assert(gated.nonEmpty && gated.size < 500,
+      s"gate must be non-degenerate, kept ${gated.size}")
+    // gating is a pure projection+filter: the input columns survive
+    assert(TextAnalysis.frozenLangGate(model, keep)(docs).columns
+      .sameElements(docs.columns))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.frozenLangGate(model, Set.empty)(docs)
+    }
+  }
+
   test("classifierScoreWith scores any corpus with frozen weights, matching the coupled trainer on its own corpus") {
     val train = Tables.documents(spark, Sf0001)
     val w = TextAnalysis.trainClassifierWeights(train)
