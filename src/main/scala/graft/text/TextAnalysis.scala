@@ -495,35 +495,63 @@ object TextAnalysis {
     labeled.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("c"))
 
+  /** The per-language marginals (lang, n_l, V), COLLECTED — |L| rows,
+    * bounded by the label-set size — so one model scan drives both the
+    * envelope guard and the broadcast candidate frame (re-deriving
+    * them as plans re-ran the whole training aggregation per use).
+    * The guard is BOTH halves of the documented envelope, loudly:
+    * a scale at-or-below any n_l+V floors rare probabilities to 0
+    * (silently collapsing their distinctions), and a (c+1)·scale
+    * product past 2^63 would overflow (ANSI throws mid-job;
+    * max(c) <= max(n_l), so the marginals bound it).
+    */
+  private def langMarginalRows(model: DataFrame, scale: Long,
+      who: String): Seq[(String, Long, Long)] = {
+    val rows = model.groupBy("lang").agg(sum("c").as("n_l"))
+      .crossJoin(model.agg(count_distinct(col("w")).as("v")))
+      .select("lang", "n_l", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    rows.foreach { case (l, nl, v) =>
+      require(scale > nl + v,
+        s"$who: scale=$scale must exceed n_l+V=${nl + v} (lang=$l) or " +
+          "rare-word probabilities floor to 0 — raise scale")
+      require(nl + 1L <= Long.MaxValue / scale,
+        s"$who: (c+1)*scale can reach ${nl + 1L}*$scale and overflow " +
+          s"2^63 (lang=$l) — move the product to decimal(38,0), the " +
+          "classifier's discipline")
+    }
+    rows
+  }
+
+  /** The quantized ⌊log2⌋ of a fixed-point smoothed probability —
+    * ONE definition shared by the joined scorer and the row-local map
+    * frame (the parity pin depends on the two staying bit-identical).
+    * `numSql` is the (c+1)-style numerator over columns in scope;
+    * `n_l`/`v` must be in scope.
+    */
+  private def lgQuant(numSql: String, scale: Long): Column =
+    length(bin(expr(s"(($numSql) * ${scale}L) div (n_l + v)")))
+      .cast("long") - 1L
+
   /** Predict with a FROZEN language model — the deployment shape:
     * returns (doc_id, lang_pred). Marginals (per-language mass, global
-    * vocabulary size) derive from the model table in one tiny
-    * aggregate; the model itself never re-trains here.
+    * vocabulary size) derive from the model table in one collected
+    * |L|-row pass; the model itself never re-trains here.
     */
   def langIdWith(docs: DataFrame, model: DataFrame,
       scale: Long = 1L << 20): DataFrame = {
-    val marginals = model.groupBy("lang").agg(sum("c").as("n_l"))
-    val vRow = model.agg(count_distinct(col("w")).as("v"))
-    // envelope guard — one scalar off an |L|-row aggregate (bounded by
-    // the label-set size): a scale below any (n_l+V) would floor rare
-    // probabilities to 0 and silently collapse their distinctions
-    val worst = marginals.crossJoin(vRow)
-      .agg(max(col("n_l") + col("v"))).head()
-    require(worst.isNullAt(0) || scale > worst.getLong(0),
-      s"langIdWith: scale=$scale must exceed max(n_l)+V=${worst.get(0)} " +
-        "or rare-word probabilities floor to 0 — raise scale (and move " +
-        "the (c+1)*scale product to decimal(38,0) past 2^42 tokens)")
-    val langs = broadcast(marginals.crossJoin(vRow)
-      .select(col("lang").as("cand"), col("n_l"), col("v")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs = broadcast(
+      langMarginalRows(model, scale, "langIdWith")
+        .toDF("cand", "n_l", "v"))
     val scored = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .crossJoin(langs)
       .join(model.select(col("lang").as("cand"), col("w"), col("c")),
         Seq("cand", "w"), "left")
       .select(col("doc_id"), col("cand"),
-        (length(bin(expr(
-          s"((coalesce(c, 0L) + 1L) * ${scale}L) div (n_l + v)")))
-          .cast("long") - 1L).as("lg"))
+        lgQuant("coalesce(c, 0L) + 1L", scale).as("lg"))
       .groupBy("doc_id", "cand")
       .agg(sum("lg").as("s_sum"))
     // argmax with lexicographic tie-break = min over (-s_sum, cand)
@@ -555,26 +583,20 @@ object TextAnalysis {
     */
   private[graft] def langModelMapFrame(model: DataFrame,
       scale: Long): DataFrame = {
-    val perLang = model.groupBy("lang").agg(sum("c").as("n_l"))
-      .crossJoin(model.agg(count_distinct(col("w")).as("v")))
-    // same loud envelope guard as langIdWith — the quantized model
-    // must never floor a probability to 0
-    val worst = perLang.agg(max(col("n_l") + col("v"))).head()
-    require(worst.isNullAt(0) || scale > worst.getLong(0),
-      s"langModelMapFrame: scale=$scale must exceed " +
-        s"max(n_l)+V=${worst.get(0)} or rare-word probabilities floor " +
-        "to 0 — raise scale")
-    val lgOf = (num: String) =>
-      (length(bin(expr(s"($num * ${scale}L) div (n_l + v)")))
-        .cast("long") - 1L).as("lg")
-    val defRow = perLang.select(col("lang"), lgOf("1L"))
+    val spark = model.sparkSession
+    import spark.implicits._
+    // shared collected marginals: one model scan, both envelope guards
+    val perLang = broadcast(
+      langMarginalRows(model, scale, "langModelMapFrame")
+        .toDF("lang", "n_l", "v"))
+    val defRow = perLang.select(col("lang"), lgQuant("1L", scale).as("lg"))
       .agg(
         transform(array_sort(collect_list(struct(col("lang"), col("lg")))),
           s => s.getField("lang")).as("__langs"),
         transform(array_sort(collect_list(struct(col("lang"), col("lg")))),
           s => s.getField("lg")).as("__lg0"))
-    val lmRow = model.join(broadcast(perLang), Seq("lang"))
-      .select(col("w"), col("lang"), lgOf("(c + 1L)"))
+    val lmRow = model.join(perLang, Seq("lang"))
+      .select(col("w"), col("lang"), lgQuant("c + 1L", scale).as("lg"))
       .groupBy("w")
       .agg(map_from_entries(
         collect_list(struct(col("lang"), col("lg")))).as("cm"))
@@ -612,10 +634,14 @@ object TextAnalysis {
     * "und" ∈ keep.
     */
   def frozenLangGate(model: DataFrame, keep: Set[String],
-      scale: Long = 1L << 20): DataFrame => DataFrame = { df =>
+      scale: Long = 1L << 20): DataFrame => DataFrame = {
     require(keep.nonEmpty, "frozenLangGate: empty keep set gates out " +
       "every document — pass the language codes to retain")
-    df.crossJoin(broadcast(langModelMapFrame(model, scale)))
+    // the map frame (and its guard job) builds ONCE at gate
+    // construction, not per application — a curation pipeline applies
+    // the same gate to its batch and streamed legs
+    val mf = broadcast(langModelMapFrame(model, scale))
+    df => df.crossJoin(mf)
       .filter(langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
         col("text")).isin(keep.toSeq.sorted: _*))
       .drop("__langs", "__lg0", "__lm")

@@ -173,8 +173,28 @@ class TextStatsParitySpec extends SparkSpec {
     assert(TextAnalysis.frozenLangGate(model, keep)(docs).columns
       .sameElements(docs.columns))
     intercept[IllegalArgumentException] {
-      TextAnalysis.frozenLangGate(model, Set.empty)(docs)
+      TextAnalysis.frozenLangGate(model, Set.empty)
     }
+    // the SAME gate instance (map frame built once at construction)
+    // gates an append-mode stream — the claim the curation pipelines
+    // rely on when the batch and streamed legs share a trained model
+    val gate = TextAnalysis.frozenLangGate(model, keep)
+    val root = java.nio.file.Files.createTempDirectory("graft-lgate-stream")
+    val landing = java.nio.file.Files.createDirectory(root.resolve("in")).toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/w0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/w1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("recursiveFileLookup", "true").parquet(landing)
+    val q = gate(stream)
+      .writeStream.format("memory").queryName("lgate_stream")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("lgate_stream").select("doc_id")
+      .as[Long].collect().toSet == gated,
+      "the streamed gate must keep exactly the batch gate's docs")
   }
 
   test("classifierScoreWith scores any corpus with frozen weights, matching the coupled trainer on its own corpus") {
