@@ -2725,6 +2725,44 @@ object KeyedUpsertSink {
   def tableVersions(tablePath: String): Seq[Long] =
     versionFiles(Paths.get(tablePath)).map(_._1).sorted
 
+  /** The table's commit HISTORY as a DataFrame — the DESCRIBE-HISTORY
+    * verb: one row per manifest version still inside the vacuum keep
+    * window, oldest first, with the physical footprint and the
+    * committed metadata at that version:
+    *
+    *  - `version`: the commit's manifest version;
+    *  - `n_buckets`: buckets the manifest maps (the layout width);
+    *  - `n_chain_segments`: total generation references across all
+    *    bucket chains — the merge-on-read debt [[compactBucketChains]]
+    *    folds and [[tableStats]] advises on;
+    *  - `meta`: the manifest's `#key=value` map (spec, schema, layout,
+    *    stream high-waters) verbatim.
+    *
+    * Driver-side by design: one listing + one manifest read per
+    * version, bounded by the keep window (the same bound every
+    * maintenance advisor rides); nothing row-scale. Exposed to pure
+    * SQL as `spark.read.format("graft-table").option("history",
+    * "true")`.
+    */
+  def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+    val rows = tableVersions(tablePath).map { v =>
+      val (manifest, meta) = manifestAndMetaAt(tablePath, v)
+      org.apache.spark.sql.Row(v, manifest.size.toLong,
+        manifest.valuesIterator
+          .map(_.split(";").count(_.nonEmpty).toLong).sum,
+        meta)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_buckets", LongType, nullable = false),
+      StructField("n_chain_segments", LongType, nullable = false),
+      StructField("meta", MapType(StringType, StringType), nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** The bucket→chain manifest as of commit `version`. Fails loudly on
     * a version the vacuum keep window has pruned (or that never
     * committed) — returning the nearest survivor would silently answer

@@ -93,6 +93,14 @@ import graft.sink.KeyedUpsertSink
   * option only routes writes). A delete targets an EXISTING table
   * (there is no schema to delete against otherwise — the committer
   * refuses loudly), so it can never create one.
+  *
+  * HISTORY verb (`option("history", "true")`): the commit log as a
+  * read-only DataFrame ([[KeyedUpsertSink.tableHistory]]) — one row
+  * per readable version with the layout width, the merge-on-read
+  * chain debt, and the committed `#key=value` metadata verbatim (the
+  * DESCRIBE-HISTORY observability the advisors consume, now reachable
+  * from pure SQL). Writes through the option refuse; `versionAsOf`
+  * does not compose (each row IS a version — filter the column).
   */
 class GraftTableProvider extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -122,6 +130,23 @@ class GraftTableProvider extends RelationProvider
     // rule so the sink's raw-path readers see the same directory
     val parameters = GraftTableProvider.normalizedPath(rawParameters)
     val path = required(parameters, "path", shortName())
+    // `history` = the DESCRIBE-HISTORY verb: a read-only view of the
+    // commit log ([[KeyedUpsertSink.tableHistory]]) — no spec, no
+    // resolve, no time travel (each row IS a version)
+    if (parameters.exists { case (k, v) =>
+        k.equalsIgnoreCase("history") && v.toBoolean }) {
+      require(!parameters.keys.exists(_.equalsIgnoreCase("versionAsOf")),
+        "graft-table: history is the whole readable commit log — " +
+          "versionAsOf does not apply (filter the version column)")
+      val hist = KeyedUpsertSink.tableHistory(sqlContext.sparkSession, path)
+      val ctx = sqlContext
+      return new BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = hist.schema
+        override def buildScan(): RDD[Row] = hist.rdd
+      }
+    }
     val (keys, order) = resolveSpec(parameters, shortName())
     val asOf = longOption(parameters, "versionAsOf", shortName())
     // resolve the version ONCE and feed it to BOTH routes: reading the
@@ -228,6 +253,10 @@ object GraftTableProvider {
           "commit) — use mode(\"append\"), the explicit opt-in to " +
           "upsert semantics")
     }
+    require(!parameters.exists { case (k, v) =>
+        k.equalsIgnoreCase("history") && v.toBoolean },
+      s"$format: history is a READ-ONLY view of the commit log — " +
+        "drop the option to write (the write itself becomes history)")
     val scratch = data.columns.filter(_.startsWith("__"))
     require(scratch.isEmpty,
       s"$format: batch carries engine columns [${scratch.mkString(", ")}] " +

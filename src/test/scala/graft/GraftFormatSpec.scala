@@ -548,6 +548,53 @@ class GraftFormatSpec extends SparkSpec {
       "the refused writes must not have landed")
   }
 
+  test("option(history) reads the commit log: one row per version, chain debt visible, read-only") {
+    val root = Files.createTempDirectory("graft-table-history")
+    val t = root.resolve("t").toString
+    val up = sink(t)
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L) // v1
+    up(batchDf(("a", 2L, 20L)), 1L)                 // v2
+    KeyedUpsertSink.deleteBucketedDelta(
+      spark, t, keys, order, numBuckets = 4)(
+      Seq(("b", 30L)).toDF("k", "ts"), 2L)          // v3
+    val h = spark.read.format("graft-table").option("path", t)
+      .option("history", "true").load()
+    val rows = h.orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the layout width is bounded by numBuckets at every version, and
+    // merge-on-read debt (chain segments) never shrinks without a
+    // compaction — this fixture commits with compactAfter disabled
+    assert(rows.forall(_.getLong(1) <= 4L))
+    val segs = rows.map(_.getLong(2)).toSeq
+    assert(segs == segs.sorted && segs.last > segs.head,
+      s"chain debt must accumulate across commits, got $segs")
+    // committed metadata rides verbatim: the self-describing spec and
+    // schema are present at the head
+    val meta = rows.last.getMap[String, String](3)
+    assert(meta.contains("keySpec") && meta.contains("orderSpec") &&
+      meta.contains("schema"), s"meta keys: ${meta.keys.toSeq.sorted}")
+    // pure SQL: register the history view, query the debt trend
+    spark.sql("DROP TABLE IF EXISTS gth")
+    spark.sql(s"CREATE TABLE gth USING `graft-table` " +
+      s"OPTIONS (path '$t', history 'true')")
+    try assert(spark.sql("SELECT max(version) FROM gth")
+      .head().getLong(0) == 3L)
+    finally spark.sql("DROP TABLE IF EXISTS gth")
+    // read-only: writing through a history option refuses loudly
+    val e = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table")
+        .option("path", t).option("history", "true")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("READ-ONLY"))
+    // history + versionAsOf is a contradiction, named
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-table").option("path", t)
+        .option("history", "true").option("versionAsOf", "1").load()
+    }
+    assert(e2.getMessage.contains("versionAsOf"))
+  }
+
   test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {
     val root = Files.createTempDirectory("graft-table-empty")
     val t = root.resolve("t").toString
