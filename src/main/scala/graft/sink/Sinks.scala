@@ -2746,12 +2746,36 @@ object KeyedUpsertSink {
     */
   def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
-    val rows = tableVersions(tablePath).map { v =>
-      val (manifest, meta) = manifestAndMetaAt(tablePath, v)
+    import scala.jdk.CollectionConverters._
+    def historyRow(v: Long, manifest: Map[Long, String],
+        meta: Map[String, String]) =
       org.apache.spark.sql.Row(v, manifest.size.toLong,
-        manifest.valuesIterator
-          .map(_.split(";").count(_.nonEmpty).toLong).sum,
-        meta)
+        manifest.valuesIterator.map(chainOf(_).size.toLong).sum, meta)
+    // ONE listing, then each listed manifest read directly — per-version
+    // manifestAndMetaAt would re-list the directory per version (O(V²)
+    // entries) AND fail loudly on a version a concurrent vacuum pruned
+    // between the listing and the read; a pruned row just drops out of
+    // the sliding history instead
+    val entries = versionFiles(Paths.get(tablePath)).sortBy(_._1)
+    val rows = entries.flatMap { case (v, p) =>
+      try {
+        val lines = Files.readAllLines(p).asScala.toSeq
+        Some(historyRow(v, parseManifestLines(lines), parseMetaLines(lines)))
+      } catch {
+        case _: java.nio.file.NoSuchFileException => None // vacuum race
+      }
+    } match {
+      // a pre-versioning table still has readable state at v0; a path
+      // with NEITHER is a typo or a never-created table — the silent
+      // empty history would read as "no commits", so refuse loudly
+      // (the normal read path's own contract)
+      case Seq() =>
+        val legacy = legacyManifest(tablePath)
+        require(legacy.nonEmpty,
+          s"$tablePath has no committed versions and no legacy " +
+            "manifest — wrong path, or the table was never created")
+        Seq(historyRow(0L, legacy, Map.empty))
+      case rs => rs
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -2759,8 +2783,7 @@ object KeyedUpsertSink {
       StructField("n_chain_segments", LongType, nullable = false),
       StructField("meta", MapType(StringType, StringType), nullable = false)))
     spark.createDataFrame(
-      new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      new java.util.ArrayList(rows.asJava), schema)
   }
 
   /** The bucket→chain manifest as of commit `version`. Fails loudly on

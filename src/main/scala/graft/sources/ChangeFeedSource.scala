@@ -271,6 +271,22 @@ private[graft] object ChangeFeedSource {
         s"$format: option '$key' must be an integer, got '$v'"))
     }
 
+  /** A boolean option parsed with the option name in the failure —
+    * a bare String.toBoolean's "For input string" names neither the
+    * option nor the format. Case-insensitive on the KEY like the rest
+    * of this surface's option reads.
+    */
+  def booleanOption(parameters: Map[String, String], key: String,
+      format: String): Option[Boolean] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) =>
+      v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => throw new IllegalArgumentException(
+          s"$format: option '$key' must be true or false, got '$v'")
+      }
+    }
+
   /** Int-ranged numeric option — a raw `.toInt` after a long parse
     * silently WRAPS out-of-range values (numBuckets=4294967312 → 16),
     * which is worse than the typo it came from.

@@ -133,8 +133,8 @@ class GraftTableProvider extends RelationProvider
     // `history` = the DESCRIBE-HISTORY verb: a read-only view of the
     // commit log ([[KeyedUpsertSink.tableHistory]]) — no spec, no
     // resolve, no time travel (each row IS a version)
-    if (parameters.exists { case (k, v) =>
-        k.equalsIgnoreCase("history") && v.toBoolean }) {
+    if (booleanOption(parameters, "history", shortName())
+        .getOrElse(false)) {
       require(!parameters.keys.exists(_.equalsIgnoreCase("versionAsOf")),
         "graft-table: history is the whole readable commit log — " +
           "versionAsOf does not apply (filter the version column)")
@@ -253,8 +253,7 @@ object GraftTableProvider {
           "commit) — use mode(\"append\"), the explicit opt-in to " +
           "upsert semantics")
     }
-    require(!parameters.exists { case (k, v) =>
-        k.equalsIgnoreCase("history") && v.toBoolean },
+    require(!booleanOption(parameters, "history", format).getOrElse(false),
       s"$format: history is a READ-ONLY view of the commit log — " +
         "drop the option to write (the write itself becomes history)")
     val scratch = data.columns.filter(_.startsWith("__"))
@@ -272,9 +271,8 @@ object GraftTableProvider {
       .orElse(KeyedUpsertSink.effectiveNumBuckets(path)).getOrElse(64)
     val compactAfter = intOption(parameters, "compactAfter", format)
       .getOrElse(8)
-    val delete = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("delete") => v.toBoolean
-    }.getOrElse(false)
+    val delete = booleanOption(parameters, "delete", format)
+      .getOrElse(false)
     if (delete)
       KeyedUpsertSink.deleteBucketedDelta(spark, path, keys, order,
         numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
@@ -443,9 +441,8 @@ class GraftUpsertSinkProvider extends StreamSinkProvider with DataSourceRegister
     // delete. This is what makes the zero-code replica DELETE-complete:
     // a tombstoned upstream refuses the plain feed, and its weighted
     // feed carries each deletion as the bare -1 last image.
-    val weighted = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("weighted") => v.toBoolean
-    }.getOrElse(false)
+    val weighted = booleanOption(parameters, "weighted", shortName())
+      .getOrElse(false)
     require(outputMode != OutputMode.Complete(),
       "graft-upsert: Complete mode replaces the WHOLE table every " +
         "micro-batch — not an upsert; use Append or Update (both mean " +

@@ -637,10 +637,19 @@ object TextAnalysis {
       scale: Long = 1L << 20): DataFrame => DataFrame = {
     require(keep.nonEmpty, "frozenLangGate: empty keep set gates out " +
       "every document — pass the language codes to retain")
-    // the map frame (and its guard job) builds ONCE at gate
-    // construction, not per application — a curation pipeline applies
-    // the same gate to its batch and streamed legs
-    val mf = broadcast(langModelMapFrame(model, scale))
+    // the map frame COLLECTS once at gate construction: a lazy plan
+    // here would re-run the whole model aggregation on every action —
+    // and on every micro-batch when the gate sits in a streaming leg
+    // (a stream-static cross join re-evaluates the static subtree per
+    // batch). Collecting is no new cost class: broadcasting this row
+    // collects it to the driver anyway, and the row is the model
+    // artifact (vocabulary-sized — the row-local design's own bound).
+    val spark = model.sparkSession
+    val mfLazy = langModelMapFrame(model, scale)
+    val mfRow = mfLazy.head()
+    val mf = broadcast(spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(mfRow)).asJava), mfLazy.schema))
     df => df.crossJoin(mf)
       .filter(langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
         col("text")).isin(keep.toSeq.sorted: _*))

@@ -593,6 +593,21 @@ class GraftFormatSpec extends SparkSpec {
         .option("history", "true").option("versionAsOf", "1").load()
     }
     assert(e2.getMessage.contains("versionAsOf"))
+    // a mistyped path refuses loudly — a silent empty history would
+    // read as "no commits" (the normal read path's own contract)
+    val e3 = intercept[Exception] {
+      spark.read.format("graft-table")
+        .option("path", root.resolve("tabel").toString)
+        .option("history", "true").load()
+    }
+    assert(e3.getMessage.contains("never created"))
+    // a malformed boolean names the option, not a bare parse error
+    val e4 = intercept[Exception] {
+      spark.read.format("graft-table").option("path", t)
+        .option("history", "ture").load()
+    }
+    assert(e4.getMessage.contains("history") &&
+      e4.getMessage.contains("ture"))
   }
 
   test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {
