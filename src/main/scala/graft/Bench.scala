@@ -84,12 +84,14 @@ object Bench {
     "text_quality_classifier_trained", "text_bpe_vocab", "text_bpe_encode",
     // round 18, second pass: the SQL delete verb and the trained langid
     // join the reset basis before the driver first measures it
-    "etl_table_delete", "text_langid_trained")
-
-  /** The pre-round-18 headline set — the `old_total` continuity basis
-    * for exactly one round (see BASELINE.md "round-18 reset").
-    */
-  val preResetHeadline: Seq[String] = headline.takeWhile(_ != "etl_view_stream")
+    "etl_table_delete", "text_langid_trained",
+    // round 19: the predicate-driven DELETE WHERE verb (one resolved
+    // scan under the predicate + the tombstone commit — a cost shape
+    // the delete tier doesn't already measure). old_total is dropped
+    // this round per BASELINE.md's one-round continuity rule; the
+    // pre-reset subtotal remains recomputable from bench_full.json's
+    // full-name per-query map.
+    "etl_table_delete_where")
 
   /** Compact-key scheme for the driver artifact line.
     *
@@ -190,7 +192,9 @@ object Bench {
     // round 18, second pass: two more reset-basis queries pushed the
     // worst case to 1913 — shorten the five longest families
     "qual_clf" -> "qclf", "_nd_lsh" -> "_ndl", "ivfpq" -> "ipq",
-    "bpe_voc" -> "bpev", "bpe_enc" -> "bpee")
+    "bpe_voc" -> "bpev", "bpe_enc" -> "bpee",
+    // round 19: the DELETE WHERE verb
+    "_where" -> "_w")
   def compactKey(name: String): String = {
     // infixes first (they anchor on underscores the prefix step removes)
     val infixed = keyInfixes.foldLeft(name) {
@@ -211,6 +215,19 @@ object Bench {
     */
   def passedTotal(walls: Seq[(String, Double)], failed: Set[String]): Double =
     walls.collect { case (n, w) if !failed.contains(n) => w }.sum
+
+  /** The per-rep view/feed route counts as one diagnostic stdout line
+    * (compact keys; `[bounded, full, extrema, diff, append]` per rep) —
+    * printed above the artifact line when it fits the driver's stored
+    * tail, so a driver-run anomaly on a routed query self-adjudicates
+    * without the working-tree `bench_full.json`.
+    */
+  private[graft] def viewRoutesLine(
+      routes: Seq[(String, Seq[(Long, Long, Long, Long, Long)])]): String =
+    """{"diag":"view_routes","routes":{""" + routes.map { case (k, reps) =>
+      "\"" + compactKey(k) + "\":" + reps.map { case (b, f, e, d, a) =>
+        s"[$b,$f,$e,$d,$a]" }.mkString("[", ",", "]")
+    }.mkString(",") + "}}"
 
   def main(args: Array[String]): Unit = {
     val sfDir = Config.benchSfDir() // fail fast on a missing/typo'd dir
@@ -399,11 +416,6 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val total = passedTotal(results.map { case (k, (v, _, _)) => k -> v }, failed.toSet)
-    // continuity across the round-18 reset: the same-total over the
-    // pre-reset name set rides BOTH artifacts for one round
-    val oldTotal = passedTotal(
-      results.collect { case (k, (v, _, _))
-        if preResetHeadline.contains(k) => k -> v }, failed.toSet)
     val nPassed = results.size - failed.size
     // full names in the full artifact; the compact stdout line uses the
     // same compactKey scheme for `failed` as for `queries` (the 101-query
@@ -422,7 +434,7 @@ object Bench {
         else Seq.empty)
       ).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","old_total":${fmt(oldTotal, 3)},"n_passed":$nPassed,"queries":${
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => k -> fmt(v, 3) })},"gc_sec":${
         jmap(results.map { case (k, (_, g, _)) => k -> fmt(g, 3) })},"jit_sec":${
         jmap(results.map { case (k, (_, _, j)) => k -> fmt(j, 3) })},"codecache_mb":${
@@ -447,12 +459,24 @@ object Bench {
     // artifact may not survive a driver that only keeps the stdout tail
     val failedField = s""","failed":$failedArrCompact"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","old_total":${fmt(oldTotal, 3)},"n_passed":$nPassed,"queries":${
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_passed":$nPassed,"queries":${
         jmap(results.map { case (k, (v, _, _)) => compactKey(k) -> fmt(v, 2) })
         }$failedField,"sf":"$sfBase"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — may clip in driver tail")
     println(s"""{"diag":"bench","full_artifact":"bench_full.json","key_scheme":"see Bench.compactKey scaladoc"}""")
+    // per-rep route counts IN THE STORED TAIL (r18 verdict: the stderr
+    // route lines truncated out of the driver's stored output, so the
+    // one per-query anomaly could not self-adjudicate from the tail
+    // alone). Own stdout line directly ABOVE the artifact line —
+    // compact keys, only the routed queries — printed only when it
+    // provably fits the 2000-char tail alongside the artifact + sbt's
+    // [success] trailer; a mass-failure round defers to
+    // bench_full.json's view_routes rather than clip the artifact.
+    val routesLine = viewRoutesLine(allRoutes.toSeq)
+    if (allRoutes.nonEmpty &&
+        routesLine.length + compact.length + 80 <= 2000)
+      println(routesLine)
     println(compact)
     spark.stop()
   }

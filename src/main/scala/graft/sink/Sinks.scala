@@ -1977,13 +1977,37 @@ object KeyedUpsertSink {
       tablePath: String,
       triples: Seq[(String, Int, Long)]): Option[DataFrame] = {
     if (triples.isEmpty) None
-    else Some(triples.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
-      case ((gen, pos), grp) =>
-        spark.read.option("basePath", s"$tablePath/$gen")
-          .parquet(grp.map(_._3).sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
-          .withColumn("__bucket", col("__bucket").cast("long"))
-          .withColumn("__seq", lit(pos.toLong))
-    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    else {
+      val union = triples.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
+        case ((gen, pos), grp) =>
+          spark.read.option("basePath", s"$tablePath/$gen")
+            .parquet(grp.map(_._3).sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
+            .withColumn("__bucket", col("__bucket").cast("long"))
+            .withColumn("__seq", lit(pos.toLong))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // COLUMN-ORDER CONTRACT (the r18→r19 GraftFormatSpec flake's root
+      // cause): the unionByName output order follows the FIRST scan's
+      // schema, and the sort key above is the generation NAME — a
+      // random uuid. A generation whose writer carried a different
+      // column order (a delete's widened tombstone frame leads with
+      // key+order columns) therefore flips the resolved read's schema
+      // order whenever its uuid wins the sort — and a catalog
+      // registration then records the flipped order, silently
+      // cross-binding every positional consumer (INSERT INTO ... SELECT
+      // mapped 0 → ts). Normalize: stored-schema columns first in their
+      // stored order, anything else (engine scratch, columns a pinned
+      // old manifest carries) after, in union order. A pure projection —
+      // Catalyst collapses it into the scan, zero execution cost.
+      val lead = storedSchema(tablePath).toSeq.flatMap { s =>
+        val resolver = spark.sessionState.conf.resolver
+        s.fieldNames.toSeq.flatMap(n => union.columns.find(resolver(_, n)))
+      }
+      Some(if (lead.isEmpty) union
+      else {
+        val rest = union.columns.filterNot(lead.contains)
+        union.select((lead ++ rest).map(col).toIndexedSeq: _*)
+      })
+    }
   }
 
   /** LWW-resolve a chain read: one row per key, ranked by `order` then
@@ -2400,6 +2424,82 @@ object KeyedUpsertSink {
       delRows, batchId)
   }
 
+  /** Predicate-driven delete — `DELETE FROM t WHERE p` for the keyed
+    * table. Until now a delete required the caller to already KNOW the
+    * (key, order) tuples ([[deleteBucketedDelta]]); the common real
+    * delete is by predicate ("purge user X", "drop docs below quality
+    * t"). This verb composes the two existing primitives: pin ONE
+    * snapshot version, resolve it, filter the LIVE rows by `predicate`
+    * (SQL semantics — a NULL predicate does not match), project the
+    * matched (key, order) tuples, and commit them as tombstones through
+    * [[deleteBucketedDelta]]. Matching nothing commits nothing (the
+    * committer's own empty-batch no-op), so a miss never burns a
+    * version.
+    *
+    * RANKING: each tombstone carries its matched image's OWN order
+    * values — the weighted-mirror precedent, not the caller-invented
+    * above-everything order. Consequences, all flowing from the one
+    * LWW rule (`order`, ties → chain recency):
+    *  - every version-row at-or-below the matched image loses to the
+    *    tombstone (it committed later, so it wins the order-tie and
+    *    everything under it) — a replayed STRICTLY-OLDER event cannot
+    *    resurrect the key;
+    *  - a row with order ABOVE the image — whether it committed before
+    *    this verb ran (see the race note) or after — outranks the
+    *    tombstone: the normal LWW re-insert door stays open;
+    *  - the one sharp edge: an EXACT duplicate of the deleted image
+    *    (same order values) committed AFTER the delete wins the
+    *    order-tie by recency and resurrects the key. Exactly-once
+    *    upstream feeds never do this (the stream sink's high-water
+    *    absorbs engine replays); an at-least-once feed that can
+    *    redeliver the tombstoned image itself should delete at an
+    *    above-everything order via [[deleteBucketedDelta]] directly.
+    *
+    * RACE CONTRACT (snapshot-vs-commit window): the predicate evaluates
+    * against the pinned snapshot, and commits landing between the pin
+    * and this delete's CAS commit are NOT re-matched — a key whose
+    * matching image arrives in that window survives this call (run the
+    * verb again; it matches the new head). The converse is safe by
+    * ranking: a concurrent upsert ABOVE a matched image outranks its
+    * tombstone, so this verb can never delete data newer than what it
+    * matched. The optimistic committer retries the CAS on manifest
+    * races as usual — retries re-stage the SAME tombstone set (the
+    * decision stays snapshot-coherent; it never silently re-matches).
+    *
+    * Cost shape at 100 TB: one resolved scan of the snapshot under the
+    * predicate (Catalyst prunes columns to keys ++ order ++ predicate
+    * refs through the resolve's window), then the delete commit touches
+    * only the buckets the matched keys hash to. Returns the commit
+    * (None when nothing matched).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      predicate: Column,
+      numBuckets: Int = 64,
+      maxAttempts: Int = 20,
+      compactAfter: Int = 8,
+      extraMeta: Map[String, String] = Map.empty): Option[OptimisticCommit] = {
+    // pin the snapshot ONCE: the predicate must see one coherent table
+    // state, never a per-bucket mix with a concurrent commit
+    val pinned = tableVersions(tablePath).lastOption
+    val matched = readBucketedDelta(spark, tablePath, keys, order,
+      atVersion = pinned).filter(predicate)
+    deleteBucketedDelta(spark, tablePath, keys, order, numBuckets,
+      maxAttempts, compactAfter, extraMeta)(matched, 0L)
+  }
+
+  /** [[deleteWhere]] under the table's own STORED key/order spec —
+    * loud when the table carries no spec metadata.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, numBuckets: Int): Option[OptimisticCommit] = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    deleteWhere(spark, tablePath, keys, order, predicate, numBuckets)
+  }
+
   /** Upsert change feed between two committed versions: every row of the
     * resolved table at `toVersion` (default: head) that is not present
     * identically in the resolved table at `fromVersion` — i.e. the keys
@@ -2745,7 +2845,6 @@ object KeyedUpsertSink {
     * "true")`.
     */
   def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     def historyRow(v: Long, manifest: Map[Long, String],
         meta: Map[String, String]) =
@@ -2777,13 +2876,21 @@ object KeyedUpsertSink {
         Seq(historyRow(0L, legacy, Map.empty))
       case rs => rs
     }
-    val schema = StructType(Seq(
+    spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), TableHistorySchema)
+  }
+
+  /** [[tableHistory]]'s fixed schema — a constant so the SQL history
+    * relation can declare itself WITHOUT reading the commit log (the
+    * log is then re-read per scan, never frozen at registration).
+    */
+  val TableHistorySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+    StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("n_buckets", LongType, nullable = false),
       StructField("n_chain_segments", LongType, nullable = false),
       StructField("meta", MapType(StringType, StringType), nullable = false)))
-    spark.createDataFrame(
-      new java.util.ArrayList(rows.asJava), schema)
   }
 
   /** The bucket→chain manifest as of commit `version`. Fails loudly on

@@ -94,13 +94,46 @@ import graft.sink.KeyedUpsertSink
   * (there is no schema to delete against otherwise — the committer
   * refuses loudly), so it can never create one.
   *
+  * DELETE WHERE verb (`option("deleteWhere", "<sql predicate>")`, still
+  * `mode("append")`, batch must be EMPTY — the predicate selects the
+  * rows): predicate-driven delete through
+  * [[KeyedUpsertSink.deleteWhere]] — resolve a pinned snapshot, match
+  * the live rows, tombstone each matched (key, order) tuple at the
+  * image's OWN order values. Matching nothing commits nothing. The
+  * snapshot-vs-commit race window and the exact-duplicate-replay edge
+  * are documented on the Scala verb; `delete` and `deleteWhere`
+  * together are refused (two different verbs).
+  *
   * HISTORY verb (`option("history", "true")`): the commit log as a
   * read-only DataFrame ([[KeyedUpsertSink.tableHistory]]) — one row
   * per readable version with the layout width, the merge-on-read
   * chain debt, and the committed `#key=value` metadata verbatim (the
   * DESCRIBE-HISTORY observability the advisors consume, now reachable
   * from pure SQL). Writes through the option refuse; `versionAsOf`
-  * does not compose (each row IS a version — filter the column).
+  * does not compose (each row IS a version — filter the column). The
+  * log is read PER SCAN (never frozen at registration), so a cached
+  * catalog relation tracks the live table.
+  *
+  * STATS / ADVISE verbs (round 19, read-only, per-scan like HISTORY):
+  * `option("stats", "true")` is the physical footprint — one row per
+  * bucket (files, bytes, chain_len = [[KeyedUpsertSink.tableStats]]);
+  * `option("advise", "true")` is the advisors as rows (rebucket
+  * always; retention when `consumers` names the lagging readers as
+  * `label=version,...`) — healthy rows carry a NULL recommendation,
+  * so `WHERE recommendation IS NOT NULL` is the operator's worklist.
+  * One read verb per registration.
+  *
+  * MAINTAIN verb (`option("maintain", "compact"|"purge"|"vacuum")`,
+  * `mode("append")`, batch must be EMPTY): the operational actions
+  * through the format surface — compact folds chains past `minChain`
+  * ([[KeyedUpsertSink.compactBucketChains]]); purge physically drops
+  * tombstones matching `purgePredicate`
+  * ([[KeyedUpsertSink.purgeTombstones]] — dropping a winning
+  * tombstone ends its replay protection, the predicate IS the
+  * retention policy); vacuum reclaims unreferenced generations under
+  * `graceManifests` ([[KeyedUpsertSink.vacuumGenerations]]). Together
+  * with stats/advise/history, the whole table lifecycle — observe,
+  * decide, act — runs from pure SQL plus df.write options.
   */
 class GraftTableProvider extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -130,6 +163,14 @@ class GraftTableProvider extends RelationProvider
     // rule so the sink's raw-path readers see the same directory
     val parameters = GraftTableProvider.normalizedPath(rawParameters)
     val path = required(parameters, "path", shortName())
+    // one READ verb per registration: history/stats/advise each answer
+    // a different question; a registration naming two would silently
+    // serve whichever this dispatch checks first
+    val readVerbs = Seq("history", "stats", "advise").filter(o =>
+      booleanOption(parameters, o, shortName()).getOrElse(false))
+    require(readVerbs.size <= 1,
+      s"graft-table: [${readVerbs.mkString(", ")}] are separate " +
+        "read-only verbs — register one table per question")
     // `history` = the DESCRIBE-HISTORY verb: a read-only view of the
     // commit log ([[KeyedUpsertSink.tableHistory]]) — no spec, no
     // resolve, no time travel (each row IS a version)
@@ -138,13 +179,85 @@ class GraftTableProvider extends RelationProvider
       require(!parameters.keys.exists(_.equalsIgnoreCase("versionAsOf")),
         "graft-table: history is the whole readable commit log — " +
           "versionAsOf does not apply (filter the version column)")
-      val hist = KeyedUpsertSink.tableHistory(sqlContext.sparkSession, path)
+      // the commit log is read PER SCAN, not at registration: a catalog
+      // registration is cached in Spark's relation cache, so a frozen
+      // log would hide every later commit from subsequent queries (and
+      // a bare .load() would pay the manifest listing before any
+      // action). The fixed schema keeps relation creation free; the
+      // never-created-table refusal moves to the first scan.
       val ctx = sqlContext
       return new BaseRelation
           with org.apache.spark.sql.sources.TableScan {
         override def sqlContext: SQLContext = ctx
-        override def schema: StructType = hist.schema
-        override def buildScan(): RDD[Row] = hist.rdd
+        override def schema: StructType = KeyedUpsertSink.TableHistorySchema
+        override def buildScan(): RDD[Row] =
+          KeyedUpsertSink.tableHistory(ctx.sparkSession, path).rdd
+      }
+    }
+    // `stats` = the physical-footprint view ([[KeyedUpsertSink
+    // .tableStats]]): one row per bucket with files/bytes/chain debt —
+    // computed PER SCAN like history, so a registration tracks the
+    // live table
+    if (booleanOption(parameters, "stats", shortName())
+        .getOrElse(false)) {
+      require(!parameters.keys.exists(_.equalsIgnoreCase("versionAsOf")),
+        "graft-table: stats reads the HEAD manifest's physical " +
+          "footprint — versionAsOf does not apply")
+      val ctx = sqlContext
+      return new BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = GraftTableProvider.StatsSchema
+        override def buildScan(): RDD[Row] = {
+          val rows = KeyedUpsertSink.tableStats(path).map(s =>
+            Row(s.bucket, s.files, s.bytes, s.chainLen.toLong))
+          ctx.sparkSession.sparkContext.parallelize(rows, 1)
+        }
+      }
+    }
+    // `advise` = the advisors as rows: rebucket always; retention when
+    // the `consumers` option names the lagging readers
+    // ("label=version,label=version"). Healthy rows carry a null
+    // recommendation — `WHERE recommendation IS NOT NULL` is the
+    // operator's worklist query.
+    if (booleanOption(parameters, "advise", shortName())
+        .getOrElse(false)) {
+      require(!parameters.keys.exists(_.equalsIgnoreCase("versionAsOf")),
+        "graft-table: advise reads the HEAD state — versionAsOf does " +
+          "not apply")
+      val consumers: Seq[(String, Long)] = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("consumers") => v
+      }.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split("=", 2) match {
+          case Array(l, p) if p.toLongOption.isDefined && l.nonEmpty =>
+            (l, p.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"graft-table: consumers entry '$e' is not label=version")
+        }
+      }).getOrElse(Seq.empty)
+      val ctx = sqlContext
+      return new BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = GraftTableProvider.AdviseSchema
+        override def buildScan(): RDD[Row] = {
+          val rebucket = KeyedUpsertSink.adviseRebucket(path) match {
+            case Some(a) => Row("rebucket", false,
+              s"rebucketTable(..., ${a.recommendedBuckets})", a.reason)
+            case None => Row("rebucket", true, null,
+              "bucket count within the hysteresis band of the target")
+          }
+          val retention = if (consumers.isEmpty) Seq.empty else {
+            val a = KeyedUpsertSink.adviseRetention(path, consumers)
+            Seq(Row("retention", a.intact,
+              if (a.requiredGraceManifests > 0 || !a.intact)
+                s"vacuum with graceManifests >= ${a.requiredGraceManifests}"
+              else null,
+              a.reason))
+          }
+          ctx.sparkSession.sparkContext
+            .parallelize(rebucket +: retention, 1)
+        }
       }
     }
     val (keys, order) = resolveSpec(parameters, shortName())
@@ -212,6 +325,22 @@ class GraftTableProvider extends RelationProvider
 }
 
 object GraftTableProvider {
+  /** `option("stats", "true")`'s fixed schema — one row per bucket. */
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("chain_len", LongType, nullable = false)))
+
+  /** `option("advise", "true")`'s fixed schema — one row per advisor;
+    * healthy rows carry a null recommendation.
+    */
+  val AdviseSchema: StructType = StructType(Seq(
+    StructField("advisor", StringType, nullable = false),
+    StructField("healthy", BooleanType, nullable = false),
+    StructField("recommendation", StringType, nullable = true),
+    StructField("reason", StringType, nullable = false)))
+
   /** The shared one-commit batch upsert behind `df.write` and
     * `INSERT INTO` — mode/column validation, then
     * [[KeyedUpsertSink.upsertBucketedDelta]] with the stored-spec and
@@ -236,6 +365,74 @@ object GraftTableProvider {
     import ChangeFeedSource._
     val parameters = normalizedPath(rawParameters)
     val path = required(parameters, "path", format)
+    // MAINTAIN verb (round 19): the operational actions — compact /
+    // purge / vacuum — through the format surface, so a pure-SQL
+    // operator can run the whole table lifecycle the advisors inform
+    // (the HISTORY/stats/advise verbs are the read half). The batch
+    // must be EMPTY (an action takes options, not rows) and composes
+    // with no other verb; each action validates its own option set.
+    val maintain = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maintain") => v.trim.toLowerCase
+    }
+    if (maintain.isDefined) {
+      val action = maintain.get
+      require(mode == SaveMode.Append,
+        s"$format: maintain='$action' runs under mode(\"append\") like " +
+          "every other verb on this surface (the mode carries no " +
+          "meaning here; refusing the others keeps one rule)")
+      val conflicts = Seq("delete", "deleteWhere", "history", "stats",
+        "advise", "versionAsOf").filter(o =>
+        parameters.keys.exists(_.equalsIgnoreCase(o)))
+      require(conflicts.isEmpty,
+        s"$format: maintain does not compose with " +
+          s"[${conflicts.mkString(", ")}] — one verb per write")
+      require(data.isEmpty,
+        s"$format: maintain batches must be EMPTY — the action takes " +
+          "options (minChain, purgePredicate, graceManifests), not rows")
+      action match {
+        case "compact" =>
+          val (keys, order) = resolveSpec(parameters, format)
+          val minChain = intOption(parameters, "minChain", format)
+            .getOrElse(2)
+          KeyedUpsertSink.compactBucketChains(spark, path, keys, order,
+            minChain = minChain)
+        case "purge" =>
+          val (keys, order) = resolveSpec(parameters, format)
+          val pred = parameters.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("purgePredicate") => v
+          }.getOrElse(throw new IllegalArgumentException(
+            s"$format: maintain='purge' needs option purgePredicate — " +
+              "the SQL predicate over KEY/ORDER columns selecting which " +
+              "tombstones are old enough to physically drop (tombstone " +
+              "rows null-fill everything else; an always-true predicate " +
+              "drops every winning tombstone and ends its replay " +
+              "protection — see purgeTombstones)"))
+          require(pred.trim.nonEmpty,
+            s"$format: maintain='purge' purgePredicate is empty — an " +
+              "empty predicate matches nothing; spell the retention rule")
+          KeyedUpsertSink.purgeTombstones(spark, path, keys, order,
+            org.apache.spark.sql.functions.expr(pred))
+        case "vacuum" =>
+          // no spec needed: vacuum works from the manifest chain alone
+          // (and must keep working on a pre-spec table)
+          val grace = intOption(parameters, "graceManifests", format)
+            .getOrElse(0)
+          require(grace >= 0,
+            s"$format: graceManifests must be >= 0, got $grace")
+          // the dwell guard for in-flight stagings; lower it only on a
+          // table you KNOW has no live writers (fixtures, decommission)
+          val quiesce = longOption(parameters, "quiesceMs", format)
+            .getOrElse(60000L)
+          require(quiesce >= 0,
+            s"$format: quiesceMs must be >= 0, got $quiesce")
+          KeyedUpsertSink.vacuumGenerations(path, graceManifests = grace,
+            quiesceMs = quiesce)
+        case other => throw new IllegalArgumentException(
+          s"$format: unknown maintain action '$other' — one of " +
+            "compact, purge, vacuum")
+      }
+      return
+    }
     mode match {
       case SaveMode.Append => ()
       case SaveMode.Overwrite => throw new IllegalArgumentException(
@@ -256,6 +453,10 @@ object GraftTableProvider {
     require(!booleanOption(parameters, "history", format).getOrElse(false),
       s"$format: history is a READ-ONLY view of the commit log — " +
         "drop the option to write (the write itself becomes history)")
+    Seq("stats", "advise").foreach(o =>
+      require(!booleanOption(parameters, o, format).getOrElse(false),
+        s"$format: $o is a READ-ONLY maintenance view — writes go " +
+          "through the data verbs or maintain='compact|purge|vacuum'"))
     val scratch = data.columns.filter(_.startsWith("__"))
     require(scratch.isEmpty,
       s"$format: batch carries engine columns [${scratch.mkString(", ")}] " +
@@ -273,12 +474,37 @@ object GraftTableProvider {
       .getOrElse(8)
     val delete = booleanOption(parameters, "delete", format)
       .getOrElse(false)
-    if (delete)
-      KeyedUpsertSink.deleteBucketedDelta(spark, path, keys, order,
-        numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
-    else
-      KeyedUpsertSink.upsertBucketedDelta(spark, path, keys, order,
-        numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+    val deleteWhere = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("deleteWhere") => v
+    }
+    require(!(delete && deleteWhere.nonEmpty),
+      s"$format: delete and deleteWhere are two different verbs — " +
+        "delete tombstones the batch's explicit (key, order) tuples, " +
+        "deleteWhere matches a predicate against the resolved snapshot; " +
+        "pick one")
+    deleteWhere match {
+      case Some(pred) =>
+        require(pred.trim.nonEmpty,
+          s"$format: deleteWhere needs a SQL predicate (e.g. " +
+            "\"quality < 0.5\") — an empty one matches nothing by " +
+            "definition and is almost certainly a mistake")
+        // the predicate DEFINES the rows — a data-carrying batch next to
+        // it is ambiguous (which one did the caller mean?), refuse
+        require(data.isEmpty,
+          s"$format: deleteWhere batches must be EMPTY — the predicate " +
+            "selects the rows from the table's own resolved snapshot; " +
+            "to delete explicit (key, order) tuples use " +
+            "option(\"delete\", \"true\") with the tuples as the batch")
+        KeyedUpsertSink.deleteWhere(spark, path, keys, order,
+          org.apache.spark.sql.functions.expr(pred),
+          numBuckets = numBuckets, compactAfter = compactAfter)
+      case None if delete =>
+        KeyedUpsertSink.deleteBucketedDelta(spark, path, keys, order,
+          numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+      case None =>
+        KeyedUpsertSink.upsertBucketedDelta(spark, path, keys, order,
+          numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
+    }
     ()
   }
 

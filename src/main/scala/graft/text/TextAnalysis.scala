@@ -542,13 +542,22 @@ object TextAnalysis {
       scale: Long = 1L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the model plan executes ONCE: the marginals collect below and the
+    // scoring join's build side both read the checkpointed blocks. An
+    // un-checkpointed `model` — typically the trainLangModel aggregation
+    // — would re-run its corpus-scale training shuffle for each of the
+    // two consumers (the r18 advice finding; TrainScale did this
+    // manually). Lineage is deliberately cut, values unchanged; the
+    // blocks are model-sized (vocab × |L|) and the ContextCleaner
+    // reclaims them when the plan is dropped.
+    val m = model.localCheckpoint()
     val langs = broadcast(
-      langMarginalRows(model, scale, "langIdWith")
+      langMarginalRows(m, scale, "langIdWith")
         .toDF("cand", "n_l", "v"))
     val scored = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .crossJoin(langs)
-      .join(model.select(col("lang").as("cand"), col("w"), col("c")),
+      .join(m.select(col("lang").as("cand"), col("w"), col("c")),
         Seq("cand", "w"), "left")
       .select(col("doc_id"), col("cand"),
         lgQuant("coalesce(c, 0L) + 1L", scale).as("lg"))
@@ -585,9 +594,12 @@ object TextAnalysis {
       scale: Long): DataFrame = {
     val spark = model.sparkSession
     import spark.implicits._
+    // one model execution for the marginals collect AND the lmRow
+    // aggregation below — the langIdWith rationale verbatim
+    val m = model.localCheckpoint()
     // shared collected marginals: one model scan, both envelope guards
     val perLang = broadcast(
-      langMarginalRows(model, scale, "langModelMapFrame")
+      langMarginalRows(m, scale, "langModelMapFrame")
         .toDF("lang", "n_l", "v"))
     val defRow = perLang.select(col("lang"), lgQuant("1L", scale).as("lg"))
       .agg(
@@ -595,7 +607,7 @@ object TextAnalysis {
           s => s.getField("lang")).as("__langs"),
         transform(array_sort(collect_list(struct(col("lang"), col("lg")))),
           s => s.getField("lg")).as("__lg0"))
-    val lmRow = model.join(perLang, Seq("lang"))
+    val lmRow = m.join(perLang, Seq("lang"))
       .select(col("w"), col("lang"), lgQuant("c + 1L", scale).as("lg"))
       .groupBy("w")
       .agg(map_from_entries(
@@ -647,13 +659,28 @@ object TextAnalysis {
     val spark = model.sparkSession
     val mfLazy = langModelMapFrame(model, scale)
     val mfRow = mfLazy.head()
+    // GATE-UNIQUE column names (r18 advice): the map frame's generic
+    // __langs/__lg0/__lm would collide ambiguously with an input that
+    // happens to carry them (another gate's scratch, a hand-built
+    // frame) — alias before the crossJoin and refuse the (vanishingly
+    // unlikely) residual collision loudly instead of clobbering
+    val gateCols = Seq("__langs" -> "__lang_gate_langs",
+      "__lg0" -> "__lang_gate_lg0", "__lm" -> "__lang_gate_lm")
     val mf = broadcast(spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(Seq(mfRow)).asJava), mfLazy.schema))
-    df => df.crossJoin(mf)
-      .filter(langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
-        col("text")).isin(keep.toSeq.sorted: _*))
-      .drop("__langs", "__lg0", "__lm")
+      .select(gateCols.map { case (f, t) => col(f).as(t) }: _*)
+    df => {
+      val clash = df.columns.filter(gateCols.map(_._2).contains)
+      require(clash.isEmpty,
+        s"frozenLangGate: input carries gate scratch column(s) " +
+          s"[${clash.mkString(", ")}] — rename them before the gate")
+      df.crossJoin(mf)
+        .filter(langRowLocalPred(col("__lang_gate_langs"),
+          col("__lang_gate_lg0"), col("__lang_gate_lm"),
+          col("text")).isin(keep.toSeq.sorted: _*))
+        .drop(gateCols.map(_._2): _*)
+    }
   }
 
   /** The row-local decision expression over the map-frame columns:

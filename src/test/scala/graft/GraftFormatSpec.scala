@@ -548,6 +548,108 @@ class GraftFormatSpec extends SparkSpec {
       "the refused writes must not have landed")
   }
 
+  test("the resolved read's COLUMN ORDER is the stored schema's, never the generation-uuid lottery") {
+    // the r18 disclosed flake, reproduced and pinned this round: the
+    // resolve unions one scan per generation sorted by generation NAME
+    // (a random uuid), and unionByName's output order follows the first
+    // scan — so a delete's widened tombstone generation (which leads
+    // with key+order columns, k,ts,v) flipped the resolved schema to
+    // (k,ts,v) whenever its uuid sorted first. A catalog registration
+    // then recorded the flipped order and INSERT INTO ... SELECT bound
+    // values positionally against it (0 → ts), committing a tombstone
+    // that LOST its LWW rank. The uuid lottery flips per table, so one
+    // table proves nothing — iterate: 12 fresh tables each carrying a
+    // widened delete generation, every one must present (k, v, ts).
+    (1 to 12).foreach { i =>
+      val root = Files.createTempDirectory(s"graft-schema-order-$i")
+      val t = root.resolve("t").toString
+      sink(t)(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+      KeyedUpsertSink.deleteBucketedDelta(
+        spark, t, keys, order, numBuckets = 4)(
+        Seq(("b", 20L)).toDF("k", "ts"), 1L)
+      val got = KeyedUpsertSink.readBucketedDelta(spark, t, keys, order)
+        .schema.fieldNames.toSeq
+      assert(got == Seq("k", "v", "ts"),
+        s"iteration $i: resolved schema order drifted to $got — the " +
+          "generation-uuid lottery is deciding column order again")
+      // the facade (and therefore any catalog registration) inherits it
+      assert(spark.read.format("graft-table").option("path", t).load()
+        .schema.fieldNames.toSeq == Seq("k", "v", "ts"))
+    }
+  }
+
+  test("option(deleteWhere) deletes by predicate against the RESOLVED snapshot; refusals are loud") {
+    val root = Files.createTempDirectory("graft-table-delete-where")
+    val t = root.resolve("t").toString
+    // a's RAW history matches v >= 10 at ts 10, but its RESOLVED image
+    // (v=1, ts=20) does not — a predicate evaluated against raw
+    // version-rows instead of the snapshot would wrongly delete it
+    batchDf(("a", 10L, 10L), ("b", 10L, 10L), ("c", 1L, 10L))
+      .write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    batchDf(("a", 1L, 20L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    val versionsBefore = KeyedUpsertSink.tableVersions(t).size
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("deleteWhere", "v >= 10").mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 20L), ("c", 1L, 10L)),
+      "only b's resolved image matches; a's superseded one must not")
+    // the tombstone rides b's own order (ts=10): a strictly-older
+    // replay still loses, a later upsert re-creates the key
+    batchDf(("b", 99L, 5L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 20L), ("c", 1L, 10L)))
+    batchDf(("b", 2L, 30L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(
+      ("a", 1L, 20L), ("b", 2L, 30L), ("c", 1L, 10L)))
+    // matching nothing commits nothing — no burned version
+    val vs = KeyedUpsertSink.tableVersions(t).size
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("deleteWhere", "v > 1000000").mode("append").save()
+    assert(KeyedUpsertSink.tableVersions(t).size == vs,
+      "a no-match deleteWhere must not commit a version")
+    // Scala API parity under the stored spec
+    KeyedUpsertSink.deleteWhere(spark, t, $"k" === "c", numBuckets = 4)
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 2L, 30L)))
+    // refusal set: both verbs at once; a data-carrying batch; an empty
+    // predicate; a never-created table
+    val e1 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("delete", "true").option("deleteWhere", "v = 1")
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("two different verbs"))
+    val e2 = intercept[Exception] {
+      batchDf(("a", 1L, 1L)).write.format("graft-table").option("path", t)
+        .option("deleteWhere", "v = 1").mode("append").save()
+    }
+    assert(e2.getMessage.contains("EMPTY"))
+    val e3 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("deleteWhere", "  ").mode("append").save()
+    }
+    assert(e3.getMessage.contains("predicate"))
+    val e4 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table")
+        .option("path", root.resolve("t2").toString)
+        .option("keys", "k").option("orderBy", "ts")
+        .option("deleteWhere", "v = 1").mode("append").save()
+    }
+    assert(e4.getMessage != null)
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 2L, 30L)),
+      "the refused writes must not have landed")
+    // the catalog door: a deleteWhere registration's INSERT-less write
+    // path is df.write only (INSERT INTO needs rows by SQL grammar);
+    // reads through it stay plain resolved reads
+    spark.sql("DROP TABLE IF EXISTS gdw")
+    spark.sql(s"CREATE TABLE gdw USING `graft-table` " +
+      s"OPTIONS (path '$t', deleteWhere 'v = 1')")
+    try assert(spark.sql("SELECT count(*) FROM gdw").head().getLong(0) == 2L)
+    finally spark.sql("DROP TABLE IF EXISTS gdw")
+  }
+
   test("option(history) reads the commit log: one row per version, chain debt visible, read-only") {
     val root = Files.createTempDirectory("graft-table-history")
     val t = root.resolve("t").toString
@@ -577,9 +679,18 @@ class GraftFormatSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS gth")
     spark.sql(s"CREATE TABLE gth USING `graft-table` " +
       s"OPTIONS (path '$t', history 'true')")
-    try assert(spark.sql("SELECT max(version) FROM gth")
-      .head().getLong(0) == 3L)
-    finally spark.sql("DROP TABLE IF EXISTS gth")
+    try {
+      assert(spark.sql("SELECT max(version) FROM gth")
+        .head().getLong(0) == 3L)
+      // the log is read PER SCAN, never frozen at registration: a
+      // commit landing after CREATE TABLE is visible to the next query
+      // through the CACHED relation (Spark's relation cache would pin
+      // an eager snapshot forever)
+      up(batchDf(("c", 1L, 40L)), 3L) // v4
+      assert(spark.sql("SELECT max(version) FROM gth")
+        .head().getLong(0) == 4L,
+        "a history registration must see commits made after CREATE TABLE")
+    } finally spark.sql("DROP TABLE IF EXISTS gth")
     // read-only: writing through a history option refuses loudly
     val e = intercept[Exception] {
       batchDf(("x", 1L, 1L)).write.format("graft-table")
@@ -594,11 +705,13 @@ class GraftFormatSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("versionAsOf"))
     // a mistyped path refuses loudly — a silent empty history would
-    // read as "no commits" (the normal read path's own contract)
+    // read as "no commits" (the normal read path's own contract). The
+    // refusal fires at the first SCAN, not at load(): relation creation
+    // is free by design (the log is re-read per scan)
     val e3 = intercept[Exception] {
       spark.read.format("graft-table")
         .option("path", root.resolve("tabel").toString)
-        .option("history", "true").load()
+        .option("history", "true").load().count()
     }
     assert(e3.getMessage.contains("never created"))
     // a malformed boolean names the option, not a bare parse error
@@ -608,6 +721,116 @@ class GraftFormatSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("history") &&
       e4.getMessage.contains("ture"))
+  }
+
+  test("maintain/stats/advise doors: the whole table lifecycle from the format surface") {
+    val root = Files.createTempDirectory("graft-table-maintain")
+    val t = root.resolve("t").toString
+    val up = sink(t) // compactAfter = 0: chains accumulate on purpose
+    up(batchDf(("a", 1L, 10L), ("b", 1L, 10L)), 0L)
+    up(batchDf(("a", 2L, 20L)), 1L)
+    up(batchDf(("a", 3L, 30L)), 2L)
+    KeyedUpsertSink.deleteBucketedDelta(
+      spark, t, keys, order, numBuckets = 4)(
+      Seq(("b", 40L)).toDF("k", "ts"), 3L)
+    def stats() = spark.read.format("graft-table").option("path", t)
+      .option("stats", "true").load()
+      .select("bucket", "files", "bytes", "chain_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val before = stats()
+    assert(before.exists(_._3 > 1L), s"fixture should carry chains: ${before.toSeq}")
+    // OBSERVE is per-scan: register once, watch the chain debt move
+    spark.sql("DROP TABLE IF EXISTS gts")
+    spark.sql(s"CREATE TABLE gts USING `graft-table` " +
+      s"OPTIONS (path '$t', stats 'true')")
+    try {
+      val debt0 = spark.sql("SELECT max(chain_len) FROM gts")
+        .head().getLong(0)
+      assert(debt0 > 1L)
+      // ACT: compact through the format door (empty batch)
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("maintain", "compact").mode("append").save()
+      assert(spark.sql("SELECT max(chain_len) FROM gts")
+        .head().getLong(0) == 1L,
+        "a stats registration must see the compaction's effect")
+    } finally spark.sql("DROP TABLE IF EXISTS gts")
+    assert(resolved(t) == Set(("a", 3L, 30L)),
+      "compaction must not change the resolve (b stays tombstoned)")
+    // PURGE through the door: drop tombstones ranked at-or-under ts 40
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("maintain", "purge").option("purgePredicate", "ts <= 40")
+      .mode("append").save()
+    assert(resolved(t) == Set(("a", 3L, 30L)))
+    // the purge is physical: a raw chain read shows no tombstone rows
+    assert(KeyedUpsertSink.tableStats(t).map(_.files).sum >= 1L)
+    // VACUUM through the door: compaction + purge superseded whole
+    // generations — reclaim them. quiesceMs=1: the default 60 s dwell
+    // (an in-flight staging guard) would retain this just-written
+    // fixture's gens; no live writers here, so opt out explicitly
+    val gensBefore = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .filter(p => p.getFileName.toString.startsWith("gen-")).count()
+    Thread.sleep(100)
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("maintain", "vacuum").option("quiesceMs", "1")
+      .mode("append").save()
+    val gensAfter = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .filter(p => p.getFileName.toString.startsWith("gen-")).count()
+    assert(gensAfter < gensBefore,
+      s"vacuum should reclaim superseded generations ($gensBefore → $gensAfter)")
+    assert(resolved(t) == Set(("a", 3L, 30L)),
+      "vacuum must not change the resolve")
+    // ADVISE: a healthy tiny table → null recommendation; a lagging
+    // consumer → a concrete graceManifests floor
+    val adv = spark.read.format("graft-table").option("path", t)
+      .option("advise", "true").load().collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(adv.exists { case (a, h, rec) => a == "rebucket" && h && rec == null })
+    val head = KeyedUpsertSink.tableVersions(t).max
+    val advC = spark.read.format("graft-table").option("path", t)
+      .option("advise", "true").option("consumers", s"mirror=${head - 1}")
+      .load().collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(advC.exists { case (a, rec) =>
+      a == "retention" && rec != null && rec.contains("graceManifests >= 1") },
+      s"got ${advC.toSeq}")
+    // REFUSALS, each loud and specific
+    val e1 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table").option("path", t)
+        .option("maintain", "compact").mode("append").save()
+    }
+    assert(e1.getMessage.contains("EMPTY"))
+    val e2 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("maintain", "compact").option("delete", "true")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("one verb per write"))
+    val e3 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("maintain", "defrag").mode("append").save()
+    }
+    assert(e3.getMessage.contains("defrag"))
+    val e4 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("maintain", "purge").mode("append").save()
+    }
+    assert(e4.getMessage.contains("purgePredicate"))
+    val e5 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table").option("path", t)
+        .option("stats", "true").mode("append").save()
+    }
+    assert(e5.getMessage.contains("READ-ONLY"))
+    val e6 = intercept[Exception] {
+      spark.read.format("graft-table").option("path", t)
+        .option("stats", "true").option("history", "true").load()
+    }
+    assert(e6.getMessage.contains("one table per question"))
+    val e7 = intercept[Exception] {
+      spark.read.format("graft-table").option("path", t)
+        .option("advise", "true").option("consumers", "mirror=x")
+        .load().count()
+    }
+    assert(e7.getMessage.contains("label=version"))
   }
 
   test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {

@@ -100,6 +100,43 @@ class MultimodalSpec extends SparkSpec {
       truncated.getMessage.contains("12"), truncated.getMessage)
   }
 
+  test("JPEG lossy contract: dims exact, channel error measured within the pinned tolerance, corrupt loud, drift flips the verdict") {
+    // direct kernel sweep: dims recover exactly; the REAL max channel
+    // error across a broad id range stays under JpegTol (re-measuring
+    // here is what catches silent tolerance creep — a decoder change
+    // pushing err past 2 should make a human re-derive the bound, not
+    // ride the headroom silently)
+    var maxErr = 0L
+    (0L until 900L by 3L).foreach { id =>
+      val bytes = Multimodal.encodeJpeg(id)
+      val v = Multimodal.jpegVerdictOf(Multimodal.Asset(id, "image", bytes))
+      assert((v.width, v.height) ==
+        (Multimodal.imgW(id).toLong, Multimodal.imgH(id).toLong),
+        s"id=$id: JPEG must preserve dimensions exactly")
+      assert(v.within_tol, s"id=$id: max_err=${v.max_err} past tolerance")
+      maxErr = math.max(maxErr, v.max_err)
+    }
+    assert(maxErr <= 2L,
+      s"measured max channel error $maxErr — the documented basis for " +
+        "JpegTol=4 was 2; re-derive the tolerance before riding headroom")
+    // the verdict actually bites: an impossible tolerance flips it
+    assert(!Multimodal.jpegVerdictOf(
+      Multimodal.Asset(5L, "image", Multimodal.encodeJpeg(5L)),
+      tol = -1L).within_tol)
+    // corrupt/truncated payloads surface the asset id, never a silent row
+    val corrupt = intercept[IllegalArgumentException] {
+      Multimodal.jpegVerdictOf(Multimodal.Asset(77L, "image",
+        Multimodal.encodeJpeg(77L).take(24)))
+    }
+    assert(corrupt.getMessage.contains("asset 77"))
+    // the Dataset pipeline over a mixed partition: map-side, exact ids
+    val ds = Multimodal.decodeJpegVerdict(Multimodal.realJpegAssets(
+      Tables.documents(spark, Sf0001)))
+    val rows = ds.collect()
+    assert(rows.length == 167) // 500 docs, doc_id % 3 == 0
+    assert(rows.forall(_.within_tol))
+  }
+
   test("real decode runs map-side over the corpus and is loud on corrupt payloads") {
     val assets = Multimodal.realAssets(Tables.documents(spark, Sf0001))
     val dec = Multimodal.decodeReal(assets).collect()
