@@ -784,6 +784,45 @@ object SparkEntry {
         .drop("ts_us")
     }),
 
+    // UPDATE WHERE (round 19, second pass): predicate-driven update
+    // through the format surface — two upsert waves, then an EMPTY
+    // write with updateWhere + set rewrites every key whose RESOLVED
+    // image is an odd-event_id error (type renamed, ts bumped — the
+    // SET evaluates against the matched image), each rewritten image
+    // ranked at the matched image's OWN order values. The replayed
+    // EVEN wave lands after and must not revert anything (no updated
+    // winner is even by construction). Verify-only: its wall is the
+    // deleteWhere cost shape (one resolved scan + one commit), so the
+    // bench measures nothing new. The oracle applies the same CASE
+    // transformation to the full-set LWW winners.
+    "etl_table_update_where" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("ts_ms").as("last_ts_ms"), col("ts_us"))
+      val path = scratchTable("graft-table-update-where-q", dir)
+      ev.filter(col("last_event_id") % 2 === 0)
+        .write.format("graft-table").option("path", path)
+        .option("keys", "user_id").option("orderBy", "ts_us,last_event_id")
+        .option("numBuckets", "16")
+        .mode("append").save()
+      ev.filter(col("last_event_id") % 2 === 1)
+        .write.format("graft-table").option("path", path)
+        .mode("append").save()
+      s.emptyDataFrame
+        .write.format("graft-table").option("path", path)
+        .option("updateWhere",
+          "last_event_type = 'error' AND last_event_id % 2 = 1")
+        .option("set",
+          "last_event_type = 'err_rev', last_ts_ms = last_ts_ms + 1")
+        .mode("append").save()
+      ev.filter(col("last_event_id") % 2 === 0) // replayed wave
+        .write.format("graft-table").option("path", path)
+        .mode("append").save()
+      s.read.format("graft-table").option("path", path).load()
+        .drop("ts_us")
+    }),
+
     // The facade's PRUNED route (round 17 third pass): a key-equality
     // IN list routes through lookupBucketed — only the buckets the 64
     // pinned keys hash to are read, the LWW resolve runs per key inside
@@ -2107,6 +2146,22 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         |)
         |WHERE NOT (last_event_type = 'click' AND last_event_id % 2 = 1)""".stripMargin,
+
+    // UPDATE WHERE: matched winners carry the SET transformation, the
+    // replayed even wave (strictly older than every rewritten image by
+    // construction) reverts nothing
+    "etl_table_update_where" ->
+      """SELECT user_id, last_event_id,
+        | CASE WHEN last_event_type = 'error' AND last_event_id % 2 = 1
+        |   THEN 'err_rev' ELSE last_event_type END AS last_event_type,
+        | CASE WHEN last_event_type = 'error' AND last_event_id % 2 = 1
+        |   THEN last_ts_ms + 1 ELSE last_ts_ms END AS last_ts_ms
+        |FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |   epoch_us(ts)//1000 AS last_ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |)""".stripMargin,
 
     // bucket pruning must lose no version-row of a pinned key: the
     // pruned facade read equals the from-scratch LWW of the same subset

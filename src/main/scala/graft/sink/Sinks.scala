@@ -2500,6 +2500,86 @@ object KeyedUpsertSink {
     deleteWhere(spark, tablePath, keys, order, predicate, numBuckets)
   }
 
+  /** Predicate-driven update — `UPDATE t SET ... WHERE p` for the keyed
+    * table, completing the predicate-verb family [[deleteWhere]]
+    * opened: pin ONE snapshot version, resolve it, filter the LIVE rows
+    * by `predicate` (SQL semantics — NULL does not match), apply the
+    * `set` expressions (evaluated against the MATCHED image, so
+    * `"n" -> col("n") + 1` works), and commit the rewritten images as
+    * one upsert. Matching nothing commits nothing.
+    *
+    * RANKING — the [[deleteWhere]] contract verbatim: the updated image
+    * carries its source image's OWN order values, so it wins the
+    * order-tie against every at-or-below version-row by chain recency,
+    * a strictly-older replay cannot revert it, a LATER upsert outranks
+    * it normally, and the one sharp edge is an exact-duplicate replay
+    * of the OLD image committed after the update (ties, wins by
+    * recency, reverts) — exactly-once feeds never do this.
+    *
+    * `set` columns are restricted to VALUE columns, refused loudly
+    * otherwise: updating a KEY column rewrites row identity (that is a
+    * delete + insert — do both explicitly, each with its own rank),
+    * and updating an ORDER column can lower the new image's own rank
+    * below its source, making the update silently invisible (commit a
+    * new event through the normal upsert door instead — its order IS
+    * its rank). Same snapshot-vs-commit race window as [[deleteWhere]]:
+    * commits landing between the pin and this commit are not
+    * re-matched; re-run to catch them.
+    *
+    * Cost shape at 100 TB: one resolved scan under the predicate, then
+    * an upsert commit touching only the matched keys' buckets.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      predicate: Column,
+      set: Map[String, Column],
+      numBuckets: Int = 64,
+      maxAttempts: Int = 20,
+      compactAfter: Int = 8,
+      extraMeta: Map[String, String] = Map.empty): Option[OptimisticCommit] = {
+    require(set.nonEmpty, "updateWhere: empty SET — nothing to update")
+    val resolver = spark.sessionState.conf.resolver
+    val orderNames = orderColNames(spark, order)
+    set.keys.foreach { c =>
+      require(!keys.exists(resolver(_, c)),
+        s"updateWhere: SET on key column '$c' rewrites row identity — " +
+          "delete the old key and upsert the new one explicitly, each " +
+          "with its own rank")
+      require(!orderNames.exists(resolver(_, c)),
+        s"updateWhere: SET on order column '$c' can lower the new " +
+          "image's own LWW rank below its source and never become " +
+          "visible — commit a new event through the upsert door " +
+          "instead (its order is its rank)")
+    }
+    val pinned = tableVersions(tablePath).lastOption
+    val matched = readBucketedDelta(spark, tablePath, keys, order,
+      atVersion = pinned).filter(predicate)
+    val rewritten = set.foldLeft(matched) { case (df, (c, e)) =>
+      // preserve the column's declared type: a SET expression narrowing
+      // or widening the type would silently evolve the schema
+      val dt = matched.schema.fields.find(f => resolver(f.name, c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"updateWhere: SET column '$c' is not a column of the table"))
+        .dataType
+      df.withColumn(c, e.cast(dt))
+    }
+    upsertBucketedDelta(spark, tablePath, keys, order, numBuckets,
+      maxAttempts, compactAfter, extraMeta = extraMeta)(rewritten, 0L)
+  }
+
+  /** [[updateWhere]] under the table's own STORED key/order spec —
+    * loud when the table carries no spec metadata.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, set: Map[String, Column],
+      numBuckets: Int): Option[OptimisticCommit] = {
+    val (keys, order) = mustStoredSpec(tablePath)
+    updateWhere(spark, tablePath, keys, order, predicate, set, numBuckets)
+  }
+
   /** Upsert change feed between two committed versions: every row of the
     * resolved table at `toVersion` (default: head) that is not present
     * identically in the resolved table at `fromVersion` — i.e. the keys

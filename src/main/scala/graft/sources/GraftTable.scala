@@ -104,6 +104,16 @@ import graft.sink.KeyedUpsertSink
   * are documented on the Scala verb; `delete` and `deleteWhere`
   * together are refused (two different verbs).
   *
+  * UPDATE WHERE verb (`option("updateWhere", "<sql predicate>")` +
+  * `option("set", "col = expr, ...")`, `mode("append")`, batch EMPTY):
+  * predicate-driven update through [[KeyedUpsertSink.updateWhere]] —
+  * resolve a pinned snapshot, match live rows, apply the SET
+  * expressions (evaluated against the matched image), commit the
+  * rewritten images at the image's OWN order values. SET on key or
+  * order columns is refused (identity rewrite / self-deranking — see
+  * the Scala verb); assignments split on top-level commas only, so
+  * `set` expressions may contain function calls.
+  *
   * HISTORY verb (`option("history", "true")`): the commit log as a
   * read-only DataFrame ([[KeyedUpsertSink.tableHistory]]) — one row
   * per readable version with the layout width, the merge-on-read
@@ -380,8 +390,8 @@ object GraftTableProvider {
         s"$format: maintain='$action' runs under mode(\"append\") like " +
           "every other verb on this surface (the mode carries no " +
           "meaning here; refusing the others keeps one rule)")
-      val conflicts = Seq("delete", "deleteWhere", "history", "stats",
-        "advise", "versionAsOf").filter(o =>
+      val conflicts = Seq("delete", "deleteWhere", "updateWhere", "set",
+        "history", "stats", "advise", "versionAsOf").filter(o =>
         parameters.keys.exists(_.equalsIgnoreCase(o)))
       require(conflicts.isEmpty,
         s"$format: maintain does not compose with " +
@@ -477,11 +487,51 @@ object GraftTableProvider {
     val deleteWhere = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("deleteWhere") => v
     }
-    require(!(delete && deleteWhere.nonEmpty),
-      s"$format: delete and deleteWhere are two different verbs — " +
+    val updateWhere = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("updateWhere") => v
+    }
+    val setOpt = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("set") => v
+    }
+    val verbs = Seq(delete -> "delete", deleteWhere.nonEmpty -> "deleteWhere",
+      updateWhere.nonEmpty -> "updateWhere").collect { case (true, n) => n }
+    require(verbs.size <= 1,
+      s"$format: [${verbs.mkString(", ")}] are different verbs — " +
         "delete tombstones the batch's explicit (key, order) tuples, " +
-        "deleteWhere matches a predicate against the resolved snapshot; " +
-        "pick one")
+        "deleteWhere/updateWhere match a predicate against the " +
+        "resolved snapshot; pick one")
+    require(setOpt.isEmpty || updateWhere.nonEmpty,
+      s"$format: option 'set' belongs to the updateWhere verb — " +
+        "add option(\"updateWhere\", \"<sql predicate>\") (or \"true\" " +
+        "to update every live row)")
+    updateWhere match {
+      case Some(pred) =>
+        require(pred.trim.nonEmpty,
+          s"$format: updateWhere needs a SQL predicate (use \"true\" " +
+            "to update every live row)")
+        val setStr = setOpt.getOrElse(throw new IllegalArgumentException(
+          s"$format: updateWhere needs option 'set' — comma-separated " +
+            "assignments, e.g. \"quality = quality * 2, flag = 'hot'\""))
+        require(data.isEmpty,
+          s"$format: updateWhere batches must be EMPTY — the predicate " +
+            "selects the rows and 'set' rewrites them; to upsert " +
+            "explicit rows use a plain mode(\"append\") write")
+        val assignments = GraftTableProvider.splitTopLevel(setStr, ',')
+          .map(_.trim).filter(_.nonEmpty).map { a =>
+          val i = GraftTableProvider.topLevelAssignEq(a)
+          require(i > 0,
+            s"$format: set assignment '$a' is not 'column = expression'")
+          (a.take(i).trim,
+            org.apache.spark.sql.functions.expr(a.drop(i + 1).trim))
+        }
+        require(assignments.nonEmpty,
+          s"$format: option 'set' carries no assignments")
+        KeyedUpsertSink.updateWhere(spark, path, keys, order,
+          org.apache.spark.sql.functions.expr(pred), assignments.toMap,
+          numBuckets = numBuckets, compactAfter = compactAfter)
+        return
+      case None => ()
+    }
     deleteWhere match {
       case Some(pred) =>
         require(pred.trim.nonEmpty,
@@ -506,6 +556,68 @@ object GraftTableProvider {
           numBuckets = numBuckets, compactAfter = compactAfter)(data, 0L)
     }
     ()
+  }
+
+  /** Split `s` on `sep` at paren/bracket/quote depth zero — the SQL
+    * `set` option's assignments separate on commas, but an assignment's
+    * EXPRESSION may itself contain commas (`coalesce(a, b)`); a naive
+    * split would shear it.
+    */
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        // SQL escapes a quote by doubling it — '' stays inside the string
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) {
+            cur += quote; i += 1
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.result(); cur.clear()
+        case x => cur += x
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Index of the assignment's `=` in `column = expression` — the first
+    * top-level `=` that is not part of `<=`, `>=`, `!=`, `==` (those
+    * belong to the expression side of some OTHER assignment only if the
+    * caller split wrongly; within one assignment the first bare `=` IS
+    * the assignment). Returns -1 when there is none.
+    */
+  private[graft] def topLevelAssignEq(a: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < a.length) {
+      val c = a.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '=' if depth == 0 =>
+          val prevOk = i == 0 || !"<>!=".contains(a.charAt(i - 1))
+          val nextOk = i + 1 >= a.length || a.charAt(i + 1) != '='
+          if (prevOk && nextOk) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Cross-product bound on the key tuples synthesized from pushed

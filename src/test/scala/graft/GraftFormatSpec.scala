@@ -620,7 +620,7 @@ class GraftFormatSpec extends SparkSpec {
         .option("delete", "true").option("deleteWhere", "v = 1")
         .mode("append").save()
     }
-    assert(e1.getMessage.contains("two different verbs"))
+    assert(e1.getMessage.contains("different verbs"))
     val e2 = intercept[Exception] {
       batchDf(("a", 1L, 1L)).write.format("graft-table").option("path", t)
         .option("deleteWhere", "v = 1").mode("append").save()
@@ -648,6 +648,95 @@ class GraftFormatSpec extends SparkSpec {
       s"OPTIONS (path '$t', deleteWhere 'v = 1')")
     try assert(spark.sql("SELECT count(*) FROM gdw").head().getLong(0) == 2L)
     finally spark.sql("DROP TABLE IF EXISTS gdw")
+  }
+
+  test("option(updateWhere)+set rewrites matched images in place; key/order SETs and malformed assignments refuse") {
+    val root = Files.createTempDirectory("graft-table-update-where")
+    val t = root.resolve("t").toString
+    batchDf(("a", 10L, 10L), ("b", 5L, 10L), ("c", 1L, 10L))
+      .write.format("graft-table").option("path", t)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    batchDf(("a", 1L, 20L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    // predicate over the RESOLVED image (a's raw v=10 at ts=10 matches
+    // v >= 5 but its resolved image v=1 does not); the SET evaluates
+    // against the matched image (v doubles, not a constant), and
+    // commas inside a set expression survive the assignment split
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("updateWhere", "v >= 5")
+      .option("set", "v = coalesce(v, 0) * 2").mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 10L, 10L), ("c", 1L, 10L)))
+    // ranked at the image's own order: a strictly-older replay cannot
+    // revert the rewrite; a later upsert outranks it normally
+    batchDf(("b", 5L, 5L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 10L, 10L), ("c", 1L, 10L)))
+    batchDf(("b", 7L, 30L)).write.format("graft-table")
+      .option("path", t).mode("append").save()
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 7L, 30L), ("c", 1L, 10L)))
+    // match-nothing commits nothing
+    val vs = KeyedUpsertSink.tableVersions(t).size
+    spark.emptyDataFrame.write.format("graft-table").option("path", t)
+      .option("updateWhere", "v > 1000").option("set", "v = 0")
+      .mode("append").save()
+    assert(KeyedUpsertSink.tableVersions(t).size == vs)
+    // refusals: SET on a key column; SET on an order column; set
+    // without updateWhere; a data-carrying batch; malformed assignment;
+    // unknown SET column; two predicate verbs at once
+    val e1 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("updateWhere", "true").option("set", "k = 'z'")
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("identity"))
+    val e2 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("updateWhere", "true").option("set", "ts = ts + 1")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("order column"))
+    val e3 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("set", "v = 1").mode("append").save()
+    }
+    assert(e3.getMessage.contains("updateWhere"))
+    val e4 = intercept[Exception] {
+      batchDf(("x", 1L, 1L)).write.format("graft-table").option("path", t)
+        .option("updateWhere", "true").option("set", "v = 1")
+        .mode("append").save()
+    }
+    assert(e4.getMessage.contains("EMPTY"))
+    val e5 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("updateWhere", "true").option("set", "v + 1")
+        .mode("append").save()
+    }
+    assert(e5.getMessage.contains("not 'column = expression'"))
+    val e6 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("updateWhere", "true").option("set", "nope = 1")
+        .mode("append").save()
+    }
+    assert(e6.getMessage.contains("nope"))
+    val e7 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t)
+        .option("updateWhere", "v = 1").option("deleteWhere", "v = 1")
+        .mode("append").save()
+    }
+    assert(e7.getMessage.contains("different verbs"))
+    assert(resolved(t) == Set(("a", 1L, 20L), ("b", 7L, 30L), ("c", 1L, 10L)),
+      "the refused writes must not have landed")
+    // the assignment splitter: top-level commas split, nested ones do
+    // not, doubled quotes stay inside strings
+    import graft.sources.GraftTableProvider.{splitTopLevel, topLevelAssignEq}
+    assert(splitTopLevel("a = coalesce(b, c), d = 'x,y'", ',') ==
+      Seq("a = coalesce(b, c)", " d = 'x,y'"))
+    assert(splitTopLevel("a = 'it''s, fine', b = 2", ',') ==
+      Seq("a = 'it''s, fine'", " b = 2"))
+    assert(topLevelAssignEq("v = v <= 2") == 2)
+    assert(topLevelAssignEq("v != 2") == -1)
+    assert(topLevelAssignEq("v >= 2") == -1)
   }
 
   test("option(history) reads the commit log: one row per version, chain debt visible, read-only") {

@@ -378,4 +378,39 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(sorts.isEmpty, "argmax must not plan a global sort")
   }
+
+  test("deleteWhere's matched-set plan prunes the scan to key ++ order ++ predicate columns") {
+    // the r19 predicate verbs claim "Catalyst prunes columns to keys ++
+    // order ++ predicate refs through the resolve's window" — pin it on
+    // the exact plan deleteWhere stages (resolve → filter → key/order
+    // projection) over a table whose rows carry a WIDE value payload
+    // the delete never references
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sink.KeyedUpsertSink
+    val root = java.nio.file.Files.createTempDirectory("graft-delw-plan")
+    val t = root.resolve("t").toString
+    import spark.implicits._
+    val keys = Seq("k"); val order = Seq(col("ts"))
+    val wide = (1L to 64L).map(i =>
+      (s"k$i", i, i % 7, "x" * 32, "y" * 32, "z" * 32))
+      .toDF("k", "ts", "q", "pad_a", "pad_b", "pad_c")
+    KeyedUpsertSink.upsertBucketedDelta(
+      spark, t, keys, order, numBuckets = 4, compactAfter = 0)(wide, 0L)
+    KeyedUpsertSink.upsertBucketedDelta(
+      spark, t, keys, order, numBuckets = 4, compactAfter = 0)(
+      wide.withColumn("ts", col("ts") + lit(100L)), 1L) // chains → resolve window is live
+    val matched = KeyedUpsertSink
+      .readBucketedDelta(spark, t, keys, order)
+      .filter(col("q") === 3L)
+      .select("k", "ts")
+    val plan = executed(matched)
+    val scans = collectWithSubqueries(plan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.exists(_.startsWith("pad_")),
+        s"the matched-set scan must not read unreferenced value " +
+          s"columns, got ${read.toSeq.sorted}")
+    }
+  }
 }
