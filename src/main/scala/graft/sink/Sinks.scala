@@ -2557,14 +2557,37 @@ object KeyedUpsertSink {
     val pinned = tableVersions(tablePath).lastOption
     val matched = readBucketedDelta(spark, tablePath, keys, order,
       atVersion = pinned).filter(predicate)
-    val rewritten = set.foldLeft(matched) { case (df, (c, e)) =>
-      // preserve the column's declared type: a SET expression narrowing
-      // or widening the type would silently evolve the schema
-      val dt = matched.schema.fields.find(f => resolver(f.name, c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"updateWhere: SET column '$c' is not a column of the table"))
-        .dataType
-      df.withColumn(c, e.cast(dt))
+    // SIMULTANEOUS application — SQL UPDATE semantics: every SET
+    // expression evaluates against the MATCHED image, never against
+    // another assignment's output (a sequential withColumn fold would
+    // make `SET a = b, b = a` read the already-rewritten a). One
+    // select over all columns does exactly that.
+    val rewritten = matched.select(matched.schema.fields.map { f =>
+      set.find { case (c, _) => resolver(f.name, c) } match {
+        case Some((_, e)) =>
+          // preserve the column's declared type, LOUDLY: a silent cast
+          // can null-coerce a type-incompatible expression under
+          // non-ANSI configs (string → long) and commit NULLs over
+          // every matched row — refuse anything but a same-type or
+          // lossless up-cast instead
+          val eType = matched.select(e.as("__uw_t")).schema.head.dataType
+          require(org.apache.spark.sql.types.DataType
+              .equalsStructurally(eType, f.dataType, ignoreNullability = true) ||
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(eType, f.dataType),
+            s"updateWhere: SET expression for '${f.name}' has type " +
+              s"${eType.simpleString}, not assignable to the column's " +
+              s"${f.dataType.simpleString} — a silent cast could " +
+              "null-coerce and rewrite matched rows to NULL; cast " +
+              "explicitly in the expression if the narrowing is meant")
+          e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    // every SET name must have landed on exactly one schema column
+    set.keys.foreach { c =>
+      require(matched.schema.fields.exists(f => resolver(f.name, c)),
+        s"updateWhere: SET column '$c' is not a column of the table")
     }
     upsertBucketedDelta(spark, tablePath, keys, order, numBuckets,
       maxAttempts, compactAfter, extraMeta = extraMeta)(rewritten, 0L)
@@ -2959,6 +2982,18 @@ object KeyedUpsertSink {
     spark.createDataFrame(
       new java.util.ArrayList(rows.asJava), TableHistorySchema)
   }
+
+  /** Loud existence check shared by the read-only SQL maintenance
+    * verbs (stats/advise): a mistyped path must error like history
+    * does, never read as "0 buckets" or "healthy" — a silent empty
+    * answer to a fleet-monitoring query is exactly the wrong-path
+    * failure mode these verbs exist to surface.
+    */
+  private[graft] def requireTableState(tablePath: String): Unit =
+    if (versionFiles(Paths.get(tablePath)).isEmpty)
+      require(legacyManifest(tablePath).nonEmpty,
+        s"$tablePath has no committed versions and no legacy " +
+          "manifest — wrong path, or the table was never created")
 
   /** [[tableHistory]]'s fixed schema — a constant so the SQL history
     * relation can declare itself WITHOUT reading the commit log (the

@@ -219,6 +219,9 @@ class GraftTableProvider extends RelationProvider
         override def sqlContext: SQLContext = ctx
         override def schema: StructType = GraftTableProvider.StatsSchema
         override def buildScan(): RDD[Row] = {
+          // loud on a never-created/mistyped path — the history verb's
+          // contract; "0 buckets" must mean an EMPTY table, not a typo
+          KeyedUpsertSink.requireTableState(path)
           val rows = KeyedUpsertSink.tableStats(path).map(s =>
             Row(s.bucket, s.files, s.bytes, s.chainLen.toLong))
           ctx.sparkSession.sparkContext.parallelize(rows, 1)
@@ -251,6 +254,9 @@ class GraftTableProvider extends RelationProvider
         override def sqlContext: SQLContext = ctx
         override def schema: StructType = GraftTableProvider.AdviseSchema
         override def buildScan(): RDD[Row] = {
+          // a "healthy" verdict for a table that does not exist is the
+          // worst possible silent answer — refuse like history does
+          KeyedUpsertSink.requireTableState(path)
           val rebucket = KeyedUpsertSink.adviseRebucket(path) match {
             case Some(a) => Row("rebucket", false,
               s"rebucketTable(..., ${a.recommendedBuckets})", a.reason)
@@ -526,6 +532,13 @@ object GraftTableProvider {
         }
         require(assignments.nonEmpty,
           s"$format: option 'set' carries no assignments")
+        // a duplicate assignment would silently collapse in the map —
+        // `SET v = 1, v = 2` is a contradiction, not a last-wins
+        val dup = assignments.map(_._1.toLowerCase)
+          .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+        require(dup.isEmpty,
+          s"$format: column(s) [${dup.mkString(", ")}] assigned more " +
+            "than once in 'set' — one assignment per column")
         KeyedUpsertSink.updateWhere(spark, path, keys, order,
           org.apache.spark.sql.functions.expr(pred), assignments.toMap,
           numBuckets = numBuckets, compactAfter = compactAfter)

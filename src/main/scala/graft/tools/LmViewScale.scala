@@ -122,8 +122,13 @@ object LmViewScale {
       val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
       require(same, s"x$k: maintained model != batch retrain — fix before measuring")
       docs.unpersist()
-      def mb(x: Long): Double = x / 1048576.0
-      f""""x$k":{"docs":$nDocs,"refresh_wall_s":$rfWall%.2f,"retrain_wall_s":$rcWall%.2f,"refresh_input_mb":${mb(rfIn)}%.1f,"retrain_input_mb":${mb(rcIn)}%.1f,"refresh_shuffle_mb":${mb(rfSh)}%.1f,"retrain_shuffle_mb":${mb(rcSh)}%.1f,"models_equal":$same}"""
+      // Locale.ROOT: the f"" interpolator uses the JVM default locale,
+      // whose comma decimals would corrupt the JSON line (the
+      // Bench.scala rule; sibling probes follow it)
+      def n(v: Double, dp: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      def mb(x: Long): String = n(x / 1048576.0, 1)
+      s""""x$k":{"docs":$nDocs,"refresh_wall_s":${n(rfWall, 2)},"retrain_wall_s":${n(rcWall, 2)},"refresh_input_mb":${mb(rfIn)},"retrain_input_mb":${mb(rcIn)},"refresh_shuffle_mb":${mb(rfSh)},"retrain_shuffle_mb":${mb(rcSh)},"models_equal":$same}"""
     }
     println(s"""{"probe":"lm_view_scale","trickle_docs":$trickleDocs,${results.mkString(",")}}""")
     spark.stop()

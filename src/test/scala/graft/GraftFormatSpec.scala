@@ -727,6 +727,35 @@ class GraftFormatSpec extends SparkSpec {
     assert(e7.getMessage.contains("different verbs"))
     assert(resolved(t) == Set(("a", 1L, 20L), ("b", 7L, 30L), ("c", 1L, 10L)),
       "the refused writes must not have landed")
+    // SIMULTANEOUS application — SQL UPDATE semantics: SET a = b, b = a
+    // swaps (a sequential fold would read the already-rewritten value)
+    val t2 = root.resolve("t2").toString
+    Seq(("a", 1L, 2L, 10L), ("b", 5L, 6L, 10L))
+      .toDF("k", "v", "w", "ts")
+      .write.format("graft-table").option("path", t2)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    spark.emptyDataFrame.write.format("graft-table").option("path", t2)
+      .option("updateWhere", "k = 'a'").option("set", "v = w, w = v")
+      .mode("append").save()
+    assert(KeyedUpsertSink.readBucketedDelta(spark, t2, keys, order)
+      .select("k", "v", "w").as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 1L), ("b", 5L, 6L)),
+      "SET must evaluate every expression against the matched image")
+    // a type-incompatible SET refuses instead of null-coercing
+    val e8 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t2)
+        .option("updateWhere", "true").option("set", "v = 'high'")
+        .mode("append").save()
+    }
+    assert(e8.getMessage.contains("not assignable"))
+    // a duplicate assignment is a contradiction, not last-wins
+    val e9 = intercept[Exception] {
+      spark.emptyDataFrame.write.format("graft-table").option("path", t2)
+        .option("updateWhere", "true").option("set", "v = 1, v = 2")
+        .mode("append").save()
+    }
+    assert(e9.getMessage.contains("more than once"))
     // the assignment splitter: top-level commas split, nested ones do
     // not, doubled quotes stay inside strings
     import graft.sources.GraftTableProvider.{splitTopLevel, topLevelAssignEq}
@@ -920,6 +949,21 @@ class GraftFormatSpec extends SparkSpec {
         .load().count()
     }
     assert(e7.getMessage.contains("label=version"))
+    // a mistyped path refuses at first scan — "0 buckets" / "healthy"
+    // for a table that does not exist is the silent answer these
+    // monitoring verbs must never give (the history verb's contract)
+    val e8 = intercept[Exception] {
+      spark.read.format("graft-table")
+        .option("path", root.resolve("tabel").toString)
+        .option("stats", "true").load().count()
+    }
+    assert(e8.getMessage.contains("never created"))
+    val e9 = intercept[Exception] {
+      spark.read.format("graft-table")
+        .option("path", root.resolve("tabel").toString)
+        .option("advise", "true").load().count()
+    }
+    assert(e9.getMessage.contains("never created"))
   }
 
   test("an EMPTY batch write to a brand-new path is a no-op, not a half-created table") {
