@@ -127,9 +127,10 @@ import graft.sink.KeyedUpsertSink
   * STATS / ADVISE verbs (round 19, read-only, per-scan like HISTORY):
   * `option("stats", "true")` is the physical footprint — one row per
   * bucket (files, bytes, chain_len = [[KeyedUpsertSink.tableStats]]);
-  * `option("advise", "true")` is the advisors as rows (rebucket
-  * always; retention when `consumers` names the lagging readers as
-  * `label=version,...`) — healthy rows carry a NULL recommendation,
+  * `option("advise", "true")` is the advisors as rows (rebucket and
+  * compact always — compact recommends at chain length `compactAt`,
+  * default 8; retention when `consumers` names the lagging readers
+  * as `label=version,...`) — healthy rows carry a NULL recommendation,
   * so `WHERE recommendation IS NOT NULL` is the operator's worklist.
   * One read verb per registration.
   *
@@ -263,6 +264,28 @@ class GraftTableProvider extends RelationProvider
             case None => Row("rebucket", true, null,
               "bucket count within the hysteresis band of the target")
           }
+          // chain debt is the third lifecycle axis (next to layout and
+          // retention): recommend a compaction when any bucket's
+          // merge-on-read chain reaches `compactAt` (default = the
+          // writers' own auto-compaction default, so a healthy
+          // compactAfter>0 table never trips it; writers with
+          // compaction OFF surface here before the ChainDriftWarnAt
+          // stderr warning would)
+          val compactAt = intOption(parameters, "compactAt", shortName())
+            .getOrElse(8)
+          val stats = KeyedUpsertSink.tableStats(path)
+          val longChains = stats.count(_.chainLen >= compactAt)
+          val maxChain =
+            if (stats.isEmpty) 0 else stats.map(_.chainLen).max
+          val compact =
+            if (longChains > 0) Row("compact", false,
+              "maintain='compact'",
+              s"$longChains bucket(s) at chain length >= $compactAt " +
+                s"(max $maxChain) — each read resolves that many " +
+                "generations per bucket until compacted")
+            else Row("compact", true, null,
+              s"max chain length $maxChain under the $compactAt " +
+                "threshold")
           val retention = if (consumers.isEmpty) Seq.empty else {
             val a = KeyedUpsertSink.adviseRetention(path, consumers)
             Seq(Row("retention", a.intact,
@@ -272,7 +295,7 @@ class GraftTableProvider extends RelationProvider
               a.reason))
           }
           ctx.sparkSession.sparkContext
-            .parallelize(rebucket +: retention, 1)
+            .parallelize(Seq(rebucket, compact) ++ retention, 1)
         }
       }
     }

@@ -630,11 +630,23 @@ object TextAnalysis {
     * plan; this exists for streams.
     */
   def langIdRowLocal(docs: DataFrame, model: DataFrame,
-      scale: Long = 1L << 20): DataFrame =
-    docs.crossJoin(broadcast(langModelMapFrame(model, scale)))
+      scale: Long = 1L << 20): DataFrame = {
+    // scorer-unique scratch names, the frozenLangGate rule: the map
+    // frame's generic __langs/__lg0/__lm would collide ambiguously
+    // with an input that happens to carry them
+    val lidCols = Seq("__langs" -> "__lid_langs",
+      "__lg0" -> "__lid_lg0", "__lm" -> "__lid_lm")
+    val clash = docs.columns.filter(lidCols.map(_._2).contains)
+    require(clash.isEmpty,
+      s"langIdRowLocal: input carries scorer scratch column(s) " +
+        s"[${clash.mkString(", ")}] — rename them before scoring")
+    val mf = langModelMapFrame(model, scale)
+      .select(lidCols.map { case (f, t) => col(f).as(t) }: _*)
+    docs.crossJoin(broadcast(mf))
       .select(col("doc_id"),
-        langRowLocalPred(col("__langs"), col("__lg0"), col("__lm"),
-          col("text")).as("lang_pred"))
+        langRowLocalPred(col("__lid_langs"), col("__lid_lg0"),
+          col("__lid_lm"), col("text")).as("lang_pred"))
+  }
 
   /** A FROZEN-langid keep gate as a composable stage (the
     * [[graft.pipeline.Curation]] `extraGate` seam, like

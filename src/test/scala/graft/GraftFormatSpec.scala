@@ -857,6 +857,16 @@ class GraftFormatSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     val before = stats()
     assert(before.exists(_._3 > 1L), s"fixture should carry chains: ${before.toSeq}")
+    // the compact ADVISOR fires on the chained fixture (threshold
+    // lowered to the fixture's scale) and goes healthy after the fold
+    def compactAdvice(): (Boolean, String) = {
+      val r = spark.read.format("graft-table").option("path", t)
+        .option("advise", "true").option("compactAt", "2").load()
+        .filter($"advisor" === "compact").head()
+      (r.getBoolean(1), r.getString(2))
+    }
+    val (h0, rec0) = compactAdvice()
+    assert(!h0 && rec0 == "maintain='compact'", s"got ($h0, $rec0)")
     // OBSERVE is per-scan: register once, watch the chain debt move
     spark.sql("DROP TABLE IF EXISTS gts")
     spark.sql(s"CREATE TABLE gts USING `graft-table` " +
@@ -874,6 +884,9 @@ class GraftFormatSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gts")
     assert(resolved(t) == Set(("a", 3L, 30L)),
       "compaction must not change the resolve (b stays tombstoned)")
+    val (h1, rec1) = compactAdvice()
+    assert(h1 && rec1 == null,
+      s"compact advisor must read healthy after the fold, got ($h1, $rec1)")
     // PURGE through the door: drop tombstones ranked at-or-under ts 40
     spark.emptyDataFrame.write.format("graft-table").option("path", t)
       .option("maintain", "purge").option("purgePredicate", "ts <= 40")
