@@ -1516,10 +1516,21 @@ object KeyedUpsertSink {
     */
   def adviseRebucket(tablePath: String,
       targetBytesPerBucket: Long = 1L << 30,
+      minBuckets: Int = 16): Option[RebucketAdvice] =
+    adviseRebucketWith(tablePath, tableStats(tablePath),
+      targetBytesPerBucket, minBuckets)
+
+  /** [[adviseRebucket]] over a caller-supplied [[tableStats]] snapshot
+    * — the advise verb computes stats ONCE and feeds both this and the
+    * compact advisor instead of paying the per-(bucket, generation)
+    * directory walk twice per scan.
+    */
+  private[graft] def adviseRebucketWith(tablePath: String,
+      stats: Seq[BucketStats],
+      targetBytesPerBucket: Long = 1L << 30,
       minBuckets: Int = 16): Option[RebucketAdvice] = {
     require(targetBytesPerBucket >= 1, "targetBytesPerBucket must be >= 1")
     require(minBuckets >= 1, "minBuckets must be >= 1")
-    val stats = tableStats(tablePath)
     if (stats.isEmpty) return None
     val nb = effectiveNumBuckets(tablePath).getOrElse(return None)
     val total = stats.map(_.bytes).sum
@@ -2002,10 +2013,15 @@ object KeyedUpsertSink {
         val resolver = spark.sessionState.conf.resolver
         s.fieldNames.toSeq.flatMap(n => union.columns.find(resolver(_, n)))
       }
+      // backtick-quoted references: a bare col(name) parses dots as
+      // nested-field access, breaking the read of any table with a
+      // literal dotted column name
+      def quoted(name: String): org.apache.spark.sql.Column =
+        col("`" + name.replace("`", "``") + "`")
       Some(if (lead.isEmpty) union
       else {
         val rest = union.columns.filterNot(lead.contains)
-        union.select((lead ++ rest).map(col).toIndexedSeq: _*)
+        union.select((lead ++ rest).map(quoted).toIndexedSeq: _*)
       })
     }
   }
@@ -2542,6 +2558,17 @@ object KeyedUpsertSink {
       extraMeta: Map[String, String] = Map.empty): Option[OptimisticCommit] = {
     require(set.nonEmpty, "updateWhere: empty SET — nothing to update")
     val resolver = spark.sessionState.conf.resolver
+    // two SET keys resolving to the SAME column (case variants under
+    // the default case-insensitive resolver) would silently apply one
+    // and drop the other in the per-field lookup below — a
+    // contradiction, refused here like the SQL door refuses verbatim
+    // duplicates
+    val setKeys = set.keys.toSeq
+    setKeys.combinations(2).foreach { case Seq(a, b) =>
+      require(!resolver(a, b),
+        s"updateWhere: SET assigns '$a' and '$b', which resolve to the " +
+          "same column — one assignment per column")
+    }
     val orderNames = orderColNames(spark, order)
     set.keys.foreach { c =>
       require(!keys.exists(resolver(_, c)),
@@ -2562,6 +2589,12 @@ object KeyedUpsertSink {
     // another assignment's output (a sequential withColumn fold would
     // make `SET a = b, b = a` read the already-rewritten a). One
     // select over all columns does exactly that.
+    // backtick-quoted references for untouched columns: a bare
+    // col(name) parses dots as nested-field access, so a table with a
+    // literal "price.usd" column would fail analysis even when the SET
+    // targets a different column
+    def quoted(name: String): Column =
+      col("`" + name.replace("`", "``") + "`")
     val rewritten = matched.select(matched.schema.fields.map { f =>
       set.find { case (c, _) => resolver(f.name, c) } match {
         case Some((_, e)) =>
@@ -2581,7 +2614,7 @@ object KeyedUpsertSink {
               "null-coerce and rewrite matched rows to NULL; cast " +
               "explicitly in the expression if the narrowing is meant")
           e.cast(f.dataType).as(f.name)
-        case None => col(f.name)
+        case None => quoted(f.name)
       }
     }.toIndexedSeq: _*)
     // every SET name must have landed on exactly one schema column
@@ -2970,13 +3003,9 @@ object KeyedUpsertSink {
       // a pre-versioning table still has readable state at v0; a path
       // with NEITHER is a typo or a never-created table — the silent
       // empty history would read as "no commits", so refuse loudly
-      // (the normal read path's own contract)
+      // (the normal read path's own contract, shared with stats/advise)
       case Seq() =>
-        val legacy = legacyManifest(tablePath)
-        require(legacy.nonEmpty,
-          s"$tablePath has no committed versions and no legacy " +
-            "manifest — wrong path, or the table was never created")
-        Seq(historyRow(0L, legacy, Map.empty))
+        Seq(historyRow(0L, legacyOrRefuse(tablePath), Map.empty))
       case rs => rs
     }
     spark.createDataFrame(
@@ -2990,10 +3019,20 @@ object KeyedUpsertSink {
     * failure mode these verbs exist to surface.
     */
   private[graft] def requireTableState(tablePath: String): Unit =
-    if (versionFiles(Paths.get(tablePath)).isEmpty)
-      require(legacyManifest(tablePath).nonEmpty,
-        s"$tablePath has no committed versions and no legacy " +
-          "manifest — wrong path, or the table was never created")
+    if (versionFiles(Paths.get(tablePath)).isEmpty) { legacyOrRefuse(tablePath); () }
+
+  /** The legacy (pre-versioning) manifest, or the ONE shared
+    * never-created refusal — the single wording/semantics source for
+    * history, stats and advise (two drifting copies would silently
+    * diverge the refusals the specs pin to match).
+    */
+  private def legacyOrRefuse(tablePath: String): Map[Long, String] = {
+    val legacy = legacyManifest(tablePath)
+    require(legacy.nonEmpty,
+      s"$tablePath has no committed versions and no legacy " +
+        "manifest — wrong path, or the table was never created")
+    legacy
+  }
 
   /** [[tableHistory]]'s fixed schema — a constant so the SQL history
     * relation can declare itself WITHOUT reading the commit log (the

@@ -258,7 +258,10 @@ class GraftTableProvider extends RelationProvider
           // a "healthy" verdict for a table that does not exist is the
           // worst possible silent answer — refuse like history does
           KeyedUpsertSink.requireTableState(path)
-          val rebucket = KeyedUpsertSink.adviseRebucket(path) match {
+          // ONE stats walk feeds both advisors — the per-(bucket,
+          // generation) directory listing is the verb's whole cost
+          val stats = KeyedUpsertSink.tableStats(path)
+          val rebucket = KeyedUpsertSink.adviseRebucketWith(path, stats) match {
             case Some(a) => Row("rebucket", false,
               s"rebucketTable(..., ${a.recommendedBuckets})", a.reason)
             case None => Row("rebucket", true, null,
@@ -266,25 +269,28 @@ class GraftTableProvider extends RelationProvider
           }
           // chain debt is the third lifecycle axis (next to layout and
           // retention): recommend a compaction when any bucket's
-          // merge-on-read chain reaches `compactAt` (default = the
-          // writers' own auto-compaction default, so a healthy
-          // compactAfter>0 table never trips it; writers with
-          // compaction OFF surface here before the ChainDriftWarnAt
-          // stderr warning would)
+          // merge-on-read chain EXCEEDS `compactAt` (default = the
+          // writers' auto-compaction default, whose own fold fires at
+          // chain > compactAfter — so a healthy auto-compacting
+          // table's steady-state chain of exactly compactAfter never
+          // trips the advisor; writers with compaction OFF surface
+          // here before the ChainDriftWarnAt stderr warning would)
           val compactAt = intOption(parameters, "compactAt", shortName())
             .getOrElse(8)
-          val stats = KeyedUpsertSink.tableStats(path)
-          val longChains = stats.count(_.chainLen >= compactAt)
+          require(compactAt >= 1,
+            s"graft-table: compactAt must be >= 1, got $compactAt " +
+              "(a chain of length 1 is a fully-compacted bucket)")
+          val longChains = stats.count(_.chainLen > compactAt)
           val maxChain =
             if (stats.isEmpty) 0 else stats.map(_.chainLen).max
           val compact =
             if (longChains > 0) Row("compact", false,
               "maintain='compact'",
-              s"$longChains bucket(s) at chain length >= $compactAt " +
+              s"$longChains bucket(s) at chain length > $compactAt " +
                 s"(max $maxChain) — each read resolves that many " +
                 "generations per bucket until compacted")
             else Row("compact", true, null,
-              s"max chain length $maxChain under the $compactAt " +
+              s"max chain length $maxChain within the $compactAt " +
                 "threshold")
           val retention = if (consumers.isEmpty) Seq.empty else {
             val a = KeyedUpsertSink.adviseRetention(path, consumers)
@@ -550,14 +556,24 @@ object GraftTableProvider {
           val i = GraftTableProvider.topLevelAssignEq(a)
           require(i > 0,
             s"$format: set assignment '$a' is not 'column = expression'")
-          (a.take(i).trim,
-            org.apache.spark.sql.functions.expr(a.drop(i + 1).trim))
+          // a backtick-quoted target (`price.usd` = ...) unwraps to the
+          // literal column name the verb's resolver matches against
+          val rawName = a.take(i).trim
+          val name =
+            if (rawName.length >= 2 && rawName.head == '`' && rawName.last == '`')
+              rawName.substring(1, rawName.length - 1).replace("``", "`")
+            else rawName
+          (name, org.apache.spark.sql.functions.expr(a.drop(i + 1).trim))
         }
         require(assignments.nonEmpty,
           s"$format: option 'set' carries no assignments")
         // a duplicate assignment would silently collapse in the map —
-        // `SET v = 1, v = 2` is a contradiction, not a last-wins
-        val dup = assignments.map(_._1.toLowerCase)
+        // `SET v = 1, v = 2` is a contradiction, not a last-wins.
+        // Locale.ROOT (the Bench rule: tr_TR's dotless-i would let
+        // `I`/`i` slip past); case-VARIANT duplicates are additionally
+        // refused by the verb itself under the session resolver
+        val dup = assignments
+          .map(_._1.toLowerCase(java.util.Locale.ROOT))
           .groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
         require(dup.isEmpty,
           s"$format: column(s) [${dup.mkString(", ")}] assigned more " +

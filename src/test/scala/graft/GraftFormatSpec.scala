@@ -756,6 +756,30 @@ class GraftFormatSpec extends SparkSpec {
         .mode("append").save()
     }
     assert(e9.getMessage.contains("more than once"))
+    // a case-variant duplicate SET resolves to one column — refused by
+    // the verb itself (the SQL door only sees verbatim duplicates)
+    val e10 = intercept[Exception] {
+      KeyedUpsertSink.updateWhere(spark, t2, lit(true),
+        Map("v" -> lit(1L), "V" -> lit(2L)), numBuckets = 4)
+    }
+    assert(e10.getMessage.contains("same column"))
+    // a DOT-named value column must not break updateWhere on OTHER
+    // columns (bare col() parses dots as struct access), and a
+    // backtick-quoted SET target reaches it directly
+    val t3 = root.resolve("t3").toString
+    Seq(("a", 1L, 7L, 10L)).toDF("k", "v", "p.u", "ts")
+      .write.format("graft-table").option("path", t3)
+      .option("keys", "k").option("orderBy", "ts").option("numBuckets", "4")
+      .mode("append").save()
+    spark.emptyDataFrame.write.format("graft-table").option("path", t3)
+      .option("updateWhere", "k = 'a'").option("set", "v = v + 1")
+      .mode("append").save()
+    spark.emptyDataFrame.write.format("graft-table").option("path", t3)
+      .option("updateWhere", "k = 'a'").option("set", "`p.u` = 9")
+      .mode("append").save()
+    assert(KeyedUpsertSink.readBucketedDelta(spark, t3, keys, order)
+      .select(col("k"), col("v"), col("`p.u`"))
+      .as[(String, Long, Long)].collect().toSet == Set(("a", 2L, 9L)))
     // the assignment splitter: top-level commas split, nested ones do
     // not, doubled quotes stay inside strings
     import graft.sources.GraftTableProvider.{splitTopLevel, topLevelAssignEq}
