@@ -26,8 +26,35 @@ object Tables {
     spark
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    withNanos(spark).read.parquet(s"$dir/$name.parquet")
+  /** Per-(dir, table) inferred-schema cache (round-19 optimization):
+    * every bare `spark.read.parquet` pays a schema-inference job (a
+    * one-footer driver job, ~25-35 ms) at read construction, and the
+    * bench/verify mains construct hundreds of these reads over the SAME
+    * immutable fixture files — ~1-4 inference jobs per query invocation
+    * for schemas that never change. The key carries the parquet dir's
+    * mtime plus the nanosAsLong conf (it changes how TIMESTAMP(NANOS)
+    * surfaces), so a regenerated fixture or a re-conf'd session misses
+    * the cache instead of serving a stale schema. Values are a few KB of
+    * StructType per table; the map is bounded by the fixture set.
+    */
+  private val tableSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, java.nio.file.attribute.FileTime, String),
+    org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val s = withNanos(spark)
+    val path = s"$dir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path))
+      catch { case _: java.io.IOException =>
+        // unreadable/odd path (object-store URI): skip the cache, read as before
+        return s.read.parquet(path)
+      }
+    val nanosConf = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = tableSchemaCache.computeIfAbsent((path, mtime, nanosConf),
+      _ => s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

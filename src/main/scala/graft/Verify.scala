@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE size cached/pinned plans' output partitions by bytes
+      // (default false keeps the static shuffle.partitions count on every
+      // persisted frame — the iterative operators' pinned intermediates
+      // then drag `cpus` near-empty tasks into every consumer stage; at
+      // cluster scale the same flag yields advisory-sized partitions)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

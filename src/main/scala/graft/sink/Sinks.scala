@@ -1044,52 +1044,58 @@ object KeyedUpsertSink {
     // guard BEFORE bucketing: a batch missing a KEY column must surface
     // as the contract message, not as bucketOf's unresolved-column error
     requireKeyOrderCols(batch, keys, order)
-    val bucketed = batch
-      .withColumn("__bucket", bucketOf(keys, numBuckets))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touched = bucketed.select("__bucket").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
-      if (touched.isEmpty) return None
-      ensureLayout(tablePath, numBuckets)
-      // validate the spec + schema contracts BEFORE staging: a refused
-      // batch must not pay (or leak) a staged generation. The head is
-      // re-read after the stage — the freshest base for the first
-      // commit attempt — and the contracts re-validate on every retry.
-      val preAborted = {
-        val preMeta = versionedHeadFull(tablePath)._3
-        if (abortIf(preMeta)) true // before paying the stage
-        else {
-          requireLayoutUnchanged(tablePath, numBuckets, preMeta)
-          evolveSchemaMeta(spark, tablePath,
-            specMeta(spark, tablePath, preMeta, keys, order), batch.schema)
-          false
-        }
-      }
-      if (preAborted) return None
-      // stage against an EMPTY base: mergeLww degrades to the intra-batch
-      // latestByKey compaction (one row per key per delta — two in-batch
-      // duplicates must not reach read time, where they'd tie on __seq),
-      // plus the shared nondeterministic-recompute guard
+    val bucketed = batch.withColumn("__bucket", bucketOf(keys, numBuckets))
+    locally {
+      // stage FIRST, against an EMPTY base: mergeLww degrades to the
+      // intra-batch latestByKey compaction (one row per key per delta —
+      // two in-batch duplicates must not reach read time, where they'd
+      // tie on __seq). Round-19 single-execution staging: the batch plan
+      // used to persist + run a touched-buckets distinct/collect BEFORE
+      // the stage write re-ran it from the persisted blocks — one extra
+      // job, one full materialization and a persist round-trip per
+      // commit, on every delta writer (the stream sink's per-trigger
+      // path included). With an empty base nothing is merged, so the
+      // staged generation's own bucket dirs ARE the touched set: write
+      // once, list once. Every head validation (abortIf, layout, schema
+      // evolution) already re-runs against the post-stage head below —
+      // the freshest base for the first commit attempt — and re-validates
+      // on every CAS retry; a batch those checks refuse drops its staged
+      // dir instead of never paying it (attempt dirs are write-once and
+      // vacuum-reclaimed, so a crash between stage and drop leaks
+      // nothing a vacuum won't collect).
       val gen = s"gen-$batchId-u${java.util.UUID.randomUUID().toString.take(8)}"
-      val (_, written) =
-        stageAgainst(spark, tablePath, keys, order, bucketed, touched, gen, Map.empty)
+      mergeLww(None, bucketed, keys, order)
+        .write.mode(SaveMode.ErrorIfExists) // attempt dirs are never reused
+        .partitionBy("__bucket")
+        .parquet(s"$tablePath/$gen")
+      val written = listBucketIds(Paths.get(tablePath, gen))
+      val touched = written
+      def dropStageEarly(): Unit =
+        try deleteRecursively(Paths.get(tablePath, gen))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      // empty batch: nothing to commit — and the layout sidecar must not
+      // materialize off a no-op write to a fresh table
+      if (touched.isEmpty) { dropStageEarly(); return None }
+      try ensureLayout(tablePath, numBuckets)
+      catch { case e: Throwable => dropStageEarly(); throw e }
       var (ver, man, meta) = versionedHeadFull(tablePath)
       // the guard re-checks the head that materialized DURING the stage
       // — and again on every retry below — so a twin writer's advance
       // anywhere in this window aborts instead of re-committing
-      def dropStage(): Unit =
-        try deleteRecursively(Paths.get(tablePath, gen))
-        catch { case _: java.nio.file.NoSuchFileException => () }
+      def dropStage(): Unit = dropStageEarly()
       var aborted = abortIf(meta)
       if (!aborted) {
         // first-attempt layout guard — same window as the optimistic
         // path: a rebucket committing during the stage must fail this
-        // batch loudly, not let its old-layout buckets into the manifest
-        requireLayoutUnchanged(tablePath, numBuckets, meta)
-        meta = evolveSchemaMeta(spark, tablePath,
-          specMeta(spark, tablePath, meta, keys, order),
-          batch.schema) ++ extraMeta
+        // batch loudly, not let its old-layout buckets into the manifest.
+        // A refusal here was a free pre-stage refusal before the
+        // single-execution reorder — drop the staged dir so it stays one
+        try {
+          requireLayoutUnchanged(tablePath, numBuckets, meta)
+          meta = evolveSchemaMeta(spark, tablePath,
+            specMeta(spark, tablePath, meta, keys, order),
+            batch.schema) ++ extraMeta
+        } catch { case e: Throwable => dropStage(); throw e }
       }
       var retries = 0
       var hookPending = true
@@ -1154,7 +1160,7 @@ object KeyedUpsertSink {
         warnChainDrift(tablePath, written.map(b =>
           b -> (man.get(b).map(chainOf(_).length).getOrElse(0) + 1)))
       Some(c)
-    } finally bucketed.unpersist()
+    }
   }
 
   /** Fold every bucket whose chain has ≥ `minChain` generations (within
@@ -1978,10 +1984,38 @@ object KeyedUpsertSink {
     readBucketTriples(spark, tablePath, triples)
   }
 
+  /** Per-generation inferred-schema cache (round-19 optimization):
+    * every `spark.read.parquet` of a generation pays a schema-inference
+    * job (one driver-side footer read, ~25-35 ms) BEFORE the real scan,
+    * and a chain resolve reads one generation per chain link — a
+    * steady-state view refresh was paying 4-7 such jobs per invocation
+    * for footers it had already read. Generation dirs are write-once
+    * (attempt dirs are never reused; vacuum only ever deletes), so the
+    * inferred schema is safely memoizable per JVM. The key carries the
+    * gen dir's mtime so the one legal mutation — a table deleted and
+    * re-created at the same path (dev/test loops) — misses the cache
+    * instead of serving a stale schema. Bounded: entries are a few KB
+    * and vacuumed gens stop being requested; a 4096-entry clear guards
+    * pathological long-lived JVMs.
+    */
+  private val genSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, java.nio.file.attribute.FileTime),
+    org.apache.spark.sql.types.StructType]()
+
   /** Scan an explicit set of (generation, chain position, bucket)
     * entries — [[readManifestBuckets]]'s core, also used by the change
     * feed's append fast path to read a chain SUFFIX at its true
     * positions.
+    *
+    * Round-19 scan shape: one read per generation, schema pinned from
+    * [[genSchemaCache]] (no per-read inference job), and the scan
+    * coalesced to ~128 MB input per task. Without the coalesce, Spark's
+    * parallelism-first split sizing (`spark.sql.files.minPartitionNum`
+    * defaults to the core count) gives every small bucket FILE its own
+    * task — a 7-link × 16-bucket chain resolve ran 112 near-empty tasks
+    * where 7 suffice. The target tracks real bytes, so a 100 TB chain
+    * keeps its full scan parallelism (guide §2.2/§6: fewer, larger
+    * tasks; small files are the enemy).
     */
   private def readBucketTriples(
       spark: SparkSession,
@@ -1989,10 +2023,28 @@ object KeyedUpsertSink {
       triples: Seq[(String, Int, Long)]): Option[DataFrame] = {
     if (triples.isEmpty) None
     else {
+      if (genSchemaCache.size > 4096) genSchemaCache.clear()
       val union = triples.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
         case ((gen, pos), grp) =>
-          spark.read.option("basePath", s"$tablePath/$gen")
-            .parquet(grp.map(_._3).sorted.map(b => s"$tablePath/$gen/__bucket=$b"): _*)
+          val genDir = Paths.get(tablePath, gen)
+          val paths = grp.map(_._3).sorted
+            .map(b => s"$tablePath/$gen/__bucket=$b")
+          def rd = spark.read.option("basePath", s"$tablePath/$gen")
+          val schema = genSchemaCache.computeIfAbsent(
+            (genDir.toString, Files.getLastModifiedTime(genDir)),
+            _ => rd.parquet(paths: _*).schema)
+          val bytes = paths.iterator.map { p =>
+            val s = Files.list(Paths.get(p))
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .map(Files.size).sum
+            } finally s.close()
+          }.sum
+          val targetParts = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+          rd.schema(schema).parquet(paths: _*)
+            .coalesce(targetParts)
             .withColumn("__bucket", col("__bucket").cast("long"))
             .withColumn("__seq", lit(pos.toLong))
       }.reduce(_.unionByName(_, allowMissingColumns = true))

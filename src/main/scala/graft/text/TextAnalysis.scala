@@ -233,9 +233,37 @@ object TextAnalysis {
     * sums absorb corpus size); ANSI overflow is the loud guard.
     */
   def trainedClassifierScore(docs: DataFrame, d: Int = 256, rounds: Int = 3,
-      scale: Long = 1000000L, threshold: Double = 0.08): DataFrame =
-    classifierScoreWith(docs,
-      trainClassifierWeights(docs, d, rounds, scale), d, scale, threshold)
+      scale: Long = 1000000L, threshold: Double = 0.08): DataFrame = {
+    // round-19 optimization: score FROM the trainer's own pinned feature
+    // matrix instead of [[classifierScoreWith]]'s fresh tokenize pass —
+    // the coupled train+score used to scan the corpus twice (explode +
+    // one md5 per token each time) to rebuild the exact (doc_id, b, c)
+    // counts the trainer already holds. Σ_tokens coalesce(w,0) regrouped
+    // by bucket is Σ_b c·w with w0 seeded over every bucket in feat, so
+    // the integer sums (and the one double cast) are value-identical —
+    // TextStatsParitySpec pins coupled == frozen-scoreWith equality.
+    // At 100 TB this halves the trained pipeline's corpus passes.
+    val (feat, lab) = classifierFeatures(docs, d)
+    try {
+      val w = trainClassifierRounds(feat, lab, rounds, scale)
+      val scored = feat.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id").agg(sum(col("c") * col("w")).as("p"))
+        .join(lab.select(col("doc_id"), col("n")), Seq("doc_id"))
+      val out = graft.Staging.pin(docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          when(col("n") > 0,
+            col("p").cast("double") / (col("n") * scale).cast("double"))
+            .cast("decimal(18,6)").cast("double").as("score"))
+        .withColumn("keep", coalesce(col("score") > lit(threshold), lit(false))))
+      graft.Staging.unpin(w)
+      out
+    } finally {
+      graft.Staging.unpin(feat)
+      graft.Staging.unpin(lab)
+    }
+  }
 
   /** The hashed-feature bucket of a token — ONE definition shared by
     * the trainer and every scorer (drift here would silently score
@@ -342,11 +370,24 @@ object TextAnalysis {
     */
   def trainClassifierWeights(docs: DataFrame, d: Int = 256,
       rounds: Int = 3, scale: Long = 1000000L): DataFrame = {
-    require(d >= 2 && rounds >= 1, s"need d >= 2, rounds >= 1; got $d, $rounds")
+    val (feat, lab) = classifierFeatures(docs, d)
+    try trainClassifierRounds(feat, lab, rounds, scale)
+    finally {
+      graft.Staging.unpin(feat)
+      graft.Staging.unpin(lab)
+    }
+  }
+
+  /** The trainer's pinned inputs, shared with the coupled scorer: the
+    * hashed feature matrix (doc_id, b, c) and the per-doc label row
+    * (doc_id, n, t) — ONE corpus tokenize pass builds both. Callers own
+    * the unpin.
+    */
+  private def classifierFeatures(docs: DataFrame, d: Int)
+      : (DataFrame, DataFrame) = {
+    require(d >= 2, s"need d >= 2; got $d")
     val spark = docs.sparkSession
-    val u0 = 1000000L // direction fixed-point scale U
     def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val para = spark.sparkContext.defaultParallelism
     val tok = docs.repartition(para)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -359,6 +400,19 @@ object TextAnalysis {
       count(lit(1)).as("n"),
       sum(when(col("t").isin(stopwords.map(lit): _*), 1L).otherwise(0L))
         .as("t")))
+    (feat, lab)
+  }
+
+  /** The gradient-descent rounds over a prebuilt feature matrix — the
+    * [[trainClassifierWeights]] loop body, extracted so the coupled
+    * scorer can reuse the pinned `feat`/`lab` instead of re-tokenizing.
+    */
+  private def trainClassifierRounds(feat: DataFrame, lab: DataFrame,
+      rounds: Int, scale: Long): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val u0 = 1000000L // direction fixed-point scale U
+    def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val w0 = pin(feat.select("b").distinct().select(col("b"), lit(0L).as("w")))
     val wT = (1 to rounds).foldLeft(w0) { (w, _) =>
       // residual r_i = scale·t_i − Σ c·w, pinned: used by both the
@@ -391,8 +445,6 @@ object TextAnalysis {
       graft.Staging.unpin(u)
       next
     }
-    graft.Staging.unpin(feat)
-    graft.Staging.unpin(lab)
     wT
   }
 
