@@ -260,6 +260,41 @@ object MaterializedAggView {
   private def auxData(versionDir: Path, name: String): Path =
     versionDir.resolve(s"aux_$name")
 
+  /** Per-(viewPath, incarnation, leaf) inferred-schema cache (round-19
+    * optimization): every view/aux parquet read paid a schema-inference
+    * job, and a steady-state refresh reads view + one dir per distinct
+    * column per invocation — for schemas that are CONSTANT within an
+    * incarnation (publish validates the column set; the base table's
+    * evolution contract refuses retypes). Keyed by the incarnation
+    * token, so a force re-bootstrap (the one legal schema change)
+    * misses instead of serving a stale schema. A pre-incarnation legacy
+    * view is NEVER minted an incarnation from a read path — it keys by
+    * (data dir, mtime) instead, which still de-dupes repeated reads of
+    * one published dir.
+    */
+  private val viewSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]()
+
+  private def readDataDir(spark: SparkSession, viewPath: String,
+      dataDir: Path): DataFrame = {
+    val key = {
+      val f = incarnationFile(viewPath)
+      val inc =
+        if (Files.exists(f))
+          new String(Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else
+          try s"mtime:$dataDir:${Files.getLastModifiedTime(dataDir)}"
+          catch { case _: java.io.IOException =>
+            return spark.read.parquet(dataDir.toString) }
+      (viewPath, inc, dataDir.getFileName.toString)
+    }
+    if (viewSchemaCache.size > 8192) viewSchemaCache.clear()
+    val schema = viewSchemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(dataDir.toString).schema)
+    spark.read.schema(schema).parquet(dataDir.toString)
+  }
+
   /** Aux multiplicity columns: the distinct expression's value and its
     * live-key count per (dims, value).
     */
@@ -703,7 +738,7 @@ object MaterializedAggView {
           touched.take(head._2.toInt).toSet)
       }
     val fromDir = viewDirAt(viewPath, from)
-    val old = spark.read.parquet(viewData(fromDir).toString)
+    val old = readDataDir(spark, viewPath, viewData(fromDir))
     // the refresh spec must MATCH the bootstrapped view: a refresh
     // called with a different agg/extremum/distinct set (easiest
     // mistake: a defaulted parameter omitted) would silently publish a
@@ -742,8 +777,8 @@ object MaterializedAggView {
           headManifest, deltas, old, sumView, pins)
       val (view, auxes) = distincts.foldLeft((extView,
           Seq.empty[(String, DataFrame)])) { case ((v, as), d) =>
-        val oldAux = spark.read.parquet(
-          auxData(fromDir, d.name).toString)
+        val oldAux = readDataDir(spark, viewPath,
+          auxData(fromDir, d.name))
         val mergedAux = oldAux
           .unionByName(buildAux(deltas, dims, d, col(WeightCol)))
           .groupBy((dims :+ AuxValCol).map(col): _*)
@@ -1102,6 +1137,6 @@ object MaterializedAggView {
           .map(v => Paths.get(viewPath, s"v$v")))
       .getOrElse(throw new IllegalStateException(
         s"$viewPath: no watermark — the view was never bootstrapped"))
-    spark.read.parquet(viewData(dir).toString).drop(CountCol)
+    readDataDir(spark, viewPath, viewData(dir)).drop(CountCol)
   }
 }

@@ -406,46 +406,90 @@ object TextAnalysis {
   /** The gradient-descent rounds over a prebuilt feature matrix — the
     * [[trainClassifierWeights]] loop body, extracted so the coupled
     * scorer can reuse the pinned `feat`/`lab` instead of re-tokenizing.
+    *
+    * Round-19 shape: the weight/direction vectors are d-row frames —
+    * driver-sized BY DESIGN (d is a model hyperparameter, hundreds to
+    * thousands) — yet each round used to localCheckpoint three of them
+    * and build three broadcast relations, ~10 Spark actions per round
+    * of pure fixed cost. The d-scale arithmetic (gmax normalization,
+    * the line-search step, the weight update) now runs driver-side in
+    * exact BigInteger — `divide` truncates toward zero exactly like
+    * Spark's IntegralDivide on decimals (Decimal.quot →
+    * divideToIntegralValue), so every value is bit-identical (the
+    * oracle unrolls the full training loop as CTEs and hash-checks it).
+    * The corpus-scale work (residuals, XᵀR, Xu — the sums that grow
+    * with the data) stays in Spark untouched: 3 actions per round
+    * (res pin + two aggregates) instead of ~10.
     */
   private def trainClassifierRounds(feat: DataFrame, lab: DataFrame,
       rounds: Int, scale: Long): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val spark = feat.sparkSession
+    import spark.implicits._
     val u0 = 1000000L // direction fixed-point scale U
     def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val w0 = pin(feat.select("b").distinct().select(col("b"), lit(0L).as("w")))
-    val wT = (1 to rounds).foldLeft(w0) { (w, _) =>
+    import java.math.BigInteger
+    val ZERO = BigInteger.ZERO
+    // the hashed-bucket universe actually present in the corpus — the
+    // same set the old w0 = feat.select("b").distinct() carried. Loud
+    // envelope guard (the langid-marginals rule): the weight vector is
+    // driver-resident by design; a caller hashing into millions of
+    // buckets should shard the model instead
+    val buckets = feat.select("b").distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(buckets.length <= (1 << 20),
+      s"classifier weight vector has ${buckets.length} buckets — beyond " +
+        "the driver-resident envelope (d is a model hyperparameter; " +
+        "shard the feature space instead)")
+    var w: Map[Long, Long] = buckets.iterator.map(_ -> 0L).toMap
+    def asFrame(v: Map[Long, Long], valName: String): DataFrame =
+      buckets.map(b => (b, v(b))).toSeq.toDF("b", valName)
+    (1 to rounds).foreach { _ =>
       // residual r_i = scale·t_i − Σ c·w, pinned: used by both the
-      // gradient and the line-search numerator
-      val res = pin(feat.join(broadcast(w), Seq("b"))
+      // gradient and the line-search numerator (corpus-scale, stays
+      // in Spark)
+      val res = pin(feat.join(broadcast(asFrame(w, "w")), Seq("b"))
         .groupBy("doc_id").agg(sum(col("c") * col("w")).as("p"))
         .join(lab, Seq("doc_id"))
         .select(col("doc_id"), (lit(scale) * col("t") - col("p")).as("r")))
-      // ascent direction g = XᵀR (exact decimal sums), normalized to a
-      // U-fixed-point unit-ish direction by the max |g| component
-      val g = feat.join(res, Seq("doc_id"))
+      // ascent direction g = XᵀR (exact decimal sums) — d rows, collected
+      val g: Map[Long, BigInteger] = feat.join(res, Seq("doc_id"))
         .groupBy("b").agg(sum(dec(col("r") * col("c"))).as("g"))
-      val gmax = g.agg(max(abs(col("g"))).as("gmax"))
-      val u = pin(g.crossJoin(broadcast(gmax))
-        .select(col("b"),
-          coalesce(expr("(g * 1000000) div nullif(gmax, 0)"), lit(0L))
-            .as("u")))
-      // exact line search along u: a = (RᵀXu · U) div ‖Xu‖²
-      val xu = feat.join(broadcast(u), Seq("b"))
+        .collect().iterator
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) ZERO else r.getDecimal(1).toBigIntegerExact))
+        .toMap
+      val gmax = g.valuesIterator.map(_.abs)
+        .foldLeft(ZERO)((a, x) => if (x.compareTo(a) > 0) x else a)
+      // u = (g·U) div gmax, exact integral division truncating toward
+      // zero — Spark's `div` semantics
+      val uVec: Map[Long, Long] = buckets.iterator.map { b =>
+        val gb = g.getOrElse(b, ZERO)
+        b -> (if (gmax.signum == 0) 0L
+          else gb.multiply(BigInteger.valueOf(u0)).divide(gmax).longValueExact)
+      }.toMap
+      // exact line search along u: a = (RᵀXu · U) div ‖Xu‖² — one
+      // corpus-scale aggregate, one row collected
+      val ab = feat.join(broadcast(asFrame(uVec, "u")), Seq("b"))
         .groupBy("doc_id").agg(sum(col("c") * col("u")).as("xu"))
-      val ab = xu.join(res, Seq("doc_id"))
+        .join(res, Seq("doc_id"))
         .agg(sum(dec(col("r")) * dec(col("xu"))).as("num"),
           sum(dec(col("xu")) * dec(col("xu"))).as("den"))
-        .select(coalesce(
-          expr(s"(num * $u0) div nullif(den, 0)"), lit(0L)).as("a"))
-      val next = pin(w.join(u, Seq("b")).crossJoin(broadcast(ab))
-        .select(col("b"), (col("w") + expr(s"(a * u) div $u0")).as("w")))
-      graft.Staging.unpin(w)
+        .collect()(0)
+      val a: BigInteger =
+        if (ab.isNullAt(1) || ab.getDecimal(1).signum == 0) ZERO
+        else (if (ab.isNullAt(0)) ZERO else ab.getDecimal(0).toBigIntegerExact)
+          .multiply(BigInteger.valueOf(u0))
+          .divide(ab.getDecimal(1).toBigIntegerExact)
+      w = buckets.iterator.map { b =>
+        val step = a.multiply(BigInteger.valueOf(uVec(b)))
+          .divide(BigInteger.valueOf(u0))
+        b -> (w(b) + step.longValueExact)
+      }.toMap
       graft.Staging.unpin(res)
-      graft.Staging.unpin(u)
-      next
     }
-    wT
+    asFrame(w, "w")
   }
 
   /** Language ID, n-gram/marker-word heuristic: score each candidate
@@ -1294,7 +1338,8 @@ object TextAnalysis {
     */
   def bpeVocab(docs: DataFrame, merges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
-    val (table, syms) = bpeMergeRounds(docs, merges)
+    // the merge table is the product here — skip the final syms pin
+    val (table, syms) = bpeMergeRounds(docs, merges, materializeSyms = false)
     graft.Staging.unpin(syms)
     import spark.implicits._
     table.toDF("round", "lhs", "rhs", "merged", "pair_count")
@@ -1394,16 +1439,25 @@ object TextAnalysis {
   /** The shared training loop: returns the merge table rows and the
     * PINNED final (word, cnt, s) vocabulary state (caller unpins).
     */
-  private def bpeMergeRounds(docs: DataFrame, merges: Int)
+  private def bpeMergeRounds(docs: DataFrame, merges: Int,
+      materializeSyms: Boolean = true)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
     val spark = docs.sparkSession
     def pin(df: DataFrame): DataFrame = graft.Staging.pin(df)
     val para = spark.sparkContext.defaultParallelism
-    var syms = pin(docs.repartition(para)
+    // ONE pinned corpus-derived table; the merge rounds accumulate a
+    // replace CHAIN over it instead of re-pinning per round (round-19
+    // optimization: a localCheckpoint job per round materialized a
+    // |vocab|-row projection whose recompute is a map-side string
+    // replace — 8 pins bought nothing but jobs; the chain is linear, so
+    // no stats blowup, and re-running k replaces per argmax is O(k²)
+    // cheap string work over the distinct vocabulary, never the corpus)
+    val base = pin(docs.repartition(para)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), bpeWrap(col("word")).as("s")))
+    var syms = base
     val table = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var round = 1
@@ -1429,13 +1483,19 @@ object TextAnalysis {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         table += ((round.toLong, l, r, l + r, c))
-        val next = pin(syms.select(col("word"), col("cnt"),
-          replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s")))
-        graft.Staging.unpin(syms)
-        syms = next
+        syms = syms.select(col("word"), col("cnt"),
+          replace(col("s"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"))
       }
       round += 1
     }
-    (table.toSeq, syms)
+    // hand the caller a PINNED final table when it will be consumed
+    // (bpeEncode's join) — and release the base once the final is
+    // materialized; a vocab-only caller skips the final pin entirely
+    // and owns the base's unpin
+    if (materializeSyms && !(syms eq base)) {
+      val fin = pin(syms)
+      graft.Staging.unpin(base)
+      (table.toSeq, fin)
+    } else (table.toSeq, base) // vocab-only callers unpin the base
   }
 }
