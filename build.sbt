@@ -26,6 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // whole-stage-codegen class cache (StaticSQLConf, default 100): a
+  // 117-query bench generates far more codegen units than 100 between
+  // the warmup pass and a query's timed reps, so the LRU evicted every
+  // warmup compilation and rep 1 re-paid janino + C2 for code the
+  // warmup had already compiled (rep1 jit >> rep2 jit across the
+  // suite; 37.8 s total jit rode alongside the r19 baseline's 86 s of
+  // walls). Sized to hold the whole suite's units; metaspace cost is
+  // a few hundred MB on a 48 g heap box.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   // local mode = single JVM: driver heap is the only memory knob. 8g
   // caused GC-driven bench variance at sf0.1 with 32 threads + broadcasts.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
